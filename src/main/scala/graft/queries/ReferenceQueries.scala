@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Testdata twins of the reference's operator inventory (SURVEY.md §2,
+  * FIXTURES.md §B mapping). Each query is the Spark-first expression of one
+  * reference operator family; the paired oracle SQL is the DuckDB-dialect
+  * equivalent the driver hashes against at sf0.01.
+  *
+  * Scale notes (100 TB): every query here is a single declarative plan —
+  * filters/projections reach the parquet scan, small dimensions are
+  * broadcast explicitly, aggregations get map-side partial aggregation from
+  * Catalyst, and nothing collects to the driver.
+  */
+object ReferenceQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q2FctStarJoin, q3StagingRename, q4DecodeNullFall,
+    q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
+    q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
+    q14EventsWindow)
+
+  /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
+  private def q1PricingSummary = QueryDef.sql(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** fct_order_products star join twin (SURVEY §2.4 J1+J2): fact left-joins
+    * two dimensions; the small dim is broadcast (no shuffle for it), the
+    * orders join is left to AQE which picks broadcast at these sizes and
+    * shuffled-hash beyond the threshold at 100 TB.
+    * Cites reference dbt_sao/models/mart/fct_order_products.sql:13-33.
+    */
+  private def q2FctStarJoin = QueryDef.sql(
+    "q2_fct_star_join",
+    """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+      | l.l_partkey AS product_id, o.o_custkey AS customer_id,
+      | CAST(o.o_orderdate AS DATE) AS order_date,
+      | l.l_quantity AS quantity, p.p_retailprice AS product_price,
+      | p.p_retailprice * 0.6 AS product_cost
+      |FROM lineitem l
+      |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |ORDER BY order_id, line_no""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val o = Tables.orders(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(o, l("l_orderkey") === o("o_orderkey"), "left")
+      .select(
+        l("l_orderkey").as("order_id"),
+        l("l_linenumber").as("line_no"),
+        l("l_partkey").as("product_id"),
+        o("o_custkey").as("customer_id"),
+        o("o_orderdate").cast("date").as("order_date"),
+        l("l_quantity").as("quantity"),
+        p("p_retailprice").as("product_price"),
+        (p("p_retailprice") * lit(0.6)).as("product_cost"))
+      .orderBy(col("order_id"), col("line_no"))
+  }
+
+  /** Staging rename/projection twin (SURVEY §2.2 P1-P2), cites reference
+    * dbt_sao/models/staging/stg_bike_shop__customers.sql:7-24.
+    */
+  private def q3StagingRename = QueryDef.sql(
+    "q3_staging_rename",
+    """SELECT c_custkey AS customer_id, c_name AS customer_name,
+      | c_mktsegment AS market_segment, c_acctbal AS account_balance,
+      | c_nationkey AS nation_id
+      |FROM customer ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("market_segment"),
+        col("c_acctbal").as("account_balance"),
+        col("c_nationkey").as("nation_id"))
+      .orderBy(col("customer_id"))
+  }
+
+  /** Snowflake DECODE twin with NULL fallthrough (SURVEY §2.3 F1): no
+    * default branch => non-matching status maps to NULL ('P' here). NULL-safe
+    * equality (<=>) mirrors DECODE's NULL-matches-NULL rule. Cites reference
+    * dbt_sao/models/staging/stg_bike_shop__customers.sql:16-19.
+    */
+  private def q4DecodeNullFall = QueryDef.sql(
+    "q4_decode_nullfall",
+    """SELECT CASE WHEN o_orderstatus = 'O' THEN 'Open'
+      |            WHEN o_orderstatus = 'F' THEN 'Finished' END AS status_label,
+      | count(*) AS n
+      |FROM orders GROUP BY 1
+      |ORDER BY status_label NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(
+        when(col("o_orderstatus") <=> lit("O"), "Open")
+          .when(col("o_orderstatus") <=> lit("F"), "Finished")
+          .as("status_label"))
+      .groupBy(col("status_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_label").asc_nulls_first)
+  }
+
+  /** Scalar-function twin (SURVEY §2.3 F2 initcap, F3 round): round() is
+    * applied only where the doubles are decimal-exact (2-dp account
+    * balances), where HALF_UP (Spark) and half-away-from-zero (DuckDB)
+    * agree. Cites stg_bike_shop__orders.sql:14, stg_bike_shop__products
+    * .sql:20.
+    */
+  private def q5ScalarFuncs = QueryDef.sql(
+    "q5_scalar_funcs",
+    """SELECT c_custkey AS customer_id,
+      | upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+      |   AS segment_label,
+      | round(c_acctbal, 0) AS balance_rounded,
+      | CAST(ceil(c_acctbal) AS BIGINT) AS balance_ceil,
+      | CAST(floor(c_acctbal) AS BIGINT) AS balance_floor,
+      | abs(c_acctbal) AS balance_abs,
+      | lower(c_name) || '-' || upper(c_mktsegment) AS tagged_name
+      |FROM customer ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey").as("customer_id"),
+        initcap(col("c_mktsegment")).as("segment_label"),
+        round(col("c_acctbal"), 0).as("balance_rounded"),
+        ceil(col("c_acctbal")).as("balance_ceil"),
+        floor(col("c_acctbal")).as("balance_floor"),
+        abs(col("c_acctbal")).as("balance_abs"),
+        concat(lower(col("c_name")), lit("-"), upper(col("c_mktsegment")))
+          .as("tagged_name"))
+      .orderBy(col("customer_id"))
+  }
+
+  /** Star-exclude twin (SURVEY §2.2 P3): Snowflake `SELECT * EXCLUDE (...)`
+    * == DataFrame .drop. Cites dim_customer.sql:5.
+    */
+  private def q6DropExclude = QueryDef.sql(
+    "q6_drop_exclude",
+    """SELECT p_partkey, p_name, p_brand, p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .drop("p_type", "p_size")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ungrouped scalar aggregates twin (SURVEY §2.5 A1 median, A2
+    * stddev_samp). Cites mock_data.py:75-76.
+    */
+  private def q7MedianStddev = QueryDef.sql(
+    "q7_median_stddev",
+    """SELECT round(median(p_retailprice), 2) AS median_price,
+      | round(stddev_samp(p_retailprice), 2) AS std_price,
+      | round(avg(p_retailprice), 2) AS avg_price,
+      | count(*) AS n_parts
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .agg(
+        round(median(col("p_retailprice")), 2).as("median_price"),
+        round(stddev_samp(col("p_retailprice")), 2).as("std_price"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        count(lit(1)).as("n_parts"))
+  }
+
+  /** Data-quality test compiler twin (SURVEY §2.10 T1-T4): not_null,
+    * unique, accepted_values (dbt semantics: NULLs pass), relationships
+    * (left-anti orphan check). All four must be 0 on this data; emitting the
+    * counts lets the oracle hash the zeros.
+    */
+  private def q8DqTests = QueryDef.sql(
+    "q8_dq_tests",
+    """SELECT
+      | (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+      |   AS null_orderkeys,
+      | (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |    GROUP BY o_orderkey HAVING count(*) > 1) d) AS dup_orderkeys,
+      | (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+      |    AND o_orderstatus IS NOT NULL) AS bad_status,
+      | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |   AS orphan_lineitems""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val nullKeys = l.agg(
+      count(when(col("l_orderkey").isNull, lit(1))).as("null_orderkeys"))
+    val dups = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("dup_orderkeys"))
+    val badStatus = o.filter(
+        !col("o_orderstatus").isin("O", "F", "P") &&
+          col("o_orderstatus").isNotNull)
+      .agg(count(lit(1)).as("bad_status"))
+    val orphans = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    nullKeys.crossJoin(dups).crossJoin(badStatus).crossJoin(orphans)
+  }
+
+  /** Append/UNION ALL twin (SURVEY §2.8, S5 per-batch file append): two
+    * disjoint halves unioned back then aggregated.
+    */
+  private def q9UnionAppend = QueryDef.sql(
+    "q9_union_append",
+    """SELECT o_orderstatus AS order_status, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS total_price
+      |FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+      |      UNION ALL
+      |      SELECT * FROM orders WHERE o_orderkey % 2 = 1) u
+      |GROUP BY o_orderstatus ORDER BY order_status""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .unionByName(o.filter(col("o_orderkey") % 2 === 1))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .withColumnRenamed("o_orderstatus", "order_status")
+      .orderBy(col("order_status"))
+  }
+
+  /** Index-aligned assignment twin (SURVEY §2.4 J4, §2.6): the i-th order
+    * paired with the i-th customer via row_number. The reference does this
+    * with Python list indexing (mock_data.py:56-62); distributed it's a
+    * rank-join. NOTE: a global (unpartitioned) window is a single-task sort
+    * — acceptable only because the reference's alignment is inherently a
+    * total order; the scale path is zipWithIndex on a pre-sorted source
+    * (see graft.gen.MockData).
+    */
+  private def q10WindowIndex = QueryDef.sql(
+    "q10_window_index",
+    """WITH o AS (SELECT o_orderkey,
+      |   row_number() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders),
+      | c AS (SELECT c_custkey,
+      |   row_number() OVER (ORDER BY c_custkey) - 1 AS idx FROM customer)
+      |SELECT o.o_orderkey AS order_id, c.c_custkey AS customer_id
+      |FROM o JOIN c USING (idx) ORDER BY order_id""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      (row_number().over(Window.orderBy(col("o_orderkey"))) - 1).as("idx"))
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      (row_number().over(Window.orderBy(col("c_custkey"))) - 1).as("idx"))
+    o.join(c, Seq("idx"))
+      .select(col("o_orderkey").as("order_id"),
+        col("c_custkey").as("customer_id"))
+      .orderBy(col("order_id"))
+  }
+
+  /** Row-expansion generator twin (SURVEY §2.9 G2 + §2.3 F9): weighted
+    * choice of 1-3 items per order (5:2:1) then explode. Randomness is a
+    * deterministic modular hash of the key so Spark and DuckDB agree —
+    * partition-count-independent by construction. Cites mock_data.py:92-107.
+    */
+  private def q11ExplodeGen = QueryDef.sql(
+    "q11_explode_gen",
+    """SELECT order_id, unnest(range(1, n_items + 1)) AS line_idx
+      |FROM (SELECT o_orderkey AS order_id,
+      |  CASE WHEN (o_orderkey * 9973) % 8 < 5 THEN 1
+      |       WHEN (o_orderkey * 9973) % 8 < 7 THEN 2
+      |       ELSE 3 END AS n_items
+      | FROM orders)
+      |ORDER BY order_id, line_idx""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("order_id"),
+        ((col("o_orderkey") * 9973) % 8).as("r"))
+      .withColumn("n_items",
+        when(col("r") < 5, 1).when(col("r") < 7, 2).otherwise(3))
+      .select(
+        col("order_id"),
+        explode(sequence(lit(1L), col("n_items").cast("long")))
+          .as("line_idx"))
+      .orderBy(col("order_id"), col("line_idx"))
+  }
+
+  /** Bernoulli sample + limit twin (SURVEY §2.7 L1-L2, sample_table.sql:3-5).
+    * Seeded but sampler-implementation-specific => Spark-only rows check.
+    */
+  private def q12SampleLimit = QueryDef.sparkOnly("q12_sample_limit") {
+    (s, dir) =>
+      Tables.customer(s, dir).sample(withReplacement = false, 0.05, seed = 42)
+        .limit(50)
+  }
+
+  /** Sort/limit top-k (SURVEY §2.7): deterministic via rounded measure +
+    * key tiebreak; Spark executes as TakeOrderedAndProject (no global sort).
+    */
+  private def q13GroupbyTopk = QueryDef.sql(
+    "q13_groupby_topk",
+    """SELECT o_custkey AS customer_id, round(sum(o_totalprice), 2)
+      |   AS total_spend, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spend DESC, customer_id LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("customer_id"), col("total_spend"),
+          col("n_orders"))
+        .orderBy(col("total_spend").desc, col("customer_id"))
+        .limit(10)
+  }
+
+  /** Tumbling event-time window agg (SURVEY §2.11 batch twin of the
+    * streaming path; same plan works under readStream + watermark in
+    * graft.streaming). Epoch-aligned hourly buckets match DuckDB
+    * time_bucket.
+    */
+  private def q14EventsWindow = QueryDef.sql(
+    "q14_events_window",
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+      |   '%Y-%m-%d %H:%M:%S') AS window_start,
+      | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+}
