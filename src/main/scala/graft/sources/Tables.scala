@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver-provided testdata directories
   * (TESTDATA.md). Schemas are declared by the parquet footers; reads are
@@ -17,7 +18,17 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = apply(s, d, "events")
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]). Read the
+    * raw nanos as long, then rebuild a microsecond timestamp. Truncating to
+    * micros is lossless for the oracle compare (DuckDB TIMESTAMP is micros).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
