@@ -1,0 +1,89 @@
+package graft.functions
+
+/** Engine-portable deterministic text/hash primitives, defined as paired
+  * Spark-SQL and DuckDB-SQL expression snippets so every LSH / dedup /
+  * similarity operator computes bit-identical values in the engine and in
+  * the driver's DuckDB oracle.
+  *
+  * Randomness is replaced by modular arithmetic over a large prime: a
+  * polynomial rolling hash for strings and affine re-hashes `(a*x+b) mod P`
+  * for MinHash. At production scale the word hash would be
+  * `xxhash64(col, seed)` (single codegen'd call, no char loop) — the
+  * operator SHAPES (explode → bucket → join) are unchanged by that swap;
+  * the portable variant exists so correctness is externally checkable.
+  *
+  * All arithmetic stays within Long: operands are < P (~2^30), products
+  * < 2^60. Both engines evaluate left-to-right IEEE-754 double folds, so
+  * even floating-point reductions (dot products, norms) match exactly.
+  */
+object Portable {
+  /** Large prime modulus for all integer hashing. */
+  val P: Long = 1000000007L
+
+  /** MinHash affine coefficients (12 hash functions → 6 bands of 2). */
+  val MinHashA: Seq[Long] =
+    Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L, 173L, 179L, 181L, 191L)
+  val MinHashB: Seq[Long] =
+    Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L)
+
+  // ---- Spark SQL dialect --------------------------------------------------
+
+  /** Lowercase alpha word tokens of `text`. */
+  val wordsSpark = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+  /** Polynomial rolling hash (mod P) of each word → ARRAY<BIGINT>.
+    * Uses sequence+substr (not split(w,'')) because Spark's split keeps a
+    * trailing empty string that DuckDB's string_split does not.
+    */
+  val wordHashesSpark: String =
+    s"""transform($wordsSpark,
+       |  w -> aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
+       |    (a, i) -> (a*31 + ascii(substr(w, i, 1))) % $P))""".stripMargin
+
+  /** Distinct word-3-gram shingle hashes from a word-hash array `wh`. */
+  val shinglesSpark: String =
+    s"""CASE WHEN size(wh) >= 3 THEN array_distinct(
+       |  transform(sequence(1, size(wh) - 2),
+       |    i -> (((element_at(wh, i)*31 + element_at(wh, i + 1)) % $P)*31
+       |          + element_at(wh, i + 2)) % $P))
+       |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+
+  /** Rolling hash of the whole text (mod P), char-level. */
+  val textFingerprintSpark: String =
+    s"""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+       |  (a, i) -> (a*31 + ascii(substr(text, i, 1))) % $P)""".stripMargin
+
+  // ---- DuckDB dialect -----------------------------------------------------
+
+  val wordsDuck = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  val wordHashesDuck: String =
+    s"""list_transform($wordsDuck,
+       |  w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, c) -> (a*31 + c) % $P))""".stripMargin
+
+  val shinglesDuck: String =
+    s"""list_distinct(list_transform(range(1, greatest(len(wh) - 1, 1)),
+       |  i -> (((wh[i]*31 + wh[i + 1]) % $P)*31 + wh[i + 2]) % $P))""".stripMargin
+
+  val textFingerprintDuck: String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a*31 + c) % $P)""".stripMargin
+
+  // ---- Portable pseudo-random hyperplanes (sign-LSH over embeddings) ------
+
+  /** Deterministic hyperplane weight for (plane j, 0-based dim d) in [-1,1).
+    * Pure integer arithmetic then one division — identical in Scala, Spark
+    * and DuckDB.
+    */
+  def hyperplaneWeight(j: Int, d: Int): Double =
+    ((j.toLong * 64 + d) * 2654435761L % 2147483647L).toDouble /
+      2147483647.0 * 2 - 1
+
+  /** DuckDB expression for the same weight, with 1-based dim index `d`. */
+  def hyperplaneWeightDuck(j: Int): String =
+    s"(CAST((($j*64 + (d-1)) * 2654435761) % 2147483647 AS DOUBLE)" +
+      " / 2147483647.0 * 2 - 1)"
+}

@@ -1,9 +1,529 @@
 package graft.queries
 
-/** LLM-data-pipeline extension operators (dedup, similarity search, text
-  * analysis) over the documents/embeddings tables. Populated by task #4;
-  * empty placeholder keeps SparkEntry wiring stable.
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Portable
+import graft.functions.Portable.P
+import graft.operators.Media
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force and LSH-bucketed ANN),
+  * text analysis (stats, language-ID, token counting, fingerprinting) and
+  * multimodal-column plumbing.
+  *
+  * Scale design (100 TB): every near-dup/similarity operator is BUCKETED —
+  * candidates come from an inverted-index join (shared shingle), an LSH
+  * band key, or a signature bucket; nothing does an all-pairs crossJoin
+  * over the corpus. Document-frequency pruning bounds inverted-index
+  * bucket sizes, so the candidate join stays near-linear in corpus size.
+  * Hashing is expression-only (codegen'd; no UDFs); see
+  * [[graft.functions.Portable]] for why the hash is a portable polynomial
+  * rather than xxhash64 (oracle parity), and what to swap at production
+  * scale.
   */
 object ExtensionQueries {
-  val all: Seq[QueryDef] = Seq.empty
+
+  val all: Seq[QueryDef] = Seq(
+    e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
+    e6AnnLsh, e7TextStats, e8LangId, e9TokenCount, e10Fingerprint,
+    e11EmbedStats, e12MediaMeta)
+
+  /** doc_id + distinct-shingle-hash array per document (shared candidate
+    * source for e2/e3). One projection + two codegen'd HOF expressions.
+    */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(Portable.wordHashesSpark).as("wh"))
+      .select(col("doc_id"), expr(Portable.shinglesSpark).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** Exact dedup: group documents by content hash, keep the smallest
+    * doc_id as the canonical copy. Hash-groupBy shuffles only (hash, id,
+    * small cols), never the text itself beyond the first projection —
+    * at 100 TB the shuffle payload is the digest, not the document.
+    */
+  private def e1ExactDedup = QueryDef.sql(
+    "e1_exact_dedup",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      | min(n_chars) AS n_chars, min(lang) AS lang
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256))
+        .agg(
+          min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_chars")).as("n_chars"),
+          min(col("lang")).as("lang"))
+        .drop("sha2(text, 256)")
+        .select("doc_id", "n_copies", "n_chars", "lang")
+        .orderBy("doc_id")
+  }
+
+  /** Near-dup via exact n-gram Jaccard with an inverted-index (bucketed)
+    * candidate join: explode distinct word-3-gram shingles, prune shingles
+    * with document frequency > 100 (common shingles add no discrimination
+    * and would blow up bucket sizes), self-join on shingle, count common
+    * shingles per pair, then Jaccard >= 0.3 over the pruned sets. Work is
+    * sum(df^2) over kept shingles — bounded by the df cap, not corpus^2.
+    */
+  private def e2NgramJaccard = QueryDef.sql(
+    "e2_ngram_jaccard",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w),
+       |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+       |kept AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 100),
+       |pr AS (SELECT ex.doc_id, ex.sh FROM ex JOIN kept USING (sh)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM pr GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+       |FROM common
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val ex = docShingles(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val kept = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("sh")
+    val pr = ex.join(kept, "sh")
+    val sz = pr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pr.as("a")
+      .join(pr.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = round(
+      col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c")), 4)
+    common
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup via MinHash + LSH banding: 12 affine min-hashes over the
+    * shingle hashes, grouped into 6 bands of 2; documents sharing a band
+    * key become candidates (bucket join on the band key — the classic
+    * sub-quadratic LSH shape), then candidates are verified with exact
+    * Jaccard >= 0.3. With these (r=2, b=6) parameters a pair at j=0.5
+    * collides with p ~ 0.82, at j=0.9 with p ~ 0.99997.
+    */
+  private def e3MinhashLsh = {
+    val mhDuck = (0 until 12).map { k =>
+      s"list_min(list_transform(shs, x -> (${Portable.MinHashA(k)}*x + " +
+        s"${Portable.MinHashB(k)}) % $P)) AS mh$k"
+    }.mkString(",\n  ")
+    val bandKeysDuck = (0 until 6)
+      .map(k => s"mh${2 * k}*$P + mh${2 * k + 1}")
+      .mkString("[", ", ", "]")
+    QueryDef.sql(
+      "e3_minhash_lsh",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
+         |  WHERE len(wh) >= 3),
+         |mh AS (SELECT doc_id, shs,
+         |  $mhDuck
+         |  FROM sh WHERE len(shs) > 0),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 6)) AS band_id,
+         |    unnest($bandKeysDuck) AS band_key
+         |  FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |      (len(sa.shs) + len(sb.shs)
+         |        - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+         |  FROM cand
+         |  JOIN mh sa ON sa.doc_id = doc_a
+         |  JOIN mh sb ON sb.doc_id = doc_b)
+         |SELECT * FROM verified WHERE jaccard >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = docShingles(Tables.documents(s, dir))
+      val mhCols = (0 until 12).map { k =>
+        array_min(transform(col("shs"),
+          x => (x * Portable.MinHashA(k) + Portable.MinHashB(k)) % P))
+          .as(s"mh$k")
+      }
+      val mh = sh.select(col("doc_id") +: col("shs") +: mhCols: _*)
+      val bandKeys = array((0 until 6).map(k =>
+        col(s"mh${2 * k}") * P + col(s"mh${2 * k + 1}")): _*)
+      val bands = mh
+        .select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = size(array_intersect(col("sa.shs"), col("sb.shs")))
+      val jac = round(inter.cast("double") /
+        (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
+      cand
+        .join(mh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(mh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** SimHash document fingerprint: 32-bit signature where bit j is the
+    * majority vote of bit j across the word hashes. Linear in corpus size
+    * (one pass, no pairing); `n_same` counts exact-signature cluster sizes
+    * — the cheap fingerprint-level dedup. Near-identical word profiles
+    * land in the same cluster.
+    */
+  private def e4Simhash = {
+    def bitsSql(shift: String, sz: String): String = (0 until 32).map { j =>
+      s"(CASE WHEN 2*$sz(filter(wh, x -> ($shift(x, $j) & 1) = 1)) > $sz(wh)" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    val bitsDuck = (0 until 32).map { j =>
+      s"(CASE WHEN 2*len(list_filter(wh, x -> (x >> $j) & 1 = 1)) > len(wh)" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    QueryDef.sql(
+      "e4_simhash",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, $bitsDuck AS simhash FROM w
+         |  WHERE len(wh) > 0)
+         |SELECT doc_id, simhash,
+         |  count(*) OVER (PARTITION BY simhash) AS n_same
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bitsSpark = bitsSql("shiftright", "size")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(Portable.wordHashesSpark).as("wh"))
+        .filter(size(col("wh")) > 0)
+        .select(col("doc_id"), expr(bitsSpark).as("simhash"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("simhash"))))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Left-fold dot product of two embedding columns, in double. Fold order
+    * is element order in BOTH engines, so results are bit-identical.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 65),
+       |    i -> CAST($a.embedding[i] AS DOUBLE)
+       |       * CAST($b.embedding[i] AS DOUBLE))),
+       |  (s, v) -> s + v)""".stripMargin
+
+  private def normDuck(a: String): String = s"sqrt(${dotDuck(a, a)})"
+
+  /** Brute-force cosine top-k — the exact baseline for similarity search.
+    * The query set (vec_id % 50 = 0, i.e. ~2% of the corpus) is broadcast;
+    * the corpus is scanned once, no corpus x corpus pairing. Scores are
+    * rounded to 4dp BEFORE ranking so the rank order is reproducible
+    * across engines.
+    */
+  private def e5CosineTopk = QueryDef.sql(
+    "e5_cosine_topk",
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotDuck("q", "c")} /
+       |      (${normDuck("q")} * ${normDuck("c")}), 4) AS cosine
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cosine FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine DESC, neighbor_id) <= 5
+       |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
+    (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      val cosine = round(
+        dot(col("qe"), col("ce")) /
+          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))),
+        4)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine.as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .drop("rk")
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** LSH-bucketed ANN — the scale path for similarity search: an 8-bit
+    * sign signature from deterministic pseudo-random hyperplanes buckets
+    * the corpus; neighbors are searched only inside the bucket (self-join
+    * on the signature), top-3 per vector. At 100 TB you raise the
+    * signature width (and/or probe neighboring buckets) so bucket sizes
+    * stay bounded; the plan shape is unchanged.
+    */
+  private def e6AnnLsh = {
+    val sigDuck = (0 until 8).map { j =>
+      "(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+        " list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * " +
+        Portable.hyperplaneWeightDuck(j) +
+        s")), (s, v) -> s + v) > 0 THEN CAST(${1L << j} AS BIGINT)" +
+        " ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    QueryDef.sql(
+      "e6_ann_lsh",
+      s"""WITH s AS (SELECT vec_id, embedding, $sigDuck AS sig
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(${dotDuck("a", "b")} /
+         |      (${normDuck("a")} * ${normDuck("b")}), 4) AS cosine
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, cosine FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= 3
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
+      (s, dir) =>
+        val sig = (0 until 8).map { j =>
+          val wArr = array(
+            (0 until 64).map(d => lit(Portable.hyperplaneWeight(j, d))): _*)
+          when(
+            aggregate(
+              zip_with(col("embedding"), wArr, (x, w) => x.cast("double") * w),
+              lit(0.0), (acc, v) => acc + v) > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val vs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), sig.as("sig"))
+        val cosine = round(
+          dot(col("a.embedding"), col("b.embedding")) /
+            (sqrt(dot(col("a.embedding"), col("a.embedding"))) *
+              sqrt(dot(col("b.embedding"), col("b.embedding")))), 4)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        vs.as("a")
+          .join(vs.as("b"),
+            col("a.sig") === col("b.sig") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"), cosine.as("cosine"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .drop("rk")
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }
+  }
+
+  /** Text-quality statistics per language. Every ratio is a ratio of
+    * integer SUMS (exact), divided once — never an average of per-row
+    * doubles, whose accumulation order differs between engines.
+    */
+  private def e7TextStats = QueryDef.sql(
+    "e7_text_stats",
+    s"""WITH d AS (SELECT lang, n_chars,
+       |    len(${Portable.wordsDuck}) AS n_words,
+       |    len(list_distinct(${Portable.wordsDuck})) AS n_uniq,
+       |    len(list_filter(${Portable.wordsDuck},
+       |        w -> w IN ('the', 'a'))) AS n_stop,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words,
+       |  round(CAST(sum(n_stop) AS DOUBLE) / sum(n_words), 4)
+       |    AS stopword_ratio,
+       |  round(CAST(sum(n_uniq) AS DOUBLE) / sum(n_words), 4) AS uniq_ratio,
+       |  round(CAST(sum(n_punct) AS DOUBLE) / sum(n_chars), 4)
+       |    AS punct_ratio
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val words = expr(Portable.wordsSpark)
+    Tables.documents(s, dir)
+      .select(
+        col("lang"), col("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_uniq"),
+        size(filter(words, w => w.isin("the", "a"))).cast("long")
+          .as("n_stop"),
+        size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)"))
+          .cast("long").as("n_punct"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_words")).as("total_words"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_words")), 4)
+          .as("stopword_ratio"),
+        round(sum(col("n_uniq")).cast("double") / sum(col("n_words")), 4)
+          .as("uniq_ratio"),
+        round(sum(col("n_punct")).cast("double") / sum(col("n_chars")), 4)
+          .as("punct_ratio"))
+      .orderBy("lang")
+  }
+
+  /** Heuristic language-ID: marker-stopword counts per candidate language,
+    * argmax with deterministic tie-breaks, 'unknown' when no marker hits.
+    * Output is the actual-vs-predicted confusion matrix. (On this synthetic
+    * shared-vocabulary corpus the classifier is expected to collapse to
+    * en/unknown — the operator, not the accuracy, is under test.)
+    */
+  private def e8LangId = {
+    val markers = Seq(
+      "s_en" -> Seq("the", "a"),
+      "s_fr" -> Seq("le", "la", "et"),
+      "s_de" -> Seq("der", "die", "und"),
+      "s_es" -> Seq("el", "los", "y"))
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+    val scoreDuck = markers.map { case (n, ws) =>
+      s"len(list_filter(${Portable.wordsDuck}, w -> w IN (${inList(ws)})))" +
+        s" AS $n"
+    }.mkString(",\n    ")
+    QueryDef.sql(
+      "e8_lang_id",
+      s"""WITH sc AS (SELECT lang,
+         |    $scoreDuck
+         |  FROM documents),
+         |p AS (SELECT lang,
+         |  CASE
+         |    WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0
+         |      THEN 'unknown'
+         |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         |    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |    WHEN s_de >= s_es THEN 'de'
+         |    ELSE 'es' END AS predicted
+         |  FROM sc)
+         |SELECT lang, predicted, count(*) AS n FROM p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val scored = Tables.documents(s, dir).select(
+        col("lang") +: markers.map { case (n, ws) =>
+          size(filter(words, w => w.isin(ws: _*))).cast("long").as(n)
+        }: _*)
+      scored
+        .withColumn("predicted",
+          when(col("s_en") === 0 && col("s_fr") === 0 &&
+            col("s_de") === 0 && col("s_es") === 0, "unknown")
+            .when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
+              col("s_en") >= col("s_es"), "en")
+            .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"),
+              "fr")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (alpha runs | digit runs | single non-alnum). Pure per-row expression
+    * work — embarrassingly parallel.
+    */
+  private def e9TokenCount = QueryDef.sql(
+    "e9_token_count",
+    """SELECT doc_id, length(text) AS n_chars_exact,
+      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_exact"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("ws_tokens"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (char-level polynomial mod P) with
+    * exact-fingerprint cluster sizes — content-addressed identity without
+    * shipping text through the shuffle.
+    */
+  private def e10Fingerprint = QueryDef.sql(
+    "e10_fingerprint",
+    s"""WITH f AS (SELECT doc_id, ${Portable.textFingerprintDuck}
+       |    AS fingerprint
+       |  FROM documents)
+       |SELECT doc_id, fingerprint,
+       |  count(*) OVER (PARTITION BY fingerprint) AS n_same
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(Portable.textFingerprintSpark)
+        .as("fingerprint"))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy("doc_id")
+  }
+
+  /** Per-vector embedding statistics (norm, mean) — the multimodal
+    * numeric-column path: Array[Float] folded in double, per row, no
+    * cross-row float accumulation (which would be order-sensitive).
+    */
+  private def e11EmbedStats = QueryDef.sql(
+    "e11_embed_stats",
+    s"""WITH v AS (SELECT vec_id, label,
+       |  ${dotDuck("embeddings", "embeddings")
+          .replaceAll("embeddings\\.", "")} AS sq,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE))),
+       |    (s, x) -> s + x) AS tot
+       |  FROM embeddings)
+       |SELECT vec_id, label, round(sqrt(sq), 4) AS norm,
+       |  round(tot / 64, 4) AS mean
+       |FROM v ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"), col("label"),
+        round(sqrt(dot(col("embedding"), col("embedding"))), 4).as("norm"),
+        round(
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")) / 64, 4).as("mean"))
+      .orderBy("vec_id")
+  }
+
+  /** Multimodal plumbing: documents as opaque binary payloads with typed
+    * metadata, decoded by the batched mapPartitions stage in
+    * [[graft.operators.Media]]. The stub "decode" is a rolling checksum of
+    * the payload bytes, which for this ASCII corpus equals the char-level
+    * fingerprint — so even the mapPartitions path gets a full DuckDB
+    * oracle.
+    */
+  private def e12MediaMeta = QueryDef.sql(
+    "e12_media_meta",
+    s"""SELECT doc_id, 'text' AS media_type,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  ${Portable.textFingerprintDuck} AS checksum
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), lit("text").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Media.MediaDoc]
+    Media.extractFeatures(docs)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("checksum"))
+      .orderBy("doc_id")
+  }
 }
