@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions._
+
+/** SparkSessionExtensions entry point: registers the custom hash /
+  * similarity expressions as SQL functions, so
+  * `spark.sql("SELECT shingle_hashes(text) ...")` works next to the
+  * Column API in [[graft.functions.F]]. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("word_hashes"), info("word_hashes", classOf[WordHashes]),
+      (args: Seq[Expression]) => WordHashes(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"), info("shingle_hashes", classOf[ShingleHashes]),
+      (args: Seq[Expression]) => ShingleHashes(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"), info("poly_hash", classOf[PolyHash]),
+      (args: Seq[Expression]) => PolyHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sim_hash"), info("sim_hash", classOf[SimHash]),
+      (args: Seq[Expression]) => SimHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_hashes"), info("min_hashes", classOf[MinHashes]),
+      (args: Seq[Expression]) => MinHashes(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"), info("array_dot", classOf[ArrayDot]),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+  }
+}

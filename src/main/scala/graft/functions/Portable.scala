@@ -28,30 +28,11 @@ object Portable {
 
   // ---- Spark SQL dialect --------------------------------------------------
 
-  /** Lowercase alpha word tokens of `text`. */
-  val wordsSpark = "regexp_extract_all(lower(text), '[a-z]+', 0)"
-
-  /** Polynomial rolling hash (mod P) of each word → ARRAY<BIGINT>.
-    * Uses sequence+substr (not split(w,'')) because Spark's split keeps a
-    * trailing empty string that DuckDB's string_split does not.
+  /** Lowercase alpha word tokens of `text`. (The hash primitives
+    * themselves live as compiled Catalyst expressions in [[TextHash]] /
+    * [[expressions]]; only this tokenizer is still used as inline SQL.)
     */
-  val wordHashesSpark: String =
-    s"""transform($wordsSpark,
-       |  w -> aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
-       |    (a, i) -> (a*31 + ascii(substr(w, i, 1))) % $P))""".stripMargin
-
-  /** Distinct word-3-gram shingle hashes from a word-hash array `wh`. */
-  val shinglesSpark: String =
-    s"""CASE WHEN size(wh) >= 3 THEN array_distinct(
-       |  transform(sequence(1, size(wh) - 2),
-       |    i -> (((element_at(wh, i)*31 + element_at(wh, i + 1)) % $P)*31
-       |          + element_at(wh, i + 2)) % $P))
-       |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
-
-  /** Rolling hash of the whole text (mod P), char-level. */
-  val textFingerprintSpark: String =
-    s"""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-       |  (a, i) -> (a*31 + ascii(substr(text, i, 1))) % $P)""".stripMargin
+  val wordsSpark = "regexp_extract_all(lower(text), '[a-z]+', 0)"
 
   // ---- DuckDB dialect -----------------------------------------------------
 

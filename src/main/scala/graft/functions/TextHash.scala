@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled implementations of the portable hash primitives in
+  * [[Portable]]. These are the runtime bodies of the custom Catalyst
+  * expressions in [[expressions]]; codegen emits direct static calls to
+  * this object (Scala objects expose static forwarders), so the char
+  * loops run as plain JVM code inside WholeStageCodegen instead of
+  * per-element interpreted lambda evaluation.
+  *
+  * Semantics are bit-identical to the DuckDB-side SQL in [[Portable]]:
+  * words are maximal `[a-z]+` runs of the lowercased text, hashed with a
+  * base-31 polynomial over char codes mod P; shingles re-hash sliding
+  * word-hash windows with the same polynomial. The ASCII-only lowercase
+  * here equals SQL `lower()` + `[a-z]+` for any ASCII input (the corpus
+  * is ASCII; non-ASCII letters fall out of `[a-z]` in both engines'
+  * regex path and are treated as word boundaries here).
+  */
+object TextHash {
+  private val P = Portable.P
+
+  /** Polynomial hash of each maximal ASCII-letter run of `text`. */
+  def wordHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Long]()
+    var h = 0L
+    var inWord = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      var c = s.charAt(i).toInt
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') {
+        h = (h * 31 + c) % P
+        inWord = true
+      } else if (inWord) {
+        out.add(h); h = 0L; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) out.add(h)
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Distinct word-k-gram shingle hashes of `text` (first-occurrence
+    * order; empty when the text has fewer than k words).
+    */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val wh = wordHashes(text).toLongArray()
+    if (wh.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i <= wh.length - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + wh(i + j)) % P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Char-level rolling hash of the whole text (code points, mod P). */
+  def polyHash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i).toInt) % P; i += 1 }
+    h
+  }
+
+  /** 32-bit SimHash of the word-hash multiset: bit j is set when a
+    * strict majority of word hashes have bit j set.
+    */
+  def simHash(text: UTF8String): Long = {
+    val wh = wordHashes(text).toLongArray()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < wh.length) {
+      val h = wh(i)
+      var j = 0
+      while (j < 32) { counts(j) += ((h >> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (2 * counts(j) > wh.length) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  /** Affine MinHash signature over a shingle-hash array: element i is
+    * min over the array of (A(i)*x + B(i)) mod P.
+    */
+  def minHashes(shingles: ArrayData): ArrayData = {
+    val xs = shingles.toLongArray()
+    val n = Portable.MinHashA.length
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val a = Portable.MinHashA(i)
+      val b = Portable.MinHashB(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < xs.length) {
+        val v = (a * xs(j) + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Left-fold dot product of two double arrays (fold order = element
+    * order, matching both engines' list_reduce/aggregate semantics).
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hash/similarity primitives.
+  *
+  * Each is a native `Expression` with `doGenCode` (a static call into
+  * [[TextHash]]), so the primitives stay inside WholeStageCodegen and
+  * evaluate as compiled JVM loops. This replaces the original
+  * higher-order-function formulation which Catalyst's CollapseProject
+  * inlined into downstream lambdas, re-evaluating the full word-hash
+  * array per element (observed quadratic blowup: 0.7s → 38s on 500
+  * docs). The DuckDB oracle side still uses the portable SQL in
+  * [[Portable]] — values are bit-identical.
+  */
+object expressions {
+
+  case class WordHashes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.wordHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): WordHashes =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashes(child: Expression, k: Int = 3)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.shingleHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashes($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  case class PolyHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "poly_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): PolyHash =
+      copy(child = newChild)
+  }
+
+  case class SimHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sim_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.simHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash =
+      copy(child = newChild)
+  }
+
+  case class MinHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "min_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.minHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashes =
+      copy(child = newChild)
+  }
+
+  /** Dot product of two ARRAY<DOUBLE> columns, left-fold in element
+    * order (bit-identical to the engines' list_reduce formulation).
+    */
+  case class ArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "array_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextHash.dotD(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.dotD($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ArrayDot =
+      copy(left = newLeft, right = newRight)
+  }
+}
+
+/** Column-API surface for the custom expressions (usable without any
+  * session-level registration; [[graft.GraftExtensions]] additionally
+  * registers them as SQL functions).
+  */
+object F {
+  import expressions._
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def word_hashes(text: Column): Column = c(WordHashes(e(text)))
+  def shingle_hashes(text: Column, k: Int = 3): Column = c(ShingleHashes(e(text), k))
+  def poly_hash(text: Column): Column = c(PolyHash(e(text)))
+  def sim_hash(text: Column): Column = c(SimHash(e(text)))
+  def min_hashes(shingles: Column): Column = c(MinHashes(e(shingles)))
+  def array_dot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
+}

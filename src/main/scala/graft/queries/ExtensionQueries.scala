@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.Portable
+import graft.functions.{F, Portable}
 import graft.functions.Portable.P
 import graft.operators.Media
 import graft.sources.Tables
@@ -33,12 +33,13 @@ object ExtensionQueries {
     e11EmbedStats, e12MediaMeta)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
-    * source for e2/e3). One projection + two codegen'd HOF expressions.
+    * source for e2/e3). One compiled ShingleHashes expression — see
+    * [[graft.functions.expressions]] for why this is a custom Catalyst
+    * expression rather than higher-order-function SQL.
     */
   private def docShingles(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), expr(Portable.wordHashesSpark).as("wh"))
-      .select(col("doc_id"), expr(Portable.shinglesSpark).as("shs"))
+      .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** Exact dedup: group documents by content hash, keep the smallest
@@ -156,14 +157,11 @@ object ExtensionQueries {
          |SELECT * FROM verified WHERE jaccard >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sh = docShingles(Tables.documents(s, dir))
-      val mhCols = (0 until 12).map { k =>
-        array_min(transform(col("shs"),
-          x => (x * Portable.MinHashA(k) + Portable.MinHashB(k)) % P))
-          .as(s"mh$k")
-      }
-      val mh = sh.select(col("doc_id") +: col("shs") +: mhCols: _*)
+      val mh = sh.select(col("doc_id"), col("shs"),
+        F.min_hashes(col("shs")).as("sig"))
       val bandKeys = array((0 until 6).map(k =>
-        col(s"mh${2 * k}") * P + col(s"mh${2 * k + 1}")): _*)
+        element_at(col("sig"), 2 * k + 1) * P +
+          element_at(col("sig"), 2 * k + 2)): _*)
       val bands = mh
         .select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
       val cand = bands.as("a")
@@ -192,10 +190,6 @@ object ExtensionQueries {
     * land in the same cluster.
     */
   private def e4Simhash = {
-    def bitsSql(shift: String, sz: String): String = (0 until 32).map { j =>
-      s"(CASE WHEN 2*$sz(filter(wh, x -> ($shift(x, $j) & 1) = 1)) > $sz(wh)" +
-        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
     val bitsDuck = (0 until 32).map { j =>
       s"(CASE WHEN 2*len(list_filter(wh, x -> (x >> $j) & 1 = 1)) > len(wh)" +
         s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -209,24 +203,20 @@ object ExtensionQueries {
          |SELECT doc_id, simhash,
          |  count(*) OVER (PARTITION BY simhash) AS n_same
          |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val bitsSpark = bitsSql("shiftright", "size")
       Tables.documents(s, dir)
-        .select(col("doc_id"), expr(Portable.wordHashesSpark).as("wh"))
-        .filter(size(col("wh")) > 0)
-        .select(col("doc_id"), expr(bitsSpark).as("simhash"))
+        .filter(size(F.word_hashes(col("text"))) > 0)
+        .select(col("doc_id"), F.sim_hash(col("text")).as("simhash"))
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("simhash"))))
         .orderBy("doc_id")
     }
   }
 
-  /** Left-fold dot product of two embedding columns, in double. Fold order
-    * is element order in BOTH engines, so results are bit-identical.
+  /** Left-fold dot product of two ARRAY<DOUBLE> columns via the compiled
+    * ArrayDot expression. Fold order is element order in BOTH engines, so
+    * results are bit-identical to the oracle's list_reduce.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+  private def dot(a: Column, b: Column): Column = F.array_dot(a, b)
 
   private def dotDuck(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -258,9 +248,11 @@ object ExtensionQueries {
     (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qe"))
       val c = emb
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("ce"))
       val cosine = round(
         dot(col("qe"), col("ce")) /
           (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))),
@@ -304,21 +296,18 @@ object ExtensionQueries {
          |  ORDER BY cosine DESC, neighbor_id) <= 3
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
       (s, dir) =>
+        val embD = col("embedding").cast("array<double>")
         val sig = (0 until 8).map { j =>
           val wArr = array(
             (0 until 64).map(d => lit(Portable.hyperplaneWeight(j, d))): _*)
-          when(
-            aggregate(
-              zip_with(col("embedding"), wArr, (x, w) => x.cast("double") * w),
-              lit(0.0), (acc, v) => acc + v) > 0,
-            lit(1L << j)).otherwise(lit(0L))
+          when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
         val vs = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), sig.as("sig"))
+          .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
         val cosine = round(
-          dot(col("a.embedding"), col("b.embedding")) /
-            (sqrt(dot(col("a.embedding"), col("a.embedding"))) *
-              sqrt(dot(col("b.embedding"), col("b.embedding")))), 4)
+          dot(col("a.emb"), col("b.emb")) /
+            (sqrt(dot(col("a.emb"), col("a.emb"))) *
+              sqrt(dot(col("b.emb"), col("b.emb")))), 4)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))
         vs.as("a")
@@ -470,8 +459,7 @@ object ExtensionQueries {
        |  count(*) OVER (PARTITION BY fingerprint) AS n_same
        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
-      .select(col("doc_id"), expr(Portable.textFingerprintSpark)
-        .as("fingerprint"))
+      .select(col("doc_id"), F.poly_hash(col("text")).as("fingerprint"))
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy("doc_id")
@@ -493,13 +481,13 @@ object ExtensionQueries {
        |SELECT vec_id, label, round(sqrt(sq), 4) AS norm,
        |  round(tot / 64, 4) AS mean
        |FROM v ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val embD = col("embedding").cast("array<double>")
+    val ones = array_repeat(lit(1.0), 64)
     Tables.embeddings(s, dir)
       .select(
         col("vec_id"), col("label"),
-        round(sqrt(dot(col("embedding"), col("embedding"))), 4).as("norm"),
-        round(
-          aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double")) / 64, 4).as("mean"))
+        round(sqrt(dot(embD, embD)), 4).as("norm"),
+        round(dot(embD, ones) / 64, 4).as("mean"))
       .orderBy("vec_id")
   }
 
