@@ -243,12 +243,11 @@ object ReferenceQueries {
   }
 
   /** Index-aligned assignment twin (SURVEY §2.4 J4, §2.6): the i-th order
-    * paired with the i-th customer via row_number. The reference does this
-    * with Python list indexing (mock_data.py:56-62); distributed it's a
-    * rank-join. NOTE: a global (unpartitioned) window is a single-task sort
-    * — acceptable only because the reference's alignment is inherently a
-    * total order; the scale path is zipWithIndex on a pre-sorted source
-    * (see graft.gen.MockData).
+    * paired with the i-th customer. The reference does this with Python
+    * list indexing (mock_data.py:56-62); distributed it's a rank-join via
+    * [[graft.operators.Indexing.withGlobalIndex]] — range repartition +
+    * per-partition row_number + broadcast offset join, no single-task
+    * global sort (the former unpartitioned Window.orderBy formulation).
     */
   private def q10WindowIndex = QueryDef.sql(
     "q10_window_index",
@@ -258,12 +257,13 @@ object ReferenceQueries {
       |   row_number() OVER (ORDER BY c_custkey) - 1 AS idx FROM customer)
       |SELECT o.o_orderkey AS order_id, c.c_custkey AS customer_id
       |FROM o JOIN c USING (idx) ORDER BY order_id""".stripMargin) { (s, dir) =>
-    val o = Tables.orders(s, dir).select(
-      col("o_orderkey"),
-      (row_number().over(Window.orderBy(col("o_orderkey"))) - 1).as("idx"))
-    val c = Tables.customer(s, dir).select(
-      col("c_custkey"),
-      (row_number().over(Window.orderBy(col("c_custkey"))) - 1).as("idx"))
+    import graft.operators.Indexing.withGlobalIndex
+    val o = withGlobalIndex(
+      Tables.orders(s, dir).select(col("o_orderkey")),
+      col("o_orderkey"), "idx")
+    val c = withGlobalIndex(
+      Tables.customer(s, dir).select(col("c_custkey")),
+      col("c_custkey"), "idx")
     o.join(c, Seq("idx"))
       .select(col("o_orderkey").as("order_id"),
         col("c_custkey").as("customer_id"))
