@@ -1,0 +1,61 @@
+package graft.models
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Staging semantics edges (SURVEY §7 "hard part #3"): DECODE NULL
+  * fallthrough, initcap, round HALF_UP, star-exclude column sets.
+  */
+class ModelsSpec extends SparkSpecBase {
+
+  test("decode: NULL-safe match, no default => NULL on non-match") {
+    import spark.implicits._
+    val df = Seq("F", "M", "X", "Z", null).toDF("gender")
+    val out = df.select(Models.decode(col("gender"),
+      "F" -> "Female", "M" -> "Male", "X" -> "Non-binary").as("g"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("Female", "Male", "Non-binary", null, null))
+  }
+
+  test("stg_orders initcap and stg_products round half-up") {
+    import spark.implicits._
+    val raw = Seq(("o1", "c1", "2026-01-01", "shipped"))
+      .toDF("id", "customer_id", "order_date", "order_status")
+      .withColumn("order_date", col("order_date").cast("date"))
+      .withColumn("loaded_at", lit(Timestamp.valueOf("2026-01-01 00:00:00")))
+    val stg = Models.stgOrders.build(Map("raw.orders" -> raw))
+    assert(stg.select("order_status").head().getString(0) === "Shipped")
+
+    // HALF_UP vs HALF_EVEN discriminator: 0.125 is binary-exact, so
+    // round() (Snowflake-compatible HALF_UP) gives 0.13 where bround
+    // (HALF_EVEN) gives 0.12 — stg_products must use the former (F3).
+    val rawP = Seq(("p1", "m", "c", "s", "f", 100.0, 0.125))
+      .toDF("id", "model", "category", "subcategory", "frame", "price",
+        "product_cost")
+      .withColumn("loaded_at", lit(Timestamp.valueOf("2026-01-01 00:00:00")))
+    val stgP = Models.stgProducts.build(Map("raw.products" -> rawP))
+    assert(stgP.select("product_cost").head().getDouble(0) === 0.13)
+    assert(rawP.select(bround(col("product_cost"), 2)).head().getDouble(0) === 0.12)
+  }
+
+  test("mart star-exclude column sets match dim_*.sql") {
+    import spark.implicits._
+    val cust = Seq(("c1", "A", "B", "a@b.c", "Female", "Town",
+      Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("customer_id", "customer_first_name", "customer_last_name",
+        "customer_email", "customer_gender", "customer_city", "loaded_at")
+    assert(Models.dimCustomer.build(Map("stg_bike_shop__customers" -> cust))
+      .schema.fieldNames.toSeq ===
+      Seq("customer_id", "customer_first_name", "customer_last_name",
+        "customer_email", "customer_gender", "customer_city"))
+
+    val ord = Seq(("o1", "c1", "Shipped", java.sql.Date.valueOf("2026-01-01"),
+      Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("order_id", "customer_id", "order_status", "order_date", "loaded_at")
+    assert(Models.dimOrder.build(Map("stg_bike_shop__orders" -> ord))
+      .schema.fieldNames.toSeq === Seq("order_id", "order_status", "order_date"))
+  }
+}
