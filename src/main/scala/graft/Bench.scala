@@ -58,6 +58,12 @@ object Bench {
         s""""queries":$qs,"errors":$es,"n_queries":${results.size},""" +
         s""""n_failed":${errs.size},"sf":${jstr(sfDir)}}"""
     spark.stop()
+    // Sidecar file first: sbt decorates stdout with "[info] " prefixes the
+    // driver's line-parse can trip on (BENCH_r02 had parsed:null), so the
+    // JSON is also written somewhere log decoration can't reach.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
+    catch { case _: Throwable => () }
     // Print after the session is down so executor/log noise can't interleave
     // with the JSON line the driver parses.
     println(line)

@@ -132,6 +132,12 @@ object ReferenceQueries {
     * balances), where HALF_UP (Spark) and half-away-from-zero (DuckDB)
     * agree. Cites stg_bike_shop__orders.sql:14, stg_bike_shop__products
     * .sql:20.
+    *
+    * ORACLE ASSUMPTION (segment_label): the upper-first/lower-rest SQL
+    * twin matches Spark `initcap` only for SINGLE-WORD values — initcap
+    * capitalizes every word. TPC-H `c_mktsegment` is single-word by
+    * construction (BUILDING/AUTOMOBILE/...); a multi-word segment would
+    * need a per-word oracle formulation instead.
     */
   private def q5ScalarFuncs = QueryDef.sql(
     "q5_scalar_funcs",

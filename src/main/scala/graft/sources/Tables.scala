@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loader for the driver-provided testdata directories
   * (TESTDATA.md). Schemas are declared by the parquet footers; reads are
@@ -20,15 +21,21 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]). Read the
-    * raw nanos as long, then rebuild a microsecond timestamp. Truncating to
-    * micros is lossless for the oracle compare (DuckDB TIMESTAMP is micros).
+    * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]). Declaring
+    * an explicit schema with `ts BIGINT` reads the raw nanos without the
+    * session-wide `spark.sql.legacy.parquet.nanosAsLong` mutation the old
+    * formulation needed (VERDICT r2 item 9 — a read should not flip conf
+    * for every later read in the session). The microsecond rebuild is
+    * lossless for the oracle compare (DuckDB TIMESTAMP is micros).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+  private val eventsRaw = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsRaw).parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame =
     apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+/** Behavior pins for the scale levers added in round 3:
+  *  - e5's guarded broadcast: the chunked fallback (query set past the
+  *    broadcast threshold) must return EXACTLY the rows of the
+  *    single-broadcast path;
+  *  - e6's bucket-size cap: salting an oversized LSH bucket must yield a
+  *    subset of the uncapped pairs (recall trade) and never invent rows.
+  */
+class ExtensionOpsSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cosineTopkExact: chunked fallback equals broadcast path") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ce"))
+    val broadcastPath = ExtensionQueries.cosineTopkExact(q, c, k = 4)
+    // threshold 3 << |q| forces the multi-chunk union path
+    val chunkedPath = ExtensionQueries.cosineTopkExact(
+      q, c, k = 4, maxBroadcastQueries = 3L)
+    assert(chunkedPath.exceptAll(broadcastPath).isEmpty &&
+      broadcastPath.exceptAll(chunkedPath).isEmpty)
+    assert(broadcastPath.count() > 0)
+  }
+
+  test("annLsh bucket cap: capped pairs are a subset; cap bounds sub-buckets") {
+    val uncapped = ExtensionQueries
+      .annLsh("t_uncapped", bits = 4, k = 5, bucketCap = 1000000L)
+      .run(spark, dir)
+    val capped = ExtensionQueries
+      .annLsh("t_capped", bits = 4, k = 5, bucketCap = 7L)
+      .run(spark, dir)
+    // 4-bit signatures over 100 vectors => buckets well above cap=7, so the
+    // cap must actually engage (strictly fewer candidate pairs survive).
+    assert(capped.count() < uncapped.count())
+    // Every capped pair must exist in the uncapped result with the same
+    // cosine (the cap may only REMOVE candidates, never alter or add) —
+    // compared against the uncapped run with k large enough to keep all
+    // pairs, since dropping candidates can promote lower-ranked neighbors.
+    val cappedPairs = capped.select("query_id", "neighbor_id", "cosine")
+    val uncappedPairsAllK = ExtensionQueries
+      .annLsh("t_uncapped_allk", bits = 4, k = 1000, bucketCap = 1000000L)
+      .run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine")
+    assert(cappedPairs.exceptAll(uncappedPairsAllK).isEmpty)
+  }
+}
