@@ -14,35 +14,93 @@ import graft.model.Schemas
   * SURVEY.md §7.2).
   *
   * Determinism contract: every random draw is a pure function of
-  * (seed, row key) via `xxhash64` — never `rand()` — so output is
-  * identical across partition counts, executor counts, and reruns.
-  * Generation is `spark.range(n)` + column expressions: fully
+  * (seed, row key) via the affine-modular draw below — never `rand()` —
+  * so output is identical across partition counts, executor counts, and
+  * reruns. Generation is `spark.range(n)` + column expressions: fully
   * distributed, no driver-side row loops.
   */
 object MockData {
 
-  /** Uniform [0,1) derived from hashing `cols` with `seed` —
-    * partition-stable by construction (vs `rand(seed)`, which depends on
-    * partition layout).
+  /** All generator randomness is affine-modular over the Portable prime:
+    * draw = ((key mod P) * a + b) mod P with (a, b) derived from
+    * (seed, tag). Partition-stable by construction (a pure function of
+    * the row key — vs `rand(seed)`, which depends on partition layout)
+    * AND engine-portable: the same integer arithmetic runs in DuckDB, so
+    * the generator scalar family (F4-F8, F10) is oracle-provable
+    * (q15_gen_scalars) rather than only sbt-pinned. Products stay below
+    * 2^60 (operands < P ~ 2^30), so no overflow in either engine.
     */
-  private val M = 1L << 40
-  def hashUnit(seed: Long, cols: Column*): Column =
-    pmod(xxhash64((cols :+ lit(seed)): _*), lit(M)).cast("double") / M.toDouble
+  private val P = graft.functions.Portable.P
 
-  /** Deterministic UUID4-shaped id (RFC 4122 version/variant nibbles) from
-    * hashing `cols` — the seeded stand-in for fake.uuid4()
-    * (mock_data.py:28,44,60,101; SURVEY §2.3 F4).
+  /** Driver-side polynomial tag hash mod P (same char fold as
+    * TextHash.polyHash, applied to a compile-time tag string).
     */
-  def uuidFromHash(seed: Long, cols: Column*): Column = {
-    val h1 = lpad(lower(hex(xxhash64((cols :+ lit(seed)): _*))), 16, "0")
-    val h2 = lpad(lower(hex(xxhash64((cols :+ lit(seed + 1)): _*))), 16, "0")
-    concat(
-      substring(h1, 1, 8), lit("-"),
-      substring(h1, 9, 4), lit("-4"),
-      substring(h1, 14, 3), lit("-a"),
-      substring(h2, 1, 3), lit("-"),
-      substring(h2, 4, 12))
+  private def tagHash(tag: String): Long =
+    tag.foldLeft(0L)((a, ch) => (a * 31 + ch) % P)
+
+  /** Affine coefficients for (seed, tag): a in [1, P-1] (P prime, so any
+    * nonzero a is a bijection mod P), b in [0, P-1].
+    */
+  private[graft] def mixCoeffs(seed: Long, tag: String): (Long, Long) = {
+    val s = ((seed % P) + P) % P
+    val t = tagHash(tag)
+    val a = ((t * 131 + s * 137 + 11) % (P - 1)) + 1
+    val b = (t * 139 + s * 149 + 17) % P
+    (a, b)
   }
+
+  /** String key → [0, P): the compiled polynomial rolling hash. */
+  def strKey(c: Column): Column = graft.functions.F.poly_hash(c)
+
+  /** Combine two reduced keys into one in [0, P). */
+  def pairKey(k1: Column, k2: Column): Column =
+    pmod(pmod(k1, lit(P)) * 131 + pmod(k2, lit(P)), lit(P))
+
+  /** Raw draw in [0, P) for (seed, tag, integral row key). */
+  def hashLong(seed: Long, tag: String, key: Column): Column = {
+    val (a, b) = mixCoeffs(seed, tag)
+    pmod(pmod(key, lit(P)) * a + b, lit(P))
+  }
+
+  /** Uniform [0,1) for (seed, tag, integral row key). */
+  def hashUnit(seed: Long, tag: String, key: Column): Column =
+    hashLong(seed, tag, key).cast("double") / P
+
+  /** Deterministic UUID4-shaped id (RFC 4122 version/variant nibbles)
+    * from three independent draws, decimal-formatted — the seeded,
+    * engine-portable stand-in for fake.uuid4() (mock_data.py:28,44,60,
+    * 101; SURVEY §2.3 F4). Digits are valid hex chars, so the UUID shape
+    * (8-4-4-4-12 with version '4' / variant 'a') is preserved; the first
+    * draw is an affine bijection of the key, so distinct keys give
+    * distinct ids within a (seed, tag).
+    */
+  def uuidFromHash(seed: Long, tag: String, key: Column): Column = {
+    val ds = (1 to 3).map(i =>
+      lpad(hashLong(seed, s"$tag#$i", key).cast("string"), 10, "0"))
+    val s = concat(ds: _*)
+    concat(
+      substring(s, 1, 8), lit("-"),
+      substring(s, 9, 4), lit("-4"),
+      substring(s, 13, 3), lit("-a"),
+      substring(s, 16, 3), lit("-"),
+      substring(s, 19, 12))
+  }
+
+  // ---- DuckDB twins of the three draw primitives (used by the
+  // ---- q15_gen_scalars oracle; coefficients baked from the same mixCoeffs)
+
+  def hashLongDuck(seed: Long, tag: String, keyExpr: String): String = {
+    val (a, b) = mixCoeffs(seed, tag)
+    s"(((($keyExpr) % $P) * $a + $b) % $P)"
+  }
+
+  def hashUnitDuck(seed: Long, tag: String, keyExpr: String): String =
+    s"(CAST(${hashLongDuck(seed, tag, keyExpr)} AS DOUBLE) / $P)"
+
+  def uuidDuckDigits(seed: Long, tag: String, keyExpr: String): String =
+    (1 to 3).map(i =>
+      s"lpad(CAST(${hashLongDuck(seed, s"$tag#$i", keyExpr)} AS VARCHAR), 10, '0')")
+      .mkString(" || ")
 
   /** Weighted categorical choice (SURVEY §2.3 F9): inverse-CDF over a
     * uniform column, compiled to a when-chain.
@@ -77,6 +135,12 @@ object MockData {
       array(pool.map(lit): _*),
       (r * pool.size).cast("int") + 1)
 
+  /** Public pick + a pool, for the q15 oracle twin of the F10 lookup
+    * generators (r >= 0, so int-cast truncation == floor in both engines).
+    */
+  def pickFrom(pool: Seq[String], r: Column): Column = pick(pool, r)
+  val firstNamePool: Seq[String] = FirstNames
+
   // ---- Product seed (S1 twin) ---------------------------------------------
   private val SeedSeries = Seq(
     "Vela", "Corsa", "Strata", "Nimbus", "Kite", "Pacer", "Ridge", "Torrent")
@@ -95,8 +159,8 @@ object MockData {
     * products.csv) and a price spread wide enough for the Gaussian
     * weighting (F8) to discriminate.
     */
-  def productSeed(spark: SparkSession): DataFrame = {
-    val rows = for {
+  private lazy val seedRows: Seq[(String, String, String, String, Double)] =
+    for {
       (series, si) <- SeedSeries.zipWithIndex
       (tier, ti) <- SeedTiers.zipWithIndex
     } yield {
@@ -106,8 +170,25 @@ object MockData {
       (s"$series $tier ${i + 1}", cat, subs(i % subs.size),
         SeedFrames(i % SeedFrames.size), price)
     }
+
+  def productSeed(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    rows.toDF("model", "category1", "category2", "frame", "price")
+    seedRows.toDF("model", "category1", "category2", "frame", "price")
+  }
+
+  /** Writes the seed as a comma-separated header CSV — the twin of the
+    * reference's checked-in seed file (seed_data/products.csv, 97 lines
+    * incl. header; read at mock_data.py:27). Values are comma-free by
+    * construction, so no quoting is needed. Idempotent overwrite.
+    */
+  def writeSeedCsv(path: java.nio.file.Path): Unit = {
+    val header = "model,category1,category2,frame,price"
+    val lines = header +: seedRows.map {
+      case (m, c1, c2, f, p) => s"$m,$c1,$c2,$f,$p"
+    }
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(
+      path, scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 
   /** Products from the seed (get_product_data, mock_data.py:16-34): id
@@ -116,11 +197,18 @@ object MockData {
     * factor per run, not per row), loaded_at literal (P5), renames
     * category1/2 (P6).
     */
-  def products(spark: SparkSession, seed: Long, batchTs: LocalDateTime): DataFrame = {
+  def products(spark: SparkSession, seed: Long, batchTs: LocalDateTime): DataFrame =
+    productsFrom(productSeed(spark), seed, batchTs)
+
+  /** Products from an externally-read seed frame (S1: the comma-CSV scan
+    * path in [[graft.pipeline.Ingest.bootstrap]] reads the seed file with
+    * the declared schema and passes it here).
+    */
+  def productsFrom(
+      seedDf: DataFrame, seed: Long, batchTs: LocalDateTime): DataFrame = {
     val costFactor = 0.3 + 0.2 * unitDouble(seed, "product_cost_factor")
-    val seedDf = productSeed(spark)
     seedDf
-      .withColumn("id", uuidFromHash(seed, lit("product"), col("model")))
+      .withColumn("id", uuidFromHash(seed, "product", strKey(col("model"))))
       .select(col("id") +: Schemas.productSeed.fieldNames.map(col): _*)
       .withColumn("product_cost", col("price") * costFactor)
       .withColumn("loaded_at", lit(batchTs))
@@ -144,17 +232,17 @@ object MockData {
       numCustomers: Int = 1000): DataFrame = {
     spark.range(numCustomers)
       .withColumnRenamed("id", "gen_idx")
-      .withColumn("first_name", pick(FirstNames, hashUnit(seed, lit("fn"), col("gen_idx"))))
-      .withColumn("last_name", pick(LastNames, hashUnit(seed, lit("ln"), col("gen_idx"))))
+      .withColumn("first_name", pick(FirstNames, hashUnit(seed, "fn", col("gen_idx"))))
+      .withColumn("last_name", pick(LastNames, hashUnit(seed, "ln", col("gen_idx"))))
       .withColumn("gender",
-        weightedChoice(hashUnit(seed, lit("g"), col("gen_idx")),
+        weightedChoice(hashUnit(seed, "g", col("gen_idx")),
           Schemas.genders, Seq(48, 48, 4)))
-      .withColumn("city", pick(Cities, hashUnit(seed, lit("ct"), col("gen_idx"))))
+      .withColumn("city", pick(Cities, hashUnit(seed, "ct", col("gen_idx"))))
       .withColumn("email",
         concat(lower(col("first_name")), lit("."), lower(col("last_name")),
           col("gen_idx"), lit("@"),
-          pick(Domains, hashUnit(seed, lit("dom"), col("gen_idx")))))
-      .withColumn("id", uuidFromHash(seed, lit("customer"), col("gen_idx")))
+          pick(Domains, hashUnit(seed, "dom", col("gen_idx")))))
+      .withColumn("id", uuidFromHash(seed, "customer", col("gen_idx")))
       .withColumn("loaded_at", lit(batchTs))
       .select(col("gen_idx") +: Schemas.customers.fieldNames.map(col): _*)
   }
@@ -171,13 +259,13 @@ object MockData {
       spark: SparkSession, seed: Long, batchTs: LocalDateTime,
       customerList: DataFrame, numOrders: Int = 1000): DataFrame = {
     val base = spark.range(numOrders).withColumnRenamed("id", "gen_idx")
-      .withColumn("oid", uuidFromHash(seed, lit("order"), col("gen_idx")))
+      .withColumn("oid", uuidFromHash(seed, "order", col("gen_idx")))
       .withColumn("order_date",
         date_sub(
           lit(java.sql.Date.valueOf(batchTs.toLocalDate)),
-          (hashUnit(seed, lit("od"), col("gen_idx")) * 30).cast("int")))
+          (hashUnit(seed, "od", col("gen_idx")) * 30).cast("int")))
       .withColumn("order_status",
-        weightedChoice(hashUnit(seed, lit("os"), col("gen_idx")),
+        weightedChoice(hashUnit(seed, "os", col("gen_idx")),
           Schemas.orderStatuses, Schemas.orderStatusWeights))
       .withColumn("loaded_at", lit(batchTs))
     base
@@ -218,20 +306,21 @@ object MockData {
     val exploded = ordersDf
       .select(
         col("id").as("order_id"),
-        weightedChoice(hashUnit(seed, lit("ni"), col("id")),
+        weightedChoice(hashUnit(seed, "ni", strKey(col("id"))),
           Schemas.itemsPerOrder, Schemas.itemsPerOrderWeights).as("n_items"))
       .select(col("order_id"),
         explode(sequence(lit(1), col("n_items"))).as("item_idx"))
-    val r = hashUnit(seed, lit("pp"), col("order_id"), col("item_idx"))
+    val r = hashUnit(seed, "pp", pairKey(strKey(col("order_id")), col("item_idx")))
     exploded
       .withColumn("r", r)
       .join(broadcast(cumDf), col("r") >= col("lo") && col("r") < col("hi"))
       .select(
-        uuidFromHash(seed, lit("order_product"), col("order_id"), col("item_idx"))
+        uuidFromHash(seed, "order_product",
+          pairKey(strKey(col("order_id")), col("item_idx")))
           .as("id"),
         col("product_id"),
         col("order_id"),
-        weightedChoice(hashUnit(seed, lit("q"), col("order_id"), col("item_idx")),
+        weightedChoice(hashUnit(seed, "q", pairKey(strKey(col("order_id")), col("item_idx"))),
           Schemas.quantities, Schemas.quantityWeights).cast("int").as("quantity"),
         lit(batchTs).as("loaded_at"))
   }

@@ -64,12 +64,27 @@ final class Ingest(
     if (isBootstrapRun) bootstrap(batchTs) else refresh(batchTs)
   }
 
+  /** S1: the comma-CSV seed file (seed_data/products.csv twin,
+    * mock_data.py:27). Lives beside — not inside — the per-batch staging
+    * dirs, so cleanup spares it like the reference's `find ... ! -name
+    * products.csv` (refresh_source_data.py:181-186).
+    */
+  val seedCsvPath: Path = stagingDir.resolve("seed_data").resolve("products.csv")
+
   /** Initial run: products seed + 1000 customers / 1000 orders
-    * (seed_initial_data, mock_data.py:116-134).
+    * (seed_initial_data, mock_data.py:116-134). The product seed is
+    * materialized as a comma CSV once and read BACK through the
+    * comma-dialect header scan with the declared seed schema — the path
+    * a user bringing their own seed file exercises (S1).
     */
   def bootstrap(batchTs: LocalDateTime): Unit = {
     val batchSeed = seed
-    val products = MockData.products(spark, batchSeed, batchTs)
+    if (!Files.exists(seedCsvPath)) MockData.writeSeedCsv(seedCsvPath)
+    val seedDf = spark.read
+      .option("header", "true")
+      .schema(Schemas.productSeed)
+      .csv(seedCsvPath.toString)
+    val products = MockData.productsFrom(seedDf, batchSeed, batchTs)
     val customers = MockData.customers(spark, batchSeed, batchTs)
     val orders = MockData.orders(spark, batchSeed, batchTs,
       customerList = customers.select(col("gen_idx"), col("id")))

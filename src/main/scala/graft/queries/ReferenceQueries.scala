@@ -22,7 +22,7 @@ object ReferenceQueries {
     q1PricingSummary, q2FctStarJoin, q3StagingRename, q4DecodeNullFall,
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
-    q14EventsWindow)
+    q14EventsWindow, q15GenScalars)
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
@@ -331,6 +331,77 @@ object ReferenceQueries {
           col("n_orders"))
         .orderBy(col("total_spend").desc, col("customer_id"))
         .limit(10)
+  }
+
+  /** Generator scalar family, oracle-proven (SURVEY §2.3 F4-F10; VERDICT
+    * r2 item 5): the ACTUAL [[graft.gen.MockData]] primitives — seeded
+    * UUID4-shaped id (F4), raw uniform draw (F5), trailing-30-day date
+    * arithmetic (F6), Gaussian pdf as column math (F8), weighted
+    * categorical choice (F9), and Faker-style pooled lookup (F10) —
+    * applied over `orders.o_orderkey` with a DuckDB twin generated from
+    * the same affine-modular coefficients ([[graft.gen.MockData.mixCoeffs]]).
+    * The uniform is compared as its RAW integer draw (`gen_hash`) so no
+    * cross-engine double-rounding can blur the check; only the Gaussian
+    * pdf (transcendental by nature) is rounded to 4dp.
+    */
+  private def q15GenScalars = {
+    import graft.gen.MockData
+    import graft.model.Schemas
+    val seed = 42L
+    val key = "o_orderkey"
+    // weighted-choice thresholds exactly as MockData.weightedChoice builds
+    // them (cumulative weight / total as double; 10:5:1 -> 0.625, 0.9375)
+    val cum = Schemas.orderStatusWeights.scanLeft(0)(_ + _).tail
+      .map(_ / Schemas.orderStatusWeights.sum.toDouble)
+    val uuidCase =
+      "substr(us, 1, 8) || '-' || substr(us, 9, 4) || '-4' || " +
+        "substr(us, 13, 3) || '-a' || substr(us, 16, 3) || '-' || " +
+        "substr(us, 19, 12)"
+    val pool = MockData.firstNamePool
+    val poolSql = pool.map(n => s"'$n'").mkString("[", ", ", "]")
+    QueryDef.sql(
+      "q15_gen_scalars",
+      s"""WITH h AS (SELECT o_orderkey,
+         |    ${MockData.hashLongDuck(seed, "u", key)} AS gen_hash,
+         |    ${MockData.hashUnitDuck(seed, "od", key)} AS u_od,
+         |    ${MockData.hashUnitDuck(seed, "os", key)} AS u_os,
+         |    ${MockData.hashUnitDuck(seed, "fn", key)} AS u_fn,
+         |    ${MockData.uuidDuckDigits(seed, "gen", key)} AS us
+         |  FROM orders)
+         |SELECT o_orderkey AS order_id,
+         |  $uuidCase AS gen_uuid,
+         |  gen_hash,
+         |  DATE '2026-01-01' - CAST(floor(u_od * 30) AS INT) AS gen_date,
+         |  CASE WHEN u_os < ${cum(0)} THEN '${Schemas.orderStatuses(0)}'
+         |       WHEN u_os < ${cum(1)} THEN '${Schemas.orderStatuses(1)}'
+         |       ELSE '${Schemas.orderStatuses(2)}' END AS gen_status,
+         |  $poolSql[CAST(floor(u_fn * ${pool.size}) AS INT) + 1] AS gen_name,
+         |  round(exp(-pow(CAST(gen_hash AS DOUBLE) / 1000000007 - 0.5, 2)
+         |      / (2 * 0.2 * 0.2)) / (0.2 * sqrt(2 * pi())), 4) AS gen_weight
+         |FROM h ORDER BY order_id""".stripMargin) { (s, dir) =>
+      val k = col("o_orderkey")
+      val u = MockData.hashUnit(seed, "u", k)
+      // F8's pdf shape as pure column math over the uniform (mu=0.5, s=0.2)
+      val pdf = exp(-pow(u - 0.5, 2) / (2 * 0.2 * 0.2)) /
+        (0.2 * math.sqrt(2 * math.Pi))
+      Tables.orders(s, dir)
+        .select(
+          k.as("order_id"),
+          MockData.uuidFromHash(seed, "gen", k).as("gen_uuid"),
+          MockData.hashLong(seed, "u", k).as("gen_hash"),
+          date_sub(
+            lit(java.sql.Date.valueOf("2026-01-01")),
+            floor(MockData.hashUnit(seed, "od", k) * 30).cast("int"))
+            .as("gen_date"),
+          MockData.weightedChoice(
+            MockData.hashUnit(seed, "os", k),
+            Schemas.orderStatuses, Schemas.orderStatusWeights)
+            .as("gen_status"),
+          MockData.pickFrom(pool, MockData.hashUnit(seed, "fn", k))
+            .as("gen_name"),
+          round(pdf, 4).as("gen_weight"))
+        .orderBy(col("order_id"))
+    }
   }
 
   /** Tumbling event-time window agg (SURVEY §2.11 batch twin of the

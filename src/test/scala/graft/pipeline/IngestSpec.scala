@@ -35,9 +35,13 @@ class IngestSpec extends SparkSpecBase {
     val op3 = ingest.rawTable("order_products").count()
     assert(op3 > op1)
 
-    // staged files cleaned up (S9)
-    val leftovers = Files.list(java.nio.file.Paths.get(staging)).count()
-    assert(leftovers === 0)
+    // staged batch files cleaned up (S9) — but the comma-CSV seed file is
+    // SPARED, like the reference's `find ... ! -name products.csv` clean
+    val leftovers = Files.list(java.nio.file.Paths.get(staging))
+      .toArray.map(_.toString)
+    assert(leftovers.forall(_.endsWith("seed_data")), leftovers.mkString(","))
+    assert(Files.exists(ingest.seedCsvPath))
+    assert(Files.readAllLines(ingest.seedCsvPath).size === 97) // header + 96
 
     // all declared source tests pass on the accumulated raw tables,
     // including orders.customer_id unique (the J4 quirk holds per batch
@@ -48,6 +52,29 @@ class IngestSpec extends SparkSpecBase {
     val failed = results.filterNot(_.passed)
     assert(failed.isEmpty, s"failing tests: ${failed.map(_.name)}")
     assert(results.size === DataTests.allDeclared.size)
+  }
+
+  test("S1: bootstrap products derive from the comma-CSV header scan") {
+    import org.apache.spark.sql.functions.col
+    val db = "ingest_spec3_raw"
+    val dir = Files.createTempDirectory("graft-staging-s1")
+    val t0 = java.time.LocalDateTime.of(2026, 3, 1, 0, 0, 0)
+    val ingest = new Ingest(spark, db, dir, seed = 7L)
+    ingest.runBatch(t0)
+    // The CSV-scan-derived products must equal the in-code seed build:
+    // proves the comma-dialect read path (header, declared schema) is the
+    // real source of the loaded table, with no value drift through the
+    // write/read round-trip.
+    val fromCsv = ingest.rawTable("products")
+    val inCode = graft.gen.MockData.products(spark, 7L, t0)
+    assert(fromCsv.count() === 96)
+    assert(fromCsv.exceptAll(inCode).isEmpty && inCode.exceptAll(fromCsv).isEmpty)
+    // declared seed schema is what the scan produced (no inference)
+    val seedBack = spark.read.option("header", "true")
+      .schema(graft.model.Schemas.productSeed)
+      .csv(ingest.seedCsvPath.toString)
+    assert(seedBack.schema === graft.model.Schemas.productSeed)
+    assert(seedBack.filter(col("price").isNull).isEmpty)
   }
 
   test("mart rebuild matches raw contents after each refresh (ST6)") {
