@@ -404,10 +404,11 @@ object ReferenceQueries {
     }
   }
 
-  /** Tumbling event-time window agg (SURVEY §2.11 batch twin of the
-    * streaming path; same plan works under readStream + watermark in
-    * graft.streaming). Epoch-aligned hourly buckets match DuckDB
-    * time_bucket.
+  /** Tumbling event-time window agg (SURVEY §2.11): the batch form of
+    * the streaming aggregation — the identical `window()` groupBy runs
+    * under `readStream` + `withWatermark` unchanged; the streaming
+    * ingestion side lives in [[graft.streaming.StreamingIngest]].
+    * Epoch-aligned hourly buckets match DuckDB time_bucket.
     */
   private def q14EventsWindow = QueryDef.sql(
     "q14_events_window",
