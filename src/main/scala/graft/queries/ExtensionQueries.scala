@@ -194,9 +194,15 @@ object ExtensionQueries {
     */
   private def withClusterSize(
       df: DataFrame, keyCol: String, cntName: String): DataFrame = {
-    val counts = df.groupBy(keyCol)
+    // Repartition by the key FIRST: both branches (the count aggregation
+    // and the join probe) then consume the SAME exchange — the expensive
+    // fingerprint expression and its shuffle are computed once
+    // (ReuseExchange), and neither branch inserts a second shuffle since
+    // HashPartitioning(key) already satisfies their distribution.
+    val clustered = df.repartition(col(keyCol))
+    val counts = clustered.groupBy(keyCol)
       .agg(count(lit(1)).as(cntName))
-    df.join(counts, keyCol)
+    clustered.join(counts, keyCol)
   }
 
   /** SimHash document fingerprint: 32-bit signature where bit j is the
@@ -257,26 +263,31 @@ object ExtensionQueries {
   def cosineTopkExact(
       q: DataFrame, corpus: DataFrame, k: Int,
       maxBroadcastQueries: Long = 500000L): DataFrame = {
+    // Per-vector norms are computed ONCE per side before pairing, so each
+    // of the |q| x |corpus| candidate pairs costs one dot product instead
+    // of three (identical doubles: same sqrt inputs, one multiplication).
+    val qn = q.withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    val cn = corpus.withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
     val cosine = round(
-      dot(col("qe"), col("ce")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))),
-      4)
+      dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     def topk(queries: DataFrame): DataFrame =
-      corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      cn.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), cosine.as("cosine"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
         .drop("rk")
-    val probe = q.limit(
+    // Size probe on the KEY COLUMN ONLY (early-stopping limit over a
+    // pruned scan — never materializes the vectors just to count them).
+    val probe = q.select("query_id").limit(
       (math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong)).toInt).count()
     val chunks =
-      if (probe <= maxBroadcastQueries) Seq(q)
+      if (probe <= maxBroadcastQueries) Seq(qn)
       else {
         val n = ((q.count() + maxBroadcastQueries - 1) / maxBroadcastQueries).toInt
         (0 until n).map(i =>
-          q.filter(pmod(xxhash64(col("query_id")), lit(n)) === i))
+          qn.filter(pmod(xxhash64(col("query_id")), lit(n)) === i))
       }
     chunks.map(topk).reduce(_ unionByName _)
       .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
@@ -364,8 +375,16 @@ object ExtensionQueries {
             (0 until 64).map(d => lit(Portable.hyperplaneWeight(j, d))): _*)
           when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
+        // Signature + norm computed ONCE per vector; the repartition by
+        // sig is the single shuffle both the bucket-count aggregation and
+        // the join probe reuse (ReuseExchange — the sig expression is not
+        // re-evaluated per branch), and HashPartitioning(sig) already
+        // satisfies the pair join's (sig, sub) clustering, so no further
+        // exchange is inserted.
         val s0 = Tables.embeddings(s, dir)
           .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+          .repartition(col("sig"))
         // Bucket-size cap: counts are one row per distinct signature
         // (tiny vs the corpus); the join back is an equi-join on sig.
         val cnts = s0.groupBy("sig").agg(count(lit(1)).as("cnt"))
@@ -373,11 +392,10 @@ object ExtensionQueries {
           (col("cnt") + lit(bucketCap - 1)) / lit(bucketCap)).cast("long")
         val vs = s0.join(cnts, "sig")
           .withColumn("sub", pmod(col("vec_id"), nsplits))
-          .select("vec_id", "emb", "sig", "sub")
+          .select("vec_id", "emb", "nrm", "sig", "sub")
         val cosine = round(
           dot(col("a.emb"), col("b.emb")) /
-            (sqrt(dot(col("a.emb"), col("a.emb"))) *
-              sqrt(dot(col("b.emb"), col("b.emb")))), 4)
+            (col("a.nrm") * col("b.nrm")), 4)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))
         vs.as("a")
