@@ -30,7 +30,7 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
-    e10Fingerprint, e11EmbedStats, e12MediaMeta)
+    e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -420,6 +420,103 @@ object ExtensionQueries {
     */
   private def e6bAnnLsh12 = annLsh("e6b_ann_lsh12", bits = 12, k = 3,
     bucketCap = 10000L)
+
+  /** Embedding-cosine near-dup DEDUP (the fifth dedup mode of the brief,
+    * complementing exact/e1, n-gram/e2, MinHash/e3, SimHash/e4): flags
+    * each vector whose cosine to some candidate neighbor is >= `thr` and
+    * assigns the min-id neighbor as its canonical representative.
+    *
+    * Candidate generation is OR-AMPLIFIED multi-table sign-LSH: `tables`
+    * independent signatures of `bits` hyperplanes each; a pair is a
+    * candidate if it collides in ANY table (P = 1-(1-p^bits)^tables,
+    * p = 1 - theta/pi — steep in similarity, so true near-dups are
+    * recovered with high probability while the per-table bucket join
+    * stays sub-quadratic). This is the multi-table construction the e6
+    * docstring names for recall at scale; verification carries embeddings
+    * only for candidate pairs. Canonical assignment is the single-pass
+    * min-neighbor (like e1's groupBy-min); full transitive closure would
+    * need iterative union-find over pair batches and is intentionally out
+    * of scope for a one-pass operator.
+    *
+    * The synthetic corpus has no true duplicates (max pairwise cosine
+    * ~0.51), so the test threshold 0.4 exercises the pairing/canonical
+    * machinery; production near-dup would run thr ~0.95+ where recall is
+    * ~1.
+    */
+  private def e13EmbedNeardup = {
+    val tables = 4; val bits = 4; val thr = 0.4
+    val sigDucks = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val plane = t * bits + j
+        "(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+          " list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * " +
+          Portable.hyperplaneWeightDuck(plane) +
+          s")), (s, v) -> s + v) > 0 THEN CAST(${1L << j} AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    }
+    QueryDef.sql(
+      "e13_embed_neardup",
+      s"""WITH s0 AS (SELECT vec_id, embedding,
+         |    ${sigDucks.zipWithIndex.map { case (e, t) => s"$e AS g$t" }
+            .mkString(",\n    ")}
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
+         |    unnest([${(0 until tables).map(t => s"g$t").mkString(", ")}]) AS sig
+         |  FROM s0),
+         |cand AS (SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
+         |  FROM bands a JOIN bands b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |v AS (SELECT vid, nid FROM cand
+         |  JOIN s0 sa ON sa.vec_id = vid
+         |  JOIN s0 sb ON sb.vec_id = nid
+         |  WHERE round(${dotDuck("sa", "sb")} /
+         |    (${normDuck("sa")} * ${normDuck("sb")}), 4) >= $thr),
+         |nd AS (SELECT vid, min(nid) AS mn FROM v GROUP BY vid)
+         |SELECT s0.vec_id,
+         |  least(s0.vec_id, coalesce(nd.mn, s0.vec_id)) AS canonical_id,
+         |  CASE WHEN coalesce(nd.mn, s0.vec_id) < s0.vec_id
+         |    THEN 1 ELSE 0 END AS is_dup
+         |FROM s0 LEFT JOIN nd ON nd.vid = s0.vec_id
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      val sigs = (0 until tables).map { t =>
+        (0 until bits).map { j =>
+          val plane = t * bits + j
+          val wArr = array(
+            (0 until 64).map(d => lit(Portable.hyperplaneWeight(plane, d))): _*)
+          when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      val s0 = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"), array(sigs: _*).as("gs"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      val bands = s0.select(
+        col("vec_id"), posexplode(col("gs")).as(Seq("t", "sig")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val cosine = round(
+        dot(col("sa.emb"), col("sb.emb")) / (col("sa.nrm") * col("sb.nrm")), 4)
+      val verified = cand
+        .join(s0.as("sa"), col("vid") === col("sa.vec_id"))
+        .join(s0.as("sb"), col("nid") === col("sb.vec_id"))
+        .filter(cosine >= thr)
+        .select(col("vid"), col("nid"))
+      val nd = verified.groupBy("vid").agg(min(col("nid")).as("mn"))
+      s0.join(nd, col("vec_id") === col("vid"), "left")
+        .select(
+          col("vec_id"),
+          least(col("vec_id"), coalesce(col("mn"), col("vec_id")))
+            .as("canonical_id"),
+          when(coalesce(col("mn"), col("vec_id")) < col("vec_id"), 1)
+            .otherwise(0).as("is_dup"))
+        .orderBy("vec_id")
+    }
+  }
 
   /** Text-quality statistics per language. Every ratio is a ratio of
     * integer SUMS (exact), divided once — never an average of per-row
