@@ -298,6 +298,11 @@ object ExtensionQueries {
     * via the guarded [[cosineTopkExact]]; the corpus is scanned once, no
     * corpus x corpus pairing. Scores are rounded to 4dp BEFORE ranking so
     * the rank order is reproducible across engines.
+    *
+    * Plan note: Spark rewrites the row_number-filter into partial-mode
+    * WindowGroupLimit BEFORE the exchange, so only <= k candidate rows
+    * per (query, partition) are shuffled — map-side top-k for free; no
+    * custom aggregate needed.
     */
   private def e5CosineTopk = QueryDef.sql(
     "e5_cosine_topk",
@@ -340,6 +345,12 @@ object ExtensionQueries {
     *    where skew actually occurs. The salting arithmetic is identical
     *    integer math in both engines, so the oracle proves the capped
     *    semantics, not just the happy path.
+    *
+    * Plan notes (verified in PlanLintSpec/explain): the repartition by
+    * sig is the ONLY data shuffle — bucket counts and the pair join both
+    * reuse it (ReusedExchange), and the top-k filter compiles to
+    * partial-mode WindowGroupLimit before its exchange, shuffling <= k
+    * rows per (query, partition).
     */
   def annLsh(
       name: String, bits: Int, k: Int, bucketCap: Long): QueryDef = {

@@ -51,6 +51,23 @@ class DataTestsSpec extends SparkSpecBase {
     assert(r.head.failingRows === 1) // p9 only
   }
 
+  test("runBatched (one job) returns the same results as per-test run") {
+    import spark.implicits._
+    val child = Seq(("a", Some("p1")), ("b", Some("p9")), ("b", None),
+      (null.asInstanceOf[String], Some("p1"))).toDF("id", "fk")
+    val parent = Seq("p1", "p2").toDF("pid")
+    val tests = Seq(
+      TestCase("c", NotNull("id")),
+      TestCase("c", Unique("id")),
+      TestCase("c", AcceptedValues("id", Seq("a", "b"))),
+      TestCase("c", Relationships("fk", "p", "pid")))
+    val m = Map("c" -> child, "p" -> parent)
+    val sequential = DataTests.run(tests, resolve(m))
+    val batched = DataTests.runBatched(tests, resolve(m))
+    assert(batched === sequential)
+    assert(batched.map(_.failingRows) === Seq(1L, 1L, 0L, 1L))
+  }
+
   test("declared suite covers every YAML instance") {
     assert(sourceTests.size === 15)
     assert(stagingTests.size === 1)
