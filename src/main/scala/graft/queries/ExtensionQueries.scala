@@ -92,8 +92,13 @@ object ExtensionQueries {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // One shuffle of the exploded postings by shingle; the df-count
+    // aggregation and the pruning join both reuse it (ReuseExchange), so
+    // shingle hashing + explode run once, and the self-join below needs
+    // no further exchange (pr is already clustered by sh).
     val ex = docShingles(Tables.documents(s, dir))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
     val kept = ex.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 100).select("sh")
     val pr = ex.join(kept, "sh")
@@ -156,9 +161,14 @@ object ExtensionQueries {
          |  JOIN mh sb ON sb.doc_id = doc_b)
          |SELECT * FROM verified WHERE jaccard >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // mh feeds three consumers (the band explode and both verification
+      // join sides); repartitioning by doc_id makes all three reuse one
+      // exchange, so shingle + MinHash expressions evaluate once per doc
+      // and the sa/sb joins need no further shuffle of the array payload.
       val sh = docShingles(Tables.documents(s, dir))
       val mh = sh.select(col("doc_id"), col("shs"),
         F.min_hashes(col("shs")).as("sig"))
+        .repartition(col("doc_id"))
       val bandKeys = array((0 until 6).map(k =>
         element_at(col("sig"), 2 * k + 1) * P +
           element_at(col("sig"), 2 * k + 2)): _*)
