@@ -30,7 +30,8 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
-    e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup)
+    e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
+    e14QualityFilter)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -583,6 +584,52 @@ object ExtensionQueries {
         round(sum(col("n_punct")).cast("double") / sum(col("n_chars")), 4)
           .as("punct_ratio"))
       .orderBy("lang")
+  }
+
+  /** Per-DOCUMENT quality filter — the actual training-data admission
+    * op (e7 is the corpus-level aggregate view of the same signals): each
+    * document gets its word count, stopword ratio, and punctuation ratio,
+    * plus a composite keep/drop decision against fixed thresholds. The
+    * decision uses the UNROUNDED ratios (identical double divisions in
+    * both engines); ratios are rounded to 4dp only for display. Pure
+    * per-row expression work — embarrassingly parallel, and as a filter
+    * it pushes straight down onto the scan in a larger pipeline.
+    */
+  private def e14QualityFilter = QueryDef.sql(
+    "e14_quality_filter",
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |    len(${Portable.wordsDuck}) AS n_words,
+       |    len(list_filter(${Portable.wordsDuck},
+       |        w -> w IN ('the', 'a'))) AS n_stop,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+       |  round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       |  CASE WHEN n_words >= 5
+       |        AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+       |        AND CAST(n_punct AS DOUBLE) / n_chars <= 0.2
+       |    THEN 1 ELSE 0 END AS keep
+       |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val words = expr(Portable.wordsSpark)
+    val d = Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, w => w.isin("the", "a"))).cast("long")
+          .as("n_stop"),
+        size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)"))
+          .cast("long").as("n_punct"))
+      .filter(col("n_words") > 0)
+    val stopR = col("n_stop").cast("double") / col("n_words")
+    val punctR = col("n_punct").cast("double") / col("n_chars")
+    d.select(
+      col("doc_id"), col("n_words"),
+      round(stopR, 4).as("stop_ratio"),
+      round(punctR, 4).as("punct_ratio"),
+      when(col("n_words") >= 5 && stopR >= 0.01 && punctR <= 0.2, 1)
+        .otherwise(0).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** Heuristic language-ID: marker-stopword counts per candidate language,
