@@ -53,4 +53,45 @@ object Media {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
+
+  /** One sampled "frame": evenly-spaced offset into the payload plus the
+    * checksum of the 16-byte window there — the video-frame-sampling
+    * stand-in (offset = i*len/nFrames, the uniform keyframe grid).
+    */
+  final case class MediaFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      offset: Long,
+      frame_hash: Long)
+
+  private val P = graft.functions.Portable.P
+
+  /** Deterministic frame-sampling stand-in for a batch: a real codec
+    * would decode keyframes at these offsets; the stub hashes the bytes
+    * a decoder would consume, so the plumbing (row expansion, offsets,
+    * per-frame features) is fully checkable.
+    */
+  private def sampleBatch(batch: Seq[MediaDoc], nFrames: Int): Seq[MediaFrame] =
+    batch.flatMap { d =>
+      val n = d.payload.length.toLong
+      (0L until nFrames.toLong).flatMap { i =>
+        val off = i * n / nFrames
+        if (off < n) {
+          val end = math.min(n, off + 16)
+          val h = (off until end).foldLeft(0L)(
+            (a, j) => (a * 31 + (d.payload(j.toInt) & 0xffL)) % P)
+          Some(MediaFrame(d.doc_id, i, off, h))
+        } else None
+      }
+    }
+
+  /** Partition-local, batched frame sampling (1-to-nFrames row expansion
+    * inside the partition — no shuffle, no driver involvement).
+    */
+  def sampleFrames(
+      ds: Dataset[MediaDoc], nFrames: Int = 4,
+      batchSize: Int = 256): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => sampleBatch(g.toSeq, nFrames)))
+  }
 }

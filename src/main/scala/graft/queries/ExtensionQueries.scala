@@ -31,7 +31,7 @@ object ExtensionQueries {
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
-    e14QualityFilter)
+    e14QualityFilter, e15MediaFrames)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -752,6 +752,43 @@ object ExtensionQueries {
         round(sqrt(dot(embD, embD)), 4).as("norm"),
         round(dot(embD, ones) / 64, 4).as("mean"))
       .orderBy("vec_id")
+  }
+
+  /** Frame sampling over multimodal payloads (the video-keyframe stand-in,
+    * [[graft.operators.Media.sampleFrames]]): each payload expands to 4
+    * evenly-spaced frames (offset = i*len/4) whose 16-byte windows are
+    * checksummed by the batched mapPartitions stage. For this ASCII corpus
+    * payload bytes == text chars, so the per-frame hashes have an exact
+    * DuckDB twin via substr + the polynomial fold — the mapPartitions row
+    * expansion is oracle-checked end to end, like e12's metadata path.
+    */
+  private def e15MediaFrames = {
+    def chunkHashDuck(chunk: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split($chunk, ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, c) -> (a*31 + c) % $P)""".stripMargin
+    QueryDef.sql(
+      "e15_media_frames",
+      s"""WITH f AS (SELECT doc_id, text, length(text) AS n,
+         |    unnest(range(0, 4)) AS frame_idx
+         |  FROM documents),
+         |fr AS (SELECT doc_id, frame_idx, (frame_idx * n) // 4 AS "offset",
+         |    substr(text, CAST((frame_idx * n) // 4 AS INT) + 1, 16) AS chunk
+         |  FROM f WHERE (frame_idx * n) // 4 < n)
+         |SELECT doc_id, frame_idx, "offset",
+         |  ${chunkHashDuck("chunk")} AS frame_hash
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), lit("video").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[Media.MediaDoc]
+      Media.sampleFrames(docs, nFrames = 4)
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          col("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    }
   }
 
   /** Multimodal plumbing: documents as opaque binary payloads with typed

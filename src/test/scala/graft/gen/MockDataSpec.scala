@@ -95,6 +95,18 @@ class MockDataSpec extends SparkSpecBase {
       s"nearShare=$nearShare productShare=$productShare")
   }
 
+  test("hashLong column matches the pure affine formula") {
+    import org.apache.spark.sql.functions.col
+    val P = 1000000007L
+    val (a, b) = MockData.mixCoeffs(42L, "pin")
+    val rows = MockData.hashLong(42L, "pin", col("id"))
+    val got = spark.range(1000).select(col("id"), rows.as("draw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 1000L).foreach { k =>
+      assert(got(k) === (k % P * a + b) % P)
+    }
+  }
+
   test("partition stability: identical output under different parallelism") {
     val a = MockData.customers(spark, 7L, ts, 500)
     val b = MockData.customers(spark, 7L, ts, 500).repartition(13)
