@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (the manual fallback when AQE's
+  * skew-join split can't apply — e.g. the skewed side feeds a stateful
+  * or bucketed operator that pins its partitioning, or the engine runs
+  * with AQE off).
+  *
+  * Standard construction: the skewed (fact) side appends a deterministic
+  * salt in [0, S) hashed from its whole row key-set, widening each hot
+  * key across S shuffle partitions; the dim side is replicated S times
+  * via a literal-array explode. The join key becomes (key, salt), so no
+  * single reducer sees more than ~1/S of a hot key's rows. Results are
+  * identical to the plain equi-join (every fact row still meets exactly
+  * its key's dim row — once, under its own salt).
+  *
+  * Cost model: replicates the RIGHT side S times — use it fact ⟕ dim
+  * with a small-to-medium dim that is too big to broadcast but cheap to
+  * replicate S ways; for dims that DO fit in memory, `broadcast()` is
+  * strictly better (no shuffle at all).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // Deterministic salt: a hash of the fact row's key and a row-unique
+    // tiebreak would need a uid column; monotonically_increasing_id is
+    // partition-stable WITHIN one evaluation, which is all a salt needs
+    // (it only spreads rows, it never affects join semantics).
+    val salted = fact.withColumn(
+      "__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+    val replicated = dim.withColumn(
+      "__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val out = salted.join(replicated, Seq(key, "__salt"), joinType)
+    out.drop("__salt")
+  }
+
+  /** Diagnostic: rows per key above `threshold` — the keys that would
+    * straggle a plain shuffle join; feed the count into `salts`.
+    */
+  def hotKeys(df: DataFrame, key: Column, threshold: Long): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") >= threshold)
+}

@@ -31,7 +31,7 @@ object ExtensionQueries {
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
-    e14QualityFilter, e15MediaFrames)
+    e14QualityFilter, e15MediaFrames, e16PrepPipeline)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -630,6 +630,51 @@ object ExtensionQueries {
       when(col("n_words") >= 5 && stopR >= 0.01 && punctR <= 0.2, 1)
         .otherwise(0).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** The composed data-prep flow — quality filter (e14's thresholds) then
+    * exact dedup (e1's content hashing) then per-language yield stats —
+    * as ONE declarative plan: Catalyst fuses the per-row signal
+    * expressions with the filter into the scan stage, and the only
+    * shuffle is the final (lang, digest) aggregation. Demonstrates that
+    * the extension operators compose without materialization barriers;
+    * distinct-counting goes through the 256-bit digest, not the document
+    * text, so the shuffle payload stays fixed-width at any corpus size.
+    */
+  private def e16PrepPipeline = QueryDef.sql(
+    "e16_prep_pipeline",
+    s"""WITH d AS (SELECT doc_id, lang, text, n_chars,
+       |    len(${Portable.wordsDuck}) AS n_words,
+       |    len(list_filter(${Portable.wordsDuck},
+       |        w -> w IN ('the', 'a'))) AS n_stop,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+       |  FROM documents),
+       |kept AS (SELECT * FROM d
+       |  WHERE n_words >= 5
+       |    AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+       |    AND CAST(n_punct AS DOUBLE) / n_chars <= 0.2)
+       |SELECT lang, count(*) AS kept_docs,
+       |  count(DISTINCT md5(text)) AS unique_docs,
+       |  round(1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+       |    AS dup_ratio
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val words = expr(Portable.wordsSpark)
+    val nWords = size(words).cast("long")
+    val nStop = size(filter(words, w => w.isin("the", "a"))).cast("long")
+    val nPunct =
+      size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast("long")
+    Tables.documents(s, dir)
+      .filter(nWords >= 5 &&
+        nStop.cast("double") / nWords >= 0.01 &&
+        nPunct.cast("double") / col("n_chars") <= 0.2)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("kept_docs"),
+        countDistinct(sha2(col("text"), 256)).as("unique_docs"),
+        round(lit(1) -
+          countDistinct(sha2(col("text"), 256)).cast("double") / count(lit(1)),
+          4).as("dup_ratio"))
+      .orderBy("lang")
   }
 
   /** Heuristic language-ID: marker-stopword counts per candidate language,
