@@ -209,11 +209,11 @@ object MockData {
     val costFactor = 0.3 + 0.2 * unitDouble(seed, "product_cost_factor")
     seedDf
       .withColumn("id", uuidFromHash(seed, "product", strKey(col("model"))))
-      .select(col("id") +: Schemas.productSeed.fieldNames.map(col): _*)
+      .select(col("id") +: Schemas.productSeed.fieldNames.toSeq.map(col): _*)
       .withColumn("product_cost", col("price") * costFactor)
       .withColumn("loaded_at", lit(batchTs))
       .withColumnsRenamed(Map("category1" -> "category", "category2" -> "subcategory"))
-      .select(Schemas.products.fieldNames.map(col): _*)
+      .select(Schemas.products.fieldNames.toSeq.map(col): _*)
   }
 
   /** Driver-side deterministic uniform for batch-level scalars (F5). */
@@ -244,7 +244,7 @@ object MockData {
           pick(Domains, hashUnit(seed, "dom", col("gen_idx")))))
       .withColumn("id", uuidFromHash(seed, "customer", col("gen_idx")))
       .withColumn("loaded_at", lit(batchTs))
-      .select(col("gen_idx") +: Schemas.customers.fieldNames.map(col): _*)
+      .select(col("gen_idx") +: Schemas.customers.fieldNames.toSeq.map(col): _*)
   }
 
   /** Orders (build_order_data, mock_data.py:56-68): the i-th order is

@@ -321,7 +321,7 @@ object ExtensionQueries {
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    round(${dotDuck("q", "c")} /
-       |      (${normDuck("q")} * ${normDuck("c")}), 4) AS cosine
+       |      (${normDuck("q")} * ${normDuck("c")}), 4) + 0 AS cosine
        |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
        |SELECT query_id, neighbor_id, cosine FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id
@@ -383,7 +383,7 @@ object ExtensionQueries {
          |pairs AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    round(${dotDuck("a", "b")} /
-         |      (${normDuck("a")} * ${normDuck("b")}), 4) AS cosine
+         |      (${normDuck("a")} * ${normDuck("b")}), 4) + 0 AS cosine
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.sub = b.sub
          |    AND a.vec_id <> b.vec_id)
          |SELECT query_id, neighbor_id, cosine FROM pairs
@@ -787,7 +787,7 @@ object ExtensionQueries {
        |    (s, x) -> s + x) AS tot
        |  FROM embeddings)
        |SELECT vec_id, label, round(sqrt(sq), 4) AS norm,
-       |  round(tot / 64, 4) AS mean
+       |  round(tot / 64, 4) + 0 AS mean
        |FROM v ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val embD = col("embedding").cast("array<double>")
     val ones = array_repeat(lit(1.0), 64)

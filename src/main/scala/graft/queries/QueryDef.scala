@@ -12,6 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on decimal half-way points (binary doubles round differently across
   * engines there — aggregates rounded to >=2 dp are safe because their error
   * is not systematically at the boundary).
+  *
+  * Negative-zero rule: DuckDB's `round` keeps IEEE sign (-1e-9 -> -0.0)
+  * while Spark's BigDecimal round returns +0.0, and the driver compares
+  * `repr` strings — so any rounded column whose value can be a tiny
+  * negative (cosines, means) carries `+ 0` in the ORACLE SQL to normalize
+  * -0.0 to +0.0 (IEEE: -0.0 + 0 == +0.0), applied BEFORE any ranking so
+  * tie order can't diverge either.
   */
 final case class QueryDef(
     name: String,
