@@ -31,7 +31,7 @@ object ExtensionQueries {
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
-    e14QualityFilter, e15MediaFrames, e16PrepPipeline)
+    e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -537,6 +537,88 @@ object ExtensionQueries {
           when(coalesce(col("mn"), col("vec_id")) < col("vec_id"), 1)
             .otherwise(0).as("is_dup"))
         .orderBy("vec_id")
+    }
+  }
+
+  /** IVF-flat ANN — the other classical scale path for similarity search
+    * (complementing e6's sign-LSH): a coarse codebook partitions the
+    * corpus into inverted lists, and neighbors are searched only within
+    * the query's list.
+    *
+    * The codebook is a deterministic corpus SAMPLE (vec_id % 67 == 3 →
+    * K ~ N/67, the sqrt-ish growth a trained quantizer would use) rather
+    * than k-means — a standard zero-train IVF baseline, and the sampling
+    * rule keeps the oracle reproducible. Assignment is argmax-cosine with
+    * UNROUNDED scores (rounding would manufacture ties) and min-cid
+    * tie-break via the max-then-filter idiom, which is engine-portable
+    * where min_by/arg_min tie behavior is not. The codebook broadcast is
+    * the standard IVF assign step (real deployments cap K at ~65k
+    * centroids regardless of corpus size, so the broadcast stays
+    * bounded); the within-list self-join reuses one repartition exchange
+    * exactly like e6.
+    */
+  private def e17AnnIvf = {
+    val k = 3
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e17_ann_ivf",
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM base WHERE vec_id % 67 = 3),
+         |sc AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM base b CROSS JOIN cent c),
+         |best AS (SELECT vec_id, max(cs) AS mc FROM sc GROUP BY vec_id),
+         |assign AS (SELECT sc.vec_id, min(cid) AS list_id
+         |  FROM sc JOIN best USING (vec_id) WHERE cs = mc GROUP BY sc.vec_id),
+         |v AS (SELECT base.vec_id, base.embedding, base.nrm, list_id
+         |  FROM base JOIN assign USING (vec_id)),
+         |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(${dotCols("a.embedding", "b.embedding")} /
+         |      (a.nrm * b.nrm), 4) + 0 AS cosine
+         |  FROM v a JOIN v b
+         |    ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, cosine FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= $k
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
+      (s, dir) =>
+        val embD = col("embedding").cast("array<double>")
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), embD.as("emb"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        val cent = base.filter(col("vec_id") % 67 === 3)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        val scored = base.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+              .as("cs"))
+        val best = scored.groupBy("vec_id").agg(max(col("cs")).as("mc"))
+        val assign = scored.join(best, Seq("vec_id"))
+          .filter(col("cs") === col("mc"))
+          .groupBy("vec_id").agg(min(col("cid")).as("list_id"))
+        val vs = base.join(assign, "vec_id").repartition(col("list_id"))
+        val cosine = round(
+          dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        vs.as("a")
+          .join(vs.as("b"),
+            col("a.list_id") === col("b.list_id") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"), cosine.as("cosine"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .drop("rk")
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }
   }
 

