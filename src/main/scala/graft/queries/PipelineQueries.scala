@@ -65,9 +65,13 @@ object PipelineQueries {
       val materialized = Models.dbtRun(s, rawDb, martDb)
       val tests = DataTests.runAll(s, rawDb, materialized)
       val testRows = tests.map(t => (t.name, if (t.passed) 1L else 0L, t.failingRows))
+      // all four mart counts in ONE job (same batching as the test suite)
       val martRows = Seq("dim_customer", "dim_order", "dim_product",
         "fct_order_products")
-        .map(m => (s"rows_$m", 1L, materialized(m).count()))
+        .map(m => materialized(m)
+          .agg(lit(s"rows_$m").as("check"), count(lit(1)).as("n")))
+        .reduce(_ unionByName _)
+        .collect().map(r => (r.getString(0), 1L, r.getLong(1))).toSeq
       import s.implicits._
       (testRows ++ martRows).toDF("check", "passed", "n").orderBy("check")
         .localCheckpoint() // materialize before dropping the scratch dbs
