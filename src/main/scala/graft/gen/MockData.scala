@@ -56,10 +56,22 @@ object MockData {
   def pairKey(k1: Column, k2: Column): Column =
     pmod(pmod(k1, lit(P)) * 131 + pmod(k2, lit(P)), lit(P))
 
-  /** Raw draw in [0, P) for (seed, tag, integral row key). */
+  /** Raw draw in [0, P) for (seed, tag, integral row key): affine map
+    * then CUBE mod P. The cube is essential, not decoration — an affine
+    * map alone turns sequential keys into a Weyl sequence with step a/P,
+    * and when the tag-derived multiplier is small (tag "os": a ~ 5e5) a
+    * 1000-key batch spans half the unit interval, collapsing weighted
+    * choices to one bucket (observed: 1000/1000 orders "shipped").
+    * Cubing breaks the lattice structure while preserving bijectivity:
+    * P is prime with gcd(3, P-1) = 1, so x^3 mod P is a permutation —
+    * distinct keys still can never collide within a (seed, tag), which
+    * is what underwrites generated-id uniqueness. All operands stay
+    * below 2^60, exactly as in DuckDB's BIGINT twin.
+    */
   def hashLong(seed: Long, tag: String, key: Column): Column = {
     val (a, b) = mixCoeffs(seed, tag)
-    pmod(pmod(key, lit(P)) * a + b, lit(P))
+    val x = pmod(pmod(key, lit(P)) * a + b, lit(P))
+    pmod(pmod(x * x, lit(P)) * x, lit(P))
   }
 
   /** Uniform [0,1) for (seed, tag, integral row key). */
@@ -91,7 +103,8 @@ object MockData {
 
   def hashLongDuck(seed: Long, tag: String, keyExpr: String): String = {
     val (a, b) = mixCoeffs(seed, tag)
-    s"(((($keyExpr) % $P) * $a + $b) % $P)"
+    val x = s"(((($keyExpr) % $P) * $a + $b) % $P)"
+    s"(($x * $x % $P) * $x % $P)"
   }
 
   def hashUnitDuck(seed: Long, tag: String, keyExpr: String): String =

@@ -21,18 +21,24 @@ object MockDataProps extends Properties("MockData") {
       a >= 1 && a < P && b >= 0 && b < P
     }
 
-  property("affine draw is a bijection mod P (distinct keys never collide)") =
+  /** The full draw: affine map then cube mod P (gcd(3, P-1) = 1, so
+    * cubing is a permutation and the composition stays a bijection).
+    */
+  private def draw(seed: Long, tag: String, k: Long): Long = {
+    val (a, b) = MockData.mixCoeffs(seed, tag)
+    val x = (k % P * a + b) % P
+    (x * x % P) * x % P
+  }
+
+  property("cubed-affine draw is a bijection mod P (distinct keys never collide)") =
     Prop.forAll(Gen.long, tagGen, keyGen, keyGen) { (seed, tag, k1, k2) =>
-      val (a, b) = MockData.mixCoeffs(seed, tag)
-      def draw(k: Long) = (k % P * a + b) % P
-      (k1 == k2) == (draw(k1) == draw(k2))
+      (k1 == k2) == (draw(seed, tag, k1) == draw(seed, tag, k2))
     }
 
   property("draws stay in [0, P) for any nonnegative key") =
     Prop.forAll(Gen.long, tagGen, Gen.choose(0L, Long.MaxValue)) {
       (seed, tag, key) =>
-        val (a, b) = MockData.mixCoeffs(seed, tag)
-        val d = (key % P * a + b) % P
+        val d = draw(seed, tag, key)
         d >= 0 && d < P
     }
 }

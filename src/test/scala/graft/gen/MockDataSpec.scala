@@ -95,7 +95,7 @@ class MockDataSpec extends SparkSpecBase {
       s"nearShare=$nearShare productShare=$productShare")
   }
 
-  test("hashLong column matches the pure affine formula") {
+  test("hashLong column matches the pure cubed-affine formula") {
     import org.apache.spark.sql.functions.col
     val P = 1000000007L
     val (a, b) = MockData.mixCoeffs(42L, "pin")
@@ -103,8 +103,28 @@ class MockDataSpec extends SparkSpecBase {
     val got = spark.range(1000).select(col("id"), rows.as("draw"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until 1000L).foreach { k =>
-      assert(got(k) === (k % P * a + b) % P)
+      val x = (k % P * a + b) % P
+      assert(got(k) === (x * x % P) * x % P)
     }
+  }
+
+  test("weighted choices stay near their ratios at BATCH size (1000 keys)") {
+    // regression for the affine-only draw: sequential 1000-key batches
+    // collapsed to ONE status bucket (Weyl-step correlation); the cubed
+    // draw must keep every bucket populated near its weight at the
+    // pipeline's actual batch size, not just at 4000
+    val o = MockData.orders(spark, 42L, ts,
+      MockData.customers(spark, 42L, ts).select(col("gen_idx"), col("id")))
+    val n = o.count().toDouble
+    val byStatus = o.groupBy("order_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.size === 3, s"missing status buckets: $byStatus")
+    assert(math.abs(byStatus("shipped") / n - 10.0 / 16) < 0.07)
+    assert(math.abs(byStatus("delivered") / n - 5.0 / 16) < 0.07)
+    assert(byStatus("refunded") > 0)
+    val g = MockData.customers(spark, 42L, ts).groupBy("gender").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g.size === 3, s"missing gender buckets: $g")
   }
 
   test("partition stability: identical output under different parallelism") {
