@@ -167,8 +167,11 @@ final class Ingest(
       .write.mode(SaveMode.Append).insertInto(rawName(table))
   }
 
-  /** S9: REMOVE staged files after load (the seed lives in code, so
-    * nothing to spare here; the reference spares products.csv).
+  /** S9: REMOVE staged files after load. Only the per-batch dir is
+    * deleted — the seed CSV lives under seed_data/ BESIDE the batch
+    * dirs, so it is spared by construction, mirroring the reference's
+    * `find ... ! -name products.csv -exec rm` (refresh_source_data
+    * .py:181-186).
     */
   private def cleanStagedFiles(batchDir: Path): Unit = {
     if (Files.exists(batchDir)) {
