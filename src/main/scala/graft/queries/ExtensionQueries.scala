@@ -357,11 +357,14 @@ object ExtensionQueries {
     *    integer math in both engines, so the oracle proves the capped
     *    semantics, not just the happy path.
     *
-    * Plan notes (verified in PlanLintSpec/explain): the repartition by
-    * sig is the ONLY data shuffle — bucket counts and the pair join both
-    * reuse it (ReusedExchange), and the top-k filter compiles to
-    * partial-mode WindowGroupLimit before its exchange, shuffling <= k
-    * rows per (query, partition).
+    * Plan notes (verified via explain): the two pair-join sides reuse a
+    * single repartition-by-sig exchange (ReusedExchange), so signatures
+    * and norms are not re-evaluated per join side; the bucket-count
+    * branch is column-pruned by Catalyst to an embedding-only scan (its
+    * subtree legitimately diverges — recomputing a pruned projection
+    * beats materializing a checkpoint at scan scale). The top-k filter
+    * compiles to partial-mode WindowGroupLimit before its exchange,
+    * shuffling <= k rows per (query, partition).
     */
   def annLsh(
       name: String, bits: Int, k: Int, bucketCap: Long): QueryDef = {
@@ -397,12 +400,10 @@ object ExtensionQueries {
             (0 until 64).map(d => lit(Portable.hyperplaneWeight(j, d))): _*)
           when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
-        // Signature + norm computed ONCE per vector; the repartition by
-        // sig is the single shuffle both the bucket-count aggregation and
-        // the join probe reuse (ReuseExchange — the sig expression is not
-        // re-evaluated per branch), and HashPartitioning(sig) already
-        // satisfies the pair join's (sig, sub) clustering, so no further
-        // exchange is inserted.
+        // Signature + norm computed once per pair-join side via a shared
+        // repartition-by-sig exchange (ReusedExchange), and
+        // HashPartitioning(sig) already satisfies the pair join's
+        // (sig, sub) clustering, so no further exchange is inserted.
         val s0 = Tables.embeddings(s, dir)
           .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
           .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
