@@ -102,7 +102,11 @@ object Models {
   }
 
   /** fct_order_products.sql:13-33 (J1+J2): fact left-joins the two
-    * dims; both dims are small relative to the fact ⇒ broadcast.
+    * dims. Products is STATIC (96 rows forever, ST5) ⇒ broadcast hint is
+    * always right. Orders GROWS with the fact (~0.67x its rows), so no
+    * hint there — AQE/threshold picks broadcast while it fits and
+    * shuffled-hash beyond, instead of a forced broadcast that OOMs at
+    * 100x.
     */
   val fctOrderProducts: Model = Model(
     "fct_order_products",
@@ -114,7 +118,7 @@ object Models {
     op
       .join(broadcast(p.select("product_id", "product_price", "product_cost")),
         Seq("product_id"), "left")
-      .join(broadcast(o.select("order_id", "customer_id", "order_date")),
+      .join(o.select("order_id", "customer_id", "order_date"),
         Seq("order_id"), "left")
       .select(
         col("order_product_id"), col("product_id"), col("order_id"),

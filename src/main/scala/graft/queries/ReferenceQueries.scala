@@ -51,10 +51,14 @@ object ReferenceQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** fct_order_products star join twin (SURVEY §2.4 J1+J2): fact left-joins
-    * two dimensions; the small dim is broadcast (no shuffle for it), the
-    * orders join is left to AQE which picks broadcast at these sizes and
-    * shuffled-hash beyond the threshold at 100 TB.
+  /** fct_order_products star join twin (SURVEY §2.4 J1+J2): fact
+    * left-joins two dimensions. Neither side gets a broadcast HINT: in
+    * TPC-H both part and orders scale with the fact, so a forced
+    * broadcast is exactly the plan that dies at 100x — the
+    * threshold/AQE picks broadcast-hash while a side fits (it does at
+    * every test SF, so the plan is identical here) and shuffled-hash
+    * beyond. (Contrast Models.fctOrderProducts, where the products dim
+    * is STATIC 96 rows and the hint is always right.)
     * Cites reference dbt_sao/models/mart/fct_order_products.sql:13-33.
     */
   private def q2FctStarJoin = QueryDef.sql(
@@ -71,7 +75,7 @@ object ReferenceQueries {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
     val o = Tables.orders(s, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+    l.join(p, l("l_partkey") === p("p_partkey"), "left")
       .join(o, l("l_orderkey") === o("o_orderkey"), "left")
       .select(
         l("l_orderkey").as("order_id"),
