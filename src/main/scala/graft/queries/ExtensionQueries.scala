@@ -31,7 +31,8 @@ object ExtensionQueries {
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
-    e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf)
+    e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
+    e18VocabTopk)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -812,6 +813,28 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     }
+  }
+
+  /** Corpus vocabulary building — top-100 word tokens by frequency with
+    * deterministic (freq DESC, token) ordering. The aggregation gets
+    * map-side partial counts from Catalyst (each partition contributes
+    * one row per distinct token it saw, not one per occurrence) and the
+    * top-k executes as TakeOrderedAndProject — no global sort of the
+    * vocabulary. This is the tokenizer-training precursor (count, then
+    * truncate to a vocab budget).
+    */
+  private def e18VocabTopk = QueryDef.sql(
+    "e18_vocab_topk",
+    s"""SELECT w AS token, count(*) AS freq
+       |FROM (SELECT unnest(${Portable.wordsDuck}) AS w FROM documents)
+       |GROUP BY w ORDER BY freq DESC, token LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(expr(Portable.wordsSpark)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization

@@ -1,0 +1,27 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact dedup — e1's content-hash dedup applied AT INGEST:
+  * keep the first arrival of each content digest, dropping replays and
+  * boilerplate copies before they ever land in the corpus.
+  *
+  * Uses `dropDuplicatesWithinWatermark`, so the dedup state store holds
+  * only digests younger than the watermark horizon — bounded state, the
+  * requirement for an unbounded stream (plain streaming dropDuplicates
+  * accumulates keys forever). Content outside the horizon can recur;
+  * the batch operators (e1/e13) remain the full-corpus pass.
+  */
+object StreamDedup {
+
+  /** `docs` must carry `text` and an event-time column `tsCol`; emits
+    * the surviving rows plus their `content_hash`.
+    */
+  def firstArrivalByContent(
+      docs: DataFrame, tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+}
