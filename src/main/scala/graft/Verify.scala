@@ -15,15 +15,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-        System.err.println(s"[verify] $name FAILED: ${failures(name)}")
+    // Queries are independent (distinct output dirs; pipeline queries use
+    // unique scratch databases) — run them 4 at a time so the session's
+    // scheduler overlaps small jobs instead of serializing 36 round-trips.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+        val th = new Thread(r, "graft-verify"); th.setDaemon(true); th
+      }))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      Future {
+        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"); None }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          Some(name -> msg)
+        }
       }
     }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    Await.result(Future.sequence(results), Duration.Inf)
+      .flatten.foreach { case (k, v) => failures(k) = v }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

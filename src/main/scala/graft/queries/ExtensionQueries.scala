@@ -11,9 +11,13 @@ import graft.sources.Tables
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash,
-  * n-gram Jaccard), similarity search (brute-force and LSH-bucketed ANN),
-  * text analysis (stats, language-ID, token counting, fingerprinting) and
-  * multimodal-column plumbing.
+  * n-gram Jaccard, embedding-cosine near-dup), similarity search
+  * (brute-force exact, parameterized sign-LSH ANN, IVF-flat), text
+  * analysis (corpus stats, per-doc quality filtering, language-ID, token
+  * counting, vocabulary top-k, fingerprinting, a composed prep
+  * pipeline) and multimodal-column plumbing (metadata + frame
+  * sampling). Streaming counterparts (first-arrival dedup, keyed state)
+  * live in [[graft.streaming]].
   *
   * Scale design (100 TB): every near-dup/similarity operator is BUCKETED —
   * candidates come from an inverted-index join (shared shingle), an LSH
