@@ -70,11 +70,18 @@ object TextHash {
   }
 
   /** Char-level rolling hash of the whole text (code points, mod P). */
-  def polyHash(text: UTF8String): Long = {
+  def polyHash(text: UTF8String): Long = polyHash(text, 31L, P)
+
+  /** Parameterized rolling hash: base/modulus choose an independent hash
+    * family, so k reductions under k distinct (base, mod) pairs collide
+    * together only for astronomically unlikely inputs (the uuid draw
+    * independence fix — see [[graft.gen.MockData.uuidFromParts]]).
+    */
+  def polyHash(text: UTF8String, base: Long, mod: Long): Long = {
     val s = text.toString
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i).toInt) % P; i += 1 }
+    while (i < s.length) { h = (h * base + s.charAt(i).toInt) % mod; i += 1 }
     h
   }
 

@@ -46,15 +46,17 @@ object expressions {
       copy(child = newChild)
   }
 
-  case class PolyHash(child: Expression)
+  case class PolyHash(child: Expression, base: Long = 31L, mod: Long = Portable.P)
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "poly_hash"
     override protected def nullSafeEval(input: Any): Any =
-      TextHash.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      TextHash.polyHash(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], base, mod)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHash($c)")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHash.polyHash($c, ${base}L, ${mod}L)")
     override protected def withNewChildInternal(newChild: Expression): PolyHash =
       copy(child = newChild)
   }
@@ -117,6 +119,8 @@ object F {
   def word_hashes(text: Column): Column = c(WordHashes(e(text)))
   def shingle_hashes(text: Column, k: Int = 3): Column = c(ShingleHashes(e(text), k))
   def poly_hash(text: Column): Column = c(PolyHash(e(text)))
+  def poly_hash(text: Column, base: Long, mod: Long): Column =
+    c(PolyHash(e(text), base, mod))
   def sim_hash(text: Column): Column = c(SimHash(e(text)))
   def min_hashes(shingles: Column): Column = c(MinHashes(e(shingles)))
   def array_dot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))

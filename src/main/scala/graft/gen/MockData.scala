@@ -78,18 +78,68 @@ object MockData {
   def hashUnit(seed: Long, tag: String, key: Column): Column =
     hashLong(seed, tag, key).cast("double") / P
 
+  /** Per-draw moduli for the 3-draw uuid: distinct primes near 2^30,
+    * each with gcd(3, p-1) = 1 so the cube stays a bijection mod p.
+    * Distinct moduli make the three draws' key reductions INDEPENDENT:
+    * one mod-P key collision used to collapse all three draws at once
+    * (≈ n²/2P ≈ 0.1% per 1500-row batch — a nondeterministic Unique-test
+    * flake); now a duplicate uuid needs the same pair to collide mod all
+    * three primes simultaneously, i.e. mod their ~2^90 product — CRT-
+    * impossible for 64-bit integer keys, ~2^-90 for hashed string keys.
+    */
+  private[graft] val DrawMods = Array(P, 1000000097L, 1000000103L)
+
+  /** Per-draw polynomial bases for string-part reduction — with the
+    * per-draw modulus this picks 3 independent string-hash families.
+    */
+  private val DrawBases = Array(31L, 37L, 41L)
+
+  /** hashLong generalized to a caller-chosen modulus (the per-draw
+    * primes above). mixCoeffs' a ∈ [1, P-1] is nonzero mod every
+    * DrawMod (all ≥ P), so the affine map stays a bijection of [0, p).
+    */
+  private def cubeAffine(seed: Long, tag: String, key: Column, p: Long): Column = {
+    val (a, b) = mixCoeffs(seed, tag)
+    val x = pmod(pmod(key, lit(p)) * a + b, lit(p))
+    pmod(pmod(x * x, lit(p)) * x, lit(p))
+  }
+
   /** Deterministic UUID4-shaped id (RFC 4122 version/variant nibbles)
     * from three independent draws, decimal-formatted — the seeded,
     * engine-portable stand-in for fake.uuid4() (mock_data.py:28,44,60,
     * 101; SURVEY §2.3 F4). Digits are valid hex chars, so the UUID shape
-    * (8-4-4-4-12 with version '4' / variant 'a') is preserved; the first
-    * draw is an affine bijection of the key, so distinct keys give
-    * distinct ids within a (seed, tag).
+    * (8-4-4-4-12 with version '4' / variant 'a') is preserved. Each draw
+    * reduces the key mod its OWN prime ([[DrawMods]]), so for integral
+    * keys below 2^60 a duplicate uuid within a (seed, tag) would need a
+    * key collision mod all three primes at once — impossible by CRT.
+    * Callers whose natural key is a string (or a composite) must use
+    * [[uuidFromParts]]: pre-reducing to one Long would reintroduce the
+    * single-collision collapse this fixes.
     */
-  def uuidFromHash(seed: Long, tag: String, key: Column): Column = {
-    val ds = (1 to 3).map(i =>
-      lpad(hashLong(seed, s"$tag#$i", key).cast("string"), 10, "0"))
-    val s = concat(ds: _*)
+  def uuidFromHash(seed: Long, tag: String, key: Column): Column =
+    uuidFromDraws((1 to 3).map(i =>
+      cubeAffine(seed, s"$tag#$i", key, DrawMods(i - 1))))
+
+  /** UUID4-shaped id from RAW (string or composite) key parts. Draw i
+    * reduces every part with its own (base, modulus) hash family and
+    * folds the part hashes mod its own prime — so two distinct part
+    * tuples produce the same uuid only if they collide in all three
+    * independent families (~2^-90), vs ~2^-30 when a shared reduced key
+    * feeds every draw (the ADVICE r3 Unique-flake).
+    */
+  def uuidFromParts(seed: Long, tag: String, parts: Column*): Column = {
+    require(parts.nonEmpty, "uuidFromParts needs at least one key part")
+    uuidFromDraws((1 to 3).map { i =>
+      val p = DrawMods(i - 1)
+      val key = parts
+        .map(c => graft.functions.F.poly_hash(c.cast("string"), DrawBases(i - 1), p))
+        .reduce((k, pk) => pmod(k * 131 + pk, lit(p)))
+      cubeAffine(seed, s"$tag#$i", key, p)
+    })
+  }
+
+  private def uuidFromDraws(draws: Seq[Column]): Column = {
+    val s = concat(draws.map(d => lpad(d.cast("string"), 10, "0")): _*)
     concat(
       substring(s, 1, 8), lit("-"),
       substring(s, 9, 4), lit("-4"),
@@ -101,10 +151,14 @@ object MockData {
   // ---- DuckDB twins of the three draw primitives (used by the
   // ---- q15_gen_scalars oracle; coefficients baked from the same mixCoeffs)
 
-  def hashLongDuck(seed: Long, tag: String, keyExpr: String): String = {
+  def hashLongDuck(seed: Long, tag: String, keyExpr: String): String =
+    hashLongDuck(seed, tag, keyExpr, P)
+
+  private def hashLongDuck(
+      seed: Long, tag: String, keyExpr: String, p: Long): String = {
     val (a, b) = mixCoeffs(seed, tag)
-    val x = s"(((($keyExpr) % $P) * $a + $b) % $P)"
-    s"(($x * $x % $P) * $x % $P)"
+    val x = s"(((($keyExpr) % $p) * $a + $b) % $p)"
+    s"(($x * $x % $p) * $x % $p)"
   }
 
   def hashUnitDuck(seed: Long, tag: String, keyExpr: String): String =
@@ -112,7 +166,7 @@ object MockData {
 
   def uuidDuckDigits(seed: Long, tag: String, keyExpr: String): String =
     (1 to 3).map(i =>
-      s"lpad(CAST(${hashLongDuck(seed, s"$tag#$i", keyExpr)} AS VARCHAR), 10, '0')")
+      s"lpad(CAST(${hashLongDuck(seed, s"$tag#$i", keyExpr, DrawMods(i - 1))} AS VARCHAR), 10, '0')")
       .mkString(" || ")
 
   /** Weighted categorical choice (SURVEY §2.3 F9): inverse-CDF over a
@@ -221,7 +275,7 @@ object MockData {
       seedDf: DataFrame, seed: Long, batchTs: LocalDateTime): DataFrame = {
     val costFactor = 0.3 + 0.2 * unitDouble(seed, "product_cost_factor")
     seedDf
-      .withColumn("id", uuidFromHash(seed, "product", strKey(col("model"))))
+      .withColumn("id", uuidFromParts(seed, "product", col("model")))
       .select(col("id") +: Schemas.productSeed.fieldNames.toSeq.map(col): _*)
       .withColumn("product_cost", col("price") * costFactor)
       .withColumn("loaded_at", lit(batchTs))
@@ -328,8 +382,7 @@ object MockData {
       .withColumn("r", r)
       .join(broadcast(cumDf), col("r") >= col("lo") && col("r") < col("hi"))
       .select(
-        uuidFromHash(seed, "order_product",
-          pairKey(strKey(col("order_id")), col("item_idx")))
+        uuidFromParts(seed, "order_product", col("order_id"), col("item_idx"))
           .as("id"),
         col("product_id"),
         col("order_id"),

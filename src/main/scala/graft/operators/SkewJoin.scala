@@ -23,10 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types that preserve the plain-equi-join result under dim-side
+    * replication: every fact row still meets its key's dim row exactly
+    * once (under its own salt), and semi/anti existence checks see the
+    * dim key at every salt. Right/full outer would emit each UNMATCHED
+    * dim row once per salt — `salts` duplicates — so they are rejected.
+    */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedEquiJoin(
       fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(SupportedJoinTypes(joinType.toLowerCase),
+      s"saltedEquiJoin: joinType '$joinType' would duplicate unmatched dim " +
+        "rows (dim side is replicated per salt); use inner/left/semi/anti")
     // Deterministic salt: a hash of the fact row's key and a row-unique
     // tiebreak would need a uid column; monotonically_increasing_id is
     // partition-stable WITHIN one evaluation, which is all a salt needs

@@ -269,11 +269,15 @@ object ExtensionQueries {
     * set is broadcast only while it is provably small (an early-stopping
     * `limit(max+1).count()` probe — never a full count of a large side).
     * Past the threshold the query set is processed in hash-partitioned
-    * chunks of at most `maxBroadcastQueries` rows, each chunk broadcast
-    * against one corpus scan and the per-chunk top-k unioned. Chunking by
-    * query_id keeps the result EXACT (top-k is per query, and each query
-    * lands in exactly one chunk); the cost of a too-large query set is
-    * extra corpus scans, never an executor OOM. `q` must have columns
+    * chunks whose EXPECTED size is `maxBroadcastQueries / 2` rows (the
+    * chunk count is doubled so the broadcast target carries 2x headroom:
+    * hash-mod chunking bounds expected size, not worst case, and a chunk
+    * only breaches `maxBroadcastQueries` after a 2x binomial deviation —
+    * for the multi-million-row sets that trigger chunking that is a
+    * many-sigma event, vanishing as exp(-m/chunks) by Chernoff). Chunking
+    * by query_id keeps the result EXACT (top-k is per query, and each
+    * query lands in exactly one chunk); the cost of a too-large query set
+    * is extra corpus scans, never an executor OOM. `q` must have columns
     * (query_id, qe); `corpus` (neighbor_id, ce).
     */
   def cosineTopkExact(
@@ -301,7 +305,10 @@ object ExtensionQueries {
     val chunks =
       if (probe <= maxBroadcastQueries) Seq(qn)
       else {
-        val n = ((q.count() + maxBroadcastQueries - 1) / maxBroadcastQueries).toInt
+        // 2x chunk count: expected chunk size maxBroadcastQueries/2, so a
+        // skewed chunk needs a 2x deviation to breach the broadcast guard.
+        val n = ((2 * q.count() + maxBroadcastQueries - 1) / maxBroadcastQueries)
+          .toInt.max(2)
         (0 until n).map(i =>
           qn.filter(pmod(xxhash64(col("query_id")), lit(n)) === i))
       }

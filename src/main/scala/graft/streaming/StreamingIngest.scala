@@ -45,11 +45,18 @@ final class StreamingIngest(spark: SparkSession, db: String, streamRoot: Path) {
       .mode(SaveMode.Overwrite)
       .csv(tmp.toString)
     Files.createDirectories(inbox(table))
-    Files.list(tmp).filter(_.getFileName.toString.startsWith("part-"))
-      .forEach { p =>
-        Files.move(p, inbox(table).resolve(s"$batchId-${p.getFileName}"))
-      }
-    Files.list(tmp).forEach(p => Files.deleteIfExists(p))
+    // Using(...) closes each directory stream — Files.list holds an open
+    // file handle until closed, which leaks per staged table per batch on
+    // a long-running driver (ADVICE r3).
+    scala.util.Using.resource(Files.list(tmp)) { ls =>
+      ls.filter(_.getFileName.toString.startsWith("part-"))
+        .forEach { p =>
+          Files.move(p, inbox(table).resolve(s"$batchId-${p.getFileName}"))
+        }
+    }
+    scala.util.Using.resource(Files.list(tmp)) { ls =>
+      ls.forEach(p => Files.deleteIfExists(p))
+    }
     Files.deleteIfExists(tmp)
   }
 

@@ -127,6 +127,24 @@ class MockDataSpec extends SparkSpecBase {
     assert(g.size === 3, s"missing gender buckets: $g")
   }
 
+  test("uuid draws are reduction-independent (ADVICE r3 Unique flake)") {
+    // keys k and k + P collide mod the old single modulus P: with one
+    // shared reduction every draw collapsed at once and the whole uuid
+    // duplicated (~n²/2P per batch). Per-draw prime moduli break this:
+    // the same pair must now also collide mod 1000000097 AND 1000000103,
+    // impossible for 64-bit integer keys by CRT.
+    val P = 1000000007L
+    val ids = spark.range(200)
+      .select(
+        MockData.uuidFromHash(42L, "t", col("id")).as("u1"),
+        MockData.uuidFromHash(42L, "t", col("id") + P).as("u2"))
+    assert(ids.filter(col("u1") === col("u2")).isEmpty)
+    // composite/string path: same item_idx with order ids whose base-31
+    // poly hashes may collide must still give distinct uuids; sanity-pin
+    // distinctness over a generated batch (order_products ids unique)
+    assert(orderProducts.select("id").distinct().count() === orderProducts.count())
+  }
+
   test("partition stability: identical output under different parallelism") {
     val a = MockData.customers(spark, 7L, ts, 500)
     val b = MockData.customers(spark, 7L, ts, 500).repartition(13)
