@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{F, Portable}
+import graft.functions.Portable.P
+import graft.gen.MockData
+import graft.sources.Tables
+
+/** Training-data curation operators beyond dedup/similarity (which live
+  * in [[ExtensionQueries]]): PII redaction, benchmark-contamination
+  * detection, repetition scoring, corpus-frequency rarity scoring,
+  * deterministic train/val/test splitting, and overlapping-window
+  * document chunking. Together with the dedup/quality family these are
+  * the remaining stages of a production LLM-data pipeline: scrub →
+  * decontaminate → score → split → chunk.
+  *
+  * Scale design (100 TB): every operator is per-row expression work or a
+  * key-bucketed join/aggregation — no all-pairs joins, no global sorts
+  * except oracle-mandated final ORDER BYs, no driver-side loops. The
+  * only cross-row state is the contamination shingle set (bounded by the
+  * BENCHMARK corpus, which is small by nature) and the unigram frequency
+  * table (bounded by vocabulary, not corpus size).
+  */
+object TrainingQueries {
+
+  // Regex patterns shared by both engines (Java and RE2 agree on this
+  // subset: char classes, bounded repetition, literal dots). Declared
+  // BEFORE `all`: the QueryDef defs interpolate these at object init,
+  // and a later-positioned val would still be null at that point.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  val all: Seq[QueryDef] = Seq(
+    e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
+    e23TrainSplit, e24Chunking)
+
+  /** PII redaction (scrub stage): chained regex replacement of emails,
+    * phone numbers, and IPv4 addresses with typed placeholders, plus
+    * per-type match counts (the audit trail a scrub stage must emit).
+    * The testdata carries no natural PII, so the message under test is
+    * synthesized DETERMINISTICALLY from customer columns — identically
+    * on both engines — and the redaction chain is the operator being
+    * proved. Per-row regex work, embarrassingly parallel; patterns are
+    * applied email → phone → ip so earlier replacements cannot create
+    * later matches on one engine but not the other.
+    */
+  private def e19PiiRedact = QueryDef.sql(
+    "e19_pii_redact",
+    s"""WITH m AS (SELECT c_custkey,
+       |  'contact ' || replace(lower(c_name), '#', '.') || '@example.com'
+       |    || ' or call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+       |    || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+       |    || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+       |    || '.0.' || CAST(c_custkey % 100 AS VARCHAR) AS msg
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  len(regexp_extract_all(msg, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(msg, '$PhoneRe')) AS n_phone,
+       |  len(regexp_extract_all(msg, '$IpRe')) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(msg,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$IpRe', '[IP]', 'g') AS redacted
+       |FROM m ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val msg = concat(
+      lit("contact "), regexp_replace(lower(col("c_name")), "#", "."),
+      lit("@example.com"),
+      lit(" or call 555-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("c_custkey") % 256).cast("string"),
+      lit(".0."), (col("c_custkey") % 100).cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), msg.as("msg"))
+      .select(
+        col("c_custkey"),
+        size(regexp_extract_all(col("msg"), lit(EmailRe), lit(0)))
+          .as("n_email"),
+        size(regexp_extract_all(col("msg"), lit(PhoneRe), lit(0)))
+          .as("n_phone"),
+        size(regexp_extract_all(col("msg"), lit(IpRe), lit(0))).as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("msg"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  /** Benchmark-contamination detection (decontaminate stage): for every
+    * corpus document, the fraction of its distinct word-3-gram shingles
+    * that also appear in a BENCHMARK set (here: the src0 slice standing
+    * in for an eval benchmark). Corpus postings are joined against the
+    * DISTINCT benchmark shingle set on the shingle key — work is
+    * |corpus postings| + |benchmark shingles|, never corpus x benchmark;
+    * the benchmark side is vocabulary-bounded (eval sets are tiny next
+    * to a 100 TB corpus), and docs with zero overlap are preserved by
+    * the left join (a decontaminator must prove the negative too).
+    */
+  private def e20Contamination = QueryDef.sql(
+    "e20_contamination",
+    s"""WITH w AS (SELECT doc_id, source, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source, ${Portable.shinglesDuck} AS shs FROM w),
+       |ex AS (SELECT doc_id, source, unnest(shs) AS sh FROM sh
+       |  WHERE len(shs) > 0),
+       |bench AS (SELECT DISTINCT sh FROM ex WHERE source = 'src0'),
+       |corpus AS (SELECT doc_id, sh FROM ex WHERE source <> 'src0'),
+       |hits AS (SELECT doc_id, count(*) AS n_matched
+       |  FROM corpus JOIN bench USING (sh) GROUP BY doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n_shingles FROM corpus
+       |  GROUP BY doc_id)
+       |SELECT sz.doc_id, n_shingles,
+       |  COALESCE(n_matched, 0) AS n_matched,
+       |  round(CAST(COALESCE(n_matched, 0) AS DOUBLE) / n_shingles, 4)
+       |    AS overlap,
+       |  CAST(COALESCE(n_matched, 0) * 2 >= n_shingles AS INT)
+       |    AS contaminated
+       |FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+       |ORDER BY sz.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        F.shingle_hashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+    // One exchange keyed on the shingle serves the benchmark-distinct,
+    // the semi-side of the hit join, and the probe side (ReuseExchange —
+    // the e2 pattern): shingle hashing + explode run once.
+    val ex = docs
+      .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
+    val bench = ex.filter(col("source") === "src0").select("sh").distinct()
+    val corpus = ex.filter(col("source") =!= "src0").select("doc_id", "sh")
+    val hits = corpus.join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    val sz = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    sz.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("overlap"),
+        (coalesce(col("n_matched"), lit(0L)) * 2 >= col("n_shingles"))
+          .cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition scoring (quality stage): the fraction of
+    * word-3-gram windows that are repeats of an earlier window, plus the
+    * duplicate-word fraction — the boilerplate/template signals a
+    * quality filter thresholds on. Pure per-row array expressions over
+    * the compiled hash primitives; integer counts ratio'd once per row,
+    * so no cross-row float accumulation anywhere.
+    */
+  private def e21Repetition = QueryDef.sql(
+    "e21_repetition",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |st AS (SELECT doc_id, len(wh) AS n_words,
+       |    len(list_distinct(wh)) AS n_uniq_words,
+       |    greatest(len(wh) - 2, 0) AS n_windows,
+       |    len(${Portable.shinglesDuck}) AS n_uniq_windows
+       |  FROM w)
+       |SELECT doc_id, n_words, n_uniq_words, n_windows, n_uniq_windows,
+       |  round(1 - CAST(n_uniq_windows AS DOUBLE) / n_windows, 4)
+       |    AS rep_ratio,
+       |  round(1 - CAST(n_uniq_words AS DOUBLE) / n_words, 4)
+       |    AS dup_word_ratio
+       |FROM st WHERE n_windows > 0 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), F.word_hashes(col("text")).as("wh"),
+          F.shingle_hashes(col("text")).as("shs"))
+        .select(col("doc_id"),
+          size(col("wh")).cast("long").as("n_words"),
+          size(array_distinct(col("wh"))).cast("long").as("n_uniq_words"),
+          greatest(size(col("wh")) - 2, lit(0)).cast("long").as("n_windows"),
+          size(col("shs")).cast("long").as("n_uniq_windows"))
+        .filter(col("n_windows") > 0)
+        .select(
+          col("doc_id"), col("n_words"), col("n_uniq_words"),
+          col("n_windows"), col("n_uniq_windows"),
+          round(lit(1) - col("n_uniq_windows").cast("double") /
+            col("n_windows"), 4).as("rep_ratio"),
+          round(lit(1) - col("n_uniq_words").cast("double") /
+            col("n_words"), 4).as("dup_word_ratio"))
+        .orderBy("doc_id")
+  }
+
+  /** Corpus-frequency rarity scoring (quality stage): a unigram LM
+    * stand-in — each document scored by how RARE its words are against
+    * the whole corpus: rarity = ln(N * n / S) where N = corpus token
+    * count, n = doc token count, S = sum of corpus frequencies of the
+    * doc's tokens (ln of the inverse mean relative frequency). All three
+    * inputs are INTEGER aggregates — the only float op is one division
+    * and one ln per row, so there is no cross-row float fold to diverge
+    * between engines. The frequency table is vocabulary-sized (zipf:
+    * millions of rows at 100 TB, not corpus-sized); the postings
+    * exchange keyed on the word hash is reused by the frequency
+    * aggregation and the probe join.
+    */
+  private def e22Rarity = QueryDef.sql(
+    "e22_rarity",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |ex AS (SELECT doc_id, unnest(wh) AS h FROM w WHERE len(wh) > 0),
+       |freq AS (SELECT h, count(*) AS c FROM ex GROUP BY h),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq),
+       |docsum AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(c) AS BIGINT) AS s_freq
+       |  FROM ex JOIN freq USING (h) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, s_freq,
+       |  round(ln(CAST(n_total * n_tokens AS DOUBLE) / s_freq), 4)
+       |    AS rarity
+       |FROM docsum CROSS JOIN tot ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(F.word_hashes(col("text"))).as("h"))
+        .repartition(col("h"))
+      val freq = ex.groupBy("h").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("n_total"))
+      ex.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("s_freq"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_tokens"), col("s_freq"),
+          round(log((col("n_total") * col("n_tokens")).cast("double") /
+            col("s_freq")), 4).as("rarity"))
+        .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified train/val/test split (split stage):
+    * assignment is a pure function of doc_id via the portable draw
+    * (80/10/10), so the split is reproducible across engines, reruns
+    * and repartitions — no rand(), no stored assignment table. The
+    * integer draw is compared against integer thresholds (never a
+    * double literal — engine decimal semantics differ); output is the
+    * per-(lang, split) census a pipeline records for drift checks.
+    */
+  private def e23TrainSplit = {
+    val seed = 42L
+    // draw < ceil(f * P)  <=>  draw / P < f, for non-integral f * P.
+    val t80 = math.ceil(0.8 * P).toLong
+    val t90 = math.ceil(0.9 * P).toLong
+    val drawDuck = MockData.hashLongDuck(seed, "split", "doc_id")
+    QueryDef.sql(
+      "e23_train_split",
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, $drawDuck AS draw
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN draw < $t80 THEN 'train'
+         |       WHEN draw < $t90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) {
+      (s, dir) =>
+        val draw = MockData.hashLong(seed, "split", col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("split",
+            when(draw < t80, "train").when(draw < t90, "val")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy("lang", "split")
+    }
+  }
+
+  /** Overlapping-window document chunking (chunk stage): fixed training
+    * context windows of `W` words at stride `S` (overlap W - S). Instead
+    * of slicing the word array per chunk (which replicates the document
+    * W/S times through the shuffle), each word is routed to the <= ⌈W/S⌉
+    * chunks that contain it and chunks are assembled by aggregation —
+    * shuffle payload is one (doc, chunk, hash) row per word-in-chunk,
+    * and the per-chunk checksum is an order-independent sum mod P, so
+    * no ordered fold is needed after the shuffle. Linear in corpus
+    * size, bounded fan-out, no skew (chunk sizes are capped at W).
+    */
+  private def e24Chunking = {
+    val W = 64 // window (chunk) size in words
+    val S = 48 // stride; overlap = W - S = 16
+    QueryDef.sql(
+      "e24_chunking",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(range(0, len(wh))) AS pos,
+         |    unnest(wh) AS h
+         |  FROM w WHERE len(wh) > 0),
+         |routed AS (SELECT doc_id, h,
+         |    unnest(range(
+         |      CASE WHEN pos >= $W THEN (pos - $W) // $S + 1 ELSE 0 END,
+         |      pos // $S + 1)) AS chunk_id
+         |  FROM ex)
+         |SELECT doc_id, chunk_id, chunk_id * $S AS chunk_start,
+         |  count(*) AS n_words, CAST(sum(h) % $P AS BIGINT) AS checksum
+         |FROM routed GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(F.word_hashes(col("text"))).as(Seq("pos", "h")))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(
+            when(col("pos") >= W, floor((col("pos") - W) / lit(S)) + 1)
+              .otherwise(lit(0L)),
+            floor(col("pos") / lit(S)))).as("chunk_id"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_words"),
+          (sum(col("h")) % P).as("checksum"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("chunk_start"),
+          col("n_words"), col("checksum"))
+        .orderBy("doc_id", "chunk_id")
+    }
+  }
+}

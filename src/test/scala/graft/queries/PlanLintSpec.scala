@@ -31,10 +31,12 @@ class PlanLintSpec extends SparkSpecBase {
 
   /** BNLJ allowance: queries whose broadcast side is bounded by
     * construction (guarded/chunked query set; one-row aggregates; the
-    * IVF codebook, capped in practice at ~65k centroids).
+    * IVF codebook, capped in practice at ~65k centroids; e22's corpus
+    * token-count scalar — a one-row aggregate cross-joined onto the
+    * per-doc frame).
     */
   private val bnljAllowed =
-    Set("e5_cosine_topk", "q8_dq_tests", "e17_ann_ivf")
+    Set("e5_cosine_topk", "q8_dq_tests", "e17_ann_ivf", "e22_rarity")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
