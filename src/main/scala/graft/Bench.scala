@@ -65,7 +65,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     catch { case _: Throwable => () }
     // Print after the session is down so executor/log noise can't interleave
-    // with the JSON line the driver parses.
+    // with the JSON line the driver parses. sbt decorates every captured
+    // line with "[info] " (even raw FileDescriptor.out writes are routed
+    // through its terminal proxy), so a shell-level parse should prefer
+    // the sidecar file above; the printed line remains for eyeballs and
+    // for `grep -o '{"metric".*'`-style extraction.
     println(line)
   }
 }

@@ -47,6 +47,11 @@ object ExtensionQueries {
     docs
       .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
       .filter(size(col("shs")) > 0)
+      // Mirrors the isnotnull(doc_id) the downstream pair-joins infer on
+      // their branches; carrying it on EVERY branch keeps the postings
+      // exchange subtrees canonically identical, so ReuseExchange leaves
+      // one scan + one shuffle (doc_id is never null — no rows change).
+      .filter(col("doc_id").isNotNull)
 
   /** Exact dedup: group documents by content hash, keep the smallest
     * doc_id as the canonical copy. Hash-groupBy shuffles only (hash, id,
@@ -105,7 +110,11 @@ object ExtensionQueries {
     val ex = docShingles(Tables.documents(s, dir))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .repartition(col("sh"))
-    val kept = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // count(doc_id), not count(*): the reference keeps doc_id in this
+    // branch's scan, so its exchange subtree canonicalizes identically to
+    // the probe side and the postings are hashed + shuffled ONCE (with
+    // count(*), column pruning builds a second text-only scan).
+    val kept = ex.groupBy("sh").agg(count(col("doc_id")).as("df"))
       .filter(col("df") <= 100).select("sh")
     val pr = ex.join(kept, "sh")
     val sz = pr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -178,8 +187,15 @@ object ExtensionQueries {
       val bandKeys = array((0 until 6).map(k =>
         element_at(col("sig"), 2 * k + 1) * P +
           element_at(col("sig"), 2 * k + 2)): _*)
+      // The when() guard is vacuously true (docShingles filters empty
+      // shingle sets) — it exists to keep `shs` REFERENCED on this branch
+      // so column pruning can't specialize the scan away from the
+      // verification branches' subtree; all three then read one
+      // ReusedExchange and the shingle pass runs once per document.
       val bands = mh
-        .select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "band_key")))
+        .select(col("doc_id"),
+          posexplode(when(size(col("shs")) > 0, bandKeys))
+            .as(Seq("band_id", "band_key")))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -187,7 +203,12 @@ object ExtensionQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val inter = size(array_intersect(col("sa.shs"), col("sb.shs")))
+      // Same vacuously-true guard as `bands`, in the other direction: the
+      // verification sides must keep `sig` referenced (signatures are
+      // always 12 wide) so all three mh consumers share one exchange.
+      val inter = when(
+        size(col("sa.sig")) > 0 && size(col("sb.sig")) > 0,
+        size(array_intersect(col("sa.shs"), col("sb.shs"))))
       val jac = round(inter.cast("double") /
         (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
       cand
@@ -216,8 +237,18 @@ object ExtensionQueries {
     // (ReuseExchange), and neither branch inserts a second shuffle since
     // HashPartitioning(key) already satisfies their distribution.
     val clustered = df.repartition(col(keyCol))
-    val counts = clustered.groupBy(keyCol)
-      .agg(count(lit(1)).as(cntName))
+    // count(coalesce(<all other columns as string>)) — equal to count(*)
+    // as long as some non-key column is non-null per row (true for every
+    // caller: doc_id is never null), but referencing every column stops
+    // column pruning from specializing this branch's scan, which would
+    // re-derive the fingerprint in a SECOND scan instead of reading the
+    // shared exchange. (count(struct(...)) does NOT work: the optimizer
+    // rewrites count of a non-nullable expression back to count(1) and
+    // the pruning returns.)
+    val others = df.columns.filterNot(_ == keyCol)
+      .map(c => col(c).cast("string")).toIndexedSeq
+    val witness = if (others.isEmpty) count(lit(1)) else count(coalesce(others: _*))
+    val counts = clustered.groupBy(keyCol).agg(witness.as(cntName))
     clustered.join(counts, keyCol)
   }
 
@@ -563,8 +594,10 @@ object ExtensionQueries {
     * than k-means — a standard zero-train IVF baseline, and the sampling
     * rule keeps the oracle reproducible. Assignment is argmax-cosine with
     * UNROUNDED scores (rounding would manufacture ties) and min-cid
-    * tie-break via the max-then-filter idiom, which is engine-portable
-    * where min_by/arg_min tie behavior is not. The codebook broadcast is
+    * tie-break — a single struct-max aggregation on the Spark side, the
+    * max-then-filter idiom in the DuckDB twin (struct ordering is not
+    * portable; exact-equality ties make the two agree). The codebook
+    * broadcast is
     * the standard IVF assign step (real deployments cap K at ~65k
     * centroids regardless of corpus size, so the broadcast stays
     * bounded); the within-list self-join reuses one repartition exchange
@@ -606,6 +639,10 @@ object ExtensionQueries {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), embD.as("emb"))
           .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+          // uniform join-inferred predicate (vec_id is never null) so
+          // every consumer's subtree below the shared exchanges is
+          // canonically identical — see docShingles for the pattern
+          .filter(col("vec_id").isNotNull)
         val cent = base.filter(col("vec_id") % 67 === 3)
           .select(col("vec_id").as("cid"), col("emb").as("cemb"),
             col("nrm").as("cnrm"))
@@ -613,10 +650,16 @@ object ExtensionQueries {
           .select(col("vec_id"), col("cid"),
             (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
               .as("cs"))
-        val best = scored.groupBy("vec_id").agg(max(col("cs")).as("mc"))
-        val assign = scored.join(best, Seq("vec_id"))
-          .filter(col("cs") === col("mc"))
-          .groupBy("vec_id").agg(min(col("cid")).as("list_id"))
+        // Argmax as ONE struct-max aggregation: max (cs, -cid) is the
+        // highest score with min-cid tie-break (cid >= 0). The previous
+        // max-then-equality-join idiom consumed `scored` twice — i.e.
+        // re-ran the full codebook scoring pass — and its cs = mc join
+        // key forced an extra float-normalized exchange. The DuckDB
+        // oracle keeps max-then-filter (struct ordering is not portable);
+        // results agree because cs ties are exact-equality ties in both.
+        val assign = scored.groupBy("vec_id")
+          .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("list_id"))
         val vs = base.join(assign, "vec_id").repartition(col("list_id"))
         val cosine = round(
           dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)

@@ -131,10 +131,17 @@ object TrainingQueries {
       .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
       .repartition(col("sh"))
     val bench = ex.filter(col("source") === "src0").select("sh").distinct()
-    val corpus = ex.filter(col("source") =!= "src0").select("doc_id", "sh")
+    // The explicit isNotNull mirrors the null filter the hit join infers
+    // on ITS branch; without it the two corpus consumers' subtrees differ
+    // by that one predicate and each gets its own scan + shuffle. With it
+    // (and count(sh) keeping the shingle column in the census branch)
+    // both read a single ReusedExchange.
+    val corpus = ex.filter(col("source") =!= "src0")
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "sh")
     val hits = corpus.join(bench, "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    val sz = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .groupBy("doc_id").agg(count(col("sh")).as("n_matched"))
+    val sz = corpus.groupBy("doc_id").agg(count(col("sh")).as("n_shingles"))
     sz.join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_shingles"),
@@ -219,7 +226,12 @@ object TrainingQueries {
       val ex = Tables.documents(s, dir)
         .select(col("doc_id"), explode(F.word_hashes(col("text"))).as("h"))
         .repartition(col("h"))
-      val freq = ex.groupBy("h").agg(count(lit(1)).as("c"))
+      // count(doc_id), not count(*): referencing doc_id keeps the column
+      // in this branch's scan, so the exchange subtree canonicalizes
+      // identically to the probe side below and ReuseExchange collapses
+      // them to ONE postings shuffle (count(*) lets column pruning build
+      // a second, narrower scan that re-hashes the whole corpus).
+      val freq = ex.groupBy("h").agg(count(col("doc_id")).as("c"))
       val tot = freq.agg(sum(col("c")).as("n_total"))
       ex.join(freq, "h")
         .groupBy("doc_id")

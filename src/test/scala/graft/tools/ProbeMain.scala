@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch plan/timing probe (dev only, not registered anywhere). */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("e20_contamination", "e22_rarity", "e24_chunking", "e19_pii_redact")
+    for (n <- names) {
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      df.collect()
+      val t0 = System.nanoTime(); df.collect(); val dt = (System.nanoTime()-t0)/1e9
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.linesIterator.takeWhile(!_.contains("Initial Plan")).toSeq
+      val stages = fin.count(_.contains("ShuffleQueryStage"))
+      val reused = fin.count(l => l.contains("ReusedExchange"))
+      println(f"== $n%-20s $dt%6.2f s  shuffleStages=$stages reused=$reused")
+      if (sys.env.contains("PROBE_PLAN")) println(fin.mkString("\n").take(12000))
+    }
+    spark.stop()
+  }
+}
