@@ -16,8 +16,10 @@ import graft.sources.Tables
   * analysis (corpus stats, per-doc quality filtering, language-ID, token
   * counting, vocabulary top-k, fingerprinting, a composed prep
   * pipeline) and multimodal-column plumbing (metadata + frame
-  * sampling). Streaming counterparts (first-arrival dedup, keyed state)
-  * live in [[graft.streaming]].
+  * sampling). Streaming counterparts (first-arrival dedup, keyed state,
+  * interval join) live in [[graft.streaming]]; the curation-stage
+  * operators (scrub/decontaminate/score/split/chunk/shuffle) in
+  * [[TrainingQueries]].
   *
   * Scale design (100 TB): every near-dup/similarity operator is BUCKETED —
   * candidates come from an inverted-index join (shared shingle), an LSH

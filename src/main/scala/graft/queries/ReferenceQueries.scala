@@ -21,7 +21,7 @@ object ReferenceQueries {
     q1PricingSummary, q2FctStarJoin, q3StagingRename, q4DecodeNullFall,
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
-    q14EventsWindow, q15GenScalars)
+    q14EventsWindow, q15GenScalars, q16Attribution)
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
@@ -430,5 +430,30 @@ object ReferenceQueries {
           .as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Batch twin of the watermarked stream-stream interval join
+    * ([[graft.streaming.StreamJoin.attributed]], SURVEY §2.11 streaming
+    * family): purchases attributed to a preceding view by the same user
+    * within 15 minutes. Runs the EXACT streaming operator code on the
+    * static events table (withWatermark is a batch no-op), so the join
+    * semantics the streaming runtime executes are oracle-proven here.
+    * Scale: equi-join on user_id (shuffle both sides by user) with the
+    * interval as a post-join residual — never a time-range cross join.
+    */
+  private def q16Attribution = QueryDef.sql(
+    "q16_attribution",
+    """SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id,
+      |  v.ts AS view_ts, b.ts AS buy_ts, b.value
+      |FROM events v JOIN events b
+      |  ON v.user_id = b.user_id AND v.event_type = 'view'
+      | AND b.event_type = 'purchase'
+      | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 15 MINUTE
+      |ORDER BY view_id, buy_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.streaming.StreamJoin.attributed(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy("view_id", "buy_id")
   }
 }

@@ -35,7 +35,7 @@ object TrainingQueries {
 
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
-    e23TrainSplit, e24Chunking)
+    e23TrainSplit, e24Chunking, e25Shuffle)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -324,6 +324,35 @@ object TrainingQueries {
           (col("chunk_id") * S).as("chunk_start"),
           col("n_words"), col("checksum"))
         .orderBy("doc_id", "chunk_id")
+    }
+  }
+
+  /** Deterministic global shuffle (the final pre-training reorder): rows
+    * are re-sequenced by the portable draw — a seeded bijection of
+    * doc_id, so the permutation is reproducible across engines, reruns
+    * and partition layouts (rand() is none of those). Position
+    * assignment reuses [[graft.operators.Indexing.withGlobalIndex]]:
+    * a parallel range repartition + per-partition row_number + broadcast
+    * offset join — the only global window runs over one row per
+    * partition, never the data, so this survives a 1000-executor run
+    * where `row_number() OVER (ORDER BY draw)` collapses to one task.
+    */
+  private def e25Shuffle = {
+    val seed = 42L
+    val drawDuck = MockData.hashLongDuck(seed, "shuffle", "doc_id")
+    QueryDef.sql(
+      "e25_shuffle",
+      s"""WITH d AS (SELECT doc_id, $drawDuck AS draw FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY draw) - 1 AS BIGINT)
+         |    AS pos,
+         |  doc_id, draw
+         |FROM d ORDER BY pos""".stripMargin) { (s, dir) =>
+      val draw = MockData.hashLong(seed, "shuffle", col("doc_id"))
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), draw.as("draw"))
+      graft.operators.Indexing.withGlobalIndex(df, col("draw"), "pos")
+        .select(col("pos"), col("doc_id"), col("draw"))
+        .orderBy("pos")
     }
   }
 }
