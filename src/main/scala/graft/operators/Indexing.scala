@@ -1,23 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
 
 /** Scalable dense global index assignment (the reference's "i-th order
   * gets the i-th customer" alignment, SURVEY.md §2.4 J4 /
   * mock_data.py:56-62), without a single-task global sort.
   *
-  * Plan shape: range-repartition by the key (parallel range sort — the
-  * same exchange a global ORDER BY would use), per-partition
-  * `row_number` over a window PARTITIONED by the physical partition id
-  * (parallel), then a broadcast join against the per-partition row
-  * counts to turn local row numbers into global dense indices. The only
-  * global window runs over the partition-count frame — one row per
-  * partition, thousands of rows at most on a large cluster, never the
-  * data itself. Every stage is parallel in the data; this survives a
-  * 1000-executor 100 TB run where `Window.orderBy` (no partition spec)
-  * collapses to one task.
+  * Plan shape: range-repartition by the key (the same parallel exchange
+  * a global ORDER BY uses) + per-partition sort, then `zipWithIndex`
+  * turns partition-local positions into global dense indices: one count
+  * job over the sorted partitions followed by one emit pass with the
+  * per-partition offsets closed over. Every stage is parallel in the
+  * data; this survives a 1000-executor 100 TB run where
+  * `Window.orderBy` (no partition spec) collapses to one task.
+  *
+  * Why zipWithIndex and not a `spark_partition_id()` window + offset
+  * join (the previous formulation): pid is only stable WITHIN one
+  * evaluation of one physical plan. With AQE enabled, the offsets
+  * branch and the data branch of that join could read the same range
+  * shuffle through DIFFERENT adaptive coalescings — observed at
+  * shuffle.partitions=4/sf0.1: 3 745 of 5 000 indices off, silently —
+  * so row pids and offset pids disagreed. zipWithIndex runs both its
+  * jobs against the SAME RDD lineage, whose partitioning AQE never
+  * rewrites, so the counts always describe exactly the partitions the
+  * emit pass reads.
   */
 object Indexing {
 
@@ -27,28 +34,15 @@ object Indexing {
   def withGlobalIndex(
       df: DataFrame, key: Column, idxName: String,
       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val ranged = df
-      .repartitionByRange(parts, key)
-      .withColumn("__pid", spark_partition_id())
-    val localRn = row_number().over(Window.partitionBy(col("__pid")).orderBy(key))
-    val local = ranged.withColumn("__rn", localRn)
-    // One row per partition: cumulative counts → start offset of each pid.
-    val offsets = local
-      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .withColumn(
-        "__offset",
-        coalesce(
-          sum(col("__cnt")).over(
-            Window.orderBy(col("__pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    local
-      .join(broadcast(offsets), "__pid")
-      .withColumn(idxName, col("__offset") + col("__rn") - 1)
-      .drop("__pid", "__rn", "__offset")
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = df.repartitionByRange(parts, key).sortWithinPartitions(key)
+    val schema = sorted.schema.add(idxName, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -21,7 +22,7 @@ object ReferenceQueries {
     q1PricingSummary, q2FctStarJoin, q3StagingRename, q4DecodeNullFall,
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
-    q14EventsWindow, q15GenScalars, q16Attribution)
+    q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize)
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
@@ -455,5 +456,61 @@ object ReferenceQueries {
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "purchase"))
       .orderBy("view_id", "buy_id")
+  }
+
+  /** Gap-based sessionization (SURVEY §2.11 family): events more than 30
+    * minutes apart start a new session; one summary row per (user,
+    * session). Both windows are PARTITIONED by user_id (lag to detect
+    * gaps, running sum to number sessions) — work per task is one user's
+    * events, so the operator scales with users, not with one task
+    * holding the whole stream; a pathological single hot user is the
+    * only skew case and AQE's skew handling applies to the final
+    * aggregation. Duration is an integer second diff — no float folds.
+    */
+  private def q17Sessionize = QueryDef.sql(
+    "q17_sessionize",
+    """WITH o AS (SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM o),
+      |s AS (SELECT user_id, event_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start,
+      |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+      |    AS duration_sec
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // unix_micros, not cast("long"): the cast truncates to whole
+    // seconds while the oracle's INTERVAL comparison is exact — a gap in
+    // (1800s, 1801s) would split sessions differently. Event timestamps
+    // all carry microseconds, so the boundary is live.
+    val isNew = when(
+      col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+      1).otherwise(0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("ts"), 1).over(byUser).as("prev_ts"))
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx").cast("long").as("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
   }
 }

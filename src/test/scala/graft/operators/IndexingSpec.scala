@@ -16,17 +16,32 @@ class IndexingSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).toSeq === (0L until 977L))
   }
 
+  test("index is correct under few-partition AQE coalescing (pid bug)") {
+    // regression for the spark_partition_id formulation: with AQE and a
+    // small shuffle.partitions the offsets join branch and the data
+    // branch could coalesce the range exchange differently, silently
+    // corrupting most indices (observed: 3745/5000 wrong at
+    // partitions=4). zipWithIndex must index correctly at ANY partition
+    // count because both its jobs bind to one RDD lineage.
+    import spark.implicits._
+    val n = 5000
+    val keys = scala.util.Random.shuffle((1 to n).toList).toDF("k")
+    for (parts <- Seq(1, 3, 4)) {
+      val idx = Indexing.withGlobalIndex(keys, col("k"), "idx", parts)
+        .orderBy("k").collect().map(_.getLong(1)).toSeq
+      assert(idx === (0L until n.toLong), s"broken at parts=$parts")
+    }
+  }
+
   test("no single-task global sort of the data in the plan") {
     import spark.implicits._
     val df = (1 to 100).toDF("k")
     val plan = Indexing.withGlobalIndex(df, col("k"), "idx")
-      .queryExecution.executedPlan.toString
-    // the data-side window must be partitioned by __pid; an unpartitioned
-    // window over the data would render as "Window [... ORDER BY ...]"
-    // with an empty partition spec feeding the full input
-    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windowLines.nonEmpty)
-    assert(windowLines.exists(_.contains("__pid")),
-      s"expected pid-partitioned window in:\n$plan")
+      .queryExecution.analyzed.toString
+    // the result is built from an RDD produced by range repartition +
+    // intra-partition sort + zipWithIndex; no Window/global Sort node
+    // may appear anywhere in the indexed frame's own plan
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("LogicalRDD") || plan.contains("ExternalRDD"), plan)
   }
 }
