@@ -35,7 +35,7 @@ object TrainingQueries {
 
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
-    e23TrainSplit, e24Chunking, e25Shuffle)
+    e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -354,5 +354,89 @@ object TrainingQueries {
         .select(col("pos"), col("doc_id"), col("draw"))
         .orderBy("pos")
     }
+  }
+
+  /** Symmetric int8 embedding quantization (storage compression for the
+    * vector side of the pipeline): per-vector scale = max|v| / 127,
+    * q_i = halfup(v_i / scale). Pure per-row array expressions; the
+    * rounding is spelled floor(x + 0.5) on BOTH engines so the integer
+    * results are bit-identical by construction (no reliance on either
+    * engine's round() tie mode), and the output checksum is a
+    * position-weighted integer sum mod P — order-sensitive, so a
+    * permuted quantization would be caught, yet exactly reproducible.
+    */
+  private def e26Quantize = {
+    val dims = 64
+    QueryDef.sql(
+      "e26_quantize",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x))
+         |      / 127 AS scale
+         |  FROM b),
+         |q AS (SELECT vec_id, scale,
+         |    list_transform(range(1, ${dims + 1}),
+         |      i -> CAST(floor(v[i] / scale + 0.5) AS BIGINT)) AS qv
+         |  FROM sc WHERE scale > 0)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, ${dims + 1}), i -> qv[i] * i)),
+         |      (a, x) -> a + x) % $P) + $P) % $P) AS BIGINT) AS checksum,
+         |  len(list_filter(qv, x -> x > 0)) AS n_pos
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val sc = Tables.embeddings(s, dir)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127)
+        .filter(col("scale") > 0)
+      val qv = transform(col("v"), x => floor(x / col("scale") + 0.5).cast("long"))
+      sc.withColumn("qv", qv)
+        .select(
+          col("vec_id"), round(col("scale"), 6).as("scale"),
+          pmod(
+            aggregate(
+              zip_with(col("qv"), sequence(lit(1L), lit(dims.toLong)),
+                (q, i) => q * i),
+              lit(0L), (a, x) => a + x),
+            lit(P)).as("checksum"),
+          size(filter(col("qv"), x => x > 0)).cast("long").as("n_pos"))
+        .orderBy("vec_id")
+    }
+  }
+
+  /** Corpus bigram (adjacent word-pair) counts — the counting step of a
+    * BPE-style merge iteration and the standard collocation statistic.
+    * Pairs are packed into one BIGINT key (both halves < P, so
+    * hi * P + lo is injective and fits in 63 bits); the aggregation gets
+    * map-side partial combine from Catalyst, and the top-k is a
+    * TakeOrderedAndProject (per-partition heads, never a global sort of
+    * the vocabulary).
+    */
+  private def e27Bigrams = QueryDef.sql(
+    "e27_bigrams",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |p AS (SELECT unnest(list_transform(range(1, len(wh)),
+       |    i -> wh[i] * $P + wh[i + 1])) AS pair_key
+       |  FROM w WHERE len(wh) >= 2)
+       |SELECT pair_key, count(*) AS n FROM p
+       |GROUP BY pair_key ORDER BY n DESC, pair_key LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val wh = F.word_hashes(col("text"))
+      Tables.documents(s, dir)
+        .select(wh.as("wh"))
+        .filter(size(col("wh")) >= 2)
+        .select(explode(
+          zip_with(
+            slice(col("wh"), lit(1), size(col("wh")) - 1),
+            slice(col("wh"), lit(2), size(col("wh")) - 1),
+            (a, b) => a * P + b)).as("pair_key"))
+        .groupBy("pair_key").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair_key"))
+        .limit(20)
   }
 }
