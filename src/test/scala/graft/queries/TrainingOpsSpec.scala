@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Behavior pins for the curation-stage operators (beyond the oracle
+  * row/hash compare): redaction actually removes every PII form, chunk
+  * geometry obeys the window/stride contract, the split is exhaustive
+  * and disjoint, and quantization output stays in int8 range.
+  */
+class TrainingOpsSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("e19: every synthesized PII form is found once and redacted") {
+    val out = q("e19_pii_redact").cache()
+    // each message carries exactly one email, one phone, one IP
+    assert(out.filter(
+      col("n_email") =!= 1 || col("n_phone") =!= 1 || col("n_ip") =!= 1)
+      .isEmpty)
+    // and the redacted text carries the placeholders, never the raw forms
+    assert(out.filter(!col("redacted").contains("[EMAIL]") ||
+      !col("redacted").contains("[PHONE]") ||
+      !col("redacted").contains("[IP]")).isEmpty)
+    assert(out.filter(col("redacted").rlike("@|[0-9]{3}-[0-9]{3}")).isEmpty)
+    out.unpersist()
+  }
+
+  test("e24: chunk geometry follows window=64 stride=48") {
+    val out = q("e24_chunking").cache()
+    assert(out.filter(col("n_words") > 64).isEmpty)
+    assert(out.filter(col("chunk_start") =!= col("chunk_id") * 48).isEmpty)
+    // chunk ids are contiguous from 0 within each doc: max_id + 1 = count
+    val perDoc = out.groupBy("doc_id")
+      .agg(max("chunk_id").as("mx"), count(lit(1)).as("n"))
+    assert(perDoc.filter(col("mx") + 1 =!= col("n")).isEmpty)
+    out.unpersist()
+  }
+
+  test("e23: split is exhaustive over documents and roughly 80/10/10") {
+    val rows = q("e23_train_split").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = graft.sources.Tables.documents(spark, dir).count()
+    assert(total === docs)
+    val bysplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bysplit.keySet === Set("train", "val", "test"))
+    // 6-sigma binomial bounds at n = docs
+    val n = docs.toDouble
+    assert(math.abs(bysplit("train") / n - 0.8) < 6 * math.sqrt(0.8 * 0.2 / n))
+  }
+
+  test("e26: quantization stays in int8 range with positive scale") {
+    val out = q("e26_quantize")
+    assert(out.filter(col("scale") <= 0).isEmpty)
+    // n_pos bounded by dims; checksum within [0, P)
+    assert(out.filter(col("n_pos") > 64 || col("n_pos") < 0).isEmpty)
+    assert(out.filter(
+      col("checksum") < 0 || col("checksum") >= graft.functions.Portable.P)
+      .isEmpty)
+  }
+}
