@@ -22,7 +22,8 @@ object ReferenceQueries {
     q1PricingSummary, q2FctStarJoin, q3StagingRename, q4DecodeNullFall,
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
-    q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize)
+    q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
+    q18JsonProps)
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
@@ -512,5 +513,38 @@ object ReferenceQueries {
         (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
           .as("duration_sec"))
       .orderBy("user_id", "session_idx")
+  }
+
+  /** Semi-structured column extraction: the events `props` payload is a
+    * JSON string; pull a typed field out and aggregate it — the pattern
+    * every event pipeline runs on its property bags. Extraction is a
+    * per-row codegen'd path expression (no UDF); at scale the right
+    * refinement is from_json with an explicit schema so the parse
+    * happens once per row into a struct, but for a single field the
+    * path extraction reads the same and skips the struct allocation.
+    * Integer aggregates only — no float folds.
+    */
+  private def q18JsonProps = QueryDef.sql(
+    "q18_json_props",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("k")).as("n_k"))
+        .orderBy("event_type")
   }
 }
