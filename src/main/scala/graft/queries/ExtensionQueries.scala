@@ -38,7 +38,7 @@ object ExtensionQueries {
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
-    e18VocabTopk)
+    e18VocabTopk, e28SimhashNeardup)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -260,11 +260,16 @@ object ExtensionQueries {
     * — the cheap fingerprint-level dedup. Near-identical word profiles
     * land in the same cluster.
     */
-  private def e4Simhash = {
-    val bitsDuck = (0 until 32).map { j =>
+  /** DuckDB expression for the 32-bit SimHash over a word-hash list
+    * `wh` (majority vote per bit) — shared by e4 and e28. */
+  private[queries] def simhashBitsDuck: String =
+    (0 until 32).map { j =>
       s"(CASE WHEN 2*len(list_filter(wh, x -> (x >> $j) & 1 = 1)) > len(wh)" +
         s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  private def e4Simhash = {
+    val bitsDuck = simhashBitsDuck
     QueryDef.sql(
       "e4_simhash",
       s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
@@ -281,6 +286,58 @@ object ExtensionQueries {
         .select("doc_id", "simhash", "n_same")
         .orderBy("doc_id")
     }
+  }
+
+  /** SimHash NEAR-dup pairs — the actual simhash dedup algorithm (e4
+    * only clusters exact signatures): candidates from byte-band
+    * bucketing of the 32-bit signature, verified by hamming distance
+    * <= 3. Pigeonhole gives EXACT recall at this threshold: 3 differing
+    * bits cannot touch all 4 bands, so every qualifying pair shares at
+    * least one band bucket. The signature rides the band explode (one
+    * BIGINT — no second join to fetch it), the self-join is keyed on
+    * (band_id, band_val) buckets, and hamming is a codegen'd
+    * xor+bit_count — sub-quadratic shape end to end, 4 rows per doc of
+    * shuffle fan-out. On a boilerplate-heavy corpus a single band value
+    * can go hot; the e6-style bucket cap (salt + re-split past a size
+    * threshold) is the scale lever, applied the same way on the
+    * (band_id, band_val) key.
+    */
+  private def e28SimhashNeardup = QueryDef.sql(
+    "e28_simhash_neardup",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, $simhashBitsDuck AS sig FROM w
+       |  WHERE len(wh) > 0),
+       |bands AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band_id
+       |  FROM sh),
+       |kb AS (SELECT doc_id, sig, band_id,
+       |    (sig >> (band_id * 8)) & 255 AS band_val FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM kb a JOIN kb b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM cand WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .filter(size(F.word_hashes(col("text"))) > 0)
+      .select(col("doc_id"), F.sim_hash(col("text")).as("sig"))
+    val kb = sh
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band_id"))
+      .withColumn("band_val", expr("shiftright(sig, band_id * 8) & 255"))
+    kb.as("a")
+      .join(kb.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Left-fold dot product of two ARRAY<DOUBLE> columns via the compiled
