@@ -335,8 +335,11 @@ object ExtensionQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of the pair, so
+      // the result is identical but the dedup shuffle only carries
+      // qualifying pairs instead of every band collision
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
