@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Misra-Gries heavy-hitters sketch as a native Catalyst
+  * TypedImperativeAggregate — the bounded-memory candidate generator for
+  * frequency analysis at corpus scale: `k` counters per partial
+  * aggregate regardless of input size, mergeable (Agarwal et al.,
+  * "Mergeable Summaries", PODS'12), with the classic guarantee that any
+  * key with true count > N/(k+1) survives into the final sketch.
+  *
+  * The sketch SET beyond that guarantee is arrival-order dependent (like
+  * every MG implementation), so the operator contract is
+  * sketch-then-verify: treat the ≤ k emitted keys as CANDIDATES, compute
+  * their exact counts in a second bounded pass, and threshold exactly —
+  * the final answer is then deterministic and engine-portable (see
+  * e29_heavy_hitters). At 100 TB this replaces a full-vocabulary
+  * shuffle with one ≤ k-entry sketch per partition plus one
+  * candidate-filtered aggregation.
+  */
+object sketches {
+
+  /** State: key → counter, capped at `k` entries. */
+  case class MisraGriesAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+
+    require(k > 0, "sketch size k must be positive")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "misra_gries"
+
+    override def createAggregationBuffer(): mutable.LongMap[Long] =
+      mutable.LongMap.empty[Long]
+
+    override def update(
+        buf: mutable.LongMap[Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): mutable.LongMap[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.asInstanceOf[Long]
+        if (buf.contains(key)) buf(key) += 1L
+        else if (buf.size < k) buf(key) = 1L
+        else {
+          // decrement-all step; drop exhausted counters
+          val dead = mutable.ArrayBuffer.empty[Long]
+          buf.foreachEntry { (kk, c) =>
+            if (c == 1L) dead += kk else buf(kk) = c - 1L
+          }
+          dead.foreach(buf.remove)
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: mutable.LongMap[Long],
+        other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+      other.foreachEntry { (kk, c) =>
+        buf(kk) = buf.getOrElse(kk, 0L) + c
+      }
+      if (buf.size > k) {
+        // subtract the (k+1)-th largest counter from all, keep positives
+        val counts = buf.values.toArray
+        java.util.Arrays.sort(counts)
+        val pivot = counts(counts.length - (k + 1))
+        val dead = mutable.ArrayBuffer.empty[Long]
+        buf.foreachEntry { (kk, c) =>
+          if (c - pivot <= 0L) dead += kk else buf(kk) = c - pivot
+        }
+        dead.foreach(buf.remove)
+      }
+      buf
+    }
+
+    override def eval(buf: mutable.LongMap[Long]): Any = {
+      val keys = buf.keys.toArray
+      java.util.Arrays.sort(keys) // deterministic ORDER for a given set
+      new GenericArrayData(keys)
+    }
+
+    override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + buf.size * 16)
+      bb.putLong(buf.size.toLong)
+      buf.foreachEntry { (kk, c) => bb.putLong(kk); bb.putLong(c) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getLong.toInt
+      val buf = mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < n) { buf(bb.getLong) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(off: Int): MisraGriesAgg =
+      copy(mutableAggBufferOffset = off)
+    override def withNewInputAggBufferOffset(off: Int): MisraGriesAgg =
+      copy(inputAggBufferOffset = off)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Column API: sorted array of ≤ k candidate keys. */
+  def misra_gries(keys: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(keys), k)
+        .toAggregateExpression())
+}

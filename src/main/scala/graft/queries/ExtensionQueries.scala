@@ -38,7 +38,7 @@ object ExtensionQueries {
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
-    e18VocabTopk, e28SimhashNeardup)
+    e18VocabTopk, e28SimhashNeardup, e29HeavyHitters)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -341,6 +341,43 @@ object ExtensionQueries {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact heavy hitters via sketch-then-verify: a Misra-Gries
+    * TypedImperativeAggregate ([[graft.functions.sketches]], k = 127)
+    * produces ≤ 127 candidate keys in ONE pass with k counters per
+    * partition — no vocabulary-sized shuffle — and its guarantee (every
+    * key with count > N/(k+1) survives) makes the candidate set a
+    * superset of the answer for threshold count·128 > N. A second,
+    * candidate-filtered pass counts exactly and thresholds — so the
+    * FINAL output is deterministic and oracle-provable even though the
+    * sketch's extra candidates are arrival-order dependent. The ≤ 127
+    * candidate collect is bounded by construction (the same class as
+    * the reference's ≤ 50-row XCom pool). At 100 TB this is the shape
+    * that replaces a full-vocab groupBy when only the heavy tail
+    * matters.
+    */
+  private def e29HeavyHitters = QueryDef.sql(
+    "e29_heavy_hitters",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |ex AS (SELECT unnest(wh) AS h FROM w),
+       |tot AS (SELECT count(*) AS n FROM ex)
+       |SELECT h, count(*) AS cnt
+       |FROM ex CROSS JOIN tot GROUP BY h, n
+       |HAVING count(*) * 128 > n
+       |ORDER BY h""".stripMargin) { (s, dir) =>
+    val ex = Tables.documents(s, dir)
+      .select(explode(F.word_hashes(col("text"))).as("h"))
+    val row = ex.agg(
+      graft.functions.sketches.misra_gries(col("h"), 127).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    ex.filter(col("h").isin(cand: _*))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 128 > n)
+      .orderBy("h")
   }
 
   /** Left-fold dot product of two ARRAY<DOUBLE> columns via the compiled

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Misra-Gries guarantee: every key with true count > N/(k+1) MUST be
+  * in the sketch output, across partial-aggregate merges (the data is
+  * spread over many partitions so the merge path is exercised). The
+  * sketch may contain extra light keys — that's the contract the
+  * sketch-then-verify query (e29) builds on — but it may never MISS a
+  * heavy one, and never exceeds k entries.
+  */
+class SketchSpec extends SparkSpecBase {
+
+  test("sketch retains every heavy key under merge, size <= k") {
+    import spark.implicits._
+    val k = 15
+    // skewed multiset: key i in 1..10 occurs 1000/i times (zipf-ish),
+    // keys 100..599 once each — N ~ 3429, threshold N/(k+1) ~ 214
+    val rows = (1 to 10).flatMap(i => Seq.fill(1000 / i)(i.toLong)) ++
+      (100L until 600L)
+    val df = scala.util.Random.shuffle(rows).toDF("h").repartition(13)
+    val sketch = df.agg(sketches.misra_gries(col("h"), k))
+      .head().getSeq[Long](0).toSet
+    assert(sketch.size <= k)
+    val n = rows.size.toDouble
+    val counts = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val heavy = counts.filter { case (_, c) => c > n / (k + 1) }.keySet
+    assert(heavy.nonEmpty && heavy.subsetOf(sketch),
+      s"missing heavy keys: ${heavy -- sketch}")
+  }
+
+  test("sketch equals exact distinct keys when vocabulary fits in k") {
+    import spark.implicits._
+    val df = (1L to 40L).flatMap(i => Seq.fill(3)(i)).toDF("h").repartition(7)
+    val sketch = df.agg(sketches.misra_gries(col("h"), 64))
+      .head().getSeq[Long](0)
+    assert(sketch.toSeq === (1L to 40L)) // sorted, complete, exact
+  }
+}
