@@ -36,5 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("array_dot"), info("array_dot", classOf[ArrayDot]),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries", classOf[graft.functions.sketches.MisraGriesAgg]),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"misra_gries(keys, k): k must be an integer literal, got $other")
+        }
+        graft.functions.sketches.MisraGriesAgg(args.head, k)
+      }))
   }
 }

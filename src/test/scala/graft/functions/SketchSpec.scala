@@ -31,6 +31,14 @@ class SketchSpec extends SparkSpecBase {
       s"missing heavy keys: ${heavy -- sketch}")
   }
 
+  test("misra_gries is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    (1L to 5L).toDF("h").createOrReplaceTempView("sk_sql_in")
+    val out = spark.sql("SELECT misra_gries(h, 8) AS s FROM sk_sql_in")
+      .head().getSeq[Long](0)
+    assert(out.toSeq === (1L to 5L))
+  }
+
   test("sketch equals exact distinct keys when vocabulary fits in k") {
     import spark.implicits._
     val df = (1L to 40L).flatMap(i => Seq.fill(3)(i)).toDF("h").repartition(7)
