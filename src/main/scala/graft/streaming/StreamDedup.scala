@@ -24,4 +24,18 @@ object StreamDedup {
       .withColumn("content_hash", sha2(col("text"), 256))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** NEAR-dup dedup at ingest: key the watermark-bounded dedup on the
+    * 32-bit SimHash instead of the exact digest, so replays that differ
+    * by light edits (the e4/e28 signature family — same majority-vote
+    * word profile) are dropped too. Coarser than the batch verifier
+    * (signature equality, not hamming <= 3): an ingest filter trades a
+    * little recall for per-record state of ONE long per horizon window.
+    */
+  def firstArrivalBySimhash(
+      docs: DataFrame, tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("simhash", graft.functions.F.sim_hash(col("text")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("simhash")
 }

@@ -39,4 +39,29 @@ class StreamDedupSpec extends SparkSpecBase {
       assert(kept === Set(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("simhash variant drops light edits with the same word profile") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamDedup.firstArrivalBySimhash(
+      ms.toDF().toDF("doc_id", "event_ts", "text"),
+      "event_ts", "30 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("sdedup_sim").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // doc 2 differs from doc 1 only by punctuation/casing — identical
+      // word-hash multiset, identical simhash; doc 3 is different text
+      ms.addData(
+        (1L, ts(0), "the quick brown fox"),
+        (2L, ts(1), "The QUICK, brown fox!"),
+        (3L, ts(2), "an entirely different document body"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_sim").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L))
+    } finally q.stop()
+  }
 }
