@@ -23,7 +23,7 @@ object ReferenceQueries {
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
-    q18JsonProps)
+    q18JsonProps, q19ShipPriority, q20LocalVolume)
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
@@ -546,5 +546,84 @@ object ReferenceQueries {
           max(col("k")).as("max_k"),
           count(col("k")).as("n_k"))
         .orderBy("event_type")
+  }
+
+  /** TPC-H-Q3-shaped shipping-priority: fact-fact-dim 3-way join with
+    * selective filters on every side, grouped top-10 by revenue. All
+    * three joins are left unhinted — customer, orders and lineitem each
+    * scale with the data, so the threshold/AQE picks broadcast while a
+    * side fits and shuffled-hash beyond (the q2 rule). Filters reach
+    * the scans (PushedFilters on segment and both dates) so each join
+    * probes a pruned side. Tiebreak columns make the top-10 total.
+    */
+  private def q19ShipPriority = QueryDef.sql(
+    "q19_ship_priority",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val cutoff = lit("1998-03-15 00:00:00").cast("timestamp")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H-Q5-shaped local-supplier volume: six-table join through the
+    * full snowflake. nation and region are FIXED-cardinality dims (25 /
+    * 5 rows at every SF) — the only joins in the suite where an explicit
+    * `broadcast()` hint is correct at any scale; customer, orders,
+    * lineitem and supplier all scale and stay unhinted. The
+    * c_nationkey = s_nationkey predicate ("local" supplier) rides the
+    * lineitem-supplier join as a residual.
+    */
+  private def q20LocalVolume = QueryDef.sql(
+    "q20_local_volume",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) {
+    (s, dir) =>
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
   }
 }
