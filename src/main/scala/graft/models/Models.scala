@@ -136,6 +136,13 @@ object Models {
     * `rawDb`; staging becomes temp views; mart becomes overwritten
     * tables in `martDb` (full rebuild per run, ST6).
     * Returns the materialized frames by model name.
+    *
+    * View materialization is declaration-order sequential but free (no
+    * job — a temp view is a plan registration); the mart TABLE writes
+    * are submitted as concurrent jobs when every table's deps are views
+    * or sources (true for this graph: dbt itself would run them as
+    * same-level parallel nodes). A future table-on-table model degrades
+    * to the sequential path rather than racing its dependency.
     */
   def dbtRun(
       spark: SparkSession, rawDb: String,
@@ -149,25 +156,47 @@ object Models {
         spark.table(s"$rawDb.${ref.stripPrefix("raw.")}")
       else done(ref)
 
-    def materialize(m: Model): DataFrame = {
-      if (!done.contains(m.name)) {
-        m.deps.filterNot(_.startsWith("raw.")).foreach(d => materialize(byName(d)))
-        val df = m.build(m.deps.map(d => d -> resolve(d)).toMap)
-        val out = m.materialization match {
-          case AsView =>
-            df.createOrReplaceTempView(m.name)
-            df
-          case AsTable =>
-            df.write.mode(SaveMode.Overwrite)
-              .saveAsTable(s"$martDb.${m.name}")
-            spark.table(s"$martDb.${m.name}")
-        }
-        done += m.name -> out
-      }
-      done(m.name)
-    }
+    def writeTable(m: Model, df: DataFrame): Unit =
+      df.write.mode(SaveMode.Overwrite).saveAsTable(s"$martDb.${m.name}")
 
-    all.foreach(materialize)
+    val (views, tables) = all.partition(_.materialization == AsView)
+    views.foreach { m =>
+      val df = m.build(m.deps.map(d => d -> resolve(d)).toMap)
+      df.createOrReplaceTempView(m.name)
+      done += m.name -> df
+    }
+    val independent = tables.forall(_.deps.forall(d =>
+      d.startsWith("raw.") || byName(d).materialization == AsView))
+    if (independent) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = martEc
+      val writes = tables.map { m =>
+        val df = m.build(m.deps.map(d => d -> resolve(d)).toMap)
+        Future(writeTable(m, df)).map(_ => m.name)
+      }
+      Await.result(Future.sequence(writes), Duration.Inf)
+      tables.foreach(m => done += m.name -> spark.table(s"$martDb.${m.name}"))
+    } else {
+      tables.foreach { m =>
+        val df = m.build(m.deps.map(d => d -> resolve(d)).toMap)
+        writeTable(m, df)
+        done += m.name -> spark.table(s"$martDb.${m.name}")
+      }
+    }
     done
   }
+
+  /** Daemon pool for the parallel mart writes (sized to the mart width,
+    * not the cluster — Spark schedules the real work inside each job).
+    */
+  private lazy val martEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        4,
+        (r: Runnable) => {
+          val th = new Thread(r, "graft-mart")
+          th.setDaemon(true)
+          th
+        }))
 }
