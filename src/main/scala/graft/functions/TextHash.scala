@@ -88,19 +88,40 @@ object TextHash {
   /** 32-bit SimHash of the word-hash multiset: bit j is set when a
     * strict majority of word hashes have bit j set.
     */
-  def simHash(text: UTF8String): Long = {
+  def simHash(text: UTF8String): Long = simHashBits(text, 32)
+
+  /** 60-bit SimHash — the near-dup SEARCH signature (e28): on a
+    * narrow-vocabulary corpus the 32-bit majority vote saturates (most
+    * pairs land within a few bits), so both the hamming metric and the
+    * band buckets lose discrimination; 60 bits keeps the signature
+    * positive in a BIGINT (no arithmetic-shift sign traps in either
+    * engine) while making band collisions track genuine similarity.
+    * Bits 32-59 vote on a REMIXED word hash (h * ((h+13) mod P) mod P)
+    * because the raw word hashes only carry ~30 bits of entropy; bits
+    * 0-31 vote on the raw hash, so the low 32 bits EQUAL [[simHash]]
+    * (e4's oracle-pinned fingerprint is unchanged).
+    */
+  def simHash60(text: UTF8String): Long = simHashBits(text, 60)
+
+  private def simHashBits(text: UTF8String, bits: Int): Long = {
     val wh = wordHashes(text).toLongArray()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < wh.length) {
       val h = wh(i)
+      val h2 = h * ((h + 13L) % P) % P
       var j = 0
-      while (j < 32) { counts(j) += ((h >> j) & 1L).toInt; j += 1 }
+      while (j < bits) {
+        val src = if (j < 32) h else h2
+        val bit = if (j < 32) j else j - 32
+        counts(j) += ((src >> bit) & 1L).toInt
+        j += 1
+      }
       i += 1
     }
     var sig = 0L
     var j = 0
-    while (j < 32) { if (2 * counts(j) > wh.length) sig |= 1L << j; j += 1 }
+    while (j < bits) { if (2 * counts(j) > wh.length) sig |= 1L << j; j += 1 }
     sig
   }
 

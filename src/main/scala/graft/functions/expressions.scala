@@ -74,6 +74,19 @@ object expressions {
       copy(child = newChild)
   }
 
+  case class SimHash60(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sim_hash60"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.simHash60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash60($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+      copy(child = newChild)
+  }
+
   case class MinHashes(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -122,6 +135,7 @@ object F {
   def poly_hash(text: Column, base: Long, mod: Long): Column =
     c(PolyHash(e(text), base, mod))
   def sim_hash(text: Column): Column = c(SimHash(e(text)))
+  def sim_hash60(text: Column): Column = c(SimHash60(e(text)))
   def min_hashes(shingles: Column): Column = c(MinHashes(e(shingles)))
   def array_dot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
 }

@@ -289,29 +289,38 @@ object ExtensionQueries {
   }
 
   /** SimHash NEAR-dup pairs — the actual simhash dedup algorithm (e4
-    * only clusters exact signatures): candidates from byte-band
-    * bucketing of the 32-bit signature, verified by hamming distance
+    * only clusters exact signatures): candidates from 15-bit-band
+    * bucketing of the 60-BIT signature, verified by hamming distance
     * <= 3. Pigeonhole gives EXACT recall at this threshold: 3 differing
     * bits cannot touch all 4 bands, so every qualifying pair shares at
-    * least one band bucket. The signature rides the band explode (one
-    * BIGINT — no second join to fetch it), the self-join is keyed on
-    * (band_id, band_val) buckets, and hamming is a codegen'd
-    * xor+bit_count — sub-quadratic shape end to end, 4 rows per doc of
-    * shuffle fan-out. On a boilerplate-heavy corpus a single band value
-    * can go hot; the e6-style bucket cap (salt + re-split past a size
-    * threshold) is the scale lever, applied the same way on the
-    * (band_id, band_val) key.
+    * least one band bucket. The 60-bit signature (not e4's 32) is what
+    * makes the shape hold on a narrow-vocabulary corpus: at 32 bits the
+    * majority vote saturates and band buckets go quadratic-dense
+    * (measured: 15.8M collisions over 5k docs); at 60 bits with 32k
+    * bucket values per band, collisions track genuine similarity. The
+    * signature rides the band explode (one BIGINT — no second join to
+    * fetch it) and hamming is a codegen'd xor+bit_count. A residual hot
+    * band value takes the e6-style cap (salt + re-split) as its lever.
     */
-  private def e28SimhashNeardup = QueryDef.sql(
+  private def e28SimhashNeardup = {
+    val P2 = Portable.P
+    val bits60Duck = (0 until 60).map { j =>
+      val src = if (j < 32) "x" else s"(x * ((x + 13) % $P2) % $P2)"
+      val bit = if (j < 32) j else j - 32
+      s"(CASE WHEN 2*len(list_filter(wh, x -> ($src >> $bit) & 1 = 1))" +
+        s" > len(wh) THEN CAST(${1L << j} AS BIGINT)" +
+        " ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    QueryDef.sql(
     "e28_simhash_neardup",
     s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
        |  FROM documents),
-       |sh AS (SELECT doc_id, $simhashBitsDuck AS sig FROM w
+       |sh AS (SELECT doc_id, $bits60Duck AS sig FROM w
        |  WHERE len(wh) > 0),
        |bands AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band_id
        |  FROM sh),
        |kb AS (SELECT doc_id, sig, band_id,
-       |    (sig >> (band_id * 8)) & 255 AS band_val FROM bands),
+       |    (sig >> (band_id * 15)) & 32767 AS band_val FROM bands),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    bit_count(xor(a.sig, b.sig)) AS hamming
        |  FROM kb a JOIN kb b
@@ -322,11 +331,11 @@ object ExtensionQueries {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sh = Tables.documents(s, dir)
       .filter(size(F.word_hashes(col("text"))) > 0)
-      .select(col("doc_id"), F.sim_hash(col("text")).as("sig"))
+      .select(col("doc_id"), F.sim_hash60(col("text")).as("sig"))
     val kb = sh
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
-      .withColumn("band_val", expr("shiftright(sig, band_id * 8) & 255"))
+      .withColumn("band_val", expr("shiftright(sig, band_id * 15) & 32767"))
     kb.as("a")
       .join(kb.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -341,6 +350,7 @@ object ExtensionQueries {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** Exact heavy hitters via sketch-then-verify: a Misra-Gries
