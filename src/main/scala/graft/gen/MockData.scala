@@ -169,6 +169,28 @@ object MockData {
       s"lpad(CAST(${hashLongDuck(seed, s"$tag#$i", keyExpr, DrawMods(i - 1))} AS VARCHAR), 10, '0')")
       .mkString(" || ")
 
+  /** DuckDB twin of [[uuidFromParts]] (q21 oracle): per draw, each part
+    * (a SQL string expression) is reduced with that draw's (base, mod)
+    * polynomial, folded with x131, then cube-affine'd — the same
+    * independent-family construction as the Spark side, so string-keyed
+    * uuids are oracle-provable, not only sbt-pinned.
+    */
+  def uuidPartsDuckDigits(
+      seed: Long, tag: String, partExprs: Seq[String]): String = {
+    def polyDuck(expr: String, base: Long, p: Long): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($expr, ''),
+         |    c -> CAST(ascii(c) AS BIGINT))),
+         |  (a, c) -> (a*$base + c) % $p)""".stripMargin
+    (1 to 3).map { i =>
+      val p = DrawMods(i - 1)
+      val key = partExprs
+        .map(e => polyDuck(e, DrawBases(i - 1), p))
+        .reduce((k, pk) => s"((($k) * 131 + ($pk)) % $p)")
+      s"lpad(CAST(${hashLongDuck(seed, s"$tag#$i", key, p)} AS VARCHAR), 10, '0')"
+    }.mkString(" || ")
+  }
+
   /** Weighted categorical choice (SURVEY §2.3 F9): inverse-CDF over a
     * uniform column, compiled to a when-chain.
     */

@@ -23,7 +23,7 @@ object ReferenceQueries {
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
-    q18JsonProps, q19ShipPriority, q20LocalVolume)
+    q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts)
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
@@ -625,5 +625,34 @@ object ReferenceQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** String/composite-keyed uuid generation (F4's uuidFromParts path,
+    * the ADVICE r3 collision fix) proven against a full DuckDB twin:
+    * each of the three draws reduces the raw (c_name, c_custkey) parts
+    * under its own polynomial family before the cube-affine — so this
+    * row-for-row hash compare demonstrates the independent reductions,
+    * not just the uuid shape the unit tests pin.
+    */
+  private def q21UuidParts = {
+    import graft.gen.MockData
+    val seed = 42L
+    val digits = MockData.uuidPartsDuckDigits(
+      seed, "cust", Seq("c_name", "CAST(c_custkey AS VARCHAR)"))
+    val uuidCase =
+      "substr(us, 1, 8) || '-' || substr(us, 9, 4) || '-4' || " +
+        "substr(us, 13, 3) || '-a' || substr(us, 16, 3) || '-' || " +
+        "substr(us, 19, 12)"
+    QueryDef.sql(
+      "q21_uuid_parts",
+      s"""WITH u AS (SELECT c_custkey, $digits AS us FROM customer)
+         |SELECT c_custkey, $uuidCase AS gen_uuid
+         |FROM u ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          MockData.uuidFromParts(seed, "cust", col("c_name"), col("c_custkey"))
+            .as("gen_uuid"))
+        .orderBy("c_custkey")
+    }
   }
 }
