@@ -26,12 +26,19 @@ object StreamJoin {
 
   /** `views`/`buys` must carry (event_id, user_id, ts [, value]).
     * Emits one row per (view, purchase) pair with the purchase at or
-    * after the view and within `windowMinutes`.
+    * after the view and within `windowMinutes`. With
+    * `joinType = "left_outer"` a view with no qualifying purchase is
+    * ALSO emitted (buy columns null) once the buy-side watermark passes
+    * view_ts + window — i.e. when no match can arrive anymore — which
+    * is the conversion-funnel form (views that didn't convert are data,
+    * not absence). State stays bounded either way: the two-sided time
+    * bound lets Spark evict buffered rows at the watermark.
     */
   def attributed(
       views: DataFrame, buys: DataFrame,
       watermark: String = "30 minutes",
-      windowMinutes: Int = 15): DataFrame = {
+      windowMinutes: Int = 15,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -43,7 +50,8 @@ object StreamJoin {
     v.join(b,
         col("user_id") === col("buy_user") &&
           col("buy_ts") >= col("view_ts") &&
-          col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+          col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(col("view_id"), col("buy_id"), col("user_id"),
         col("view_ts"), col("buy_ts"), col("value"))
   }
