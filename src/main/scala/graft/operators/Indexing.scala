@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graftbridge.DatasetBridge
 import org.apache.spark.sql.types.LongType
 
 /** Scalable dense global index assignment (the reference's "i-th order
@@ -40,9 +43,17 @@ object Indexing {
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val sorted = df.repartitionByRange(parts, key).sortWithinPartitions(key)
     val schema = sorted.schema.add(idxName, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(indexed, schema)
+    // InternalRow path (DatasetBridge): appending the index via external
+    // Rows would decode/re-encode every value per row (UTF8String <->
+    // String etc.) — measurable overhead on a corpus-wide reorder. The
+    // .copy() is required: the scan iterator reuses its UnsafeRow, and
+    // zipWithIndex both buffers rows and re-reads the lineage for its
+    // count job.
+    val indexed = sorted.queryExecution.toRdd
+      .map(_.copy()).zipWithIndex()
+      .map { case (row, idx) =>
+        new JoinedRow(row, new GenericInternalRow(Array[Any](idx))): InternalRow
+      }
+    DatasetBridge.internalCreateDataFrame(spark, indexed, schema)
   }
 }
