@@ -297,34 +297,51 @@ object TrainingQueries {
       "e24_chunking",
       s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
          |  FROM documents),
-         |ex AS (SELECT doc_id, unnest(range(0, len(wh))) AS pos,
-         |    unnest(wh) AS h
+         |ex AS (SELECT doc_id, len(wh) AS n,
+         |    unnest(range(0, len(wh))) AS pos, unnest(wh) AS h
          |  FROM w WHERE len(wh) > 0),
          |routed AS (SELECT doc_id, h,
          |    unnest(range(
          |      CASE WHEN pos >= $W THEN (pos - $W) // $S + 1 ELSE 0 END,
-         |      pos // $S + 1)) AS chunk_id
+         |      least(pos // $S,
+         |        CASE WHEN n <= $W THEN 0
+         |             ELSE (n - $W + $S - 1) // $S END) + 1)) AS chunk_id
          |  FROM ex)
          |SELECT doc_id, chunk_id, chunk_id * $S AS chunk_start,
          |  count(*) AS n_words, CAST(sum(h) % $P AS BIGINT) AS checksum
          |FROM routed GROUP BY doc_id, chunk_id
          |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(F.word_hashes(col("text"))).as(Seq("pos", "h")))
-        .select(col("doc_id"), col("h"),
-          explode(sequence(
-            when(col("pos") >= W, floor((col("pos") - W) / lit(S)) + 1)
-              .otherwise(lit(0L)),
-            floor(col("pos") / lit(S)))).as("chunk_id"))
-        .groupBy("doc_id", "chunk_id")
-        .agg(count(lit(1)).as("n_words"),
-          (sum(col("h")) % P).as("checksum"))
-        .select(col("doc_id"), col("chunk_id"),
-          (col("chunk_id") * S).as("chunk_start"),
-          col("n_words"), col("checksum"))
+      chunked(Tables.documents(s, dir), W, S)
         .orderBy("doc_id", "chunk_id")
     }
+  }
+
+  /** The e24 routing body over any (doc_id, text) frame — separated so
+    * the boundary-size spec drives the PRODUCTION code path with
+    * synthetic documents. Chunk ids are capped at
+    * jmax = ceil((n - W) / S) (0 for docs shorter than one window):
+    * without the cap every word past the first stride also lands in a
+    * trailing SUBSUMED fragment (e.g. a 63-word doc would emit a
+    * 15-word chunk wholly contained in chunk 0), and duplicated tail
+    * tokens would skew the training mix.
+    */
+  private[queries] def chunked(docs: DataFrame, W: Int, S: Int): DataFrame = {
+    val jmax = when(col("n") <= W, 0L)
+      .otherwise(floor((col("n") - W + S - 1) / lit(S)))
+    docs
+      .select(col("doc_id"), size(F.word_hashes(col("text"))).as("n"),
+        posexplode(F.word_hashes(col("text"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(
+          when(col("pos") >= W, floor((col("pos") - W) / lit(S)) + 1)
+            .otherwise(lit(0L)),
+          least(floor(col("pos") / lit(S)), jmax))).as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        (sum(col("h")) % P).as("checksum"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S).as("chunk_start"),
+        col("n_words"), col("checksum"))
   }
 
   /** Deterministic global shuffle (the final pre-training reorder): rows

@@ -39,6 +39,28 @@ class TrainingOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("e24 routing equals brute-force window slicing at boundary sizes") {
+    // word counts straddling every W/S boundary case: empty, single,
+    // exactly one window, one past it, stride edges, two windows, ...
+    import spark.implicits._
+    val W = 64; val S = 48
+    val sizes = Seq(0, 1, 47, 48, 63, 64, 65, 111, 112, 113, 160, 200)
+    val docs = sizes.zipWithIndex
+      .map { case (n, id) => (id.toLong, (0 until n).map(i => s"w$i").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val routed = TrainingQueries.chunked(docs, W, S)
+      .select("doc_id", "chunk_id", "n_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = sizes.zipWithIndex.flatMap { case (n, id) =>
+      val nChunks = if (n == 0) 0 else math.max(1, math.ceil((n - W).toDouble / S).toInt + 1)
+      (0 until nChunks).flatMap { j =>
+        val len = math.max(0, math.min(n, j * S + W) - j * S)
+        if (len > 0) Some((id.toLong, j.toLong) -> len.toLong) else None
+      }
+    }.toMap
+    assert(routed === expected)
+  }
+
   test("e23: split is exhaustive over documents and roughly 80/10/10") {
     val rows = q("e23_train_split").collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
