@@ -381,6 +381,9 @@ object TrainingQueries {
     * engine's round() tie mode), and the output checksum is a
     * position-weighted integer sum mod P — order-sensitive, so a
     * permuted quantization would be caught, yet exactly reproducible.
+    * All-zero vectors have no scale and are EXCLUDED (both engines
+    * filter scale > 0) — a pipeline would route them to a dead-letter
+    * set rather than fabricate a quantization.
     */
   private def e26Quantize = {
     val dims = 64
