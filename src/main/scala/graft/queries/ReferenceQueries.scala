@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,33 +23,83 @@ object ReferenceQueries {
     q5ScalarFuncs, q6DropExclude, q7MedianStddev, q8DqTests, q9UnionAppend,
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
-    q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts)
+    q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
+    q22ReturnedItems, q23PriorityClass)
+
+  /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
+    * double sum is fold-order dependent, and the engines' last-ulp
+    * disagreement occasionally lands EXACTLY on a round() boundary
+    * (observed: a quarter's revenue at x.595 flipped 307843.59 vs .6).
+    * Summing exact integer cents (round(x*100) recovers the integer —
+    * the stored double is within 1e-10 of it) makes every revenue
+    * aggregate deterministic by construction on both engines — and the
+    * final 2-dp rounding must ALSO happen in integer space
+    * ((T + 50) div 100 — half-up on exact ten-thousandths), because at
+    * a true x.xx5 boundary Spark's BigDecimal half-up and DuckDB's
+    * binary-double round() legitimately disagree. The displayed value
+    * is then integer-cents / 100.0: identical doubles on both engines.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def centsDuck(e: String): String =
+    s"CAST(round(($e) * 100) AS BIGINT)"
+
+  /** Σ price·(1−disc) in exact integer ten-thousandths (LongType). */
+  private def revenueT(price: Column, disc: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(disc)))
+  private def revenueTDuck(price: String, disc: String): String =
+    s"CAST(sum(${centsDuck(price)} * (100 - ${centsDuck(disc)})) AS BIGINT)"
+
+  /** Ten-thousandths → half-up 2-dp money, rounded with integer ops.
+    * `t` must name a LongType column in scope (expr-based: Column has
+    * no integer-division method).
+    */
+  private def money2(t: String): Column = expr(s"(($t + 50) div 100)") / 100.0
+  private def money2Duck(t: String): String = s"((($t) + 50) // 100) / 100.0"
 
   /** TPC-H-Q1-shaped pricing summary — headline agg (SURVEY §2.5, bench). */
   private def q1PricingSummary = QueryDef.sql(
     "q1_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-      | sum(l_quantity) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      | round(avg(l_quantity), 4) AS avg_qty,
-      | round(avg(l_discount), 4) AS avg_disc,
-      | count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    s"""WITH g AS (SELECT l_returnflag, l_linestatus,
+      |    sum(l_quantity) AS sum_qty,
+      |    CAST(sum(${centsDuck("l_extendedprice")}) AS BIGINT) AS base_c,
+      |    ${revenueTDuck("l_extendedprice", "l_discount")} AS disc_t,
+      |    CAST(sum(${centsDuck("l_discount")}) AS BIGINT) AS disc_c,
+      |    count(*) AS count_order
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, sum_qty,
+      |  base_c / 100.0 AS sum_base_price,
+      |  ${money2Duck("disc_t")} AS sum_disc_price,
+      |  ((20000 * CAST(sum_qty AS BIGINT) + count_order)
+      |    // (2 * count_order)) / 10000.0 AS avg_qty,
+      |  ((200 * disc_c + count_order) // (2 * count_order)) / 10000.0
+      |    AS avg_disc,
+      |  count_order
+      |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(cents(col("l_extendedprice"))).as("base_c"),
+        revenueT(col("l_extendedprice"), col("l_discount")).as("disc_t"),
+        sum(cents(col("l_discount"))).as("disc_c"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        // exact cents: /100.0 is the same two-double division everywhere
+        (col("base_c") / 100.0).as("sum_base_price"),
+        money2("disc_t").as("sum_disc_price"),
+        // quantities are integer-valued doubles: the sum is exact, and
+        // the 4-dp average is rounded in integer space like avg_disc
+        (expr("(20000 * CAST(sum_qty AS BIGINT) + count_order)" +
+          " div (2 * count_order)") / 10000.0).as("avg_qty"),
+        // half-up 4-dp mean discount, entirely in integer space:
+        // (200*S + n) div (2n) == round-half-up(100*S / n)
+        (expr("(200 * disc_c + count_order) div (2 * count_order)") / 10000.0)
+          .as("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -558,17 +608,18 @@ object ReferenceQueries {
     */
   private def q19ShipPriority = QueryDef.sql(
     "q19_ship_priority",
-    """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    s"""WITH g AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |    ${revenueTDuck("l_extendedprice", "l_discount")} AS t
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+      |SELECT l_orderkey, ${money2Duck("t")} AS revenue,
       |  o_orderdate, o_orderpriority
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |FROM g ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin) { (s, dir) =>
     val cutoff = lit("1998-03-15 00:00:00").cast("timestamp")
     Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -577,9 +628,9 @@ object ReferenceQueries {
       .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
-      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("t"))
+      .select(col("l_orderkey"), money2("t").as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
   }
@@ -594,8 +645,8 @@ object ReferenceQueries {
     */
   private def q20LocalVolume = QueryDef.sql(
     "q20_local_volume",
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    s"""WITH g AS (SELECT n_name,
+      |  ${revenueTDuck("l_extendedprice", "l_discount")} AS t
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -605,7 +656,9 @@ object ReferenceQueries {
       |WHERE r_name = 'ASIA'
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) {
+      |GROUP BY n_name)
+      |SELECT n_name, ${money2Duck("t")} AS revenue
+      |FROM g ORDER BY revenue DESC, n_name""".stripMargin) {
     (s, dir) =>
       val lo = lit("1996-01-01 00:00:00").cast("timestamp")
       val hi = lit("1997-01-01 00:00:00").cast("timestamp")
@@ -622,8 +675,8 @@ object ReferenceQueries {
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("t"))
+        .select(col("n_name"), money2("t").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -654,5 +707,68 @@ object ReferenceQueries {
             .as("gen_uuid"))
         .orderBy("c_custkey")
     }
+  }
+
+  /** TPC-H-Q10-shaped returned-item ranking: which customers returned
+    * the most revenue in a quarter. Fact-fact join filtered to
+    * l_returnflag = 'R', customer dim joined after the aggregation-heavy
+    * side is reduced by its filters; top-20 with full tiebreaks.
+    */
+  private def q22ReturnedItems = QueryDef.sql(
+    "q22_returned_items",
+    s"""WITH g AS (SELECT c_custkey, c_name, c_mktsegment,
+      |    ${revenueTDuck("l_extendedprice", "l_discount")} AS t
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY c_custkey, c_name, c_mktsegment)
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  ${money2Duck("t")} AS lost_revenue
+      |FROM g ORDER BY lost_revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("t"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        money2("t").as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H-Q12-shaped conditional aggregation: per return flag, how
+    * many lineitems belong to critical- vs normal-priority orders —
+    * the sum(CASE WHEN ...) pivot pattern (a different operator shape
+    * from q4's per-row DECODE: the conditional lives INSIDE the
+    * aggregate, so Catalyst folds it into the partial agg and only
+    * (flag, two longs) cross the exchange).
+    */
+  private def q23PriorityClass = QueryDef.sql(
+    "q23_priority_class",
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS normal_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, dir) =>
+      val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(critical, 1L).otherwise(0L)).as("critical_count"),
+          sum(when(!critical, 1L).otherwise(0L)).as("normal_count"))
+        .orderBy("l_returnflag")
   }
 }
