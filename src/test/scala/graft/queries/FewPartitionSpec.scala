@@ -19,7 +19,11 @@ class FewPartitionSpec extends SparkSpecBase {
   private val dir = "/root/testdata/sf0.001"
   private val names = Seq(
     "e25_shuffle", "q10_window_index", "e6_ann_lsh", "e17_ann_ivf",
-    "e24_chunking")
+    "e24_chunking",
+    // money aggregates: integer-cents arithmetic makes the rounded sums
+    // independent of partial-aggregation fold order — double sums are
+    // NOT (their boundary flips are exactly what q22 exposed)
+    "q1_pricing_summary", "q22_returned_items")
 
   private def at(parts: Int): SparkSession = {
     val s = spark.newSession()
