@@ -35,7 +35,8 @@ object TrainingQueries {
 
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
-    e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams)
+    e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
+    e30SpanDedup)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -290,29 +291,69 @@ object TrainingQueries {
     * no ordered fold is needed after the shuffle. Linear in corpus
     * size, bounded fan-out, no skew (chunk sizes are capped at W).
     */
+  /** DuckDB twin of [[chunked]]: CTEs ending in a `chunks` relation of
+    * (doc_id, chunk_id, chunk_start, n_words, checksum) — shared by the
+    * e24 and e30 oracles.
+    */
+  private def chunkedDuck(w: Int, s: Int): String =
+    s"""w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |ex AS (SELECT doc_id, len(wh) AS n,
+       |    unnest(range(0, len(wh))) AS pos, unnest(wh) AS h
+       |  FROM w WHERE len(wh) > 0),
+       |routed AS (SELECT doc_id, h,
+       |    unnest(range(
+       |      CASE WHEN pos >= $w THEN (pos - $w) // $s + 1 ELSE 0 END,
+       |      least(pos // $s,
+       |        CASE WHEN n <= $w THEN 0
+       |             ELSE (n - $w + $s - 1) // $s END) + 1)) AS chunk_id
+       |  FROM ex),
+       |chunks AS (SELECT doc_id, chunk_id, chunk_id * $s AS chunk_start,
+       |    count(*) AS n_words, CAST(sum(h) % $P AS BIGINT) AS checksum
+       |  FROM routed GROUP BY doc_id, chunk_id)""".stripMargin
+
   private def e24Chunking = {
     val W = 64 // window (chunk) size in words
     val S = 48 // stride; overlap = W - S = 16
     QueryDef.sql(
       "e24_chunking",
-      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
-         |  FROM documents),
-         |ex AS (SELECT doc_id, len(wh) AS n,
-         |    unnest(range(0, len(wh))) AS pos, unnest(wh) AS h
-         |  FROM w WHERE len(wh) > 0),
-         |routed AS (SELECT doc_id, h,
-         |    unnest(range(
-         |      CASE WHEN pos >= $W THEN (pos - $W) // $S + 1 ELSE 0 END,
-         |      least(pos // $S,
-         |        CASE WHEN n <= $W THEN 0
-         |             ELSE (n - $W + $S - 1) // $S END) + 1)) AS chunk_id
-         |  FROM ex)
-         |SELECT doc_id, chunk_id, chunk_id * $S AS chunk_start,
-         |  count(*) AS n_words, CAST(sum(h) % $P AS BIGINT) AS checksum
-         |FROM routed GROUP BY doc_id, chunk_id
-         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      s"""WITH ${chunkedDuck(W, S)}
+         |SELECT * FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, dir) =>
+        chunked(Tables.documents(s, dir), W, S)
+          .orderBy("doc_id", "chunk_id")
+    }
+  }
+
+  /** Cross-document repeated spans (the boilerplate signal BETWEEN
+    * documents, complementing e21's within-doc repetition): full-width
+    * chunks whose content checksum recurs in more than one document.
+    * Candidate-grade by construction — the checksum is an
+    * order-independent sum, so a hit means "same word multiset in some
+    * 64-word window", which a span-level verifier would confirm — and
+    * the aggregation is checksum-keyed (fixed-width shuffle payload,
+    * never the text). Partial tail chunks are excluded: their checksums
+    * vary with length, not content.
+    */
+  private def e30SpanDedup = {
+    val W = 64
+    val S = 48
+    QueryDef.sql(
+      "e30_span_dedup",
+      s"""WITH ${chunkedDuck(W, S)}
+         |SELECT checksum, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_spans, min(doc_id) AS first_doc
+         |FROM chunks WHERE n_words = $W
+         |GROUP BY checksum HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY checksum""".stripMargin) { (s, dir) =>
       chunked(Tables.documents(s, dir), W, S)
-        .orderBy("doc_id", "chunk_id")
+        .filter(col("n_words") === W)
+        .groupBy("checksum")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_spans"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("checksum")
     }
   }
 
