@@ -24,7 +24,7 @@ object ReferenceQueries {
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
-    q22ReturnedItems, q23PriorityClass)
+    q22ReturnedItems, q23PriorityClass, q24DormantCustomers)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -770,5 +770,39 @@ object ReferenceQueries {
           sum(when(critical, 1L).otherwise(0L)).as("critical_count"),
           sum(when(!critical, 1L).otherwise(0L)).as("normal_count"))
         .orderBy("l_returnflag")
+  }
+
+  /** NOT-EXISTS analytics (TPC-H-Q22 family): customers with NO order
+    * in a year, summarized per market segment. The left-anti join is
+    * the standalone form of the pattern q8's relationship tests use
+    * internally — Spark plans it as a shuffled (or broadcast) anti hash
+    * join; only keys cross the exchange, and the aggregation rides the
+    * reduced side. Account balances are 2-decimal: the sum uses the
+    * exact-cents path like every money aggregate here.
+    */
+  private def q24DormantCustomers = QueryDef.sql(
+    "q24_dormant_customers",
+    s"""WITH active AS (SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+       |dormant AS (SELECT * FROM customer
+       |  WHERE c_custkey NOT IN (SELECT o_custkey FROM active))
+       |SELECT c_mktsegment, count(*) AS n_dormant,
+       |  CAST(sum(${centsDuck("c_acctbal")}) AS BIGINT) / 100.0
+       |    AS total_balance
+       |FROM dormant GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_dormant"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("total_balance"))
+      .orderBy("c_mktsegment")
   }
 }

@@ -36,7 +36,7 @@ object TrainingQueries {
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
-    e30SpanDedup)
+    e30SpanDedup, e31TopWordPerLang)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -499,5 +499,34 @@ object TrainingQueries {
         .groupBy("pair_key").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair_key"))
         .limit(20)
+  }
+
+  /** Per-group argmax (top word per language): one struct-max aggregate
+    * per group — max (count, -hash) is the highest-frequency word with
+    * min-hash tie-break, computed without a join-back (the e17 argmax
+    * pattern applied per-key rather than globally; the DuckDB twin
+    * keeps the portable max-then-filter idiom). Two shuffles total:
+    * (lang, word) counts, then one row per (lang, word) into the
+    * per-lang max.
+    */
+  private def e31TopWordPerLang = QueryDef.sql(
+    "e31_top_word_per_lang",
+    s"""WITH w AS (SELECT lang, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |ex AS (SELECT lang, unnest(wh) AS h FROM w),
+       |freq AS (SELECT lang, h, count(*) AS c FROM ex GROUP BY lang, h),
+       |best AS (SELECT lang, max(c) AS mc FROM freq GROUP BY lang)
+       |SELECT f.lang, CAST(min(f.h) AS BIGINT) AS top_hash,
+       |  CAST(b.mc AS BIGINT) AS n
+       |FROM freq f JOIN best b ON f.lang = b.lang AND f.c = b.mc
+       |GROUP BY f.lang, b.mc ORDER BY f.lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(F.word_hashes(col("text"))).as("h"))
+      .groupBy("lang", "h").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(max(struct(col("c"), (-col("h")).as("nh"))).as("m"))
+      .select(col("lang"), (-col("m.nh")).as("top_hash"),
+        col("m.c").as("n"))
+      .orderBy("lang")
   }
 }
