@@ -24,7 +24,8 @@ object ReferenceQueries {
     q10WindowIndex, q11ExplodeGen, q12SampleLimit, q13GroupbyTopk,
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
-    q22ReturnedItems, q23PriorityClass, q24DormantCustomers)
+    q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
+    q25MovingSum)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -804,5 +805,30 @@ object ReferenceQueries {
         count(lit(1)).as("n_dormant"),
         (sum(cents(col("c_acctbal"))) / 100.0).as("total_balance"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Bounded sliding-frame window (the one window shape not yet
+    * exercised — q10/q17 use unbounded running frames): per-user
+    * 3-event moving total over event time. The frame sum is INTEGER
+    * cents, not a double — engines disagree on sliding-sum evaluation
+    * (Spark recomputes frames; DuckDB uses a segment tree), which
+    * reorders a float fold but cannot change an integer one. Windows
+    * are user-partitioned: work per task is one user's events.
+    */
+  private def q25MovingSum = QueryDef.sql(
+    "q25_moving_sum",
+    s"""SELECT event_id, user_id,
+       |  CAST(sum(${centsDuck("value")}) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS moving_cents
+       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(cents(col("value"))).over(w).as("moving_cents"))
+      .orderBy("event_id")
   }
 }
