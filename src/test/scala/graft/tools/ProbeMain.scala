@@ -16,7 +16,11 @@ object ProbeMain {
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       df.collect()
-      val t0 = System.nanoTime(); df.collect(); val dt = (System.nanoTime()-t0)/1e9
+      // Rebuild per timed run: a fresh plan means fresh RDDs, so no
+      // shuffle-stage reuse from the warmup — same conditions as Bench.
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      val dt = (System.nanoTime()-t0)/1e9
       val plan = df.queryExecution.executedPlan.toString
       val fin = plan.linesIterator.takeWhile(!_.contains("Initial Plan")).toSeq
       val stages = fin.count(_.contains("ShuffleQueryStage"))
