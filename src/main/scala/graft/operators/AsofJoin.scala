@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** As-of join: each probe row picks the latest build row with the same
+  * key whose timestamp is at-or-before the probe's (left-outer — probes
+  * with no preceding build row keep NULLs).
+  *
+  * Spark has no ASOF JOIN operator, and the naive formulation — equi-join
+  * on the key plus `b.ts <= p.ts`, then argmax per probe — materializes
+  * every (probe, earlier-build) pair before reducing: quadratic per key
+  * and a skew bomb on hot keys. This operator instead composes existing
+  * ops (the preferred path for a custom operator): tag both inputs,
+  * UNION them, and run one `last(_, ignoreNulls)` window PARTITIONED BY
+  * key ORDER BY (ts, side, tie). Cost is a single hash shuffle of
+  * (|probe| + |build|) rows and a per-key sort — the same price as the
+  * equi-join itself — with no intermediate pair blow-up. The window is
+  * key-partitioned, never global, so it survives a 1000-executor run;
+  * per-key work is linear in that key's rows.
+  *
+  * Determinism: build rows sort before probe rows at an identical
+  * timestamp (side 0 < 1, so an exactly-simultaneous build row is
+  * visible — "at-or-before" is inclusive), and equal-timestamp build
+  * rows tie-break on `buildTie` ascending, so "latest" is the max tie.
+  * Probe rows carry a NULL tie, which cannot collide with build rows
+  * (side differs), keeping the ordering engine-independent even though
+  * Spark sorts NULLs first and DuckDB last.
+  */
+object AsofJoin {
+
+  /** @param probe    left side; all its columns pass through unchanged
+    * @param probeTs  probe timestamp column name
+    * @param build    right side; its columns appear prefixed in the output
+    * @param buildTs  build timestamp column name
+    * @param key      equi-key column name present in both inputs
+    * @param buildTie unique build column breaking equal-timestamp ties
+    * @param prefix   prefix for build columns in the output
+    */
+  def asofJoin(
+      probe: DataFrame, probeTs: String,
+      build: DataFrame, buildTs: String,
+      key: String, buildTie: String,
+      prefix: String = "asof_"): DataFrame = {
+    val bType = StructType(build.schema.fields)
+    val pType = StructType(probe.schema.fields)
+    val b = build.select(
+      col(key).as("__k"), col(buildTs).as("__t"), lit(0).as("__side"),
+      col(buildTie).cast(LongType).as("__tie"),
+      struct(build.columns.map(col).toIndexedSeq: _*).as("__b"),
+      lit(null).cast(pType).as("__p"))
+    val p = probe.select(
+      col(key).as("__k"), col(probeTs).as("__t"), lit(1).as("__side"),
+      lit(null).cast(LongType).as("__tie"),
+      lit(null).cast(bType).as("__b"),
+      struct(probe.columns.map(col).toIndexedSeq: _*).as("__p"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = b.unionByName(p)
+      .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    matched.select(
+      probe.columns.map(c => col(s"__p.$c").as(c)).toIndexedSeq ++
+        build.columns.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
+}

@@ -25,7 +25,7 @@ object ReferenceQueries {
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
-    q25MovingSum)
+    q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -318,7 +318,7 @@ object ReferenceQueries {
       | c AS (SELECT c_custkey,
       |   row_number() OVER (ORDER BY c_custkey) - 1 AS idx FROM customer)
       |SELECT o.o_orderkey AS order_id, c.c_custkey AS customer_id
-      |FROM o JOIN c USING (idx) ORDER BY order_id""".stripMargin) { (s, dir) =>
+      |FROM o JOIN c USING (idx)""".stripMargin) { (s, dir) =>
     import graft.operators.Indexing.withGlobalIndex
     val o = withGlobalIndex(
       Tables.orders(s, dir).select(col("o_orderkey")),
@@ -326,10 +326,12 @@ object ReferenceQueries {
     val c = withGlobalIndex(
       Tables.customer(s, dir).select(col("c_custkey")),
       col("c_custkey"), "idx")
+    // No final ORDER BY: the driver's compare sorts rows before hashing,
+    // so a trailing global sort would be a pure extra range-exchange —
+    // the kind of cost that at 100 TB dominates the query.
     o.join(c, Seq("idx"))
       .select(col("o_orderkey").as("order_id"),
         col("c_custkey").as("customer_id"))
-      .orderBy(col("order_id"))
   }
 
   /** Row-expansion generator twin (SURVEY §2.9 G2 + §2.3 F9): weighted
@@ -830,5 +832,159 @@ object ReferenceQueries {
       .select(col("event_id"), col("user_id"),
         sum(cents(col("value"))).over(w).as("moving_cents"))
       .orderBy("event_id")
+  }
+
+  /** As-of join ([[graft.operators.AsofJoin]]): each purchase picks the
+    * user's latest click at-or-before it — the canonical event-attribution
+    * shape Spark has no native operator for. The oracle mirrors the
+    * union+window formulation but carries only the never-NULL tie id
+    * through `last_value(IGNORE NULLS)` and joins the payload back by id:
+    * DuckDB's IGNORE NULLS is per-FIELD while Spark's `last` on a struct
+    * is per-ROW, so running it over a nullable payload column could
+    * diverge field-wise; the id indirection keeps both engines reducing
+    * the exact same non-null sequence. Scale: one hash shuffle of
+    * clicks+purchases by user_id; windows are user-partitioned.
+    */
+  private def q26AsofJoin = QueryDef.sql(
+    "q26_asof_join",
+    """WITH t AS (
+      |  SELECT user_id, ts, 0 AS side, event_id AS tie,
+      |         NULL::BIGINT AS p_id
+      |    FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, event_id
+      |    FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, ts, side, p_id,
+      |    last_value(tie IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, side, tie ROWS UNBOUNDED PRECEDING) AS click_id
+      |  FROM t)
+      |SELECT w.p_id AS purchase_id, w.user_id, w.ts AS purchase_ts,
+      |  w.click_id, c.ts AS click_ts, c.value AS click_value
+      |FROM w LEFT JOIN events c ON c.event_id = w.click_id
+      |WHERE w.side = 1""".stripMargin) { (s, dir) =>
+    import graft.operators.AsofJoin
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    AsofJoin.asofJoin(
+        purchases, "purchase_ts", clicks, "click_ts",
+        key = "user_id", buildTie = "click_id", prefix = "b_")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("b_click_id").as("click_id"), col("b_click_ts").as("click_ts"),
+        col("b_click_value").as("click_value"))
+  }
+
+  /** Non-equi point-in-interval range join ([[graft.operators.RangeJoin]]):
+    * clicks landing inside [error ts, +10 min) "incident" windows, counted
+    * per incident (left semantics: zero-click incidents kept). There is no
+    * equi-key at all — the naive plan is a nested loop — so the operator
+    * manufactures one by bucketing time at the window length. Money is
+    * summed as integer cents (see `cents`).
+    */
+  private def q27RangeJoin = QueryDef.sql(
+    "q27_range_join",
+    s"""SELECT i.event_id AS incident_id, i.ts AS incident_ts,
+      |  count(c.event_id) AS n_clicks,
+      |  coalesce(CAST(sum(${centsDuck("c.value")}) AS BIGINT), 0)
+      |    AS click_cents
+      |FROM (SELECT event_id, ts FROM events
+      |      WHERE event_type = 'error' AND value >= 200) i
+      |LEFT JOIN (SELECT event_id, ts, value FROM events
+      |           WHERE event_type = 'click') c
+      |  ON c.ts >= i.ts AND c.ts < i.ts + INTERVAL 10 MINUTE
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.operators.RangeJoin
+    val winMicros = 10L * 60L * 1000000L
+    val ev = Tables.events(s, dir)
+    val incidents = ev
+      .filter(col("event_type") === "error" && col("value") >= 200)
+      .select(col("event_id").as("incident_id"),
+        col("ts").as("incident_ts"), unix_micros(col("ts")).as("inc_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"), cents(col("value")).as("cc"))
+    val pairs = RangeJoin.pointInInterval(
+      clicks, "click_us", incidents, "inc_us", winMicros)
+    val counts = pairs.groupBy(col("incident_id"))
+      .agg(count(col("click_id")).as("n_clicks"), sum(col("cc")).as("cc_sum"))
+    incidents.join(counts, Seq("incident_id"), "left")
+      .select(col("incident_id"), col("incident_ts"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("cc_sum"), lit(0L)).as("click_cents"))
+  }
+
+  /** ROLLUP hierarchy aggregation (region → nation → grand total) over the
+    * full order/customer join — one grouping-sets pass, NOT three separate
+    * scans unioned. NULL group markers are the subtotal rows on both
+    * engines; r_name/n_name are never NULL in the data so the markers are
+    * unambiguous without grouping_id.
+    */
+  private def q28Rollup = QueryDef.sql(
+    "q28_rollup",
+    s"""SELECT r_name, n_name, count(*) AS n_rows,
+      |  ${revenueTDuck("l_extendedprice", "l_discount")} AS revenue_t
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+          .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        revenueT(col("l_extendedprice"), col("l_discount")).as("revenue_t"))
+  }
+
+  /** PIVOT (long → wide) with an explicit value list: order counts per
+    * status × priority. The fixed list keeps the plan a single grouped
+    * aggregation (no values-discovery pre-pass) and the output schema
+    * static — the form that scales. Pivot cells with no rows are NULL in
+    * Spark and 0 from the oracle's SUM(CASE); coalesce on the Spark side
+    * pins both to 0. Output names are sanitized (parquet rejects spaces
+    * in field names).
+    */
+  private def q29Pivot = QueryDef.sql(
+    "q29_pivot",
+    """SELECT o_orderstatus,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS urgent,
+      |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high,
+      |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS medium,
+      |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS not_specified,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS low
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wide = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+    val names = Seq(
+      "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+      "4-NOT SPECIFIED" -> "not_specified", "5-LOW" -> "low")
+    wide.select(col("o_orderstatus") +:
+      names.map { case (v, n) =>
+        coalesce(col(s"`$v`"), lit(0L)).as(n)
+      }: _*)
   }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** As-of join semantics against a brute-force reference: latest
+  * at-or-before build row per probe, left-outer, deterministic
+  * equal-timestamp tie-breaks, and no pair blow-up plan (no
+  * CartesianProduct / nested loop in the physical plan).
+  */
+class AsofJoinSpec extends SparkSpecBase {
+
+  test("asofJoin matches brute-force latest-at-or-before per probe") {
+    import spark.implicits._
+    // Deterministic scramble: keys 0-9, times 0-999, ~30% build density.
+    val build = (0 until 3000).map { i =>
+      val k = (i * 7919) % 10
+      val t = (i * 104729) % 1000
+      (i.toLong, k.toLong, t.toLong, s"b$i")
+    }.toDF("b_id", "k", "b_t", "b_tag")
+    val probe = (0 until 800).map { i =>
+      val k = (i * 6271) % 10
+      val t = (i * 31337) % 1000
+      (i.toLong, k.toLong, t.toLong)
+    }.toDF("p_id", "k", "p_t")
+
+    val got = AsofJoin
+      .asofJoin(probe, "p_t", build, "b_t", key = "k", buildTie = "b_id")
+      .select("p_id", "asof_b_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val bRows = build.as[(Long, Long, Long, String)].collect()
+    val pRows = probe.as[(Long, Long, Long)].collect()
+    for ((pId, k, pT) <- pRows) {
+      // latest (b_t, b_id) with same key and b_t <= p_t
+      val cands = bRows.filter(b => b._2 == k && b._3 <= pT)
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(b => (b._3, b._1))._1)
+      assert(got(pId) === expect, s"probe $pId key $k t $pT")
+    }
+    // unmatched probes really occur in this fixture (left-outer is live)
+    assert(pRows.exists { case (pId, _, _) => got(pId).isEmpty })
+  }
+
+  test("equal-timestamp build row is visible (at-or-before is inclusive)") {
+    import spark.implicits._
+    val build = Seq((1L, 1L, 100L), (2L, 1L, 100L), (3L, 1L, 50L))
+      .toDF("b_id", "k", "b_t")
+    val probe = Seq((10L, 1L, 100L), (11L, 1L, 99L), (12L, 1L, 49L))
+      .toDF("p_id", "k", "p_t")
+    val got = AsofJoin
+      .asofJoin(probe, "p_t", build, "b_t", key = "k", buildTie = "b_id")
+      .select("p_id", "asof_b_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(10L) === Some(2L)) // simultaneous; max b_id tie-break
+    assert(got(11L) === Some(3L))
+    assert(got(12L) === None)
+  }
+
+  test("plan is one keyed window — no nested loop, no cartesian") {
+    import spark.implicits._
+    val build = Seq((1L, 1L, 1L)).toDF("b_id", "k", "b_t")
+    val probe = Seq((1L, 1L, 2L)).toDF("p_id", "k", "p_t")
+    val plan = AsofJoin
+      .asofJoin(probe, "p_t", build, "b_t", key = "k", buildTie = "b_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Window"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Bucketed point-in-interval join: identical pairs to the naive
+  * non-equi join (including [start, start+len) boundary behavior and
+  * exactly-once matches across the bucket seam), with an equi-join plan.
+  */
+class RangeJoinSpec extends SparkSpecBase {
+
+  test("pointInInterval equals the naive range join, each pair once") {
+    import spark.implicits._
+    val len = 100L
+    // Interval starts hit bucket-aligned (k*100), seam-straddling, and
+    // boundary-adjacent offsets; points sweep a denser lattice.
+    val intervals = (0 until 200).map { i =>
+      (i.toLong, ((i * 37) % 1000).toLong)
+    }.toDF("i_id", "s")
+    val points = (0 until 2000).map { i =>
+      (i.toLong + 10000L, ((i * 13) % 1100).toLong)
+    }.toDF("p_id", "t")
+
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "s", len)
+      .select("i_id", "p_id").as[(Long, Long)].collect().sorted
+
+    val naive = intervals.as[(Long, Long)].collect().flatMap {
+      case (iId, s) =>
+        points.as[(Long, Long)].collect().collect {
+          case (pId, t) if t >= s && t < s + len => (iId, pId)
+        }
+    }.sorted
+    assert(got.toSeq === naive.toSeq)
+    // duplicates would mean a pair matched through both seam buckets
+    assert(got.distinct.length === got.length)
+  }
+
+  test("boundaries: start inclusive, end exclusive") {
+    import spark.implicits._
+    val intervals = Seq((1L, 100L)).toDF("i_id", "s")
+    val points = Seq((1L, 99L), (2L, 100L), (3L, 199L), (4L, 200L))
+      .toDF("p_id", "t")
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "s", 100L)
+      .select("p_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(2L, 3L))
+  }
+
+  test("plan is an equi-join on the bucket key — no nested loop") {
+    import spark.implicits._
+    val intervals = Seq((1L, 100L)).toDF("i_id", "s")
+    val points = Seq((1L, 100L)).toDF("p_id", "t")
+    val plan = RangeJoin.pointInInterval(points, "t", intervals, "s", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
