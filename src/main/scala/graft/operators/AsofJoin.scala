@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * Probe rows carry a NULL tie, which cannot collide with build rows
   * (side differs), keeping the ordering engine-independent even though
   * Spark sorts NULLs first and DuckDB last.
+  *
+  * NULL semantics match equi-join/ASOF, not `Window.partitionBy` (which
+  * would group NULL keys together): a build row with a NULL key or NULL
+  * timestamp can never match and is dropped before the window; a probe
+  * row with a NULL key or NULL timestamp bypasses the window and keeps
+  * NULL build columns (left-outer), instead of matching NULL-keyed
+  * build rows.
   */
 object AsofJoin {
 
@@ -44,8 +51,13 @@ object AsofJoin {
       build: DataFrame, buildTs: String,
       key: String, buildTie: String,
       prefix: String = "asof_"): DataFrame = {
+    val clash = probe.columns.toSet intersect build.columns.map(prefix + _).toSet
+    require(clash.isEmpty,
+      s"asofJoin output would duplicate column(s) ${clash.mkString(", ")}; " +
+        "pick a different prefix")
     val bType = StructType(build.schema.fields)
     val pType = StructType(probe.schema.fields)
+    val joinable = col("__k").isNotNull && col("__t").isNotNull
     val b = build.select(
       col(key).as("__k"), col(buildTs).as("__t"), lit(0).as("__side"),
       col(buildTie).cast(LongType).as("__tie"),
@@ -59,9 +71,10 @@ object AsofJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = b.unionByName(p)
+    val matched = b.where(joinable).unionByName(p.where(joinable))
       .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      .unionByName(p.where(!joinable).withColumn("__m", col("__b")))
     matched.select(
       probe.columns.map(c => col(s"__p.$c").as(c)).toIndexedSeq ++
         build.columns.map(c => col(s"__m.$c").as(prefix + c)): _*)

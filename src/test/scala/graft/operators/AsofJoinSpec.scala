@@ -59,6 +59,38 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(got(12L) === None)
   }
 
+  test("NULL keys/timestamps never match, but NULL probes pass through") {
+    import spark.implicits._
+    val build = Seq(
+      (1L, Some(1L), Some(100L)), // normal
+      (2L, None, Some(100L)),     // NULL key: matches nothing
+      (3L, Some(2L), None)        // NULL ts: matches nothing
+    ).toDF("b_id", "k", "b_t")
+    val probe = Seq(
+      (10L, Some(1L), Some(200L)), // matches b_id 1
+      (11L, None, Some(200L)),     // NULL key: left-outer passthrough
+      (12L, Some(2L), Some(200L)), // only NULL-ts build on key: no match
+      (13L, Some(1L), None)        // NULL ts: left-outer passthrough
+    ).toDF("p_id", "k", "p_t")
+    val got = AsofJoin
+      .asofJoin(probe, "p_t", build, "b_t", key = "k", buildTie = "b_id")
+      .select("p_id", "asof_b_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got === Map(10L -> Some(1L), 11L -> None, 12L -> None,
+      13L -> None))
+  }
+
+  test("rejects a prefix that collides with a probe column") {
+    import spark.implicits._
+    val build = Seq((1L, 1L, 1L)).toDF("b_id", "k", "b_t")
+    val probe = Seq((1L, 1L, 2L)).toDF("asof_b_id", "k", "p_t")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(probe, "p_t", build, "b_t", key = "k",
+        buildTie = "b_id")
+    }
+    assert(e.getMessage.contains("asof_b_id"))
+  }
+
   test("plan is one keyed window — no nested loop, no cartesian") {
     import spark.implicits._
     val build = Seq((1L, 1L, 1L)).toDF("b_id", "k", "b_t")

@@ -25,11 +25,10 @@ class RangeJoinSpec extends SparkSpecBase {
     val got = RangeJoin.pointInInterval(points, "t", intervals, "s", len)
       .select("i_id", "p_id").as[(Long, Long)].collect().sorted
 
+    val pts = points.as[(Long, Long)].collect()
     val naive = intervals.as[(Long, Long)].collect().flatMap {
       case (iId, s) =>
-        points.as[(Long, Long)].collect().collect {
-          case (pId, t) if t >= s && t < s + len => (iId, pId)
-        }
+        pts.collect { case (pId, t) if t >= s && t < s + len => (iId, pId) }
     }.sorted
     assert(got.toSeq === naive.toSeq)
     // duplicates would mean a pair matched through both seam buckets

@@ -15,7 +15,11 @@ object ProbeMain {
       else Seq("e20_contamination", "e22_rarity", "e24_chunking", "e19_pii_redact")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      df.collect()
+      // Warmup must run df's OWN QueryExecution so the adaptive plan
+      // finalizes for the dump below (count() clones the plan and leaves
+      // isFinalPlan=false); foreach discards rows on the executors, so
+      // unlike collect() a large result can't OOM the driver.
+      df.foreach(_ => ())
       // Rebuild per timed run: a fresh plan means fresh RDDs, so no
       // shuffle-stage reuse from the warmup — same conditions as Bench.
       val t0 = System.nanoTime()
