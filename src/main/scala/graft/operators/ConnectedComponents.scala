@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate PAIRS (from LSH/Jaccard candidate generation)
+  * into duplicate CLUSTERS so a dedup stage can keep one canonical
+  * document per cluster. Without it, pairwise dedup keeps one doc per
+  * EDGE, which over-deletes on transitive chains (a~b, b~c keeps only
+  * a when c should survive as a's duplicate too).
+  *
+  * Algorithm: min-label propagation with pointer jumping (path halving),
+  * the DataFrame re-expression of the classic MapReduce CC algorithms
+  * (cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14 — same min-propagation fixpoint, here with a label table
+  * instead of edge rewriting). Each round:
+  *
+  *   1. propagate: label(v) <- min(label(v), min over neighbors u of
+  *      label(u)) — one keyed join edges->labels + groupBy-min.
+  *   2. pointer-jump: label(v) <- label(label(v)) — one self-join of the
+  *      label table. This is what makes long chains converge in
+  *      O(log diameter) rounds instead of O(diameter): a 1M-doc
+  *      boilerplate chain needs ~20 rounds, not 1M.
+  *
+  * Every round is a fixed number of keyed shuffles of the LABEL table
+  * (one row per node incident to an edge — bounded by near-dup doc
+  * count, far below corpus size) and the cached symmetric edge list; no
+  * driver-side data beyond one convergence scalar per round. Labels only
+  * ever decrease, so sum(label) strictly decreases on any change —
+  * convergence is detected by comparing that single aggregate, with no
+  * label-table self-join. Each round's result is eagerly
+  * `localCheckpoint`ed: lineage would otherwise branch twice per round
+  * (the propagate and jump joins each read the previous table twice) and
+  * recomputation would be exponential in rounds.
+  *
+  * Determinism: the fixpoint is unique (each node's label = min node id
+  * in its component) regardless of round count or partitioning, so the
+  * result is engine-portable and oracle-comparable.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edges; self-loops and NULL endpoints are
+    *              ignored (NULL keys never connect anything — equi-join
+    *              semantics, as in [[AsofJoin]])
+    * @param aCol  first endpoint column (integral)
+    * @param bCol  second endpoint column (integral)
+    * @param maxRounds safety cap; with pointer jumping this bounds the
+    *                  reachable diameter at 2^maxRounds, so the default
+    *                  covers any physically possible corpus
+    * @return one row per node incident to an edge: (node, comp) where
+    *         comp = min node id of the node's connected component
+    */
+  def components(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val dir = edges.select(
+      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    // sum over DECIMAL: a 100 TB corpus can hold >2^31 near-dup nodes
+    // with long ids whose label sum overflows BIGINT.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("comp").as("nc")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("nc")).as("nc"))
+      val prop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      val jumped = prop
+        .join(prop.select(col("node").as("pn"), col("comp").as("pc")),
+          col("comp") === col("pn"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val newSum = labelSum(jumped)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = jumped
+      rounds += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds")
+    labels
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -38,7 +38,7 @@ object ExtensionQueries {
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
-    e18VocabTopk, e28SimhashNeardup, e29HeavyHitters)
+    e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -142,7 +142,21 @@ object ExtensionQueries {
     * Jaccard >= 0.3. With these (r=2, b=6) parameters a pair at j=0.5
     * collides with p ~ 0.82, at j=0.9 with p ~ 0.99997.
     */
-  private def e3MinhashLsh = {
+  private def e3MinhashLsh =
+    QueryDef.sql(
+      "e3_minhash_lsh",
+      s"""$minhashPairsDuck
+         |SELECT * FROM verified WHERE jaccard >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    }
+
+  /** DuckDB CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
+    * oracle twin of [[minhashVerifiedPairs]], shared by e3 and e32.
+    */
+  private def minhashPairsDuck: String = {
     val mhDuck = (0 until 12).map { k =>
       s"list_min(list_transform(shs, x -> (${Portable.MinHashA(k)}*x + " +
         s"${Portable.MinHashB(k)}) % $P)) AS mh$k"
@@ -150,77 +164,123 @@ object ExtensionQueries {
     val bandKeysDuck = (0 until 6)
       .map(k => s"mh${2 * k}*$P + mh${2 * k + 1}")
       .mkString("[", ", ", "]")
-    QueryDef.sql(
-      "e3_minhash_lsh",
-      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
-         |  FROM documents),
-         |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
-         |  WHERE len(wh) >= 3),
-         |mh AS (SELECT doc_id, shs,
-         |  $mhDuck
-         |  FROM sh WHERE len(shs) > 0),
-         |bands AS (
-         |  SELECT doc_id, unnest(range(0, 6)) AS band_id,
-         |    unnest($bandKeysDuck) AS band_key
-         |  FROM mh),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT doc_a, doc_b,
-         |    round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
-         |      (len(sa.shs) + len(sb.shs)
-         |        - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
-         |  FROM cand
-         |  JOIN mh sa ON sa.doc_id = doc_a
-         |  JOIN mh sb ON sb.doc_id = doc_b)
-         |SELECT * FROM verified WHERE jaccard >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // mh feeds three consumers (the band explode and both verification
-      // join sides); repartitioning by doc_id makes all three reuse one
-      // exchange, so shingle + MinHash expressions evaluate once per doc
-      // and the sa/sb joins need no further shuffle of the array payload.
-      val sh = docShingles(Tables.documents(s, dir))
-      val mh = sh.select(col("doc_id"), col("shs"),
-        F.min_hashes(col("shs")).as("sig"))
-        .repartition(col("doc_id"))
-      val bandKeys = array((0 until 6).map(k =>
-        element_at(col("sig"), 2 * k + 1) * P +
-          element_at(col("sig"), 2 * k + 2)): _*)
-      // The when() guard is vacuously true (docShingles filters empty
-      // shingle sets) — it exists to keep `shs` REFERENCED on this branch
-      // so column pruning can't specialize the scan away from the
-      // verification branches' subtree; all three then read one
-      // ReusedExchange and the shingle pass runs once per document.
-      val bands = mh
-        .select(col("doc_id"),
-          posexplode(when(size(col("shs")) > 0, bandKeys))
-            .as(Seq("band_id", "band_key")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // Same vacuously-true guard as `bands`, in the other direction: the
-      // verification sides must keep `sig` referenced (signatures are
-      // always 12 wide) so all three mh consumers share one exchange.
-      val inter = when(
-        size(col("sa.sig")) > 0 && size(col("sb.sig")) > 0,
-        size(array_intersect(col("sa.shs"), col("sb.shs"))))
-      val jac = round(inter.cast("double") /
-        (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
-      cand
-        .join(mh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(mh.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
-        .orderBy("doc_a", "doc_b")
-    }
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
+       |  WHERE len(wh) >= 3),
+       |mh AS (SELECT doc_id, shs,
+       |  $mhDuck
+       |  FROM sh WHERE len(shs) > 0),
+       |bands AS (
+       |  SELECT doc_id, unnest(range(0, 6)) AS band_id,
+       |    unnest($bandKeysDuck) AS band_key
+       |  FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+       |      (len(sa.shs) + len(sb.shs)
+       |        - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN mh sa ON sa.doc_id = doc_a
+       |  JOIN mh sb ON sb.doc_id = doc_b)""".stripMargin
   }
+
+  /** MinHash-LSH candidate generation + exact-Jaccard verification,
+    * returning every verified candidate pair `(doc_a, doc_b, jaccard)`
+    * (doc_a < doc_b, unordered, unthresholded — callers filter). Shared
+    * by e3 (pair report) and e32 (cluster construction).
+    */
+  private def minhashVerifiedPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    // mh feeds three consumers (the band explode and both verification
+    // join sides); repartitioning by doc_id makes all three reuse one
+    // exchange, so shingle + MinHash expressions evaluate once per doc
+    // and the sa/sb joins need no further shuffle of the array payload.
+    val sh = docShingles(Tables.documents(s, dir))
+    val mh = sh.select(col("doc_id"), col("shs"),
+      F.min_hashes(col("shs")).as("sig"))
+      .repartition(col("doc_id"))
+    val bandKeys = array((0 until 6).map(k =>
+      element_at(col("sig"), 2 * k + 1) * P +
+        element_at(col("sig"), 2 * k + 2)): _*)
+    // The when() guard is vacuously true (docShingles filters empty
+    // shingle sets) — it exists to keep `shs` REFERENCED on this branch
+    // so column pruning can't specialize the scan away from the
+    // verification branches' subtree; all three then read one
+    // ReusedExchange and the shingle pass runs once per document.
+    val bands = mh
+      .select(col("doc_id"),
+        posexplode(when(size(col("shs")) > 0, bandKeys))
+          .as(Seq("band_id", "band_key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Same vacuously-true guard as `bands`, in the other direction: the
+    // verification sides must keep `sig` referenced (signatures are
+    // always 12 wide) so all three mh consumers share one exchange.
+    val inter = when(
+      size(col("sa.sig")) > 0 && size(col("sb.sig")) > 0,
+      size(array_intersect(col("sa.shs"), col("sb.shs"))))
+    val jac = round(inter.cast("double") /
+      (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
+    cand
+      .join(mh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(mh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  /** Dedup CLUSTERS from the LSH near-dup pairs: connected components
+    * over the verified-pair graph (threshold 0.2 — looser than e3's
+    * report threshold so transitive chains actually form), labeling each
+    * near-dup document with the min doc_id of its component, its cluster
+    * size, and whether it is the canonical survivor. This is the step a
+    * production dedup stage runs AFTER pair generation: keep-one-per-PAIR
+    * over-deletes on chains (a~b, b~c must keep a and delete b,c — not
+    * orphan c). See [[graft.operators.ConnectedComponents]] for the
+    * O(log diameter) pointer-jumping design; the DuckDB oracle walks the
+    * same graph with a recursive CTE and takes min over each node's
+    * reachable set — an independent formulation of the same fixpoint.
+    */
+  private def e32DedupClusters =
+    QueryDef.sql(
+      "e32_dedup_clusters",
+      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT c.node AS doc_id, c.cluster, s.cluster_size,
+         |  CAST(c.node = c.cluster AS INT) AS canonical
+         |FROM comp c
+         |JOIN (SELECT cluster, count(*) AS cluster_size FROM comp
+         |      GROUP BY cluster) s USING (cluster)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val sizes = comp.groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.select(col("node").as("doc_id"), col("comp").as("cluster"))
+        .join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).cast("int").as("canonical"))
+        .orderBy("doc_id")
+    }
 
   /** Adds `n_same` = cluster size of `keyCol` via groupBy(key).count +
     * an equi-join back — NOT `count over (partition by key)`: a window
