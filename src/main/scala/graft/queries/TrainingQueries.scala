@@ -36,7 +36,7 @@ object TrainingQueries {
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
-    e30SpanDedup, e31TopWordPerLang)
+    e30SpanDedup, e31TopWordPerLang, e33StratifiedSample)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -528,5 +528,53 @@ object TrainingQueries {
       .select(col("lang"), (-col("m.nh")).as("top_hash"),
         col("m.c").as("n"))
       .orderBy("lang")
+  }
+
+  /** Stratified deterministic downsampling (rebalance stage): sample
+    * each language down to the size of the SMALLEST language stratum, so
+    * an over-represented language stops dominating the training mix.
+    * Per-stratum rate = n_min / n_lang, applied as a hash-threshold
+    * test: keep doc iff draw * n_lang < n_min * P with draw uniform in
+    * [0, P) — pure integer arithmetic (DECIMAL/HUGEINT products, no
+    * float rate), so membership is bit-exact on both engines and STABLE:
+    * re-running on a grown corpus keeps a superset-consistent rule
+    * rather than reshuffling membership the way sample() would.
+    *
+    * Scale: one small per-stratum count aggregate (rows = #languages),
+    * broadcast back over the corpus; the sample test is then per-row
+    * expression work on the scan — no shuffle of the corpus at all, and
+    * expected output size is #strata * n_min by construction.
+    */
+  private def e33StratifiedSample = {
+    val seed = 7L
+    val drawDuck = MockData.hashLongDuck(seed, "strat", "doc_id")
+    QueryDef.sql(
+      "e33_stratified_sample",
+      s"""WITH s AS (SELECT lang, count(*) AS n_lang FROM documents
+         |  GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS n_min FROM s),
+         |d AS (SELECT doc_id, lang, $drawDuck AS draw FROM documents)
+         |SELECT d.doc_id, d.lang, s.n_lang
+         |FROM d JOIN s USING (lang) CROSS JOIN m
+         |WHERE CAST(d.draw AS HUGEINT) * s.n_lang
+         |    < CAST(m.n_min AS HUGEINT) * $P
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      // n_min is a ONE-ROW aggregate over #strata rows (a handful at any
+      // corpus size) — pulled to the driver as the sampling threshold
+      // scalar, like the reference's own bounded driver pulls. Keeping
+      // it relational would need a cross join (a BroadcastNestedLoopJoin
+      // the plan lint rightly rejects) for a value that is a constant of
+      // the run.
+      val nMin = strata.agg(min(col("n_lang"))).head.getLong(0)
+      val draw = MockData.hashLong(seed, "strat", col("doc_id"))
+      docs.select(col("doc_id"), col("lang"), draw.as("draw"))
+        .join(broadcast(strata), "lang")
+        .where(col("draw").cast("decimal(38,0)") * col("n_lang") <
+          lit(nMin).cast("decimal(38,0)") * P)
+        .select("doc_id", "lang", "n_lang")
+        .orderBy("doc_id")
+    }
   }
 }
