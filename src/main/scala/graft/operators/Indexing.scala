@@ -56,4 +56,53 @@ object Indexing {
       }
     DatasetBridge.internalCreateDataFrame(spark, indexed, schema)
   }
+
+  /** Adds `cumName` = EXCLUSIVE global prefix sum of `weight` in `key`
+    * order (sum of all strictly-preceding rows' weights; first row gets
+    * 0) — the weighted generalization of [[withGlobalIndex]], and the
+    * primitive behind token-budget sharding / sequence packing.
+    *
+    * Same two-job shape and the same AQE-safety argument as
+    * zipWithIndex: a per-partition totals job and an emit job both bind
+    * to ONE RDD lineage (partitioning AQE never rewrites), so the
+    * offsets always describe exactly the partitions the emit pass
+    * reads — never a `spark_partition_id()` join across plan branches.
+    * The totals job collects one long per partition; every data-bearing
+    * stage is parallel.
+    */
+  def withRunningTotal(
+      df: DataFrame, key: Column, weight: Column, cumName: String,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val tagged = df.withColumn("__w",
+      coalesce(weight.cast(LongType), lit(0L)))
+    val sorted = tagged.repartitionByRange(parts, key)
+      .sortWithinPartitions(key)
+    val wIdx = sorted.schema.fieldIndex("__w")
+    val rdd = sorted.queryExecution.toRdd.map(_.copy())
+    val totals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(wIdx))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(cumName, LongType, nullable = false)
+    val emitted = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { row =>
+        val out = new JoinedRow(row,
+          new GenericInternalRow(Array[Any](acc))): InternalRow
+        acc += row.getLong(wIdx)
+        out
+      }
+    }
+    DatasetBridge.internalCreateDataFrame(spark, emitted, schema)
+      .drop("__w")
+  }
 }

@@ -36,7 +36,7 @@ object TrainingQueries {
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
-    e30SpanDedup, e31TopWordPerLang, e33StratifiedSample)
+    e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -575,6 +575,50 @@ object TrainingQueries {
           lit(nMin).cast("decimal(38,0)") * P)
         .select("doc_id", "lang", "n_lang")
         .orderBy("doc_id")
+    }
+  }
+
+  /** Token-budget sharding (pack stage): split the corpus, in doc_id
+    * order, into shards of ~`Budget` words each — the document-level
+    * sharding a trainer needs to feed ~equal-token files to data-parallel
+    * workers. shard_id = exclusive-prefix-sum(tokens) div Budget, so a
+    * document starting inside shard k belongs to shard k (shards can
+    * overhang by at most one document — document-preserving packing).
+    *
+    * The global weighted prefix sum uses
+    * [[graft.operators.Indexing.withRunningTotal]]: range-repartition +
+    * per-partition sums + one offsets pass over a single RDD lineage —
+    * every data stage parallel, no single-task global window (which is
+    * what the oracle's `sum() OVER (ORDER BY)` would compile to on
+    * Spark). Output is one row per SHARD (corpus_tokens/Budget rows),
+    * aggregated with an ordinary groupBy.
+    */
+  private def e34TokenShards = {
+    val budget = 2000L
+    QueryDef.sql(
+      "e34_token_shards",
+      s"""WITH w AS (SELECT doc_id,
+         |    len(${Portable.wordsDuck}) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM w)
+         |SELECT cum_before // $budget AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"))
+      graft.operators.Indexing
+        .withRunningTotal(toks, col("doc_id"), col("n_tok"), "cum_before")
+        .groupBy((col("cum_before") / budget).cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("shard_id")
     }
   }
 }

@@ -33,6 +33,34 @@ class IndexingSpec extends SparkSpecBase {
     }
   }
 
+  test("withRunningTotal equals the sequential exclusive prefix sum") {
+    import spark.implicits._
+    val rows = scala.util.Random.shuffle(
+      (1 to 1500).map(i => (i.toLong, ((i * 31) % 17).toLong)).toList)
+    val df = rows.toDF("k", "w").repartition(9)
+    for (parts <- Seq(1, 4, 7)) {
+      val got = Indexing
+        .withRunningTotal(df, col("k"), col("w"), "cum", parts)
+        .select("k", "w", "cum").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      // sequential oracle: cum(i) = sum of w over keys < k(i)
+      var acc = 0L
+      val exp = rows.sortBy(_._1).map { case (k, w) =>
+        val r = (k, w, acc); acc += w; r
+      }
+      assert(got.toSeq === exp, s"broken at parts=$parts")
+    }
+  }
+
+  test("withRunningTotal treats NULL weights as zero") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("k", "w")
+    val got = Indexing.withRunningTotal(df, col("k"), col("w"), "cum", 2)
+      .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L), (2L, 5L), (3L, 5L)))
+  }
+
   test("no single-task global sort of the data in the plan") {
     import spark.implicits._
     val df = (1 to 100).toDF("k")
