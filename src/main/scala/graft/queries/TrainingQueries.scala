@@ -605,7 +605,7 @@ object TrainingQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS cum_before
          |  FROM w)
-         |SELECT cum_before // $budget AS shard_id,
+         |SELECT CAST(cum_before // $budget AS BIGINT) AS shard_id,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
