@@ -36,7 +36,8 @@ object TrainingQueries {
   val all: Seq[QueryDef] = Seq(
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
-    e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards)
+    e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
+    e35LengthQuantiles)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -620,5 +621,55 @@ object TrainingQueries {
           max(col("doc_id")).as("last_doc"))
         .orderBy("shard_id")
     }
+  }
+
+  /** EXACT per-language length percentiles (p50/p90/p99 of n_chars),
+    * computed the scale-safe way: aggregate to (lang, n_chars) value
+    * frequencies FIRST (one corpus-wide groupBy — the only pass over the
+    * data), then run the cumulative window and rank selection over that
+    * DISTINCT-VALUE table, whose size is #langs x #distinct-lengths —
+    * vocabulary-bounded, independent of corpus row count. A window
+    * partitioned by lang directly over the corpus would put every doc of
+    * a language in one task; over the frequency table it's a few hundred
+    * rows per language. Rank math is pure integers (rank_p =
+    * ceil(p * n) via (a + b - 1) div b), so the quantile definition —
+    * smallest value whose cumulative count reaches the rank
+    * (quantile_disc) — is bit-portable, unlike interpolating
+    * percentile() whose float arithmetic differs per engine.
+    */
+  private def e35LengthQuantiles = QueryDef.sql(
+    "e35_length_quantiles",
+    """WITH freq AS (SELECT lang, n_chars, count(*) AS cnt
+      |  FROM documents GROUP BY lang, n_chars),
+      |cum AS (SELECT lang, n_chars,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM freq),
+      |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM freq
+      |  GROUP BY lang)
+      |SELECT c.lang, t.n AS n_docs,
+      |  min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END) AS p50,
+      |  min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END) AS p90,
+      |  min(CASE WHEN c.cum >= (99*t.n + 99) // 100 THEN c.n_chars END)
+      |    AS p99
+      |FROM cum c JOIN tot t USING (lang)
+      |GROUP BY c.lang, t.n ORDER BY c.lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = freq.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    def atRank(rank: org.apache.spark.sql.Column) =
+      min(when(col("cum") >= rank, col("n_chars")))
+    cum.join(tot, "lang")
+      .groupBy(col("lang"), col("n").as("n_docs"))
+      .agg(
+        atRank(expr("(n + 1) div 2")).as("p50"),
+        atRank(expr("(9*n + 9) div 10")).as("p90"),
+        atRank(expr("(99*n + 99) div 100")).as("p99"))
+      .orderBy("lang")
   }
 }
