@@ -16,10 +16,12 @@ object ProbeMain {
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       // Warmup must run df's OWN QueryExecution so the adaptive plan
-      // finalizes for the dump below (count() clones the plan and leaves
-      // isFinalPlan=false); foreach discards rows on the executors, so
-      // unlike collect() a large result can't OOM the driver.
-      df.foreach(_ => ())
+      // finalizes for the dump below (count() AND Dataset.foreach both
+      // clone the plan, leaving isFinalPlan=false); executing toRdd
+      // drives exactly this QueryExecution, and foreach on it discards
+      // rows on the executors, so unlike collect() a large result can't
+      // OOM the driver.
+      df.queryExecution.toRdd.foreach(_ => ())
       // Rebuild per timed run: a fresh plan means fresh RDDs, so no
       // shuffle-stage reuse from the warmup — same conditions as Bench.
       val t0 = System.nanoTime()
