@@ -25,7 +25,8 @@ object ReferenceQueries {
     q14EventsWindow, q15GenScalars, q16Attribution, q17Sessionize,
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
-    q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot)
+    q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
+    q30IncrementalMerge, q31TopkPerGroup)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -986,5 +987,87 @@ object ReferenceQueries {
       names.map { case (v, n) =>
         coalesce(col(s"`$v`"), lit(0L)).as(n)
       }: _*)
+  }
+
+  /** Incremental merge / upsert (the dbt `incremental` materialization
+    * and SQL MERGE INTO, keep-latest-version-per-key flavor): a base
+    * snapshot unioned with an update batch, resolved to one surviving
+    * row per key by version argmax. The update batch here is derived
+    * DETERMINISTICALLY from orders (keys divisible by 7 get a status
+    * flip and a 10.00 price bump, computed in exact cents) so both
+    * engines construct identical inputs; the operator under test is the
+    * merge itself.
+    *
+    * Scale: one hash shuffle of (key, version, changed columns) — the
+    * struct-argmax resolves map-side partials first, so the exchange
+    * carries one row per key per partition, not the union's full row
+    * count. No join: the DuckDB twin keeps the portable
+    * max-then-filter formulation, the Spark side uses the single
+    * struct-max aggregate (version is distinct per key, so later struct
+    * fields never decide the max).
+    */
+  private def q30IncrementalMerge = QueryDef.sql(
+    "q30_incremental_merge",
+    s"""WITH base AS (SELECT o_orderkey, 0 AS version, o_orderstatus,
+       |    ${centsDuck("o_totalprice")} AS cents
+       |  FROM orders),
+       |upd AS (SELECT o_orderkey, 1 AS version, 'U' AS o_orderstatus,
+       |    ${centsDuck("o_totalprice")} + 1000 AS cents
+       |  FROM orders WHERE o_orderkey % 7 = 0),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |m AS (SELECT o_orderkey, max(version) AS v FROM u
+       |  GROUP BY o_orderkey)
+       |SELECT u.o_orderkey, CAST(u.version AS INT) AS version,
+       |  u.o_orderstatus, u.cents
+       |FROM u JOIN m ON u.o_orderkey = m.o_orderkey AND u.version = m.v
+       |ORDER BY u.o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val base = orders.select(
+      col("o_orderkey"), lit(0).as("version"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("cents"))
+    val upd = orders.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey"), lit(1).as("version"),
+      lit("U").as("o_orderstatus"),
+      (cents(col("o_totalprice")) + 1000L).as("cents"))
+    base.unionByName(upd)
+      .groupBy("o_orderkey")
+      .agg(max(struct(col("version"), col("o_orderstatus"), col("cents")))
+        .as("m"))
+      .select(col("o_orderkey"), col("m.version").as("version"),
+        col("m.o_orderstatus").as("o_orderstatus"),
+        col("m.cents").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Per-group top-k (top-3 orders by value within each priority class)
+    * via `row_number` over a PARTITIONED window + rank filter. Spark 4
+    * compiles this rank-filter shape into WindowGroupLimit with a
+    * partial (map-side) phase, so each task emits at most k rows per
+    * group BEFORE the exchange — the shuffle carries ~k rows per
+    * (group, input partition) instead of the whole table, the
+    * distributed form of q13's global TakeOrdered. Deterministic
+    * tie-break: (cents, o_orderkey) is unique.
+    */
+  private def q31TopkPerGroup = QueryDef.sql(
+    "q31_topk_per_group",
+    s"""WITH r AS (SELECT o_orderpriority, o_orderkey,
+       |    ${centsDuck("o_totalprice")} AS cents,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${centsDuck("o_totalprice")} DESC, o_orderkey)
+       |      AS rnk
+       |  FROM orders)
+       |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+       |  cents
+       |FROM r WHERE rnk <= 3
+       |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_orderpriority", "rnk")
   }
 }
