@@ -26,7 +26,7 @@ object ReferenceQueries {
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
-    q30IncrementalMerge, q31TopkPerGroup)
+    q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1069,5 +1069,37 @@ object ReferenceQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy("o_orderpriority", "rnk")
+  }
+
+  /** Hot-key-safe fact-dim join via explicit salting
+    * ([[graft.operators.SkewJoin.saltedEquiJoin]]): the fact side's key
+    * is spread over 8 salt values and the dim side replicated per salt,
+    * so a pathologically hot key occupies 8 tasks instead of straggling
+    * one — the manual form of AQE's skew-join split, usable when the
+    * skew is known ahead of time or AQE's thresholds won't trigger.
+    * Results are identical to the plain equi-join BY CONSTRUCTION (each
+    * fact row meets its dim row exactly once, under its own salt), which
+    * is exactly what the oracle asserts: the DuckDB twin is the UNSALTED
+    * join + aggregation. Revenue in exact integer cents.
+    */
+  private def q32SaltedJoin = QueryDef.sql(
+    "q32_salted_join",
+    s"""SELECT o.o_orderstatus,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  ${revenueTDuck("l.l_extendedprice", "l.l_discount")} AS revenue_t
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin) {
+    (s, dir) =>
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount"))
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedEquiJoin(fact, dim, "okey", salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          revenueT(col("l_extendedprice"), col("l_discount"))
+            .as("revenue_t"))
+        .orderBy("o_orderstatus")
   }
 }
