@@ -61,7 +61,23 @@ def main():
         rows_ok = len(sr) == len(orr)
         schema_ok = sorted(scols) == sorted(ocols)
         hash_ok = canon(sr, scols) == canon(orr, ocols) if rows_ok and schema_ok else False
-        ok = rows_ok and schema_ok and hash_ok
+        # fetchdf-level repr check: DuckDB HUGEINT (e.g. any sum()) comes
+        # through pandas as float64 ('0.0' vs '0'), which fetchall hides;
+        # tools/oracle_check.py compares via dataframes, so mirror that
+        # strictness here for the queries being checked.
+        repr_ok = True
+        if rows_ok and schema_ok and hash_ok:
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            odf = con.execute(oracles[name]).fetchdf()
+            cols = sorted(scols)
+            def dfcanon(df):
+                return sorted(tuple(repr(v) for v in r)
+                              for r in df[cols].astype(object).values)
+            repr_ok = dfcanon(sdf) == dfcanon(odf)
+            if not repr_ok:
+                print(f"  [repr] dataframe-level mismatch (HUGEINT->float?)")
+        ok = rows_ok and schema_ok and hash_ok and repr_ok
         n_pass += ok
         n_fail += (not ok)
         msg = "PASS" if ok else (
