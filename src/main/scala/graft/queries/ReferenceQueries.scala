@@ -26,7 +26,7 @@ object ReferenceQueries {
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
-    q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin)
+    q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1101,5 +1101,38 @@ object ReferenceQueries {
           revenueT(col("l_extendedprice"), col("l_discount"))
             .as("revenue_t"))
         .orderBy("o_orderstatus")
+  }
+
+  /** GROUPING SETS with explicit grouping markers — the general form of
+    * q28's ROLLUP: three chosen aggregation levels ((status, priority),
+    * (status), (priority)) in one pass over the fact table, with
+    * `grouping()` flags disambiguating a real NULL group key from a
+    * rolled-up one. One shuffle total: Spark expands the sets map-side
+    * and aggregates once, exactly like the SQL. Counts are exact
+    * integers; the NULL-vs-rollup distinction is the correctness edge
+    * this query pins.
+    */
+  private def q33GroupingSets = QueryDef.sql(
+    "q33_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority))
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+      |""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("q33_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n_orders
+        |FROM q33_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        |""".stripMargin)
   }
 }
