@@ -38,7 +38,8 @@ object ExtensionQueries {
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
-    e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters)
+    e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
+    e6cAnnMultiprobe)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -578,15 +579,28 @@ object ExtensionQueries {
     * compiles to partial-mode WindowGroupLimit before its exchange,
     * shuffling <= k rows per (query, partition).
     */
+  /** `bits`-bit sign-LSH signature of `embedding`, as paired DuckDB SQL
+    * and Spark Column expressions (shared by annLsh and the multi-probe
+    * variant).
+    */
+  private def lshSigDuck(bits: Int): String = (0 until bits).map { j =>
+    "(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+      " list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * " +
+      Portable.hyperplaneWeightDuck(j) +
+      s")), (s, v) -> s + v) > 0 THEN CAST(${1L << j} AS BIGINT)" +
+      " ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private def lshSigSpark(bits: Int, embD: Column): Column =
+    (0 until bits).map { j =>
+      val wArr = array(
+        (0 until 64).map(d => lit(Portable.hyperplaneWeight(j, d))): _*)
+      when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def annLsh(
       name: String, bits: Int, k: Int, bucketCap: Long): QueryDef = {
-    val sigDuck = (0 until bits).map { j =>
-      "(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
-        " list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * " +
-        Portable.hyperplaneWeightDuck(j) +
-        s")), (s, v) -> s + v) > 0 THEN CAST(${1L << j} AS BIGINT)" +
-        " ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
+    val sigDuck = lshSigDuck(bits)
     QueryDef.sql(
       name,
       s"""WITH s0 AS (SELECT vec_id, embedding, $sigDuck AS sig
@@ -607,11 +621,7 @@ object ExtensionQueries {
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
       (s, dir) =>
         val embD = col("embedding").cast("array<double>")
-        val sig = (0 until bits).map { j =>
-          val wArr = array(
-            (0 until 64).map(d => lit(Portable.hyperplaneWeight(j, d))): _*)
-          when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
+        val sig = lshSigSpark(bits, embD)
         // Signature + norm computed once per pair-join side via a shared
         // repartition-by-sig exchange (ReusedExchange), and
         // HashPartitioning(sig) already satisfies the pair join's
@@ -655,6 +665,86 @@ object ExtensionQueries {
     */
   private def e6bAnnLsh12 = annLsh("e6b_ann_lsh12", bits = 12, k = 3,
     bucketCap = 10000L)
+
+  /** Multi-probe sign-LSH ANN — the recall lever that lets the signature
+    * stay WIDE (cheap buckets) without losing near-boundary neighbors: a
+    * vector whose true neighbor lands one sign-flip away is missed by
+    * exact-bucket search, so each query probes its own bucket plus the
+    * `bits` buckets at Hamming distance 1 (all single-bit flips). This
+    * multiplies candidate GENERATION by bits+1 while keeping bucket
+    * population unchanged — the classic multi-probe trade (probe more,
+    * hash less) vs e6's raise-the-width-only design.
+    *
+    * Scale shape: the probe table carries only (query_id, probe_sig) —
+    * ids and 8-byte signatures, never embeddings — so the candidate join
+    * shuffles fixed-width rows; embeddings and norms are fetched for the
+    * verified candidate ids via the e3-style id joins afterwards. A pair
+    * at Hamming<=1 matches through exactly one probe, so candidates are
+    * duplicate-free by construction (no DISTINCT pass needed).
+    */
+  private def e6cAnnMultiprobe = {
+    val bits = 10
+    val k = 3
+    QueryDef.sql(
+      "e6c_ann_multiprobe",
+      s"""WITH s0 AS (SELECT vec_id, embedding, ${lshSigDuck(bits)} AS sig
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id AS query_id,
+         |    unnest(list_prepend(sig, list_transform(range(0, $bits),
+         |      j -> xor(sig, CAST(1 AS BIGINT) << j)))) AS psig
+         |  FROM s0),
+         |cand AS (SELECT pr.query_id, b.vec_id AS neighbor_id
+         |  FROM pr JOIN s0 b ON pr.psig = b.sig
+         |    AND pr.query_id <> b.vec_id),
+         |pairs AS (SELECT query_id, neighbor_id,
+         |    round(${dotDuck("a", "b")} /
+         |      (${normDuck("a")} * ${normDuck("b")}), 4) + 0 AS cosine
+         |  FROM cand
+         |  JOIN s0 a ON a.vec_id = cand.query_id
+         |  JOIN s0 b ON b.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= $k
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
+      (s, dir) =>
+        val embD = col("embedding").cast("array<double>")
+        // Candidate generation runs over (id, sig) pairs only — the
+        // signature is 10 fused dot products in the scan stage, cheaper
+        // to recompute per probe-join side than to materialize the
+        // corpus (the annLsh count-branch rationale). The two
+        // VERIFICATION sides below are identical (vec_id, emb, nrm)
+        // subtrees shuffled by vec_id, so they share one exchange.
+        val sigs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), lshSigSpark(bits, embD).as("sig"))
+        val probeSigs = array(
+          col("sig") +: (0 until bits).map(j =>
+            col("sig").bitwiseXOR(lit(1L << j))): _*)
+        val probes = sigs
+          .select(col("vec_id").as("query_id"),
+            explode(probeSigs).as("psig"))
+        val cand = probes
+          .join(sigs.select(col("vec_id").as("neighbor_id"),
+            col("sig").as("psig")), "psig")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id")
+        val vs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), embD.as("emb"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        val cosine = round(
+          dot(col("a.emb"), col("b.emb")) /
+            (col("a.nrm") * col("b.nrm")), 4)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        cand
+          .join(vs.as("a"), col("query_id") === col("a.vec_id"))
+          .join(vs.as("b"), col("neighbor_id") === col("b.vec_id"))
+          .select(col("query_id"), col("neighbor_id"), cosine.as("cosine"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .drop("rk")
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }
+  }
 
   /** Embedding-cosine near-dup DEDUP (the fifth dedup mode of the brief,
     * complementing exact/e1, n-gram/e2, MinHash/e3, SimHash/e4): flags
