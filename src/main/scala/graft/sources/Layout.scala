@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for the write side — the levers SCALING.md
+  * names for the next 100x, made concrete:
+  *
+  *  - **Partitioned parquet** (`writePartitioned`): hive-style
+  *    directory partitioning on low-cardinality columns, so any read
+  *    filtered on them prunes whole directories before a byte is
+  *    scanned (`PartitionFilters` in the scan node, not `PushedFilters`).
+  *    File sizing is controlled by repartitioning on the partition
+  *    columns (+ an optional spread key for hot partitions) BEFORE the
+  *    write: without it every task writes a sliver into every
+  *    partition — the classic small-files explosion at fleet scale.
+  *
+  *  - **Bucketed tables** (`writeBucketed`): pre-shuffled, per-bucket
+  *    sorted table layout registered in the catalog. Two tables
+  *    bucketed on the same key with the same bucket count join with NO
+  *    exchange on either side (`SortMergeJoin` directly over the
+  *    bucketed scans) — the standing shuffle of a fact-fact join paid
+  *    ONCE at write time instead of on every query. This is the
+  *    "bucketed mart tables" lever for the fct star joins.
+  *
+  * Both are thin, typed wrappers over the native writers — the point is
+  * the layout contract and the plan properties, which LayoutSpec pins
+  * (partition pruning visible in the scan; no Exchange in the bucketed
+  * join plan).
+  */
+object Layout {
+
+  /** Write `df` as parquet partitioned by `partCols`, with `filesPerPart`
+    * output files per partition directory (repartition by the partition
+    * columns plus a bounded spread key — deterministic file counts, no
+    * small-files spray).
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partCols: Seq[String],
+      filesPerPart: Int = 1): Unit = {
+    val spread = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      lit(filesPerPart))
+    df.repartition((partCols.map(col) :+ spread): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** Save `df` as a bucketed+sorted catalog table (bucket pruning and
+    * exchange-free same-key joins). Parquet format; `overwrite`.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    // repartition to the bucket hash FIRST: Spark's bucket assignment is
+    // the same Murmur3 hash as repartition(), so each write task then
+    // holds exactly one bucket and emits one file — without this, every
+    // task writes a file into every bucket it touches (tasks x buckets
+    // files, the bucketed flavor of the small-files spray)
+    df.repartition(buckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Join two same-bucketing tables on the bucket key — planned with no
+    * exchange when both sides' bucketing matches the join key.
+    */
+  def bucketedJoin(
+      spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

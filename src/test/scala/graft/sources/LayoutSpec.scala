@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Write-layout contracts: hive partitioning must yield directory
+  * pruning (PartitionFilters, zero rows scanned from pruned dirs) and
+  * controlled file counts; bucketed tables must join with no exchange.
+  */
+class LayoutSpec extends SparkSpecBase {
+
+  test("partitioned write prunes directories and bounds file counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_layout").toString + "/docs"
+    val df = (0 until 3000).map { i =>
+      (i.toLong, s"lang${i % 3}", s"text body $i", (i % 7).toLong)
+    }.toDF("doc_id", "lang", "text", "score")
+    Layout.writePartitioned(df, dir, Seq("lang"), filesPerPart = 2)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3000)
+    // file-count contract: BOUNDED by filesPerPart per directory (hash
+    // spread can merge groups into one task, never split them) — the
+    // property that prevents the small-files spray, where every task
+    // writes a sliver into every partition directory
+    for (l <- 0 until 3) {
+      val files = new java.io.File(s"$dir/lang=lang$l")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 1 && files.length <= 2, s"lang$l")
+    }
+    // pruning contract: a lang filter becomes a PartitionFilter on the
+    // scan (pruned before IO), not a post-scan data filter
+    val q = back.filter(col("lang") === "lang1")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(q.count() === 1000)
+  }
+
+  test("same-bucketing tables join with no exchange") {
+    import spark.implicits._
+    val facts = (0 until 5000)
+      .map(i => (i.toLong % 500, i.toLong)).toDF("k", "v1")
+    val dims = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("k", "d")
+    Layout.writeBucketed(facts, "graft_bkt_fact", "k", 8)
+    Layout.writeBucketed(dims, "graft_bkt_dim", "k", 8)
+    // disable broadcast so the join would otherwise need shuffle
+    // exchanges on both sides; bucketing must make it exchange-free
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Layout.bucketedJoin(spark, "graft_bkt_fact", "graft_bkt_dim", "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(j.count() === 5000)
+      // bucket layout: 8 files per table
+      assert(spark.table("graft_bkt_fact").inputFiles.length === 8)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dim")
+    }
+  }
+}
