@@ -26,7 +26,8 @@ object ReferenceQueries {
     q18JsonProps, q19ShipPriority, q20LocalVolume, q21UuidParts,
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
-    q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets)
+    q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
+    q34SetOps)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1134,5 +1135,37 @@ object ReferenceQueries {
         |  (o_orderstatus), (o_orderpriority))
         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
         |""".stripMargin)
+  }
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics) — customer
+    * retention across two halves of the order history: buyers active in
+    * BOTH periods (INTERSECT) vs active early but gone late (EXCEPT).
+    * Rounds out the set-op family beyond q9's UNION ALL; both compile
+    * to aggregate/anti-join shapes on the shuffled key, no special
+    * operator needed at scale.
+    */
+  private def q34SetOps = QueryDef.sql(
+    "q34_set_ops",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+      |SELECT 'retained' AS status, o_custkey
+      |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT 'churned' AS status, o_custkey
+      |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |ORDER BY status, o_custkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val cut = lit("1995-01-01 00:00:00").cast("timestamp")
+    val early = orders.filter(col("o_orderdate") < cut)
+      .select("o_custkey").distinct()
+    val late = orders.filter(col("o_orderdate") >= cut)
+      .select("o_custkey").distinct()
+    early.intersect(late)
+      .select(lit("retained").as("status"), col("o_custkey"))
+      .unionByName(early.except(late)
+        .select(lit("churned").as("status"), col("o_custkey")))
+      .orderBy("status", "o_custkey")
   }
 }
