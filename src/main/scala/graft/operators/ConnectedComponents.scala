@@ -68,6 +68,10 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // identity init (label = node), deliberately: folding the first
+    // propagation into init (label = min(node, min neighbor)) measured
+    // consistently SLOWER end-to-end — the round it saves is repaid
+    // with interest by the convergence trajectory it induces
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
