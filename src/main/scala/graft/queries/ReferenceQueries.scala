@@ -27,7 +27,7 @@ object ReferenceQueries {
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
-    q34SetOps)
+    q34SetOps, q35RankDistribution, q36DateDensify)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1167,5 +1167,77 @@ object ReferenceQueries {
       .unionByName(early.except(late)
         .select(lit("churned").as("status"), col("o_custkey")))
       .orderBy("status", "o_custkey")
+  }
+
+  /** Distribution-rank windows — ntile quartiles and percent_rank of
+    * customer spend WITHIN each nation. The window is partitioned by
+    * nation (never a global ORDER BY window — that is one task at any
+    * scale); per-partition work is one nation's customers. Rank inputs
+    * are exact integer cents with a unique (cents, custkey) ordering,
+    * so ntile boundaries and percent_rank = (rank-1)/(n-1) are
+    * bit-identical across engines.
+    */
+  private def q35RankDistribution = QueryDef.sql(
+    "q35_rank_distribution",
+    s"""WITH spend AS (SELECT c_nationkey, o_custkey,
+       |    CAST(sum(${centsDuck("o_totalprice")}) AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_nationkey, o_custkey)
+       |SELECT c_nationkey, o_custkey, cents,
+       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       |  round(percent_rank() OVER w, 4) AS pr
+       |FROM spend
+       |WINDOW w AS (PARTITION BY c_nationkey
+       |  ORDER BY cents DESC, o_custkey)
+       |ORDER BY c_nationkey, quartile, cents DESC, o_custkey""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, dir)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(sum(col("c")).as("cents"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+      spend
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .orderBy(col("c_nationkey"), col("quartile"), col("cents").desc,
+          col("o_custkey"))
+  }
+
+  /** Calendar densification (gap filling): explode a generated date
+    * sequence and left-join the real daily order counts, so days with
+    * no orders appear as zeros — the sequence()/generate_series
+    * table-generator surface beyond explode-over-data. The generated
+    * side is bounded by the date range, not the corpus; the count side
+    * is one groupBy.
+    */
+  private def q36DateDensify = QueryDef.sql(
+    "q36_date_densify",
+    """WITH days AS (SELECT unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS d),
+      |cnt AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT days.d, COALESCE(n, 0) AS n_orders
+      |FROM days LEFT JOIN cnt ON days.d = cnt.d
+      |ORDER BY days.d""".stripMargin) { (s, dir) =>
+    val days = s.range(1).select(
+      explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1995-03-31").cast("date"),
+        expr("interval 1 day"))).as("d"))
+    val cnt = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    days.join(cnt, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("d")
   }
 }
