@@ -37,7 +37,7 @@ object TrainingQueries {
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
-    e35LengthQuantiles)
+    e35LengthQuantiles, e36MixtureResample)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -671,5 +671,80 @@ object TrainingQueries {
         atRank(expr("(9*n + 9) div 10")).as("p90"),
         atRank(expr("(99*n + 99) div 100")).as("p99"))
       .orderBy("lang")
+  }
+
+  /** Mixture resampling WITH REPETITION (mix stage): reshape the corpus
+    * to target per-source weights by REPEATING under-represented
+    * sources' documents and downsampling over-represented ones — the
+    * epoch-weighting step that precedes training, where a high-quality
+    * small source is worth multiple epochs. Per doc:
+    * copies = floor(f_s) + Bernoulli(frac(f_s)) with
+    * f_s = w_s * total / (W * n_s), evaluated entirely in integer
+    * rationals: the whole part is (w_s*total) div (W*n_s) and the
+    * fractional test is draw * (W*n_s) < remainder * P in
+    * DECIMAL/HUGEINT — no float rate ever exists, so expansion is
+    * bit-identical across engines and E[n_out_s] = w_s/W * total
+    * exactly. Expansion is `explode(sequence)` with bounded fan-out
+    * (⌈f_s⌉ ≤ W when every source is populated); the per-source count
+    * table is a broadcast like e33's.
+    */
+  private def e36MixtureResample = {
+    val seed = 11L
+    val weights = Seq("src0" -> 4L, "src1" -> 3L, "src2" -> 1L,
+      "src3" -> 1L, "src4" -> 1L)
+    val wSum = weights.map(_._2).sum // W = 10
+    val drawDuck = MockData.hashLongDuck(seed, "mix", "doc_id")
+    val wCaseDuck = weights
+      .map { case (s0, w) => s"WHEN '$s0' THEN $w" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    QueryDef.sql(
+      "e36_mixture_resample",
+      s"""WITH s AS (SELECT source, count(*) AS n_s FROM documents
+         |  GROUP BY source),
+         |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS total FROM s),
+         |d AS (SELECT doc_id, source, $drawDuck AS draw,
+         |    $wCaseDuck AS w FROM documents),
+         |c AS (SELECT d.doc_id, d.source,
+         |    (d.w * t.total) // ($wSum * s.n_s)
+         |      + CASE WHEN CAST(d.draw AS HUGEINT) * ($wSum * s.n_s)
+         |          < CAST((d.w * t.total) % ($wSum * s.n_s) AS HUGEINT) * $P
+         |        THEN 1 ELSE 0 END AS copies
+         |  FROM d JOIN s USING (source) CROSS JOIN t),
+         |ex AS (SELECT doc_id, source,
+         |    unnest(range(CAST(copies AS BIGINT))) AS i FROM c)
+         |SELECT source, count(*) AS n_out,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         |  CAST(max(i) + 1 AS BIGINT) AS max_copies
+         |FROM ex GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        // total is a one-row aggregate — driver scalar, the e33 pattern
+        val total = perSrc.agg(sum(col("n_s"))).head.getLong(0)
+        val wCol = weights.foldLeft(lit(0L)) { case (acc, (s0, w0)) =>
+          when(col("source") === s0, lit(w0)).otherwise(acc)
+        }
+        val draw = MockData.hashLong(seed, "mix", col("doc_id"))
+        // integer `div`, not floor(double /): at fleet scale num/den can
+        // exceed double's exact-integer range and floor would be off at
+        // boundaries the oracle's // computes exactly
+        val copies = expr("num div den") +
+          when(col("draw").cast("decimal(38,0)") * col("den") <
+            (col("num") % col("den")).cast("decimal(38,0)") * P, 1L)
+            .otherwise(0L)
+        docs.select(col("doc_id"), col("source"), draw.as("draw"))
+          .join(broadcast(perSrc), "source")
+          .withColumn("den", col("n_s") * wSum) // W * n_s
+          .withColumn("num", wCol * total)      // w_s * total
+          .withColumn("copies", copies)
+          .select(col("doc_id"), col("source"),
+            explode(when(col("copies") > 0,
+              sequence(lit(0L), col("copies") - 1))).as("i"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_out"),
+            countDistinct(col("doc_id")).as("n_distinct"),
+            (max(col("i")) + 1).as("max_copies"))
+          .orderBy("source")
+    }
   }
 }
