@@ -686,7 +686,10 @@ object TrainingQueries {
     * bit-identical across engines and E[n_out_s] = w_s/W * total
     * exactly. Expansion is `explode(sequence)` with bounded fan-out
     * (⌈f_s⌉ ≤ W when every source is populated); the per-source count
-    * table is a broadcast like e33's.
+    * table is a broadcast like e33's. Sources absent from the weight
+    * table get weight 0 and are dropped — the mixture spec is the
+    * allowlist, deliberately (an unknown source in a training mix is a
+    * bug, not a default).
     */
   private def e36MixtureResample = {
     val seed = 11L
