@@ -46,4 +46,31 @@ class SkewJoinSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
     assert(hot === Seq(7L))
   }
+
+  test("semi/anti salted joins match plain; replicating types rejected") {
+    import spark.implicits._
+    val fact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (9L, 90L))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
+
+    // semi: each matching fact row exactly once despite dim replication
+    val semi = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 4,
+      joinType = "left_semi")
+    val plainSemi = fact.join(dim, Seq("k"), "left_semi")
+    assert(semi.exceptAll(plainSemi).isEmpty &&
+      plainSemi.exceptAll(semi).isEmpty)
+
+    // anti: the dim key is visible at EVERY salt, so no false keeps
+    val anti = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 4,
+      joinType = "left_anti")
+    assert(anti.select("payload").as[Long].collect().toSeq === Seq(90L))
+
+    // right/full outer would emit each unmatched dim row once per salt
+    for (jt <- Seq("right", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("duplicate"), jt)
+    }
+  }
 }
