@@ -46,8 +46,11 @@ object KMeans {
   def fit(
       points: DataFrame, idCol: String, vecCol: String, dims: Int,
       k: Int, iters: Int): Array[Array[Double]] = {
+    // NULL vectors can't be assigned or averaged — drop them here, the
+    // same never-matches semantics as the join operators' NULL keys
     val vecs = points.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
     require(vecs.limit(k).count() == k,
       s"need at least $k points")
     val first = vecs.orderBy("id").limit(1).select("v").head
