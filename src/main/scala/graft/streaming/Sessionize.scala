@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming sessionization with CUSTOM state — the
@@ -63,6 +64,9 @@ object Sessionize {
     import spark.implicits._
     events
       .selectExpr("user_id", "event_id", "ts")
+      // NULL keys/timestamps can't be sessionized (and would NPE the
+      // primitive-Long encoder) — drop at the boundary, as elsewhere
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .as[Event]
       .groupByKey(_.user_id)
