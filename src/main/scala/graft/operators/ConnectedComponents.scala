@@ -84,32 +84,36 @@ object ConnectedComponents {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("v"), col("comp").as("nc")), "v")
-        .groupBy(col("u").as("node")).agg(min(col("nc")).as("nc"))
-      val prop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      val jumped = prop
-        .join(prop.select(col("node").as("pn"), col("comp").as("pc")),
-          col("comp") === col("pn"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
-      // Per-round eager localCheckpoint, deliberately: it flattens the
-      // LOGICAL plan to a LogicalRDD as well as truncating lineage. The
-      // propagate and jump joins each read the previous table twice, so
-      // an uncheckpointed chain doubles the analyzed plan every round —
-      // measured 2x wall time from optimizer walks alone by round ~4,
-      // on top of the exponential-recompute risk.
-      val next = jumped.localCheckpoint(true)
-      val newSum = labelSum(next)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      labels = next
-      rounds += 1
-    }
-    sym.unpersist()
+    // try/finally so a non-convergence require or a job failure inside
+    // the loop doesn't leak the cached symmetric edge list for the
+    // session's lifetime.
+    try {
+      while (!converged && rounds < maxRounds) {
+        val nbrMin = sym
+          .join(labels.select(col("node").as("v"), col("comp").as("nc")), "v")
+          .groupBy(col("u").as("node")).agg(min(col("nc")).as("nc"))
+        val prop = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        val jumped = prop
+          .join(prop.select(col("node").as("pn"), col("comp").as("pc")),
+            col("comp") === col("pn"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
+        // Per-round eager localCheckpoint, deliberately: it flattens the
+        // LOGICAL plan to a LogicalRDD as well as truncating lineage. The
+        // propagate and jump joins each read the previous table twice, so
+        // an uncheckpointed chain doubles the analyzed plan every round —
+        // measured 2x wall time from optimizer walks alone by round ~4,
+        // on top of the exponential-recompute risk.
+        val next = jumped.localCheckpoint(true)
+        val newSum = labelSum(next)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        labels = next
+        rounds += 1
+      }
+    } finally sym.unpersist()
     require(converged,
       s"connected components did not converge in $maxRounds rounds")
     labels

@@ -51,8 +51,12 @@ object KMeans {
     val vecs = points.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
-    require(vecs.limit(k).count() == k,
-      s"need at least $k points")
+    // k DISTINCT vectors, not just k rows: with fewer distinct points the
+    // farthest-point init would silently emit duplicate centroids (every
+    // remaining max-distance is 0), leaving permanently empty clusters in
+    // the codebook.
+    require(vecs.select("v").distinct().limit(k).count() == k,
+      s"need at least $k distinct points")
     val first = vecs.orderBy("id").limit(1).select("v").head
       .getSeq[Double](0).toArray
     var centroids: Array[Array[Double]] = Array(first)

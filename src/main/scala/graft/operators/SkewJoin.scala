@@ -40,12 +40,18 @@ object SkewJoin {
     require(SupportedJoinTypes(joinType.toLowerCase),
       s"saltedEquiJoin: joinType '$joinType' would duplicate unmatched dim " +
         "rows (dim side is replicated per salt); use inner/left/semi/anti")
-    // Deterministic salt: a hash of the fact row's key and a row-unique
-    // tiebreak would need a uid column; monotonically_increasing_id is
-    // partition-stable WITHIN one evaluation, which is all a salt needs
-    // (it only spreads rows, it never affects join semantics).
+    // Salt derived from ROW CONTENT only: a nondeterministic component
+    // (rand, monotonically_increasing_id) would re-salt rows differently
+    // when a lost shuffle map output forces partial stage recomputation —
+    // Spark's indeterminate-stage rollback does not cover expression-level
+    // nondeterminism inside a partitioning key, so rows could be
+    // duplicated or dropped across attempt generations. Hashing every
+    // fact column reproduces identical salts on any recomputation; fully
+    // identical rows share a salt, which only matters if the hot key's
+    // rows are also near-total duplicates.
     val salted = fact.withColumn(
-      "__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      "__salt", pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*),
+        lit(salts)))
     val replicated = dim.withColumn(
       "__salt", explode(array((0 until salts).map(lit(_)): _*)))
     val out = salted.join(replicated, Seq(key, "__salt"), joinType)

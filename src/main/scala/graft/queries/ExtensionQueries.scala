@@ -681,20 +681,38 @@ object ExtensionQueries {
     * verified candidate ids via the e3-style id joins afterwards. A pair
     * at Hamming<=1 matches through exactly one probe, so candidates are
     * duplicate-free by construction (no DISTINCT pass needed).
+    *
+    * Hot-bucket cap (the all-buckets-capped rule): without one, every
+    * probe joins uncapped against all vectors sharing the probed
+    * signature, so a boilerplate-heavy corpus with one hot bucket makes
+    * candidate generation quadratic in bucket population — the exact
+    * plan shape e6/e6b's bucketCap eliminates. Same sub-split here: the
+    * neighbor side of the probe join splits each bucket into
+    * ceil(cnt/cap) sub-buckets by vec_id, and a probe addresses the
+    * sub-bucket its own query_id hashes to. Bounds per-query candidates
+    * from any bucket to ~cap (a recall trade only hot buckets pay);
+    * mirrored in the oracle, and a no-op below the cap (ns = 1).
     */
   private def e6cAnnMultiprobe = {
     val bits = 10
     val k = 3
+    val bucketCap = 10000L
     QueryDef.sql(
       "e6c_ann_multiprobe",
       s"""WITH s0 AS (SELECT vec_id, embedding, ${lshSigDuck(bits)} AS sig
          |  FROM embeddings),
+         |cn AS (SELECT sig,
+         |    CAST((count(*) + ${bucketCap - 1}) // $bucketCap AS BIGINT)
+         |      AS ns
+         |  FROM s0 GROUP BY sig),
          |pr AS (SELECT vec_id AS query_id,
          |    unnest(list_prepend(sig, list_transform(range(0, $bits),
          |      j -> xor(sig, CAST(1 AS BIGINT) << j)))) AS psig
          |  FROM s0),
          |cand AS (SELECT pr.query_id, b.vec_id AS neighbor_id
-         |  FROM pr JOIN s0 b ON pr.psig = b.sig
+         |  FROM pr JOIN cn ON pr.psig = cn.sig
+         |  JOIN s0 b ON pr.psig = b.sig
+         |    AND pr.query_id % cn.ns = b.vec_id % cn.ns
          |    AND pr.query_id <> b.vec_id),
          |pairs AS (SELECT query_id, neighbor_id,
          |    round(${dotDuck("a", "b")} /
@@ -722,9 +740,22 @@ object ExtensionQueries {
         val probes = sigs
           .select(col("vec_id").as("query_id"),
             explode(probeSigs).as("psig"))
+        // Per-signature sub-split count: one row per distinct signature
+        // (<= 2^bits), so both joins against it broadcast. Integer `div`
+        // to match the oracle's `//`.
+        val cnts = sigs.groupBy(col("sig").as("psig"))
+          .agg(expr(s"(count(1) + ${bucketCap - 1}L) div ${bucketCap}L")
+            .as("ns"))
+        val nbrs = sigs
+          .select(col("vec_id").as("neighbor_id"), col("sig").as("psig"))
+          .join(cnts, "psig")
+          .select(col("psig"), col("neighbor_id"),
+            pmod(col("neighbor_id"), col("ns")).as("sub"))
         val cand = probes
-          .join(sigs.select(col("vec_id").as("neighbor_id"),
-            col("sig").as("psig")), "psig")
+          .join(cnts, "psig")
+          .select(col("query_id"), col("psig"),
+            pmod(col("query_id"), col("ns")).as("sub"))
+          .join(nbrs, Seq("psig", "sub"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select("query_id", "neighbor_id")
         val vs = Tables.embeddings(s, dir)

@@ -615,7 +615,11 @@ object TrainingQueries {
           size(expr(Portable.wordsSpark)).cast("long").as("n_tok"))
       graft.operators.Indexing
         .withRunningTotal(toks, col("doc_id"), col("n_tok"), "cum_before")
-        .groupBy((col("cum_before") / budget).cast("long").as("shard_id"))
+        // Integer `div`, matching the oracle's `//`: double division then
+        // truncation drifts at shard boundaries once num/den leave
+        // double's exact-integer range (fleet-scale prefix sums) — the
+        // same trap e36's epoch weighting documents.
+        .groupBy(expr(s"cum_before div ${budget}L").as("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
