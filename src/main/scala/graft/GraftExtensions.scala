@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"), info("array_dot", classOf[ArrayDot]),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("morton2"), info("morton2", classOf[Morton2]),
+      (args: Seq[Expression]) => Morton2(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries", classOf[graft.functions.sketches.MisraGriesAgg]),
       (args: Seq[Expression]) => {

@@ -67,4 +67,13 @@ object Portable {
   def hyperplaneWeightDuck(j: Int): String =
     s"(CAST((($j*64 + (d-1)) * 2654435761) % 2147483647 AS DOUBLE)" +
       " / 2147483647.0 * 2 - 1)"
+
+  /** DuckDB twin of [[TextHash.morton2]]: explicit shift/mask sum over
+    * the low `bits` bits of the `x` / `y` SQL expressions. Pure integer
+    * bit math — bit-identical to the codegen'd expression.
+    */
+  def morton2Duck(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map { j =>
+      s"(((($x) >> $j) & 1) << ${2 * j}) + (((($y) >> $j) & 1) << ${2 * j + 1})"
+    }.mkString("(", " + ", ")")
 }

@@ -159,4 +159,21 @@ object TextHash {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative coordinates: bit j of x lands at position 2j, bit j of
+    * y at 2j+1. Pure integer bit math — the portable-SQL twin is the
+    * shift/mask sum in [[Portable.morton2Duck]], bit-identical. Capped
+    * at 31 bits per coordinate so the result stays in a positive Long.
+    */
+  def morton2(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var j = 0
+    while (j < bits) {
+      z |= ((x >> j) & 1L) << (2 * j)
+      z |= ((y >> j) & 1L) << (2 * j + 1)
+      j += 1
+    }
+    z
+  }
 }

@@ -118,6 +118,27 @@ object expressions {
         newLeft: Expression, newRight: Expression): ArrayDot =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Morton (Z-order) bit interleave of two LONG coordinates — the
+    * clustering key for multi-dimensional data layout (sort by z-value
+    * → files carry tight min/max on BOTH dimensions → 2-D skipping from
+    * 1-D file stats). Native codegen'd bit math, not a UDF.
+    */
+  case class Morton2(left: Expression, right: Expression, bits: Int = 16)
+      extends BinaryExpression {
+    require(bits > 0 && bits <= 31, "morton2: bits must be in [1, 31]")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "morton2"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextHash.morton2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.TextHash.morton2($a, $b, $bits)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Morton2 =
+      copy(left = newLeft, right = newRight)
+  }
 }
 
 /** Column-API surface for the custom expressions (usable without any
@@ -138,4 +159,6 @@ object F {
   def sim_hash60(text: Column): Column = c(SimHash60(e(text)))
   def min_hashes(shingles: Column): Column = c(MinHashes(e(shingles)))
   def array_dot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
+  def morton2(x: Column, y: Column, bits: Int = 16): Column =
+    c(Morton2(e(x), e(y), bits))
 }

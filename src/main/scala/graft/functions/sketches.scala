@@ -123,4 +123,86 @@ object sketches {
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(keys), k)
         .toAggregateExpression())
+
+  /** k smallest LONG values per group as a bounded native aggregate —
+    * the posting-list truncator: `sort_array(collect_list(id))[1:k]`
+    * holds the whole group in one buffer (a stopword's posting list is
+    * corpus-sized), while this keeps ≤ k longs per partial aggregate,
+    * map-side combines, and merges associatively. Exact (not a sketch):
+    * the k smallest of a union is determined by each side's k smallest.
+    */
+  case class MinKAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[Long]] {
+
+    require(k > 0, "k must be positive")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "min_k"
+
+    // max-heap of the k smallest seen so far (root = current cutoff)
+    override def createAggregationBuffer(): mutable.PriorityQueue[Long] =
+      mutable.PriorityQueue.empty[Long]
+
+    private def add(buf: mutable.PriorityQueue[Long], v: Long): Unit =
+      if (buf.size < k) buf.enqueue(v)
+      else if (v < buf.head) { buf.dequeue(); buf.enqueue(v) }
+
+    override def update(
+        buf: mutable.PriorityQueue[Long],
+        input: org.apache.spark.sql.catalyst.InternalRow)
+      : mutable.PriorityQueue[Long] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(
+        buf: mutable.PriorityQueue[Long],
+        other: mutable.PriorityQueue[Long]): mutable.PriorityQueue[Long] = {
+      other.foreach(add(buf, _))
+      buf
+    }
+
+    override def eval(buf: mutable.PriorityQueue[Long]): Any = {
+      val out = buf.toArray
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: mutable.PriorityQueue[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.size * 8)
+      bb.putInt(buf.size)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = mutable.PriorityQueue.empty[Long]
+      var i = 0
+      while (i < n) { buf.enqueue(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(off: Int): MinKAgg =
+      copy(mutableAggBufferOffset = off)
+    override def withNewInputAggBufferOffset(off: Int): MinKAgg =
+      copy(inputAggBufferOffset = off)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MinKAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Column API: ascending array of the ≤ k smallest values. */
+  def min_k(values: Column, k: Int): Column =
+    ColumnBridge.column(
+      MinKAgg(ColumnBridge.expression(values), k)
+        .toAggregateExpression())
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{F, Portable}
+import graft.functions.sketches
+import graft.sources.Tables
+
+/** Corpus indexing & layout operators (round 7): inverted-index posting
+  * lists, per-language robust outlier flagging, per-document
+  * distinctive-term extraction (integer tf-idf ranking), and Z-order
+  * tiling for multi-dimensional data layout.
+  *
+  * Scale design (100 TB):
+  *  - e37 builds posting lists with [[sketches.MinKAgg]] — a bounded
+  *    native aggregate (≤ k longs per partial buffer, map-side combined),
+  *    so a stopword's corpus-sized posting list never materializes; df /
+  *    tf totals ride the same single aggregation pass.
+  *  - e38 is one vocabulary-bounded stats aggregate broadcast back
+  *    against the corpus — no window over data-bearing partitions. The
+  *    z² test is exact integer arithmetic in DECIMAL(38,0)/HUGEINT
+  *    ((n·x−S)² vs (nQ−S²)), immune to fold-order float drift and to
+  *    BIGINT overflow at fleet-scale moment sums.
+  *  - e39 joins the per-(term,doc) tf table with the vocabulary-bounded
+  *    df table on term, then takes per-doc top-3 via row_number ≤ k,
+  *    which Spark 4 rewrites to a partial-mode WindowGroupLimit
+  *    (map-side top-k before the exchange). Scoring is integer
+  *    (tf·10⁶ div df) — no float ranking ties to diverge on.
+  *  - e40 computes a codegen'd Morton interleave
+  *    ([[graft.functions.expressions.Morton2]]) of two bucketed
+  *    dimensions; sorting/range-partitioning by that z-value clusters
+  *    files so 1-D min/max file stats prune BOTH dimensions. The query
+  *    proves the clustering property the layout relies on: per-tile
+  *    bounding boxes are tight (16×16) on both axes.
+  */
+object CorpusQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    e37InvertedIndex, e38ZscoreOutliers, e39DistinctiveTerms, e40ZorderTiles)
+
+  /** Per-(term, doc) term frequencies — the shared first aggregation of
+    * e37/e39 (each query runs its own instance; they are independent
+    * driver entries).
+    */
+  private def termDocTf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(Portable.wordsSpark)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  // def, not val: `all` above initializes first and would read a null val
+  // (the TrainingQueries init-order rule)
+  private def termDocTfDuck =
+    s"""w AS (SELECT doc_id, unnest(${Portable.wordsDuck}) AS term
+       |  FROM documents),
+       |td AS (SELECT term, doc_id, count(*) AS tf FROM w
+       |  GROUP BY term, doc_id)""".stripMargin
+
+  /** Inverted index (search-side of the corpus): per term its document
+    * frequency, total term frequency, and the first `PostK` doc_ids of
+    * the posting list as a CSV string (a string, not an array, so the
+    * driver's repr-compare is engine-neutral). Single aggregation pass;
+    * the posting list is truncated INSIDE the aggregate (bounded min-k),
+    * not collected then sliced.
+    */
+  private def e37InvertedIndex = {
+    val postK = 8
+    QueryDef.sql(
+      "e37_inverted_index",
+      s"""WITH $termDocTfDuck
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+         |  array_to_string(list_sort(list(doc_id))[1:$postK], ',')
+         |    AS postings
+         |FROM td GROUP BY term HAVING count(*) >= 2
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      termDocTf(s, dir)
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("tf_total"),
+          array_join(sketches.min_k(col("doc_id"), postK)
+            .cast("array<string>"), ",").as("postings"))
+        .filter(col("df") >= 2)
+        .orderBy("term")
+    }
+  }
+
+  /** Per-language length outliers, |z| > 1.5 on population moments —
+    * flagging abnormally short/long documents against their language's
+    * distribution (a curation screen that catches boilerplate and
+    * truncation). All-integer test: 4·(n·x − S)² > 9·(n·Q − S²) is
+    * z² > 2.25 with σ² = (nQ − S²)/n², computed in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) so fleet-scale moment sums can't
+    * overflow and no float comparison sits on a boundary.
+    */
+  private def e38ZscoreOutliers = QueryDef.sql(
+    "e38_zscore_outliers",
+    """WITH st AS (SELECT lang, CAST(count(*) AS HUGEINT) AS nl,
+      |    CAST(sum(n_chars) AS HUGEINT) AS sl,
+      |    CAST(sum(n_chars*n_chars) AS HUGEINT) AS ql
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, lang, n_chars
+      |FROM documents JOIN st USING (lang)
+      |WHERE 4*(nl*n_chars - sl)*(nl*n_chars - sl) > 9*(nl*ql - sl*sl)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val st = d.groupBy("lang").agg(
+      dec(count(lit(1))).as("nl"),
+      sum(dec(col("n_chars"))).as("sl"),
+      sum(dec(col("n_chars") * col("n_chars"))).as("ql"))
+    val dev = col("nl") * dec(col("n_chars")) - col("sl")
+    val varN = col("nl") * col("ql") - col("sl") * col("sl")
+    d.join(broadcast(st), "lang")
+      .where(lit(4) * dev * dev > lit(9) * varN)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Distinctive terms per document — top-3 by integer tf-idf proxy
+    * score = tf·10⁶ div df (high in-doc frequency, low corpus
+    * frequency), tie-broken by term. The keyword-extraction stage of a
+    * curation pipeline (topic tagging, index keys), float-free so the
+    * ranking is bit-portable.
+    */
+  private def e39DistinctiveTerms = QueryDef.sql(
+    "e39_distinctive_terms",
+    s"""WITH $termDocTfDuck,
+       |dfx AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+       |sc AS (SELECT doc_id, td.term, tf, df,
+       |    CAST((tf * 1000000) // df AS BIGINT) AS score
+       |  FROM td JOIN dfx USING (term))
+       |SELECT doc_id, term, tf, df, score FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score DESC, term) <= 3
+       |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+    val td = termDocTf(s, dir)
+    val dfx = td.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    td.join(dfx, "term")
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Z-order tiling of events over (user bucket, value bucket): Morton-
+    * interleave the two 8-bit dimensions ([[graft.functions.F.morton2]],
+    * codegen'd) and aggregate per 256-cell tile (= 16×16 spatial block).
+    * The emitted per-tile min/max on BOTH axes are the file-skipping
+    * stats a z-ordered layout yields: any 2-D predicate prunes on 1-D
+    * z-ranges. The companion write path is
+    * `repartitionByRange(z).sortWithinPartitions(z)` (see
+    * [[graft.sources.Layout]]); this query proves the bounding-box
+    * property the layout's pruning relies on.
+    */
+  private def e40ZorderTiles = QueryDef.sql(
+    "e40_zorder_tiles",
+    s"""WITH b AS (SELECT user_id % 256 AS xb,
+       |    CAST(floor(value) AS BIGINT) % 256 AS yb FROM events),
+       |z AS (SELECT xb, yb, ${Portable.morton2Duck("xb", "yb", 8)} AS zv
+       |  FROM b)
+       |SELECT CAST(zv // 256 AS BIGINT) AS tile, count(*) AS n_events,
+       |  min(xb) AS min_x, max(xb) AS max_x,
+       |  min(yb) AS min_y, max(yb) AS max_y
+       |FROM z GROUP BY 1 ORDER BY tile""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select((col("user_id") % 256).as("xb"),
+        (floor(col("value")).cast("long") % 256).as("yb"))
+      .withColumn("zv", F.morton2(col("xb"), col("yb"), 8))
+      .groupBy(expr("zv div 256").as("tile"))
+      .agg(count(lit(1)).as("n_events"),
+        min("xb").as("min_x"), max("xb").as("max_x"),
+        min("yb").as("min_y"), max("yb").as("max_y"))
+      .orderBy("tile")
+  }
+}

@@ -27,7 +27,7 @@ object ReferenceQueries {
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
-    q34SetOps, q35RankDistribution, q36DateDensify)
+    q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1239,5 +1239,49 @@ object ReferenceQueries {
     days.join(cnt, Seq("d"), "left")
       .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
       .orderBy("d")
+  }
+
+  /** Slowly-changing-dimension (type 2) history build: collapse each
+    * customer's order-status stream into validity intervals — a row per
+    * status CHANGE carrying [valid_from, valid_to) and an is_current
+    * flag. The change detection (lag ≠ current) and interval closing
+    * (lead of the next change) are both windows partitioned by
+    * customer — per-key state, no data-bearing global window; orders has
+    * no NULL keys/dates (and a NULL orderdate would need an explicit
+    * NULLS placement to stay engine-portable: Spark sorts nulls first,
+    * DuckDB last).
+    */
+  private def q37Scd2History = QueryDef.sql(
+    "q37_scd2_history",
+    """WITH h AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      |  FROM h WHERE prev IS NULL OR prev <> o_orderstatus)
+      |SELECT o_custkey AS custkey, o_orderkey AS change_key,
+      |  o_orderstatus AS status, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) IS NULL THEN 1 ELSE 0 END
+      |    AS is_current
+      |FROM c ORDER BY custkey, valid_from, change_key""".stripMargin) {
+    (s, dir) =>
+      val wk = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        .withColumn("prev", lag(col("o_orderstatus"), 1).over(wk))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      changes
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(wk))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("change_key"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, lit(1)).otherwise(lit(0))
+            .as("is_current"))
+        .orderBy("custkey", "valid_from", "change_key")
   }
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Round-7 primitives: the Morton2 codegen'd bit interleave and the
+  * bounded MinK aggregate.
+  */
+class MortonMinKSpec extends SparkSpecBase {
+
+  test("morton2 interleaves bits (known values + ordering property)") {
+    // 16 bits: morton2(x=0b11, y=0b01) = x bits at even, y at odd
+    // positions: z = (1<<0)|(1<<2) | (1<<1) = 0b111 = 7
+    assert(TextHash.morton2(3L, 1L, 16) === 7L)
+    assert(TextHash.morton2(0L, 0L, 16) === 0L)
+    // full-width single coordinate: x = 2^16-1 → even bits set
+    assert(TextHash.morton2(65535L, 0L, 16) === 0x55555555L)
+    // locality: points in the same 16x16 block share z div 256 (8-bit)
+    for (x <- 0 until 32; y <- 0 until 32) {
+      val z = TextHash.morton2(x.toLong, y.toLong, 8)
+      assert(z >= 0 && z < 65536)
+      assert(z / 256 === TextHash.morton2((x / 16).toLong, (y / 16).toLong, 8))
+    }
+  }
+
+  test("morton2 column API matches the Scala impl and runs in codegen") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i % 17, i % 13)).toDF("x", "y")
+    val got = df.select(F.morton2(col("x"), col("y"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    val want = (0L until 100L).map(i => TextHash.morton2(i % 17, i % 13, 16))
+    assert(got.toSeq === want)
+    // and via SQL registration
+    df.createOrReplaceTempView("mz_in")
+    val sqlGot = spark.sql("SELECT morton2(x, y) AS z FROM mz_in")
+      .collect().map(_.getLong(0))
+    assert(sqlGot.toSeq === want)
+  }
+
+  test("min_k returns the k smallest, sorted, across partition merges") {
+    import spark.implicits._
+    val vals = scala.util.Random.shuffle((1L to 500L).toList)
+    val df = vals.toDF("v").repartition(11)
+    val got = df.agg(sketches.min_k(col("v"), 8)).head().getSeq[Long](0)
+    assert(got.toSeq === (1L to 8L))
+    // group smaller than k → all values, ascending
+    val small = df.filter(col("v") <= 3).agg(sketches.min_k(col("v"), 8))
+      .head().getSeq[Long](0)
+    assert(small.toSeq === (1L to 3L))
+    // nulls ignored
+    val withNulls = Seq[java.lang.Long](5L, null, 1L, null, 9L)
+      .toDF("v").repartition(3)
+    assert(withNulls.agg(sketches.min_k(col("v"), 2)).head()
+      .getSeq[Long](0).toSeq === Seq(1L, 5L))
+  }
+}
