@@ -39,7 +39,7 @@ object ExtensionQueries {
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
-    e6cAnnMultiprobe)
+    e6cAnnMultiprobe, e41IncrementalDedup)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1307,6 +1307,97 @@ object ExtensionQueries {
     Media.extractFeatures(docs)
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         col("checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental dedup — the shape a production pipeline actually runs:
+    * dedupe a NEW shard (delta = doc_id ≡ 4 mod 5, ~20%) against the
+    * EXISTING corpus (base), without recomputing base-base pairs. Each
+    * delta doc gets a verdict: 'exact' (content-hash match in base),
+    * 'neardup' (shares a MinHash band with a base doc and exact shingle
+    * Jaccard ≥ 0.3), else 'kept'.
+    *
+    * Scale shape: candidate generation is the ASYMMETRIC band join —
+    * delta bands ⋈ base bands — so bucket work is Σ df_delta·df_base
+    * per band key, strictly smaller than the self-join's Σ df²; base-base
+    * pairs are never generated (at production scale the base side's
+    * signatures come from a stored index, same join shape). The exact
+    * pass joins 32-byte digests, never text. Within-shard dedup is the
+    * ordinary e1/e3 applied to the shard alone. The DuckDB oracle reuses
+    * the symmetric `verified` pair set and filters to cross-split pairs —
+    * an independent formulation with the same result set.
+    */
+  private def e41IncrementalDedup = QueryDef.sql(
+    "e41_incremental_dedup",
+    s"""$minhashPairsDuck,
+       |ex AS (SELECT DISTINCT d.doc_id, 1 AS fe
+       |  FROM documents d JOIN documents b
+       |    ON d.text = b.text AND d.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+       |nd AS (SELECT DISTINCT
+       |    CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id,
+       |    1 AS fn
+       |  FROM verified
+       |  WHERE jaccard >= 0.3 AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4)))
+       |SELECT dd.doc_id,
+       |  CASE WHEN fe = 1 THEN 'exact' WHEN fn = 1 THEN 'neardup'
+       |    ELSE 'kept' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) dd
+       |LEFT JOIN ex USING (doc_id) LEFT JOIN nd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val isDelta = col("doc_id") % 5 === 4
+    // exact pass: digests only
+    val dh = docs.filter(isDelta)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val bh = docs.filter(!isDelta)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+    val ex = dh.join(bh, "h").select("doc_id").distinct()
+      .withColumn("fe", lit(1))
+    // near-dup pass: per-side signature frames (disjoint doc sets — the
+    // shingle pass still runs once per document overall); within each
+    // side the e3 pattern applies: repartition(doc_id) + the
+    // keep-columns-referenced guards so bands and the verification join
+    // side share one exchange.
+    def mhSide(side: DataFrame) = side
+      .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("shs"), F.min_hashes(col("shs")).as("sig"))
+      .repartition(col("doc_id"))
+    def bandsOf(mh: DataFrame) = {
+      val bandKeys = array((0 until 6).map(k =>
+        element_at(col("sig"), 2 * k + 1) * P +
+          element_at(col("sig"), 2 * k + 2)): _*)
+      mh.select(col("doc_id"),
+        posexplode(when(size(col("shs")) > 0, bandKeys))
+          .as(Seq("band_id", "band_key")))
+    }
+    val mhD = mhSide(docs.filter(isDelta))
+    val mhB = mhSide(docs.filter(!isDelta))
+    val cand = bandsOf(mhD).as("a")
+      .join(bandsOf(mhB).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_d"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = when(
+      size(col("sa.sig")) > 0 && size(col("sb.sig")) > 0,
+      size(array_intersect(col("sa.shs"), col("sb.shs"))))
+    val jac = round(inter.cast("double") /
+      (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
+    val nd = cand
+      .join(mhD.as("sa"), col("doc_d") === col("sa.doc_id"))
+      .join(mhB.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_d").as("doc_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_id").distinct()
+      .withColumn("fn", lit(1))
+    docs.filter(isDelta).select("doc_id")
+      .join(ex, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("fe") === 1, "exact").when(col("fn") === 1, "neardup")
+          .otherwise("kept").as("verdict"))
       .orderBy("doc_id")
   }
 }
