@@ -132,8 +132,18 @@ object CorpusQueries {
        |QUALIFY row_number() OVER (PARTITION BY doc_id
        |  ORDER BY score DESC, term) <= 3
        |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+    // td feeds two consumers (the df aggregate and the join probe);
+    // repartition(term) lets both reuse ONE exchange so the corpus is
+    // tokenized once. Reuse needs canonically identical subtrees, so:
+    // the isNotNull filters pre-empt the join-inferred non-null pushdown
+    // (breaker 2 of the ReuseExchange rules), and the df count references
+    // BOTH tf and doc_id via a vacuously-true guard (tf >= 1 always) so
+    // column pruning can't specialize the aggregate branch (breaker 1).
     val td = termDocTf(s, dir)
-    val dfx = td.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("term").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("term"))
+    val dfx = td.groupBy("term")
+      .agg(count(when(col("tf") > 0, col("doc_id"))).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     td.join(dfx, "term")

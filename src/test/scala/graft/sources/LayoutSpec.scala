@@ -64,4 +64,38 @@ class LayoutSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_dim")
     }
   }
+
+  test("z-ordered write yields tight 2-D bounding boxes per file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zord").toString + "/ev"
+    // full 64x64 grid, shuffled arrival order
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+        .toList)
+    Layout.writeZOrdered(pts.toDF("x", "y"), dir, "x", "y",
+      files = 16, bits = 6)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4096)
+    // per-file bounding boxes: a perfect 16-way morton split is one
+    // 16x16 block per file (area 256); range-sampling boundary jitter
+    // can straddle blocks, so assert within 4x of ideal — versus a
+    // row-major sort whose every file spans the full y axis (area 4096/
+    // 16 * 64 / 4 = far above this bound on the x*y product)
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.length === 16)
+    boxes.foreach { r =>
+      val area = (r.getLong(2) - r.getLong(1) + 1) *
+        (r.getLong(4) - r.getLong(3) + 1)
+      assert(area <= 1024, s"file ${r.getString(0)}: bbox area $area")
+    }
+    // pruning property the boxes imply: a point predicate on BOTH dims
+    // overlaps few files' boxes (file-skipping from 1-D stats)
+    val hit = boxes.count(r =>
+      r.getLong(1) <= 40 && 40 <= r.getLong(2) &&
+        r.getLong(3) <= 10 && 10 <= r.getLong(4))
+    assert(hit <= 4, s"$hit files overlap a point predicate")
+  }
 }
