@@ -27,7 +27,8 @@ object ReferenceQueries {
     q22ReturnedItems, q23PriorityClass, q24DormantCustomers,
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
-    q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History)
+    q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
+    q38RangeFrame)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1283,5 +1284,38 @@ object ReferenceQueries {
           when(col("valid_to").isNull, lit(1)).otherwise(lit(0))
             .as("is_current"))
         .orderBy("custkey", "valid_from", "change_key")
+  }
+
+  /** Time-based RANGE window frame (vs q25's ROWS frame): per event,
+    * count and cents-sum of the same user's events in the trailing 10
+    * minutes — the sliding-lookback feature a rate limiter or velocity
+    * score needs. The frame is value-based so tied timestamps all enter
+    * the frame together (set semantics — no tie-break needed, unlike
+    * ROWS). Both engines order by integer epoch-MICROseconds: events.ts
+    * is nanos in the file and both readers floor to µs, and an INTERVAL
+    * bound over raw timestamps would hide that contract (the unix_micros
+    * rule from q14/q17). Windows are user-partitioned — per-key state at
+    * scale, no global window.
+    */
+  private def q38RangeFrame = QueryDef.sql(
+    "q38_range_frame",
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+       |    ${centsDuck("value")} AS c FROM events)
+       |SELECT event_id, user_id,
+       |  CAST(count(*) OVER w AS BIGINT) AS n_10m,
+       |  CAST(sum(c) OVER w AS BIGINT) AS cents_10m
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+       |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), cents(col("value")).as("c"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("c")).over(w).as("cents_10m"))
+      .orderBy("event_id")
   }
 }
