@@ -38,4 +38,27 @@ object StreamDedup {
       .withColumn("simhash", graft.functions.F.sim_hash(col("text")))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** Incremental dedup at ingest — the streaming twin of e41's
+    * delta-vs-base stage: drop any arriving doc whose content digest
+    * already exists in the STATIC base corpus (stream-static LEFT ANTI
+    * join — the static side is re-planned per micro-batch, so a base
+    * refresh is picked up without restarting the query), then drop
+    * within-stream replays inside the watermark horizon. `base` must be
+    * a batch frame with a `text` column; digests only cross the join —
+    * never text. At fleet scale the anti-join's static side reads a
+    * digest-bucketed base table (one hash per base doc, pruned to the
+    * arriving buckets), not the corpus itself.
+    */
+  def againstBase(
+      docs: DataFrame, base: DataFrame, tsCol: String,
+      horizon: String): DataFrame = {
+    val baseHashes = base
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .join(baseHashes, Seq("content_hash"), "left_anti")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
 }

@@ -56,6 +56,17 @@ class KMeansSpec extends SparkSpecBase {
       KMeans.fit(two, "id", "v", dims, k = 5, iters = 1)
     }
     assert(e.getMessage.contains("at least 5"))
+    // k rows but < k DISTINCT vectors must also be rejected: duplicate
+    // points would silently seed duplicate centroids (all remaining
+    // farthest distances are 0) and leave permanently empty clusters
+    val dup = Seq(
+      (1L, Array.fill(dims)(0.0)), (2L, Array.fill(dims)(9.0)),
+      (3L, Array.fill(dims)(0.0)), (4L, Array.fill(dims)(9.0)))
+      .toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      KMeans.fit(dup, "id", "v", dims, k = 3, iters = 1)
+    }
+    assert(e2.getMessage.contains("distinct"))
     // k=2 on 2 points: both centroids are the points themselves and
     // remain fixed across iterations
     val cts = KMeans.fit(two, "id", "v", dims, k = 2, iters = 3)

@@ -35,11 +35,22 @@ class SkewJoinSpec extends SparkSpecBase {
       plainLeft.exceptAll(saltedLeft).isEmpty)
 
     // the hot key's rows really are spread over several salt buckets
+    // (the operator's own content-derived salt: hash of every column)
     val spread = fact.withColumn("__salt",
-      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8)))
+      pmod(xxhash64(col("k"), col("payload")), lit(8)))
       .filter(col("k") === 7L)
       .select("__salt").distinct().count()
     assert(spread === 8)
+
+    // recomputation safety: the join must contain NO nondeterministic
+    // expression (a lost shuffle map output recomputes only some
+    // partitions; a rand/monotonic salt would re-salt those rows
+    // differently and drop or duplicate them across attempt generations)
+    salted.queryExecution.analyzed.foreach { node =>
+      node.expressions.foreach { e =>
+        assert(e.deterministic, s"nondeterministic expression $e in $node")
+      }
+    }
 
     // hotKeys diagnostic flags exactly the skewed key at this threshold
     val hot = SkewJoin.hotKeys(fact, col("k"), 1000L)

@@ -64,4 +64,33 @@ class StreamDedupSpec extends SparkSpecBase {
       assert(kept === Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("againstBase drops docs already in the static base, then replays") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = Seq("existing doc one", "existing doc two").toDF("text")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamDedup.againstBase(
+      ms.toDF().toDF("doc_id", "event_ts", "text"),
+      base, "event_ts", "30 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("sdedup_base").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(
+        (1L, ts(0), "existing doc one"), // in base → dropped
+        (2L, ts(1), "fresh doc"), // kept
+        (3L, ts(2), "fresh doc")) // within-stream replay → dropped
+      q.processAllAvailable()
+      ms.addData(
+        (4L, ts(5), "existing doc two"), // in base → dropped
+        (5L, ts(6), "fresh doc"), // cross-batch replay → dropped
+        (6L, ts(7), "another fresh doc")) // kept
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_base").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 6L))
+    } finally q.stop()
+  }
 }
