@@ -37,7 +37,8 @@ import graft.sources.Tables
 object CorpusQueries {
 
   val all: Seq[QueryDef] = Seq(
-    e37InvertedIndex, e38ZscoreOutliers, e39DistinctiveTerms, e40ZorderTiles)
+    e37InvertedIndex, e38ZscoreOutliers, e39DistinctiveTerms, e40ZorderTiles,
+    e42FuzzyMatch)
 
   /** Per-(term, doc) term frequencies — the shared first aggregation of
     * e37/e39 (each query runs its own instance; they are independent
@@ -164,6 +165,44 @@ object CorpusQueries {
     * [[graft.sources.Layout]]); this query proves the bounding-box
     * property the layout's pruning relies on.
     */
+  /** Fuzzy entity matching (blocking + count algebra): find part-name
+    * variants that differ by a near-miss attribute word — same noun
+    * (the BLOCKING key), adjectives within Levenshtein ≤ 2 — and the
+    * number of part PAIRS each variant family contains.
+    *
+    * The scale trick: never pair corpus rows. Aggregate to (noun, adj)
+    * counts first (vocabulary-bounded — one corpus pass), run the
+    * quadratic fuzzy join on THAT tiny table, and recover pair counts by
+    * multiplying group sizes (cnt_a·cnt_b). A row-level fuzzy self-join
+    * would be quadratic in block population (≥ 2M pairs already at
+    * sf0.1); this is quadratic only in distinct names per block, and the
+    * output is constant-size in corpus growth.
+    */
+  private def e42FuzzyMatch = QueryDef.sql(
+    "e42_fuzzy_match",
+    """WITH p AS (SELECT string_split(p_name, ' ')[1] AS adj,
+      |    string_split(p_name, ' ')[2] AS noun FROM part),
+      |g AS (SELECT noun, adj, count(*) AS cnt FROM p GROUP BY noun, adj)
+      |SELECT a.noun AS noun, a.adj AS adj_a, b.adj AS adj_b,
+      |  levenshtein(a.adj, b.adj) AS dist,
+      |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+      |FROM g a JOIN g b ON a.noun = b.noun AND a.adj < b.adj
+      |WHERE levenshtein(a.adj, b.adj) <= 2
+      |ORDER BY noun, adj_a, adj_b""".stripMargin) { (s, dir) =>
+    val g = Tables.part(s, dir)
+      .select(split(col("p_name"), " ").getItem(0).as("adj"),
+        split(col("p_name"), " ").getItem(1).as("noun"))
+      .groupBy("noun", "adj").agg(count(lit(1)).as("cnt"))
+    g.as("a").join(g.as("b"),
+        col("a.noun") === col("b.noun") && col("a.adj") < col("b.adj") &&
+          levenshtein(col("a.adj"), col("b.adj")) <= 2)
+      .select(col("a.noun").as("noun"), col("a.adj").as("adj_a"),
+        col("b.adj").as("adj_b"),
+        levenshtein(col("a.adj"), col("b.adj")).cast("long").as("dist"),
+        (col("a.cnt") * col("b.cnt")).as("n_pairs"))
+      .orderBy("noun", "adj_a", "adj_b")
+  }
+
   private def e40ZorderTiles = QueryDef.sql(
     "e40_zorder_tiles",
     s"""WITH b AS (SELECT user_id % 256 AS xb,

@@ -28,7 +28,7 @@ object ReferenceQueries {
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
-    q38RangeFrame)
+    q38RangeFrame, q39FunnelPattern)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1317,5 +1317,33 @@ object ReferenceQueries {
         count(lit(1)).over(w).as("n_10m"),
         sum(col("c")).over(w).as("cents_10m"))
       .orderBy("event_id")
+  }
+
+  /** Sequence-pattern detection (a bounded MATCH_RECOGNIZE): per user,
+    * count strictly consecutive view → click → purchase triples in
+    * event order — the conversion-funnel shape. Fixed-length adjacency
+    * is a pair of lead() columns over the user window (no pattern
+    * automaton needed); per-user windows keep state per key at scale,
+    * and ties are broken by event_id so the sequence is engine-portable.
+    */
+  private def q39FunnelPattern = QueryDef.sql(
+    "q39_funnel_pattern",
+    """WITH e AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS n1,
+      |    lead(event_type, 2) OVER w AS n2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, count(*) AS n_funnels FROM e
+      |WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("n1"),
+        lead(col("event_type"), 2).over(w).as("n2"))
+      .filter(col("event_type") === "view" && col("n1") === "click" &&
+        col("n2") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_funnels"))
+      .orderBy("user_id")
   }
 }
