@@ -28,7 +28,7 @@ object ReferenceQueries {
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
-    q38RangeFrame, q39FunnelPattern)
+    q38RangeFrame, q39FunnelPattern, q40IncrementalAgg)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1345,5 +1345,43 @@ object ReferenceQueries {
         col("n2") === "purchase")
       .groupBy("user_id").agg(count(lit(1)).as("n_funnels"))
       .orderBy("user_id")
+  }
+
+  /** Incremental aggregate maintenance — the dbt-incremental /
+    * materialized-rollup contract: a per-customer summary maintained by
+    * MERGING a delta batch's partial aggregate into the existing state
+    * must equal recomputing over everything. Spark keeps the PARTIAL
+    * state per group (count/sum/min/max are mergeable; avg derives from
+    * sum÷count at read time — never merge averages), so refreshing the
+    * rollup costs one pass over the DELTA plus a state-table merge, not
+    * a 100 TB recompute. The oracle IS the full recompute, so the
+    * driver compare proves merge ≡ recompute; the base/delta split
+    * (orderkey mod 4) stands in for yesterday's-state vs today's-batch.
+    */
+  private def q40IncrementalAgg = QueryDef.sql(
+    "q40_incremental_agg",
+    s"""SELECT o_custkey AS custkey,
+       |  count(*) AS n_orders,
+       |  CAST(sum(${centsDuck("o_totalprice")}) AS BIGINT) AS total_cents,
+       |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+       |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin) {
+    (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      def partial(side: DataFrame) = side.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      val state = partial(orders.filter(col("o_orderkey") % 4 < 3))
+      val delta = partial(orders.filter(col("o_orderkey") % 4 === 3))
+      state.unionByName(delta)
+        .groupBy("o_custkey").agg(
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("total_cents")).as("total_cents"),
+          min(col("first_order")).as("first_order"),
+          max(col("last_order")).as("last_order"))
+        .select(col("o_custkey").as("custkey"), col("n_orders"),
+          col("total_cents"), col("first_order"), col("last_order"))
+        .orderBy("custkey")
   }
 }

@@ -96,4 +96,30 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Compact a parquet directory into ≈`targetBytes` files — the
+    * maintenance pass that undoes small-files accumulation from
+    * incremental appends (every append-heavy table needs it
+    * periodically: scan planning, footer reads, and shuffle-fetch
+    * setup all scale with FILE count, not byte count). File count is
+    * sized from the actual on-disk bytes; the rewrite goes to a
+    * sibling directory then swaps in, so a failure mid-rewrite leaves
+    * the original intact (no read window sees a half-compacted dir).
+    * Returns the new file count.
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    n
+  }
 }

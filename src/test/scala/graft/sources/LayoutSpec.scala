@@ -98,4 +98,25 @@ class LayoutSpec extends SparkSpecBase {
         r.getLong(3) <= 10 && 10 <= r.getLong(4))
     assert(hit <= 4, s"$hit files overlap a point predicate")
   }
+
+  test("compact rewrites a small-files directory to the sized file count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate incremental appends: 8 tiny writes -> many small files
+    for (b <- 0 until 8)
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"row $i"))
+        .toDF("id", "s").repartition(4)
+        .write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir).inputFiles.length
+    assert(before >= 16, s"expected many small files, got $before")
+
+    val n = Layout.compact(spark, dir, targetBytes = 1L << 40)
+    assert(n === 1)
+    val back = spark.read.parquet(dir)
+    assert(back.inputFiles.length === 1)
+    assert(back.count() === 800)
+    assert(back.agg(sum("id")).head.getLong(0) === (0L until 800L).sum)
+    // failure-isolation contract: no leftover scratch dir
+    assert(!new java.io.File(dir + "__compacting").exists())
+  }
 }
