@@ -28,7 +28,7 @@ object ReferenceQueries {
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
-    q38RangeFrame, q39FunnelPattern, q40IncrementalAgg)
+    q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1383,5 +1383,38 @@ object ReferenceQueries {
         .select(col("o_custkey").as("custkey"), col("n_orders"),
           col("total_cents"), col("first_order"), col("last_order"))
         .orderBy("custkey")
+  }
+
+  /** UNPIVOT / melt — the inverse of q29's pivot: a wide per-priority
+    * summary (three metric columns) melted to (priority, metric, value)
+    * long form, the shape metric stores and chart layers ingest. Uses
+    * the native `Dataset.unpivot` (Spark's UNPIVOT surface, not a
+    * hand-rolled stack of unions); all melted metrics share one LONG
+    * type — unpivot requires a common value type, which is why the
+    * money metric is integer cents here rather than a double.
+    */
+  private def q41Unpivot = QueryDef.sql(
+    "q41_unpivot",
+    s"""WITH wide AS (SELECT o_orderpriority,
+       |    count(*) AS n_orders,
+       |    CAST(sum(${centsDuck("o_totalprice")}) AS BIGINT)
+       |      AS total_cents,
+       |    count(DISTINCT o_custkey) AS n_custs
+       |  FROM orders GROUP BY o_orderpriority)
+       |SELECT o_orderpriority AS priority, name AS metric, value
+       |FROM (UNPIVOT wide ON n_orders, total_cents, n_custs
+       |  INTO NAME name VALUE value)
+       |ORDER BY priority, metric""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_cents"), col("n_custs")),
+        "metric", "value")
+      .select(col("o_orderpriority").as("priority"), col("metric"),
+        col("value"))
+      .orderBy("priority", "metric")
   }
 }
