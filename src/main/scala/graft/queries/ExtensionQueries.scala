@@ -365,6 +365,16 @@ object ExtensionQueries {
     */
   private def e28SimhashNeardup = {
     val P2 = Portable.P
+    // Band-bucket cap (the all-buckets-capped rule, e6-style sub-split):
+    // narrow-vocab corpora concentrate signatures, and band-bucket
+    // self-join work is quadratic in bucket population — measured 3.15M
+    // candidate pairs at sf0.1 (max bucket 1825) growing 100x to 316M on
+    // a 10x duplicate-heavy replica corpus. Splitting each bucket into
+    // ceil(cnt/cap) id-hashed sub-buckets bounds pair work at the cost
+    // of recall only in buckets that exceed the cap; 2000 > the largest
+    // test-SF bucket, so results below that scale are provably
+    // unchanged (ns = 1 everywhere), mirrored in the oracle.
+    val bucketCap = 2000L
     val bits60Duck = (0 until 60).map { j =>
       val src = if (j < 32) "x" else s"(x * ((x + 13) % $P2) % $P2)"
       val bit = if (j < 32) j else j - 32
@@ -380,12 +390,18 @@ object ExtensionQueries {
        |  WHERE len(wh) > 0),
        |bands AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band_id
        |  FROM sh),
-       |kb AS (SELECT doc_id, sig, band_id,
+       |kb0 AS (SELECT doc_id, sig, band_id,
        |    (sig >> (band_id * 15)) & 32767 AS band_val FROM bands),
+       |cn AS (SELECT band_id, band_val,
+       |    (count(*) + ${bucketCap - 1}) // $bucketCap AS ns
+       |  FROM kb0 GROUP BY band_id, band_val),
+       |kb AS (SELECT kb0.*, doc_id % ns AS sub
+       |  FROM kb0 JOIN cn USING (band_id, band_val)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    bit_count(xor(a.sig, b.sig)) AS hamming
        |  FROM kb a JOIN kb b
        |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.sub = b.sub
        |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |FROM cand WHERE hamming <= 3
@@ -393,14 +409,21 @@ object ExtensionQueries {
     val sh = Tables.documents(s, dir)
       .filter(size(F.word_hashes(col("text"))) > 0)
       .select(col("doc_id"), F.sim_hash60(col("text")).as("sig"))
-    val kb = sh
+    val kb0 = sh
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .withColumn("band_val", expr("shiftright(sig, band_id * 15) & 32767"))
+    // one row per occupied (band, bucket) — tiny; both joins broadcast
+    val cn = kb0.groupBy("band_id", "band_val")
+      .agg(expr(s"(count(1) + ${bucketCap - 1}L) div ${bucketCap}L")
+        .as("ns"))
+    val kb = kb0.join(cn, Seq("band_id", "band_val"))
+      .withColumn("sub", pmod(col("doc_id"), col("ns")))
     kb.as("a")
       .join(kb.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
+          col("a.sub") === col("b.sub") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
