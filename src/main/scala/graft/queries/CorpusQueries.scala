@@ -38,7 +38,7 @@ object CorpusQueries {
 
   val all: Seq[QueryDef] = Seq(
     e37InvertedIndex, e38ZscoreOutliers, e39DistinctiveTerms, e40ZorderTiles,
-    e42FuzzyMatch)
+    e42FuzzyMatch, e43SourceQuota)
 
   /** Per-(term, doc) term frequencies — the shared first aggregation of
     * e37/e39 (each query runs its own instance; they are independent
@@ -153,6 +153,43 @@ object CorpusQueries {
       .filter(col("rk") <= 3)
       .select("doc_id", "term", "tf", "df", "score")
       .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Per-source quota (crawl-mix curation): keep the best `QuotaK` docs
+    * per source by an integer quality score (words up, punctuation
+    * down), so no single domain dominates the training mix. The
+    * row_number ≤ k filter compiles to a partial-mode WindowGroupLimit —
+    * each map task keeps at most k rows per source BEFORE the exchange,
+    * so a mega-source (the crawl reality) never concentrates into one
+    * window task. Integer scoring, doc_id tie-break: rank order is
+    * bit-portable.
+    */
+  private def e43SourceQuota = {
+    val quotaK = 10
+    QueryDef.sql(
+      "e43_source_quota",
+      s"""WITH sc AS (SELECT source, doc_id,
+         |    100 * len(${Portable.wordsDuck})
+         |      - 500 * len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+         |      AS score
+         |  FROM documents)
+         |SELECT source, doc_id, CAST(score AS BIGINT) AS score
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY score DESC, doc_id) <= $quotaK
+         |ORDER BY source, score DESC, doc_id""".stripMargin) { (s, dir) =>
+      val score = (lit(100L) * size(expr(Portable.wordsSpark)) -
+        lit(500L) * size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")))
+        .cast("long")
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= quotaK)
+        .select("source", "doc_id", "score")
+        .orderBy(col("source"), col("score").desc, col("doc_id"))
+    }
   }
 
   /** Z-order tiling of events over (user bucket, value bucket): Morton-
