@@ -62,6 +62,27 @@ class PlanLintSpec extends SparkSpecBase {
     cartesian ++ bnlj ++ badWindows
   }
 
+  test("no oracle-compared query contains a nondeterministic expression") {
+    // Recomputation safety (the SkewJoin salt rule, engine-wide): a lost
+    // shuffle map output recomputes only some partitions, and Spark's
+    // indeterminate-stage rollback does not cover expression-level
+    // nondeterminism — rand/uuid/monotonically_increasing_id inside an
+    // oracle-compared query could silently change results between
+    // attempt generations. q12 (seeded sample) is plan-level sampling,
+    // not expression nondeterminism, and is rows-only checked anyway.
+    val skip = Set("g1_mock_batch", "p1_pipeline_e2e", "q12_sample_limit")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .flatMap { case (name, fn) =>
+        val df = fn(lintSession, dir)
+        df.queryExecution.analyzed.flatMap(node =>
+          node.expressions.flatMap(_.collect {
+            case e if !e.deterministic => s"$name: $e"
+          }))
+      }
+    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
   test("every SparkEntry query has a scale-clean static physical plan") {
     // Pipeline queries (g1, p1) execute the engine itself when built —
     // their returned frames are tiny materialized summaries, but building
