@@ -160,23 +160,37 @@ final class Ingest(
           .option("sep", "\t").option("header", "true")
           .mode(SaveMode.Overwrite)
           .csv(batchDir.resolve(t).toString)
-        loadFile(t, batchDir.resolve(t).toString)
+        t -> loadFile(t, batchDir.resolve(t).toString)
       }
     }
-    Await.result(Future.sequence(staged), Duration.Inf)
+    lastLoadCounts = Await.result(Future.sequence(staged), Duration.Inf).toMap
     cleanStagedFiles(batchDir)
   }
 
-  /** COPY INTO twin (S5): read ONE staged file set with the declared
-    * schema (no inference — copy_data.sql trusts the DDL) and append.
+  /** Rows appended per table by the most recent batch — the load-audit
+    * record every ingest layer needs (the reference reads COPY INTO's
+    * rows_loaded result set). Counted with `Dataset.observe` INSIDE the
+    * load job itself: at 100 TB a count-after-load is a second full
+    * pass over the appended data, and a count-before-load is a separate
+    * job; the observation rides the write's own task metrics for free.
     */
-  def loadFile(table: String, path: String): Unit = {
+  @volatile var lastLoadCounts: Map[String, Long] = Map.empty
+
+  /** COPY INTO twin (S5): read ONE staged file set with the declared
+    * schema (no inference — copy_data.sql trusts the DDL) and append;
+    * returns the rows appended (observed in-job, no extra pass).
+    */
+  def loadFile(table: String, path: String): Long = {
     val schema = Schemas.rawTables.toMap.apply(table)
+    val obs = new org.apache.spark.sql.Observation(
+      s"load_${table}_${System.nanoTime()}")
     spark.read
       .option("sep", "\t").option("header", "true")
       .schema(schema)
       .csv(path)
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Append).insertInto(rawName(table))
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** S9: REMOVE staged files after load. Only the per-batch dir is

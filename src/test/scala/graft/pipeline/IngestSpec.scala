@@ -24,6 +24,12 @@ class IngestSpec extends SparkSpecBase {
     assert(ingest.rawTable("products").count() === 96)
     val op1 = ingest.rawTable("order_products").count()
     assert(op1 >= 1000 && op1 <= 3000)
+    // load audit observed inside the load jobs themselves (no re-count
+    // pass): the per-table rows the batch actually appended
+    assert(ingest.lastLoadCounts("customers") === 1000L)
+    assert(ingest.lastLoadCounts("orders") === 1000L)
+    assert(ingest.lastLoadCounts("products") === 96L)
+    assert(ingest.lastLoadCounts("order_products") === op1)
 
     // second + third tick take the refresh branch (ST4)
     ingest.runBatch(t0.plusMinutes(10))
