@@ -84,9 +84,20 @@ object ConnectedComponents {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    // try/finally so a non-convergence require or a job failure inside
-    // the loop doesn't leak the cached symmetric edge list for the
-    // session's lifetime.
+    // Release a dead checkpoint's backing RDD. localCheckpoint persists
+    // its materialized RDD for the session; without explicit release the
+    // loop accumulates one label-table copy PER ROUND (50 rounds x a
+    // corpus-scale near-dup table is a real executor-storage leak).
+    // Safe exactly when nothing will read the frame again: each round's
+    // `next` is eagerly materialized, so the previous round's table is
+    // dead the moment labelSum(next) returns.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+    // try/catch/finally so a non-convergence require or a job failure
+    // inside the loop doesn't leak the cached edge lists or the last
+    // label table for the session's lifetime.
     try {
       while (!converged && rounds < maxRounds) {
         val nbrMin = sym
@@ -110,12 +121,20 @@ object ConnectedComponents {
         val newSum = labelSum(next)
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
+        release(labels) // previous round is dead — next is materialized
         labels = next
         rounds += 1
       }
-    } finally sym.unpersist()
-    require(converged,
-      s"connected components did not converge in $maxRounds rounds")
-    labels
+      require(converged,
+        s"connected components did not converge in $maxRounds rounds")
+      labels
+    } catch {
+      case t: Throwable => release(labels); throw t
+    } finally {
+      sym.unpersist()
+      // the returned labels are checkpoint-backed and self-contained;
+      // the edge checkpoint is only needed while sym can still be read
+      release(dir)
+    }
   }
 }

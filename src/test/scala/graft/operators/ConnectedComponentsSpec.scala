@@ -67,4 +67,19 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
     assert(empty.count() === 0L)
   }
+
+  test("non-convergence unpersists the cached edge list (no session leak)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    // diameter 199 cannot converge in 2 rounds — the require must throw,
+    // and the finally must still release the cached symmetric edge list
+    intercept[IllegalArgumentException] {
+      ConnectedComponents
+        .components(chain.toDF("a", "b"), "a", "b", maxRounds = 2)
+        .count()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
 }
