@@ -37,7 +37,7 @@ object TrainingQueries {
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
-    e35LengthQuantiles, e36MixtureResample)
+    e35LengthQuantiles, e36MixtureResample, e44Collocations)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -753,5 +753,63 @@ object TrainingQueries {
             (max(col("i")) + 1).as("max_copies"))
           .orderBy("source")
     }
+  }
+
+  /** Collocation mining (phrase discovery for tokenizer/vocab building):
+    * top bigrams by a PMI-proxy score — c_xy·N·10⁶ div (c_x·c_y), the
+    * integer-exact monotone twin of pointwise mutual information
+    * (log(c_xy·N/(c_x·c_y))): same ranking, no cross-engine float logs.
+    * Products run in DECIMAL(38,0)/HUGEINT (c_xy·N·10⁶ overflows BIGINT
+    * at fleet-scale token counts); Spark's integral `div` on decimals is
+    * exact BigDecimal division, matching DuckDB's `//`.
+    *
+    * Two corpus passes (unigram explode, adjacent-pair explode) — both
+    * map-side-combined counts into vocabulary-bounded tables; N comes
+    * from summing the unigram table, not a third pass; the score join
+    * runs entirely on the vocabulary side. A c_xy ≥ 5 support floor
+    * keeps the rare-pair noise PMI is notorious for out of the ranking.
+    */
+  private def e44Collocations = QueryDef.sql(
+    "e44_collocations",
+    s"""WITH w AS (SELECT ${Portable.wordHashesDuck} AS wh FROM documents),
+       |u AS (SELECT unnest(wh) AS h FROM w),
+       |uc AS (SELECT h, count(*) AS c FROM u GROUP BY h),
+       |tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM uc),
+       |p AS (SELECT unnest(list_transform(range(1, len(wh)),
+       |    i -> [wh[i], wh[i + 1]])) AS pr
+       |  FROM w WHERE len(wh) >= 2),
+       |pc AS (SELECT pr[1] AS h1, pr[2] AS h2, count(*) AS n_pair
+       |  FROM p GROUP BY 1, 2)
+       |SELECT h1, h2, n_pair,
+       |  CAST((CAST(n_pair AS HUGEINT) * n * 1000000)
+       |    // (CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS BIGINT)
+       |    AS score
+       |FROM pc CROSS JOIN tot
+       |JOIN uc a ON pc.h1 = a.h JOIN uc b ON pc.h2 = b.h
+       |WHERE n_pair >= 5
+       |ORDER BY score DESC, h1, h2 LIMIT 20""".stripMargin) { (s, dir) =>
+    val docsW = Tables.documents(s, dir)
+      .select(F.word_hashes(col("text")).as("wh"))
+    val uc = docsW.select(explode(col("wh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val n = uc.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val pc = docsW.filter(size(col("wh")) >= 2)
+      .select(explode(zip_with(
+        slice(col("wh"), lit(1), size(col("wh")) - 1),
+        slice(col("wh"), lit(2), size(col("wh")) - 1),
+        (a, b) => struct(a.as("h1"), b.as("h2")))).as("pr"))
+      .select(col("pr.h1").as("h1"), col("pr.h2").as("h2"))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    pc
+      .join(uc.select(col("h").as("h1"), col("c").as("cx")), "h1")
+      .join(uc.select(col("h").as("h2"), col("c").as("cy")), "h2")
+      .withColumn("score", expr(
+        s"CAST((CAST(n_pair AS DECIMAL(38,0)) * ${n}L * 1000000) div " +
+          "(CAST(cx AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))) " +
+          "AS BIGINT)"))
+      .select("h1", "h2", "n_pair", "score")
+      .orderBy(col("score").desc, col("h1"), col("h2"))
+      .limit(20)
   }
 }
