@@ -39,7 +39,7 @@ object ExtensionQueries {
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
-    e6cAnnMultiprobe, e41IncrementalDedup)
+    e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -281,6 +281,49 @@ object ExtensionQueries {
         .select(col("doc_id"), col("cluster"), col("cluster_size"),
           (col("doc_id") === col("cluster")).cast("int").as("canonical"))
         .orderBy("doc_id")
+    }
+
+  /** The dedup APPLY step — the last mile after pair generation (e3)
+    * and clustering (e32): drop every non-canonical cluster member
+    * (keep = min doc_id per component; identical docs share Jaccard 1.0
+    * so exact dups are subsumed) and report the per-language yield a
+    * curation run logs: docs in, docs kept, docs dropped. The drop set
+    * is one anti-join side of size Σ(cluster_size − 1) — near-dup
+    * count, far below corpus size — so applying dedup costs one keyed
+    * join over the corpus regardless of cluster structure.
+    */
+  private def e45DedupApply =
+    QueryDef.sql(
+      "e45_dedup_apply",
+      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |losers AS (SELECT node AS doc_id FROM comp WHERE node <> cluster)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  count(CASE WHEN l.doc_id IS NULL THEN 1 END) AS n_kept,
+         |  count(l.doc_id) AS n_dropped
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+      val losers = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"), lit(1).as("dropped"))
+      Tables.documents(s, dir).select("doc_id", "lang")
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("dropped").isNull, 1)).as("n_kept"),
+          count(col("dropped")).as("n_dropped"))
+        .orderBy("lang")
     }
 
   /** Adds `n_same` = cluster size of `keyCol` via groupBy(key).count +
