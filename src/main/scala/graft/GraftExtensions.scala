@@ -38,7 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("morton2"), info("morton2", classOf[Morton2]),
-      (args: Seq[Expression]) => Morton2(args(0), args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => Morton2(x, y)
+        case Seq(x, y,
+            org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _)) =>
+          Morton2(x, y, b)
+        case Seq(_, _, other) => throw new IllegalArgumentException(
+          s"morton2(x, y, bits): bits must be an integer literal, got $other")
+        case _ => throw new IllegalArgumentException(
+          s"morton2 expects 2 or 3 arguments, got ${args.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries", classOf[graft.functions.sketches.MisraGriesAgg]),

@@ -118,7 +118,14 @@ object ConnectedComponents {
         // measured 2x wall time from optimizer walks alone by round ~4,
         // on top of the exponential-recompute risk.
         val next = jumped.localCheckpoint(true)
-        val newSum = labelSum(next)
+        // `next` is materialized the moment localCheckpoint returns; if
+        // the convergence aggregate below fails, the outer catch only
+        // knows about `labels`, so release `next` here or it leaks for
+        // the session lifetime — the same class of leak the outer
+        // try/catch exists to prevent.
+        val newSum =
+          try labelSum(next)
+          catch { case t: Throwable => release(next); throw t }
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         release(labels) // previous round is dead — next is materialized

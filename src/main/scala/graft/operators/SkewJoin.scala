@@ -33,25 +33,41 @@ object SkewJoin {
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti")
 
+  /** @param saltCols columns the fact-side salt is hashed from. Default
+    *                  (empty) hashes EVERY fact column — deterministic,
+    *                  but a hot key whose rows are byte-identical (the
+    *                  duplicate-heavy corpus case this operator targets)
+    *                  then collapses to one salt and the straggler is
+    *                  silently back. Callers with a unique or
+    *                  high-entropy payload column (a doc uid, an event
+    *                  id) should pass it here so identical-looking hot
+    *                  rows still spread across all `salts` reducers.
+    *                  All named columns must be xxhash64-hashable (no
+    *                  MapType).
+    */
   def saltedEquiJoin(
       fact: DataFrame, dim: DataFrame, key: String,
-      salts: Int = 8, joinType: String = "inner"): DataFrame = {
+      salts: Int = 8, joinType: String = "inner",
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(SupportedJoinTypes(joinType.toLowerCase),
       s"saltedEquiJoin: joinType '$joinType' would duplicate unmatched dim " +
         "rows (dim side is replicated per salt); use inner/left/semi/anti")
+    val missing = saltCols.filterNot(fact.columns.contains)
+    require(missing.isEmpty,
+      s"saltedEquiJoin: saltCols not in fact: ${missing.mkString(", ")}")
     // Salt derived from ROW CONTENT only: a nondeterministic component
     // (rand, monotonically_increasing_id) would re-salt rows differently
     // when a lost shuffle map output forces partial stage recomputation —
     // Spark's indeterminate-stage rollback does not cover expression-level
     // nondeterminism inside a partitioning key, so rows could be
-    // duplicated or dropped across attempt generations. Hashing every
-    // fact column reproduces identical salts on any recomputation; fully
-    // identical rows share a salt, which only matters if the hot key's
-    // rows are also near-total duplicates.
+    // duplicated or dropped across attempt generations. Hashing content
+    // reproduces identical salts on any recomputation.
+    val hashInput =
+      (if (saltCols.nonEmpty) saltCols else fact.columns.toIndexedSeq)
+        .map(col)
     val salted = fact.withColumn(
-      "__salt", pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*),
-        lit(salts)))
+      "__salt", pmod(xxhash64(hashInput: _*), lit(salts)))
     val replicated = dim.withColumn(
       "__salt", explode(array((0 until salts).map(lit(_)): _*)))
     val out = salted.join(replicated, Seq(key, "__salt"), joinType)

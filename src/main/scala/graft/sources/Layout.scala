@@ -103,9 +103,16 @@ object Layout {
     * periodically: scan planning, footer reads, and shuffle-fetch
     * setup all scale with FILE count, not byte count). File count is
     * sized from the actual on-disk bytes; the rewrite goes to a
-    * sibling directory then swaps in, so a failure mid-rewrite leaves
-    * the original intact (no read window sees a half-compacted dir).
-    * Returns the new file count.
+    * sibling directory, then swaps in via rename-aside: the original
+    * moves to `path__old`, the rewrite renames into place, and only
+    * then is the old data deleted. Every rename/delete result is
+    * checked and a failure throws — the original data is never deleted
+    * before the new directory is live at the published path, so a
+    * crash at any step leaves the rows recoverable (at `path`,
+    * or at `path__old` with the rewrite in `path__compacting`), never
+    * silently lost the way an unchecked delete-then-rename could lose
+    * them (rename returning false is a normal failure mode on object
+    * stores). Returns the new file count.
     */
   def compact(
       spark: SparkSession, path: String,
@@ -115,11 +122,28 @@ object Layout {
     val total = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compact: cannot clear stale aside dir $old")
     spark.read.parquet(path)
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // Swap via rename-aside: the original is moved, not deleted, until
+    // the rewrite is live at the published path.
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(
+        s"compact: failed to move $hPath aside to $old; original intact")
+    if (!fs.rename(tmp, hPath)) {
+      // best-effort restore so the published path doesn't stay empty
+      val restored = fs.rename(old, hPath)
+      throw new java.io.IOException(
+        s"compact: failed to publish $tmp at $hPath; original " +
+          (if (restored) s"restored at $hPath" else s"preserved at $old"))
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compact: swap complete but failed to remove aside dir $old")
     n
   }
 }

@@ -36,6 +36,27 @@ class MortonMinKSpec extends SparkSpecBase {
     val sqlGot = spark.sql("SELECT morton2(x, y) AS z FROM mz_in")
       .collect().map(_.getLong(0))
     assert(sqlGot.toSeq === want)
+    // 3-arg SQL form honors the bits parameter (same as the Scala API,
+    // not silently the 16-bit default) — coordinates ≥ 2^8 so an 8-bit
+    // interleave actually truncates and differs from the 16-bit one
+    val wide = (0L until 100L).map(i => (i * 37 % 1000, i * 53 % 1000))
+      .toDF("x", "y")
+    wide.createOrReplaceTempView("mz_wide")
+    val sql8 = spark.sql("SELECT morton2(x, y, 8) AS z FROM mz_wide")
+      .collect().map(_.getLong(0))
+    val want8 = (0L until 100L).map(i =>
+      TextHash.morton2(i * 37 % 1000, i * 53 % 1000, 8))
+    val want16 = (0L until 100L).map(i =>
+      TextHash.morton2(i * 37 % 1000, i * 53 % 1000, 16))
+    assert(want8 !== want16) // the parameter is load-bearing on this data
+    assert(sql8.toSeq === want8)
+    // wrong arity / non-literal bits fail loudly instead of being ignored
+    intercept[Exception] {
+      spark.sql("SELECT morton2(x, y, 8, 1) FROM mz_in").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT morton2(x, y, x) FROM mz_in").collect()
+    }
   }
 
   test("min_k returns the k smallest, sorted, across partition merges") {

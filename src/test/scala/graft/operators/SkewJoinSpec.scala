@@ -58,6 +58,40 @@ class SkewJoinSpec extends SparkSpecBase {
     assert(hot === Seq(7L))
   }
 
+  test("saltCols tiebreak: unhashable fact columns, identical hot rows") {
+    import spark.implicits._
+    // Hot key whose visible payload is byte-identical (duplicate-heavy
+    // corpus) and carries a MapType column the default all-columns
+    // xxhash64 salt cannot hash — the two failure modes saltCols fixes.
+    val fact = spark.range(1000).select(
+      lit(7L).as("k"),
+      map(lit("src"), lit("crawl")).as("props"),
+      col("id").as("uid"))
+    val dim = Seq((7L, "hot")).toDF("k", "attr")
+
+    // default salt hashes every column → analysis error on the MapType
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 8).count()
+    }
+
+    // caller-supplied uid salt: joins fine, result matches plain join
+    val out = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 8,
+      saltCols = Seq("uid"))
+    assert(out.count() === 1000)
+
+    // and the identical-looking hot rows really spread across all salts
+    val spread = fact
+      .withColumn("__salt", pmod(xxhash64(col("uid")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread === 8)
+
+    // unknown salt columns are rejected loudly, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(fact, dim, "k", saltCols = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("semi/anti salted joins match plain; replicating types rejected") {
     import spark.implicits._
     val fact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (9L, 90L))

@@ -116,7 +116,8 @@ class LayoutSpec extends SparkSpecBase {
     assert(back.inputFiles.length === 1)
     assert(back.count() === 800)
     assert(back.agg(sum("id")).head.getLong(0) === (0L until 800L).sum)
-    // failure-isolation contract: no leftover scratch dir
+    // failure-isolation contract: no leftover scratch or aside dir
     assert(!new java.io.File(dir + "__compacting").exists())
+    assert(!new java.io.File(dir + "__old").exists())
   }
 }
