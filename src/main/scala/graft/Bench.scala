@@ -5,8 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query steady-state
   * seconds. A warmup pass first absorbs JVM/codegen warmup so the timing of
-  * whichever query happens to run first isn't inflated; failures are
-  * reported per query (never folded into the total as a fake timing).
+  * whichever query happens to run first isn't inflated; each query is then
+  * timed over THREE passes and reports the median — single-pass timings
+  * inside a 90-query session measured up to 3x steady state from JIT/GC/
+  * codegen-cache interference (r7's e28 "regression" was exactly this:
+  * 5.6 s single-pass vs 1.8 s median on identical query+data), and the
+  * median is robust to one slow outlier pass in a way min/mean are not.
+  * Failures are reported per query (never folded into the total as a fake
+  * timing).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,15 +33,22 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .takeWhile(_ != '\n').take(200)
+      val times = (1 to passes).flatMap { _ =>
+        if (errs.contains(name)) None // failed: don't retry, don't time
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .takeWhile(_ != '\n').take(200)
+            Some((System.nanoTime() - t0) / 1e9)
+          }
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply((times.size - 1) / 2) // median (lower mid)
     }
 
     def jstr(s: String): String =

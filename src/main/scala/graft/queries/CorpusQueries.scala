@@ -113,7 +113,6 @@ object CorpusQueries {
     d.join(broadcast(st), "lang")
       .where(lit(4) * dev * dev > lit(9) * varN)
       .select("doc_id", "lang", "n_chars")
-      .orderBy("doc_id")
   }
 
   /** Distinctive terms per document — top-3 by integer tf-idf proxy
@@ -152,7 +151,6 @@ object CorpusQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("doc_id", "term", "tf", "df", "score")
-      .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
   /** Per-source quota (crawl-mix curation): keep the best `QuotaK` docs

@@ -76,7 +76,6 @@ object ExtensionQueries {
           min(col("lang")).as("lang"))
         .drop("sha2(text, 256)")
         .select("doc_id", "n_copies", "n_chars", "lang")
-        .orderBy("doc_id")
   }
 
   /** Near-dup via exact n-gram Jaccard with an inverted-index (bucketed)
@@ -133,7 +132,6 @@ object ExtensionQueries {
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.3)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Near-dup via MinHash + LSH banding: 12 affine min-hashes over the
@@ -151,7 +149,6 @@ object ExtensionQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       minhashVerifiedPairs(s, dir)
         .filter(col("jaccard") >= 0.3)
-        .orderBy("doc_a", "doc_b")
     }
 
   /** DuckDB CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
@@ -280,7 +277,6 @@ object ExtensionQueries {
         .join(sizes, "cluster")
         .select(col("doc_id"), col("cluster"), col("cluster_size"),
           (col("doc_id") === col("cluster")).cast("int").as("canonical"))
-        .orderBy("doc_id")
     }
 
   /** The dedup APPLY step — the last mile after pair generation (e3)
@@ -388,7 +384,6 @@ object ExtensionQueries {
         .select(col("doc_id"), F.sim_hash(col("text")).as("simhash"))
       withClusterSize(fp, "simhash", "n_same")
         .select("doc_id", "simhash", "n_same")
-        .orderBy("doc_id")
     }
   }
 
@@ -476,7 +471,6 @@ object ExtensionQueries {
       // qualifying pairs instead of every band collision
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy("doc_a", "doc_b")
     }
   }
 
@@ -936,7 +930,6 @@ object ExtensionQueries {
             .as("canonical_id"),
           when(coalesce(col("mn"), col("vec_id")) < col("vec_id"), 1)
             .otherwise(0).as("is_dup"))
-        .orderBy("vec_id")
     }
   }
 
@@ -1123,7 +1116,6 @@ object ExtensionQueries {
       round(punctR, 4).as("punct_ratio"),
       when(col("n_words") >= 5 && stopR >= 0.01 && punctR <= 0.2, 1)
         .otherwise(0).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** The composed data-prep flow — quality filter (e14's thresholds) then
@@ -1267,7 +1259,6 @@ object ExtensionQueries {
         size(expr(
           "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
           .cast("long").as("bpe_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Rolling-hash document fingerprint (char-level polynomial mod P) with
@@ -1286,7 +1277,6 @@ object ExtensionQueries {
       .select(col("doc_id"), F.poly_hash(col("text")).as("fingerprint"))
     withClusterSize(fp, "fingerprint", "n_same")
       .select("doc_id", "fingerprint", "n_same")
-      .orderBy("doc_id")
   }
 
   /** Per-vector embedding statistics (norm, mean) — the multimodal
@@ -1312,7 +1302,6 @@ object ExtensionQueries {
         col("vec_id"), col("label"),
         round(sqrt(dot(embD, embD)), 4).as("norm"),
         round(dot(embD, ones) / 64, 4).as("mean"))
-      .orderBy("vec_id")
   }
 
   /** Frame sampling over multimodal payloads (the video-keyframe stand-in,
@@ -1348,7 +1337,6 @@ object ExtensionQueries {
       Media.sampleFrames(docs, nFrames = 4)
         .select(col("doc_id"), col("frame_idx"), col("offset"),
           col("frame_hash"))
-        .orderBy("doc_id", "frame_idx")
     }
   }
 
@@ -1373,7 +1361,6 @@ object ExtensionQueries {
     Media.extractFeatures(docs)
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         col("checksum"))
-      .orderBy("doc_id")
   }
 
   /** Incremental dedup — the shape a production pipeline actually runs:
@@ -1464,6 +1451,5 @@ object ExtensionQueries {
       .select(col("doc_id"),
         when(col("fe") === 1, "exact").when(col("fn") === 1, "neardup")
           .otherwise("kept").as("verdict"))
-      .orderBy("doc_id")
   }
 }

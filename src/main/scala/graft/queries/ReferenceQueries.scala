@@ -28,7 +28,8 @@ object ReferenceQueries {
     q25MovingSum, q26AsofJoin, q27RangeJoin, q28Rollup, q29Pivot,
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
-    q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot)
+    q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
+    q42BucketedStar)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1416,5 +1417,67 @@ object ReferenceQueries {
       .select(col("o_orderpriority").as("priority"), col("metric"),
         col("value"))
       .orderBy("priority", "metric")
+  }
+
+  /** q2's star join over BUCKETED fact tables — the "bucketed mart
+    * tables" lever from SCALING.md made a checkable query: lineitem and
+    * orders are written once as same-bucket-count catalog tables on
+    * their orderkey ([[graft.sources.Layout.writeBucketed]]), so the
+    * fact-fact join plans as a SortMergeJoin directly over the bucketed
+    * scans with NO shuffle exchange on either side — the standing
+    * per-query shuffle of q2's biggest edge paid once at write time.
+    * Result is identical to q2 (same oracle SQL); BucketedStarSpec pins
+    * the zero-ShuffleExchange plan. The part dim stays unhinted exactly
+    * as in q2 (AQE/threshold picks broadcast while it fits).
+    *
+    * The bucketed tables are built lazily per source dir and reused
+    * when the row count already matches — mirroring production, where
+    * bucketing is a write-time layout decision, not per-query work.
+    * Cites reference dbt_sao/models/mart/fct_order_products.sql:13-33.
+    */
+  private def q42BucketedStar = QueryDef.sql(
+    "q42_bucketed_star",
+    """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+      | l.l_partkey AS product_id, o.o_custkey AS customer_id,
+      | CAST(o.o_orderdate AS DATE) AS order_date,
+      | l.l_quantity AS quantity, p.p_retailprice AS product_price,
+      | p.p_retailprice * 0.6 AS product_cost
+      |FROM lineitem l
+      |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |ORDER BY order_id, line_no""".stripMargin) { (s, dir) =>
+    val buckets = 16
+    // one table pair per source dir (Verify and Bench hit different SFs
+    // in one JVM lifetime); rebuilt only when absent or stale
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+      .toHexString
+    val liT = s"graft_bkt_lineitem_$tag"
+    val oT = s"graft_bkt_orders_$tag"
+    def ensure(df: DataFrame, table: String, key: String): Unit = {
+      val fresh = s.catalog.tableExists(table) &&
+        s.table(table).count() == df.count()
+      if (!fresh) graft.sources.Layout.writeBucketed(df, table, key, buckets)
+    }
+    ensure(Tables.lineitem(s, dir), liT, "l_orderkey")
+    ensure(Tables.orders(s, dir), oT, "o_orderkey")
+    val l = s.table(liT)
+    val o = s.table(oT)
+    val p = Tables.part(s, dir)
+    // fact-fact edge FIRST: the bucketed l/o scans co-partition on
+    // orderkey, so this join is exchange-free; joining part first would
+    // reshuffle lineitem on partkey and throw the bucketing away. Left
+    // joins on independent keys commute, so the result is still q2's.
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
+      .join(p, l("l_partkey") === p("p_partkey"), "left")
+      .select(
+        l("l_orderkey").as("order_id"),
+        l("l_linenumber").as("line_no"),
+        l("l_partkey").as("product_id"),
+        o("o_custkey").as("customer_id"),
+        o("o_orderdate").cast("date").as("order_date"),
+        l("l_quantity").as("quantity"),
+        p("p_retailprice").as("product_price"),
+        (p("p_retailprice") * lit(0.6)).as("product_cost"))
+    // corpus-scale output: no trailing sort (QueryDef convention)
   }
 }

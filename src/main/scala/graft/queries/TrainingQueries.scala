@@ -88,7 +88,6 @@ object TrainingQueries {
             regexp_replace(col("msg"), EmailRe, "[EMAIL]"),
             PhoneRe, "[PHONE]"),
           IpRe, "[IP]").as("redacted"))
-      .orderBy("c_custkey")
   }
 
   /** Benchmark-contamination detection (decontaminate stage): for every
@@ -152,7 +151,6 @@ object TrainingQueries {
           col("n_shingles"), 4).as("overlap"),
         (coalesce(col("n_matched"), lit(0L)) * 2 >= col("n_shingles"))
           .cast("int").as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Within-document repetition scoring (quality stage): the fraction of
@@ -194,7 +192,6 @@ object TrainingQueries {
             col("n_windows"), 4).as("rep_ratio"),
           round(lit(1) - col("n_uniq_words").cast("double") /
             col("n_words"), 4).as("dup_word_ratio"))
-        .orderBy("doc_id")
   }
 
   /** Corpus-frequency rarity scoring (quality stage): a unigram LM
@@ -242,7 +239,6 @@ object TrainingQueries {
         .select(col("doc_id"), col("n_tokens"), col("s_freq"),
           round(log((col("n_total") * col("n_tokens")).cast("double") /
             col("s_freq")), 4).as("rarity"))
-        .orderBy("doc_id")
   }
 
   /** Deterministic stratified train/val/test split (split stage):
@@ -322,7 +318,6 @@ object TrainingQueries {
          |SELECT * FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) {
       (s, dir) =>
         chunked(Tables.documents(s, dir), W, S)
-          .orderBy("doc_id", "chunk_id")
     }
   }
 
@@ -354,7 +349,6 @@ object TrainingQueries {
           count(lit(1)).as("n_spans"),
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
-        .orderBy("checksum")
     }
   }
 
@@ -411,7 +405,6 @@ object TrainingQueries {
         .select(col("doc_id"), draw.as("draw"))
       graft.operators.Indexing.withGlobalIndex(df, col("draw"), "pos")
         .select(col("pos"), col("doc_id"), col("draw"))
-        .orderBy("pos")
     }
   }
 
@@ -466,7 +459,6 @@ object TrainingQueries {
               lit(0L), (a, x) => a + x),
             lit(P)).as("checksum"),
           size(filter(col("qv"), x => x > 0)).cast("long").as("n_pos"))
-        .orderBy("vec_id")
     }
   }
 
@@ -575,7 +567,6 @@ object TrainingQueries {
         .where(col("draw").cast("decimal(38,0)") * col("n_lang") <
           lit(nMin).cast("decimal(38,0)") * P)
         .select("doc_id", "lang", "n_lang")
-        .orderBy("doc_id")
     }
   }
 

@@ -83,6 +83,25 @@ class PlanLintSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
   }
 
+  test("withClusterSize consumers reuse one scan (e4, e10)") {
+    // The count(coalesce(...)) witness in withClusterSize exists only to
+    // keep both consumer branches' scan subtrees canonical so
+    // ReuseExchange collapses them to ONE FileSourceScan + exchange. It
+    // is coupled to optimizer internals (column pruning would split the
+    // scan if the witness were rewritten away), so gate it: a Spark
+    // upgrade that breaks the trick must fail HERE, loudly, instead of
+    // silently doubling the fingerprint computation.
+    for (name <- Seq("e4_simhash", "e10_fingerprint")) {
+      val df = SparkEntry.queries(name)(lintSession, dir)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size === 1,
+        s"$name: expected exactly one FileSourceScan (shared exchange), " +
+          s"got ${scans.size}:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("every SparkEntry query has a scale-clean static physical plan") {
     // Pipeline queries (g1, p1) execute the engine itself when built —
     // their returned frames are tiny materialized summaries, but building
