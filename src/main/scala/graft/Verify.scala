@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — trailing names restrict the dump
+    // (dev iteration); the driver always calls with exactly two args.
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +27,9 @@ object Verify {
       java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
         val th = new Thread(r, "graft-verify"); th.setDaemon(true); th
       }))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       Future {
         try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name"); None }

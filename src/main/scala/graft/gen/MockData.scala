@@ -224,11 +224,15 @@ object MockData {
       array(pool.map(lit): _*),
       (r * pool.size).cast("int") + 1)
 
-  /** Public pick + a pool, for the q15 oracle twin of the F10 lookup
-    * generators (r >= 0, so int-cast truncation == floor in both engines).
+  /** Public pick + the pools, for the q15/g2 oracle twins of the F10
+    * lookup generators (r >= 0, so int-cast truncation == floor in both
+    * engines).
     */
   def pickFrom(pool: Seq[String], r: Column): Column = pick(pool, r)
   val firstNamePool: Seq[String] = FirstNames
+  val lastNamePool: Seq[String] = LastNames
+  val cityPool: Seq[String] = Cities
+  val domainPool: Seq[String] = Domains
 
   // ---- Product seed (S1 twin) ---------------------------------------------
   private val SeedSeries = Seq(

@@ -60,24 +60,60 @@ final class StreamingIngest(spark: SparkSession, db: String, streamRoot: Path) {
     Files.deleteIfExists(tmp)
   }
 
+  private def appliedMarker(t: String, batchId: Long) =
+    streamRoot.resolve("_applied").resolve(t).resolve(s"batch-$batchId")
+
   /** Drains every pending staged file into the raw tables exactly once:
     * one `AvailableNow` streaming query per table, reading with the
     * DECLARED schema (no inference — the copy_data.sql contract), each
     * micro-batch appended via the same `insertInto` the batch path uses.
+    *
+    * Crash recovery: `foreachBatch` is at-least-once by contract — a
+    * drain that dies after the append but before Spark records the batch
+    * in the commit log re-runs that batchId on restart. The append is
+    * therefore made IDEMPOTENT per (table, batchId) with an applied-
+    * marker file created after the insert: a re-delivered batch whose
+    * marker exists is skipped, so restart-after-crash appends nothing
+    * twice (StreamingIngestSpec pins this with an injected mid-drain
+    * failure). `_applied/` lives beside `_checkpoints/` and shares its
+    * lifetime — deleting one without the other breaks the batchId
+    * correspondence. Residual window: a crash BETWEEN insertInto and
+    * marker creation still re-appends (two FS operations cannot be
+    * atomic on a plain filesystem); closing it needs a transactional
+    * table format, which the reference's plain-parquet model lacks too.
+    *
+    * @param maxFilesPerTrigger bound staged files per micro-batch (also
+    *   what makes a multi-file backlog drain in several recoverable
+    *   batches rather than one)
+    * @param afterBatch test failpoint, invoked after a batch is applied
+    *   and marked — a throw simulates a crash before the commit-log
+    *   write, the exact window the marker protects
     */
-  def drainOnce(tables: Seq[String] = Schemas.rawTables.map(_._1)): Unit =
+  def drainOnce(
+      tables: Seq[String] = Schemas.rawTables.map(_._1),
+      maxFilesPerTrigger: Option[Int] = None,
+      afterBatch: (String, Long) => Unit = (_, _) => ()): Unit =
     tables.foreach { t =>
       if (Files.exists(inbox(t))) {
         val schema = Schemas.rawTables.toMap.apply(t)
-        val q = spark.readStream
+        val reader = spark.readStream
           .option("sep", "\t").option("header", "true")
           .schema(schema)
+        maxFilesPerTrigger.foreach(n =>
+          reader.option("maxFilesPerTrigger", n.toString))
+        val q = reader
           .csv(inbox(t).toString)
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", checkpoint(t).toString)
-          .foreachBatch { (batch: Dataset[Row], _: Long) =>
-            batch.write.mode(SaveMode.Append).insertInto(s"$db.$t")
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val marker = appliedMarker(t, batchId)
+            if (!Files.exists(marker)) {
+              batch.write.mode(SaveMode.Append).insertInto(s"$db.$t")
+              Files.createDirectories(marker.getParent)
+              Files.createFile(marker)
+            }
+            afterBatch(t, batchId)
           }
           .start()
         q.awaitTermination()

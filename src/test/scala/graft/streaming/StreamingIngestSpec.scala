@@ -46,4 +46,51 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(loaded.exceptAll(expected).isEmpty &&
       expected.exceptAll(loaded).isEmpty)
   }
+
+  test("crash mid-drain: restart from checkpoint loads nothing twice") {
+    val db = "streaming_crash_raw"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Schemas.rawTables.foreach { case (t, sch) =>
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $db.$t (${sch.toDDL}) USING parquet")
+    }
+    val root = Files.createTempDirectory("graft-stream-crash")
+    val si = new StreamingIngest(spark, db, root)
+    val t0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+
+    // three staged files; maxFilesPerTrigger=1 => three micro-batches
+    val batches = (0 to 2).map { i =>
+      val c = MockData.customers(spark, 42L + i, t0.plusMinutes(i)).drop("gen_idx")
+      si.stage("customers", c, s"b$i")
+      c
+    }
+
+    // Kill the drain AFTER batch 1 is appended + marked but BEFORE Spark's
+    // commit log records it — the exact at-least-once redelivery window.
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      si.drainOnce(Seq("customers"), maxFilesPerTrigger = Some(1),
+        afterBatch = (_, bid) =>
+          if (bid == 1) throw new RuntimeException("injected crash"))
+    }
+    val msgs = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("injected crash")))
+    // the crashed drain applied batches 0 and 1 only
+    assert(spark.table(s"$db.customers").count() === 2000)
+
+    // restart from the same checkpoint: Spark re-delivers batch 1 (it
+    // never committed), the applied-marker skips its re-append, batch 2
+    // then loads — total is exactly the 3 staged batches, no duplicates
+    si.drainOnce(Seq("customers"), maxFilesPerTrigger = Some(1))
+    val loaded = spark.table(s"$db.customers")
+    assert(loaded.count() === 3000)
+    val expected = batches.reduce(_ unionByName _)
+    assert(loaded.exceptAll(expected).isEmpty &&
+      expected.exceptAll(loaded).isEmpty)
+
+    // and a further drain with no new files is still a no-op
+    si.drainOnce(Seq("customers"), maxFilesPerTrigger = Some(1))
+    assert(spark.table(s"$db.customers").count() === 3000)
+  }
 }
