@@ -39,7 +39,7 @@ object ExtensionQueries {
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
-    e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply)
+    e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -270,6 +270,48 @@ object ExtensionQueries {
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b")
       val comp = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val sizes = comp.groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.select(col("node").as("doc_id"), col("comp").as("cluster"))
+        .join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).cast("int").as("canonical"))
+    }
+
+  /** The e32 clustering with the edge-REWRITING components algorithm
+    * ([[graft.operators.StarComponents]], Kiveris et al. SoCC'14
+    * large-star/small-star) instead of label propagation — the
+    * scale path for crawl-shaped duplicate clusters whose pair graphs
+    * are near-quadratic in cluster size: the rewrite collapses a dense
+    * cluster's edge set toward |V| star edges within the first rounds,
+    * where the label algorithm re-joins the full edge set every round.
+    * Same unique fixpoint (node → component-min), so the oracle is
+    * e32's recursive CTE verbatim; StarComponentsSpec additionally pins
+    * exact agreement between the two operators on adversarial graphs.
+    */
+  private def e46CcStar =
+    QueryDef.sql(
+      "e46_cc_star",
+      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT c.node AS doc_id, c.cluster, s.cluster_size,
+         |  CAST(c.node = c.cluster AS INT) AS canonical
+         |FROM comp c
+         |JOIN (SELECT cluster, count(*) AS cluster_size FROM comp
+         |      GROUP BY cluster) s USING (cluster)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+      val comp = graft.operators.StarComponents
         .components(pairs, "doc_a", "doc_b")
       val sizes = comp.groupBy(col("comp").as("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
