@@ -39,7 +39,8 @@ object ExtensionQueries {
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
-    e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar)
+    e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
+    e47JlProject)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -551,6 +552,80 @@ object ExtensionQueries {
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 128 > n)
       .orderBy("h")
+  }
+
+  /** Johnson-Lindenstrauss random projection (64 → 16 dims) with a
+    * per-pair distance-distortion report — the dimensionality-reduction
+    * lever that cuts every downstream ANN dot product 4×: project once,
+    * search in 16-dim space, verify survivors in full dimension. The
+    * projection matrix is the deterministic [-1,1) hyperplane family
+    * ([[Portable.hyperplaneWeight]], planes 32–47 — an independent block
+    * from e6's sign-LSH planes 0–11), scaled by √(3/k): uniform [-1,1)
+    * weights have variance 1/3, so E[‖Px‖²] = ‖x‖² and the distortion
+    * ratio is an unbiased JL estimate. The report pairs adjacent vectors
+    * (vec_id, vec_id+1 — a keyed equi-join, no sampling shuffle) and
+    * emits full-space vs projected distance plus their ratio: the
+    * quality gate a pipeline checks before trusting projected-space
+    * search. All folds are element-order left folds in both engines;
+    * per-row expression work only, one narrow equi-join — linear at
+    * 100 TB.
+    */
+  private def e47JlProject = {
+    val k = 16
+    val planeOff = 32
+    val scale = math.sqrt(3.0 / k)
+    val scaleSql = java.lang.Double.toString(scale)
+    def projDuck(j: Int): String =
+      "(list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+        " list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * " +
+        Portable.hyperplaneWeightDuck(planeOff + j) +
+        s")), (s, v) -> s + v) * $scaleSql)"
+    def sqFoldDuck(diffs: String): String =
+      s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform($diffs, x -> x * x)), (s, v) -> s + v))""".stripMargin
+    QueryDef.sql(
+      "e47_jl_project",
+      s"""WITH p AS (SELECT vec_id, embedding,
+         |    [${(0 until k).map(projDuck).mkString(",\n     ")}] AS proj
+         |  FROM embeddings),
+         |j AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(a.embedding[i] AS DOUBLE) -
+         |      CAST(b.embedding[i] AS DOUBLE)) AS dfull,
+         |    list_transform(range(1, 17), i -> a.proj[i] - b.proj[i]) AS dproj
+         |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+         |d AS (SELECT vec_a, vec_b, ${sqFoldDuck("dfull")} AS df,
+         |    ${sqFoldDuck("dproj")} AS dp
+         |  FROM j)
+         |SELECT vec_a, vec_b, round(df, 4) AS dist_full,
+         |  round(dp, 4) AS dist_proj,
+         |  CASE WHEN df > 0 THEN round(dp / df, 4) + 0 END AS distortion
+         |FROM d ORDER BY vec_a""".stripMargin) { (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      val proj = array((0 until k).map { j =>
+        val w = array((0 until 64).map(d =>
+          lit(Portable.hyperplaneWeight(planeOff + j, d))): _*)
+        F.array_dot(embD, w) * lit(scale)
+      }: _*)
+      val p = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"), proj.as("proj"))
+      def dist(a: Column, b: Column): Column = {
+        val diff = zip_with(a, b, (x, y) => x - y)
+        sqrt(F.array_dot(diff, diff))
+      }
+      p.as("a")
+        .join(p.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          dist(col("a.emb"), col("b.emb")).as("df"),
+          dist(col("a.proj"), col("b.proj")).as("dp"))
+        .select(
+          col("vec_a"), col("vec_b"),
+          round(col("df"), 4).as("dist_full"),
+          round(col("dp"), 4).as("dist_proj"),
+          when(col("df") > 0, round(col("dp") / col("df"), 4))
+            .as("distortion"))
+    }
   }
 
   /** Left-fold dot product of two ARRAY<DOUBLE> columns via the compiled
