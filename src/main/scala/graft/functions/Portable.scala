@@ -26,6 +26,14 @@ object Portable {
   val MinHashB: Seq[Long] =
     Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L)
 
+  /** Bloom-filter affine coefficients (k = 4 probe hashes), a distinct
+    * prime block from the MinHash family. Inputs are hashes already in
+    * [0, P), so `(a·v + b) mod P mod m` stays within Long and is
+    * identically computable as plain column arithmetic in any engine.
+    */
+  val BloomA: Seq[Long] = Seq(211L, 223L, 227L, 229L)
+  val BloomB: Seq[Long] = Seq(53L, 59L, 61L, 67L)
+
   // ---- Spark SQL dialect --------------------------------------------------
 
   /** Lowercase alpha word tokens of `text`. (The hash primitives

@@ -205,4 +205,126 @@ object sketches {
     ColumnBridge.column(
       MinKAgg(ColumnBridge.expression(values), k)
         .toAggregateExpression())
+
+  /** Bloom-filter bitmap over LONG keys in [0, Portable.P) as a bounded
+    * native aggregate: `mBits/64` longs per partial buffer regardless of
+    * input size, map-side combined, merged by bitwise OR (trivially
+    * associative and commutative — the built bitmap is partitioning-
+    * independent). Probe positions are the affine family
+    * `(BloomA(i)·v + BloomB(i)) mod P mod mBits` for i < kHashes —
+    * plain integer arithmetic, so [[might_contain]] recomputes them
+    * with builtin column functions and any external engine can too.
+    *
+    * The sketch contract is prefilter-then-verify (the e29 discipline):
+    * `might_contain` has no false negatives by construction, so
+    * filtering a probe side with it before an exact semi-join preserves
+    * the exact result while shrinking the join input to the true hits
+    * plus an ε false-positive fraction — the manual form of a runtime
+    * bloom join filter, usable where the optimizer can't infer one
+    * (e.g. across a collected-sketch boundary). FPP is pinned by
+    * BloomSpec against the (1 − e^{−kn/m})^k model.
+    */
+  case class BloomAgg(
+      child: Expression,
+      mBits: Int,
+      kHashes: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(mBits > 0 && Integer.bitCount(mBits) == 1,
+      "mBits must be a positive power of two")
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(kHashes > 0 && kHashes <= graft.functions.Portable.BloomA.size,
+      s"kHashes must be in [1, ${graft.functions.Portable.BloomA.size}]")
+
+    private val P = graft.functions.Portable.P
+    private val as = graft.functions.Portable.BloomA.toArray
+    private val bs = graft.functions.Portable.BloomB.toArray
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bloom_bitmap"
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](mBits / 64)
+
+    override def update(
+        buf: Array[Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.asInstanceOf[Long]
+        var i = 0
+        while (i < kHashes) {
+          val pos = ((as(i) * key + bs(i)) % P % mBits).toInt
+          buf(pos >> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) |= other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(off: Int): BloomAgg =
+      copy(mutableAggBufferOffset = off)
+    override def withNewInputAggBufferOffset(off: Int): BloomAgg =
+      copy(inputAggBufferOffset = off)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BloomAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Column API: the `mBits`-bit bloom bitmap as ARRAY<LONG>. */
+  def bloom_bitmap(keys: Column, mBits: Int, kHashes: Int): Column =
+    ColumnBridge.column(
+      BloomAgg(ColumnBridge.expression(keys), mBits, kHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against a DRIVER-HELD bitmap (mBits/64 longs —
+    * e.g. 32 KiB at 2^18 bits — the bounded sketch pull, like e29's
+    * candidate list): k bit tests built entirely from codegen'd builtin
+    * arithmetic over an array literal, so the probe rides the task
+    * closure with no join, no shuffle, and no custom expression. No
+    * false negatives; false positives at the modeled FPP.
+    */
+  def might_contain(
+      bitmap: Array[Long], key: Column, mBits: Int, kHashes: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(bitmap.length == mBits / 64, "bitmap length must match mBits")
+    val words = lit(bitmap)
+    (0 until kHashes).map { i =>
+      val pos = (lit(graft.functions.Portable.BloomA(i)) * key +
+        lit(graft.functions.Portable.BloomB(i))) %
+        graft.functions.Portable.P % lit(mBits.toLong)
+      val word = element_at(words, (pos / 64).cast("int") + 1)
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftRight(
+          ColumnBridge.expression(word),
+          ColumnBridge.expression((pos % 64).cast("int"))))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
 }

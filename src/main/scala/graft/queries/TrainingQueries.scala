@@ -37,7 +37,8 @@ object TrainingQueries {
     e19PiiRedact, e20Contamination, e21Repetition, e22Rarity,
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
-    e35LengthQuantiles, e36MixtureResample, e44Collocations)
+    e35LengthQuantiles, e36MixtureResample, e44Collocations,
+    e48BloomDecontaminate)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -151,6 +152,62 @@ object TrainingQueries {
           col("n_shingles"), 4).as("overlap"),
         (coalesce(col("n_matched"), lit(0L)) * 2 >= col("n_shingles"))
           .cast("int").as("contaminated"))
+  }
+
+  /** Contamination QUARANTINE list via a Bloom-filter prefilter — e20's
+    * exact semantics executed the way a 100 TB run wants it: the
+    * benchmark shingle set is folded into a 2^18-bit bloom bitmap by a
+    * bounded native aggregate ([[graft.functions.sketches.BloomAgg]] —
+    * 32 KiB per partial buffer, OR-merged), pulled once to the driver
+    * (the e29 sketch-pull discipline), and replayed over the corpus as
+    * pure codegen'd column arithmetic INSIDE the scan stage. Corpus
+    * postings that fail the probe — the overwhelming majority — die
+    * before the exchange, so the exact verify join shuffles true hits
+    * plus an ε false-positive fraction instead of every posting. No
+    * false negatives by construction, so the final result is EXACT and
+    * the oracle is the plain semi-join SQL; the FPP model is pinned by
+    * BloomSpec. This is the manual form of a runtime bloom join filter,
+    * for boundaries the optimizer cannot see across (here: the sketch
+    * is built in its own job); vs e20's broadcast-reusing formulation
+    * it trades a second tiny benchmark pass for never shuffling clean
+    * postings — the right trade once the corpus side dwarfs memory.
+    */
+  private def e48BloomDecontaminate = {
+    val mBits = 1 << 18
+    val kHashes = 4
+    val minHits = 5
+    QueryDef.sql(
+      "e48_bloom_decontaminate",
+      s"""WITH w AS (SELECT doc_id, source, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, ${Portable.shinglesDuck} AS shs FROM w),
+         |ex AS (SELECT doc_id, source, unnest(shs) AS sh FROM sh
+         |  WHERE len(shs) > 0),
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE source = 'src0'),
+         |corpus AS (SELECT doc_id, sh FROM ex WHERE source <> 'src0')
+         |SELECT doc_id, count(*) AS n_matched
+         |FROM corpus JOIN bench USING (sh)
+         |GROUP BY doc_id HAVING count(*) >= $minHits
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.sketches
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          F.shingle_hashes(col("text")).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val ex = docs
+        .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
+      val bench = ex.filter(col("source") === "src0").select("sh").distinct()
+      // Bounded driver pull: mBits/64 longs (32 KiB), independent of
+      // benchmark size — the bitmap, not the shingle set.
+      val bitmap = bench
+        .agg(sketches.bloom_bitmap(col("sh"), mBits, kHashes).as("bm"))
+        .head.getSeq[Long](0).toArray
+      ex.filter(col("source") =!= "src0")
+        .filter(sketches.might_contain(bitmap, col("sh"), mBits, kHashes))
+        .join(bench, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") >= minHits)
+    }
   }
 
   /** Within-document repetition scoring (quality stage): the fraction of
