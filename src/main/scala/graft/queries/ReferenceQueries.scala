@@ -29,7 +29,7 @@ object ReferenceQueries {
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
-    q42BucketedStar)
+    q42BucketedStar, q43Cube, q44Interpolate)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1479,5 +1479,127 @@ object ReferenceQueries {
         p("p_retailprice").as("product_price"),
         (p("p_retailprice") * lit(0.6)).as("product_cost"))
     // corpus-scale output: no trailing sort (QueryDef convention)
+  }
+
+  /** CUBE aggregate — completes the grouping-extension family (q28
+    * ROLLUP, q33 GROUPING SETS): revenue and row counts over region ×
+    * order-status with ALL four marginal combinations, plus grouping()
+    * flags so NULL-as-ALL is distinguishable from a NULL group value.
+    * Same physical shape as a plain groupBy at scale: Spark expands the
+    * grouping sets map-side (each row feeds 4 partial aggregates) and
+    * shuffles one low-cardinality aggregation.
+    */
+  private def q43Cube = QueryDef.sql(
+    "q43_cube",
+    s"""SELECT r_name, o_orderstatus,
+       |  CAST(grouping(r_name) AS INT) AS g_region,
+       |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       |  count(*) AS n_rows,
+       |  ${revenueTDuck("l_extendedprice", "l_discount")} AS revenue_t
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY CUBE(r_name, o_orderstatus)
+       |ORDER BY g_region, g_status, r_name, o_orderstatus""".stripMargin) {
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+            .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("o_orderstatus"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n_rows"),
+          revenueT(col("l_extendedprice"), col("l_discount")).as("revenue_t"))
+        .select("r_name", "o_orderstatus", "g_region", "g_status",
+          "n_rows", "revenue_t")
+        .orderBy("g_region", "g_status", "r_name", "o_orderstatus")
+  }
+
+  /** Time-series gap-fill with forward-fill AND linear interpolation —
+    * the imputation step between q36's densify (fill-with-zero) and a
+    * downstream model: hourly purchase revenue over the corpus month,
+    * missing hours carrying (a) the last observed value and (b) the
+    * linear interpolation between the surrounding observations. The
+    * hourly totals are INTEGER cents (engine-portable sums — the q25
+    * rule); interpolation arithmetic is per-row integer math with one
+    * final double division, so no cross-row float accumulation exists
+    * anywhere. The windows run over the CALENDAR SPINE (720 rows, fixed
+    * by the date-range literal — bounded by construction, never by
+    * data; PlanLintSpec carries a named allowance), not over the event
+    * table: at 100 TB the events aggregate to the same 720-row frame
+    * before any unpartitioned work happens.
+    */
+  private def q44Interpolate = {
+    // 2024-01-01T00Z .. 2024-01-30T23Z as hours-since-epoch
+    val hr0 = 1704067200L / 3600
+    val hrN = hr0 + 720
+    QueryDef.sql(
+      "q44_interpolate",
+      s"""WITH spine AS (SELECT unnest(range($hr0, $hrN)) AS hr),
+         |obs AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+         |    CAST(sum(${centsDuck("value")}) AS BIGINT) AS obs_cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |j AS (SELECT spine.hr AS hr, obs_cents FROM spine
+         |  LEFT JOIN obs ON spine.hr = obs.hr),
+         |w AS (SELECT hr, obs_cents,
+         |    last_value(obs_cents IGNORE NULLS) OVER
+         |      (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS ffill_cents,
+         |    last_value(CASE WHEN obs_cents IS NOT NULL THEN hr END
+         |      IGNORE NULLS) OVER
+         |      (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS prev_hr,
+         |    first_value(CASE WHEN obs_cents IS NOT NULL THEN hr END
+         |      IGNORE NULLS) OVER (ORDER BY hr
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr,
+         |    first_value(obs_cents IGNORE NULLS) OVER (ORDER BY hr
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+         |  FROM j)
+         |SELECT hr, obs_cents, ffill_cents,
+         |  CASE WHEN obs_cents IS NOT NULL THEN CAST(obs_cents AS DOUBLE)
+         |    ELSE round(ffill_cents + (next_v - ffill_cents) * (hr - prev_hr)
+         |      / CAST(next_hr - prev_hr AS DOUBLE), 4) END AS interp_cents
+         |FROM w ORDER BY hr""".stripMargin) { (s, dir) =>
+      val obs = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy((unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+        .agg(sum(cents(col("value"))).as("obs_cents"))
+      val spine = s.range(hr0, hrN).select(col("id").as("hr"))
+      val j = spine.join(obs, Seq("hr"), "left")
+        .select(col("hr"), col("obs_cents"))
+      val back = Window.orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHr = when(col("obs_cents").isNotNull, col("hr"))
+      j.select(
+          col("hr"), col("obs_cents"),
+          last(col("obs_cents"), ignoreNulls = true).over(back)
+            .as("ffill_cents"),
+          last(obsHr, ignoreNulls = true).over(back).as("prev_hr"),
+          first(obsHr, ignoreNulls = true).over(fwd).as("next_hr"),
+          first(col("obs_cents"), ignoreNulls = true).over(fwd).as("next_v"))
+        .select(
+          col("hr"), col("obs_cents"), col("ffill_cents"),
+          when(col("obs_cents").isNotNull, col("obs_cents").cast("double"))
+            .otherwise(round(
+              col("ffill_cents") + (col("next_v") - col("ffill_cents")) *
+                (col("hr") - col("prev_hr")) /
+                (col("next_hr") - col("prev_hr")).cast("double"), 4))
+            .as("interp_cents"))
+        .orderBy("hr")
+    }
   }
 }
