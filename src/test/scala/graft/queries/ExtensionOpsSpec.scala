@@ -53,4 +53,20 @@ class ExtensionOpsSpec extends SparkSpecBase {
       .select("query_id", "neighbor_id", "cosine")
     assert(cappedPairs.exceptAll(uncappedPairsAllK).isEmpty)
   }
+
+  test("e29 persist-vs-rescan knob: both modes return identical hitters") {
+    val q = ExtensionQueries.all.find(_.name == "e29_heavy_hitters").get
+    def runWith(persist: Boolean) = {
+      spark.conf.set(
+        "spark.graft.heavyHitters.persistPostings", persist.toString)
+      try q.run(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      finally spark.conf
+        .unset("spark.graft.heavyHitters.persistPostings")
+    }
+    val persisted = runWith(persist = true)
+    val rescanned = runWith(persist = false)
+    assert(persisted === rescanned)
+    assert(persisted.nonEmpty)
+  }
 }
