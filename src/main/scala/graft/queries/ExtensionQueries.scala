@@ -40,7 +40,7 @@ object ExtensionQueries {
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
-    e47JlProject)
+    e47JlProject, e49SemDedup)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1168,6 +1168,87 @@ object ExtensionQueries {
           .filter(col("rk") <= k)
           .drop("rk")
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication scoped to coarse embedding clusters — the method that
+    * makes embedding-space dedup tractable at corpus scale by only
+    * comparing vectors that share a cluster, exactly as e13 scopes
+    * comparisons to LSH buckets. Pipeline: IVF assign (e17's codebook +
+    * struct-max argmax), then within-cluster pairs against SMALLER ids
+    * only (half the candidate volume of e13's symmetric buckets —
+    * is_dup/canonical only need the min smaller neighbor), cosine ≥ thr
+    * marks a duplicate of its smallest qualifying cluster-mate. Work is
+    * Σ cluster_size² with cluster count a free parameter (real runs pick
+    * K ~ √N, capping expected cluster size); the threshold mirrors
+    * e13's 0.4 (this corpus' planted near-dups; production ~0.95+).
+    */
+  private def e49SemDedup = {
+    val thr = 0.4
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e49_semdedup",
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM base WHERE vec_id % 67 = 3),
+         |sc AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM base b CROSS JOIN cent c),
+         |best AS (SELECT vec_id, max(cs) AS mc FROM sc GROUP BY vec_id),
+         |assign AS (SELECT sc.vec_id, min(cid) AS list_id
+         |  FROM sc JOIN best USING (vec_id) WHERE cs = mc GROUP BY sc.vec_id),
+         |v AS (SELECT base.vec_id, base.embedding, base.nrm, list_id
+         |  FROM base JOIN assign USING (vec_id)),
+         |dup AS (SELECT a.vec_id AS vid, min(b.vec_id) AS mn
+         |  FROM v a JOIN v b
+         |    ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+         |  WHERE round(${dotCols("a.embedding", "b.embedding")} /
+         |    (a.nrm * b.nrm), 4) >= $thr
+         |  GROUP BY a.vec_id)
+         |SELECT v.vec_id, v.list_id,
+         |  least(v.vec_id, coalesce(mn, v.vec_id)) AS canonical_id,
+         |  CASE WHEN mn IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |FROM v LEFT JOIN dup ON dup.vid = v.vec_id
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        .filter(col("vec_id").isNotNull)
+      val cent = base.filter(col("vec_id") % 67 === 3)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"))
+      val scored = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+            .as("cs"))
+      // one struct-max aggregation (the e17 argmax idiom; min-cid ties)
+      val assign = scored.groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+      val vs = base.join(assign, "vec_id").repartition(col("list_id"))
+      val cosine = round(
+        dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
+      val dup = vs.as("a")
+        .join(vs.as("b"),
+          col("a.list_id") === col("b.list_id") &&
+            col("b.vec_id") < col("a.vec_id"))
+        .filter(cosine >= thr)
+        .groupBy(col("a.vec_id").as("vid"))
+        .agg(min(col("b.vec_id")).as("mn"))
+      vs.join(dup, col("vec_id") === col("vid"), "left")
+        .select(
+          col("vec_id"), col("list_id"),
+          least(col("vec_id"), coalesce(col("mn"), col("vec_id")))
+            .as("canonical_id"),
+          when(col("mn").isNotNull, 1).otherwise(0).as("is_dup"))
     }
   }
 
