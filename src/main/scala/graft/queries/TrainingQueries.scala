@@ -38,7 +38,7 @@ object TrainingQueries {
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
-    e48BloomDecontaminate)
+    e48BloomDecontaminate, e50BpeTrain)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -859,5 +859,110 @@ object TrainingQueries {
       .select("h1", "h2", "n_pair", "score")
       .orderBy(col("score").desc, col("h1"), col("h2"))
       .limit(20)
+  }
+
+  /** BPE-merge training (the tokenizer-fit step of a data pipeline,
+    * Sennrich et al. 2016): learn the first R byte-pair merges from the
+    * corpus. The classic industrial formulation trains on the WORD
+    * FREQUENCY table, not the corpus — one corpus pass builds
+    * (word, count), and every merge round is then a VOCABULARY-bounded
+    * job: explode adjacent symbol pairs weighted by word count, pick
+    * the max-count pair (deterministic count-desc/lexicographic
+    * tie-break; a 1-row collect per round — the sketch-pull class),
+    * and rewrite each word's symbol array with a greedy left-to-right
+    * fold (`aggregate` HOF — codegen'd, leftmost-first non-overlapping,
+    * the standard BPE apply). At 100 TB the corpus is touched once; the
+    * R rounds never see it. Per-round localCheckpoint with dead-RDD
+    * release (the ConnectedComponents discipline) keeps lineage linear
+    * in rounds. The DuckDB oracle replays the identical R rounds as
+    * generated chained CTEs — same folds, same tie-breaks — so the
+    * learned merge table is value-checked cross-engine.
+    */
+  private def e50BpeTrain = {
+    val R = 8
+    val vocabCap = 300
+    // round r CTEs: best pair b{r} from s{r-1}, rewritten symbols s{r}
+    def roundDuck(r: Int): String =
+      s"""b$r AS (SELECT a, b, c FROM (
+         |    SELECT x.syms[x.i] AS a, x.syms[x.i+1] AS b, sum(x.cnt) AS c
+         |    FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+         |          FROM s${r - 1}) x
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |s$r AS (SELECT word, cnt, list_reduce(
+         |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+         |        AND x[1] = m.b
+         |      THEN acc[1:len(acc)-1] || [m.a || m.b]
+         |      ELSE acc || x END) AS syms
+         |  FROM s${r - 1} CROSS JOIN b$r m)""".stripMargin
+    QueryDef.sql(
+      "e50_bpe_train",
+      s"""WITH w AS (SELECT unnest(${Portable.wordsDuck}) AS word
+         |  FROM documents),
+         |v0 AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+         |  ORDER BY cnt DESC, word LIMIT $vocabCap),
+         |s0 AS (SELECT word, cnt,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM v0),
+         |${(1 to R).map(roundDuck).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to R).map(r =>
+           s"  SELECT $r AS round, a AS sym_a, b AS sym_b," +
+             s" a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b$r")
+           .mkString("\n  UNION ALL\n")})
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      def release(df: DataFrame): Unit =
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(false))
+      val words = Tables.documents(s, dir)
+        .select(explode(expr(Portable.wordsSpark)).as("word"))
+      var vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+        .select(col("word"), col("cnt"), expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+        .localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      try {
+        var r = 1
+        while (r <= R) {
+          // sequence(1, 0) DESCENDS in Spark — guard 1-symbol words out
+          val best = vocab.filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> " +
+                "struct(element_at(syms, i) AS a, " +
+                "element_at(syms, i + 1) AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .take(1) // 1-row driver pull per round, bounded
+          require(best.nonEmpty,
+            s"vocabulary exhausted before $R merge rounds")
+          val (a, b, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          val merged = a + b
+          merges += ((r, a, b, merged, c))
+          val applied = aggregate(
+            col("syms"), lit(Array.empty[String]),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === a && x === b,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(x))))
+          val next = vocab
+            .select(col("word"), col("cnt"), applied.as("syms"))
+            .localCheckpoint(true)
+          release(vocab)
+          vocab = next
+          r += 1
+        }
+      } finally release(vocab)
+      import s.implicits._
+      merges.toSeq
+        .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+        .orderBy("round")
+    }
   }
 }
