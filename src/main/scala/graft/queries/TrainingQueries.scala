@@ -38,7 +38,7 @@ object TrainingQueries {
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
-    e48BloomDecontaminate, e50BpeTrain)
+    e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -723,6 +723,52 @@ object TrainingQueries {
         atRank(expr("(9*n + 9) div 10")).as("p90"),
         atRank(expr("(99*n + 99) div 100")).as("p99"))
       .orderBy("lang")
+  }
+
+  /** Temperature-scaled mixture WEIGHT DERIVATION — the step BEFORE
+    * e36's apply: given per-source sizes n_s, the training mixture
+    * weight is n_s^(1/T) normalized (temperature sampling, the
+    * multilingual-LM recipe); T = 2 ⇒ α = ½, deliberately, because
+    * IEEE-754 requires `sqrt` to be correctly rounded — both engines
+    * produce BIT-IDENTICAL weights from the same integer counts, where
+    * a pow(x, 0.7) would be at the mercy of each engine's libm. The
+    * 5-term normalization sum is folded over a SORTED list (sort_array
+    * / list_sort before the fold), so even that reduction has one
+    * engine-portable evaluation order. Shape at 100 TB: one integer
+    * groupBy over the corpus, then arithmetic on a #sources-row frame;
+    * quotas are floor(weight · budget) on those identical doubles.
+    */
+  private def e51TemperatureMix = {
+    val budget = 1000000L // token budget to allocate across sources
+    QueryDef.sql(
+      "e51_temperature_mix",
+      s"""WITH src AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(${Portable.wordsDuck})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))),
+         |    (s, v) -> s + v) AS z FROM src)
+         |SELECT source, n_docs, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / z * $budget)
+         |    AS BIGINT) AS quota_tokens
+         |FROM src CROSS JOIN tot
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(expr(Portable.wordsSpark)).cast("long")).as("n_tokens"))
+      val tot = src.agg(
+        aggregate(
+          sort_array(collect_list(sqrt(col("n_tokens").cast("double")))),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+      val w = sqrt(col("n_tokens").cast("double")) / col("z")
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(w, 6).as("weight"),
+          floor(w * budget).cast("long").as("quota_tokens"))
+        .orderBy("source")
+    }
   }
 
   /** Mixture resampling WITH REPETITION (mix stage): reshape the corpus

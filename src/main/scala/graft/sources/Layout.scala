@@ -51,7 +51,20 @@ object Layout {
     */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A managed table's LOCATION outlives a JVM whose in-memory catalog
+    // did not: the warehouse dir persists on disk while the default
+    // catalog is per-session, so Overwrite-saveAsTable in a fresh
+    // session fails LOCATION_ALREADY_EXISTS on the stale dir. Drop any
+    // catalog entry AND clear the orphaned location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc) && !fs.delete(loc, true))
+      throw new java.io.IOException(
+        s"could not clear stale managed-table location $loc")
     // repartition to the bucket hash FIRST: Spark's bucket assignment is
     // the same Murmur3 hash as repartition(), so each write task then
     // holds exactly one bucket and emits one file — without this, every
@@ -63,6 +76,7 @@ object Layout {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketing tables on the bucket key — planned with no
     * exchange when both sides' bucketing matches the join key.

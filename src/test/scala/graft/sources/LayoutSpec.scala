@@ -65,6 +65,26 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("writeBucketed survives a stale warehouse location (fresh catalog)") {
+    import spark.implicits._
+    // A prior JVM's managed-table dir with no catalog entry behind it:
+    // saveAsTable(Overwrite) alone fails LOCATION_ALREADY_EXISTS here.
+    val table = "graft_bkt_stale"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc, "stale-part"))
+    try {
+      val df = (0 until 100).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+      Layout.writeBucketed(df, table, "k", 4)
+      assert(spark.table(table).count() === 100)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      fs.delete(loc, true)
+    }
+  }
+
   test("z-ordered write yields tight 2-D bounding boxes per file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_zord").toString + "/ev"
