@@ -59,5 +59,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.sketches.MisraGriesAgg(args.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("min_k"),
+      info("min_k", classOf[graft.functions.sketches.MinKAgg]),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"min_k(values, k): k must be an integer literal, got $other")
+        }
+        graft.functions.sketches.MinKAgg(args.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_bitmap"),
+      info("bloom_bitmap", classOf[graft.functions.sketches.BloomAgg]),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_bitmap(keys, mBits, kHashes): $what must be an" +
+              s" integer literal, got $other")
+        }
+        graft.functions.sketches.BloomAgg(
+          args.head, intLit(args(1), "mBits"), intLit(args(2), "kHashes"))
+      }))
   }
 }

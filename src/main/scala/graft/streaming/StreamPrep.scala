@@ -50,4 +50,25 @@ object StreamPrep {
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_docs"), col("n_words"))
   }
+
+  /** Bloom decontamination gate AT INGEST — e48's prefilter as a
+    * streaming admission rule: drop any document whose word-3-gram
+    * shingles hit the benchmark bitmap more than `maxHits` times.
+    * Quarantine-conservative by construction: the bitmap has no false
+    * negatives, so every truly contaminated document is caught; an ε
+    * fraction of clean documents false-positives into the drop (e48's
+    * batch path verifies exactly — at ingest the cheap stateless probe
+    * is the right trade, and a quarantined doc can always be re-admitted
+    * by the batch verify later). Pure per-row expression work fused
+    * into the scan — no watermark, no state, safe in any output mode.
+    */
+  def decontaminationGate(
+      docs: DataFrame, bitmap: Array[Long], mBits: Int, kHashes: Int,
+      maxHits: Int = 4): DataFrame = {
+    import graft.functions.{sketches, F}
+    val hits = size(filter(
+      F.shingle_hashes(col("text")),
+      sh => sketches.might_contain(bitmap, sh, mBits, kHashes)))
+    docs.filter(hits <= maxHits)
+  }
 }

@@ -39,6 +39,23 @@ class SketchSpec extends SparkSpecBase {
     assert(out.toSeq === (1L to 5L))
   }
 
+  test("min_k and bloom_bitmap are callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    (1L to 20L).toDF("h").createOrReplaceTempView("sk_sql_in2")
+    val mk = spark.sql("SELECT min_k(h, 4) AS s FROM sk_sql_in2")
+      .head().getSeq[Long](0)
+    assert(mk.toSeq === (1L to 4L))
+    val bm = spark.sql(
+      "SELECT bloom_bitmap(h, 1024, 4) AS b FROM sk_sql_in2")
+      .head().getSeq[Long](0)
+    assert(bm.length === 1024 / 64)
+    // same bitmap as the Column API (partitioning-independent by OR-merge)
+    val api = (1L to 20L).toDF("h").repartition(5)
+      .agg(sketches.bloom_bitmap(col("h"), 1024, 4))
+      .head().getSeq[Long](0)
+    assert(bm.toSeq === api.toSeq)
+  }
+
   test("sketch equals exact distinct keys when vocabulary fits in k") {
     import spark.implicits._
     val df = (1L to 40L).flatMap(i => Seq.fill(3)(i)).toDF("h").repartition(7)

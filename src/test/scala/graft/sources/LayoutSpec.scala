@@ -65,6 +65,33 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("join-driven dynamic partition pruning reaches the fact scan") {
+    import spark.implicits._
+    // Static pruning (above) needs the filter ON the partition column;
+    // the production shape is a fact ⋈ dim join where the selective
+    // filter sits on the DIM — only DPP can prune the fact's partition
+    // directories from the dim's filtered keys at runtime. At 100 TB
+    // this is the difference between scanning one date range and
+    // scanning the table.
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/fact"
+    val fact = (0 until 8000)
+      .map(i => (i.toLong % 20, i.toLong)).toDF("k", "v")
+    Layout.writePartitioned(fact, dir, Seq("k"))
+    // dim key INT to match the directory-inferred partition type (a
+    // cast on the partition column's join side defeats DPP), and dim
+    // FILE-BACKED: a filter over a local relation constant-folds away,
+    // leaving no selective predicate for the pruning rule to see
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    (0 until 20).map(k => (k, k % 4)).toDF("k", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = spark.read.parquet(dir)
+      .join(dim.filter(col("grp") === 0), "k")
+    assert(j.count() === 2000) // 5 of 20 partitions survive
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
+
   test("writeBucketed survives a stale warehouse location (fresh catalog)") {
     import spark.implicits._
     // A prior JVM's managed-table dir with no catalog entry behind it:

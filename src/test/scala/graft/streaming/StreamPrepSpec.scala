@@ -57,4 +57,41 @@ class StreamPrepSpec extends SparkSpecBase {
         (ts(10, 0), "de", 1L, 10L)))
     } finally q.stop()
   }
+
+  test("bloom decontamination gate drops benchmark replays at ingest") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{sketches, F}
+    val (mBits, kHashes) = (1 << 14, 4)
+    val bench =
+      "the quick brown fox jumps over a lazy dog near the river bank"
+    // bitmap from the benchmark's shingles (the e48 build step, batch)
+    val bitmap = Seq(bench).toDF("text")
+      .select(explode(F.shingle_hashes(col("text"))).as("sh"))
+      .agg(sketches.bloom_bitmap(col("sh"), mBits, kHashes))
+      .head().getSeq[Long](0).toArray
+
+    val clean = "completely different words about spark shuffles and " +
+      "partitions flowing through an engine pipeline tonight"
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamPrep.decontaminationGate(
+      ms.toDF().toDF("doc_id", "text"), bitmap, mBits, kHashes)
+    val q = out.writeStream
+      .format("memory").queryName("bloomgate").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(
+        (1L, bench),               // verbatim benchmark: must drop (no FN)
+        (2L, "prefix words " + bench + " suffix words"), // containment
+        (3L, clean))
+      q.processAllAvailable()
+      val got = spark.table("bloomgate")
+        .select("doc_id").as[Long].collect().toSet
+      assert(!got.contains(1L) && !got.contains(2L),
+        s"contaminated docs admitted: $got")
+      assert(got.contains(3L), "clean doc was dropped")
+    } finally q.stop()
+  }
 }
