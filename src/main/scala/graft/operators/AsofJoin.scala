@@ -45,12 +45,21 @@ object AsofJoin {
     * @param key      equi-key column name present in both inputs
     * @param buildTie unique build column breaking equal-timestamp ties
     * @param prefix   prefix for build columns in the output
+    * @param forward  false (default): latest build at-or-BEFORE the
+    *                 probe. true: earliest build at-or-AFTER it (the
+    *                 next-event / conversion-latency shape) — the exact
+    *                 mirror: build rows sort after probes at an equal
+    *                 timestamp (still inclusive), the window frame flips
+    *                 to [current, following], and `first` replaces
+    *                 `last`; equal-timestamp builds resolve to the MIN
+    *                 tie ("earliest"). Same single-shuffle cost.
     */
   def asofJoin(
       probe: DataFrame, probeTs: String,
       build: DataFrame, buildTs: String,
       key: String, buildTie: String,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      forward: Boolean = false): DataFrame = {
     val clash = probe.columns.toSet intersect build.columns.map(prefix + _).toSet
     require(clash.isEmpty,
       s"asofJoin output would duplicate column(s) ${clash.mkString(", ")}; " +
@@ -58,22 +67,31 @@ object AsofJoin {
     val bType = StructType(build.schema.fields)
     val pType = StructType(probe.schema.fields)
     val joinable = col("__k").isNotNull && col("__t").isNotNull
+    val (buildSide, probeSide) = if (forward) (1, 0) else (0, 1)
     val b = build.select(
-      col(key).as("__k"), col(buildTs).as("__t"), lit(0).as("__side"),
+      col(key).as("__k"), col(buildTs).as("__t"),
+      lit(buildSide).as("__side"),
       col(buildTie).cast(LongType).as("__tie"),
       struct(build.columns.map(col).toIndexedSeq: _*).as("__b"),
       lit(null).cast(pType).as("__p"))
     val p = probe.select(
-      col(key).as("__k"), col(probeTs).as("__t"), lit(1).as("__side"),
+      col(key).as("__k"), col(probeTs).as("__t"),
+      lit(probeSide).as("__side"),
       lit(null).cast(LongType).as("__tie"),
       lit(null).cast(bType).as("__b"),
       struct(probe.columns.map(col).toIndexedSeq: _*).as("__p"))
-    val w = Window.partitionBy(col("__k"))
+    val ordered = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (forward)
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__b"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__b"), ignoreNulls = true))
     val matched = b.where(joinable).unionByName(p.where(joinable))
-      .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+      .withColumn("__m", pick.over(w))
+      .where(col("__side") === probeSide)
       .unionByName(p.where(!joinable).withColumn("__m", col("__b")))
     matched.select(
       probe.columns.map(c => col(s"__p.$c").as(c)).toIndexedSeq ++

@@ -29,7 +29,7 @@ object ReferenceQueries {
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
-    q42BucketedStar, q43Cube, q44Interpolate)
+    q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1479,6 +1479,53 @@ object ReferenceQueries {
         p("p_retailprice").as("product_price"),
         (p("p_retailprice") * lit(0.6)).as("product_cost"))
     // corpus-scale output: no trailing sort (QueryDef convention)
+  }
+
+  /** Forward as-of join ([[graft.operators.AsofJoin]] with
+    * `forward = true`): each click picks the user's EARLIEST purchase
+    * at-or-after it — the conversion-latency shape, mirroring q26's
+    * backward attribution. Same oracle discipline as q26: the window
+    * carries only the never-NULL tie id (`first_value(IGNORE NULLS)`
+    * forward) and the payload joins back by id, keeping both engines
+    * reducing the same non-null sequence. One hash shuffle of
+    * clicks+purchases by user_id; windows are user-partitioned.
+    */
+  private def q45AsofForward = QueryDef.sql(
+    "q45_asof_forward",
+    """WITH t AS (
+      |  SELECT user_id, ts, 1 AS side, event_id AS tie,
+      |         NULL::BIGINT AS c_id
+      |    FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, event_id
+      |    FROM events WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT user_id, ts, side, c_id,
+      |    first_value(tie IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, side, tie
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS purchase_id
+      |  FROM t)
+      |SELECT w.c_id AS click_id, w.user_id, w.ts AS click_ts,
+      |  w.purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM w LEFT JOIN events p ON p.event_id = w.purchase_id
+      |WHERE w.side = 0""".stripMargin) { (s, dir) =>
+    import graft.operators.AsofJoin
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    AsofJoin.asofJoin(
+        clicks, "click_ts", purchases, "purchase_ts",
+        key = "user_id", buildTie = "purchase_id", prefix = "n_",
+        forward = true)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("n_purchase_id").as("purchase_id"),
+        col("n_purchase_ts").as("purchase_ts"),
+        col("n_purchase_value").as("purchase_value"))
   }
 
   /** CUBE aggregate — completes the grouping-extension family (q28

@@ -44,6 +44,37 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(pRows.exists { case (pId, _, _) => got(pId).isEmpty })
   }
 
+  test("forward direction matches brute-force earliest-at-or-after") {
+    import spark.implicits._
+    val build = (0 until 3000).map { i =>
+      val k = (i * 7919) % 10
+      val t = (i * 104729) % 1000
+      (i.toLong, k.toLong, t.toLong, s"b$i")
+    }.toDF("b_id", "k", "b_t", "b_tag")
+    val probe = (0 until 800).map { i =>
+      val k = (i * 6271) % 10
+      val t = (i * 31337) % 1000
+      (i.toLong, k.toLong, t.toLong)
+    }.toDF("p_id", "k", "p_t")
+
+    val got = AsofJoin
+      .asofJoin(probe, "p_t", build, "b_t", key = "k", buildTie = "b_id",
+        forward = true)
+      .select("p_id", "asof_b_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val bRows = build.as[(Long, Long, Long, String)].collect()
+    val pRows = probe.as[(Long, Long, Long)].collect()
+    for ((pId, k, pT) <- pRows) {
+      // earliest (b_t, b_id) with same key and b_t >= p_t
+      val cands = bRows.filter(b => b._2 == k && b._3 >= pT)
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.minBy(b => (b._3, b._1))._1)
+      assert(got(pId) === expect, s"probe $pId")
+    }
+  }
+
   test("equal-timestamp build row is visible (at-or-before is inclusive)") {
     import spark.implicits._
     val build = Seq((1L, 1L, 100L), (2L, 1L, 100L), (3L, 1L, 50L))
