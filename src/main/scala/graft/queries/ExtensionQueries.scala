@@ -40,7 +40,7 @@ object ExtensionQueries {
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
-    e47JlProject, e49SemDedup)
+    e47JlProject, e49SemDedup, e52DupMatrix)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -320,6 +320,49 @@ object ExtensionQueries {
         .join(sizes, "cluster")
         .select(col("doc_id"), col("cluster"), col("cluster_size"),
           (col("doc_id") === col("cluster")).cast("int").as("canonical"))
+    }
+
+  /** Cross-source duplication MATRIX — the report a crawl-curation run
+    * reads before deciding which source to dedup against which: for
+    * every (unordered) source pair, how many verified near-dup pairs
+    * span it and how many distinct documents are involved. Mirrors vs
+    * crawls show up as heavy off-diagonal cells; within-source
+    * boilerplate as the diagonal. One small join of the (bounded)
+    * near-dup pair list back to the documents' source column — pair
+    * generation is e3's shared machinery, the matrix is #sources² rows.
+    */
+  private def e52DupMatrix =
+    QueryDef.sql(
+      "e52_dup_matrix",
+      s"""$minhashPairsDuck,
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |lab AS (SELECT least(da.source, db.source) AS src_lo,
+         |    greatest(da.source, db.source) AS src_hi,
+         |    doc_a, doc_b
+         |  FROM pairs
+         |  JOIN documents da ON da.doc_id = doc_a
+         |  JOIN documents db ON db.doc_id = doc_b)
+         |SELECT src_lo, src_hi, count(*) AS n_pairs,
+         |  count(DISTINCT doc_a) + count(DISTINCT doc_b) AS n_docs_touched
+         |FROM lab GROUP BY src_lo, src_hi
+         |ORDER BY src_lo, src_hi""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+      val srcs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"))
+      pairs
+        .join(srcs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(srcs.as("db"), col("doc_b") === col("db.doc_id"))
+        .select(
+          least(col("da.source"), col("db.source")).as("src_lo"),
+          greatest(col("da.source"), col("db.source")).as("src_hi"),
+          col("doc_a"), col("doc_b"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          (countDistinct(col("doc_a")) + countDistinct(col("doc_b")))
+            .as("n_docs_touched"))
+        .orderBy("src_lo", "src_hi")
     }
 
   /** The dedup APPLY step — the last mile after pair generation (e3)
