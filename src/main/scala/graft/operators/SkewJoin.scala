@@ -79,4 +79,47 @@ object SkewJoin {
     */
   def hotKeys(df: DataFrame, key: Column, threshold: Long): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") >= threshold)
+
+  /** SELECTIVE salting — the production form SCALING.md names as q32's
+    * next lever: census the fact side's hot keys with the Misra-Gries
+    * sketch (`minShare − 1` counters per partition, one bounded driver
+    * pull — the e29 discipline, NO vocabulary-sized shuffle), then salt
+    * only rows carrying a candidate key; everything else takes the
+    * plain equi-join with zero dim replication. The MG guarantee makes
+    * the candidate set a SUPERSET of every key holding > 1/minShare of
+    * the fact — and salting a false-positive key is result-neutral
+    * (each fact row still meets its dim row exactly once), so no exact
+    * second pass is needed: correctness is unconditional, the sketch
+    * only decides WHERE the replication cost is paid. Replication drops
+    * from |dim|·S to |hot dim rows|·S and the cold path keeps normal
+    * AQE planning. Keys must be integral (the sketch counts longs);
+    * NULL-key fact rows ride the cold path, preserving outer semantics.
+    */
+  def saltedEquiJoinSelective(
+      fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 8, joinType: String = "inner",
+      saltCols: Seq[String] = Nil, minShare: Int = 64): DataFrame = {
+    require(minShare > 1, "minShare must be > 1")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+        .contains(fact.schema(key).dataType),
+      s"saltedEquiJoinSelective: key '$key' must be integral for the" +
+        " hot-key sketch; use saltedEquiJoin for other key types")
+    val cand = fact
+      .agg(graft.functions.sketches
+        .misra_gries(col(key).cast("long"), minShare - 1))
+      .head().getSeq[Long](0)
+    if (cand.isEmpty) fact.join(dim, Seq(key), joinType)
+    else {
+      val hot = col(key).isin(cand: _*)
+      val hotPath = saltedEquiJoin(
+        fact.filter(hot), dim.filter(hot), key, salts, joinType, saltCols)
+      // NULL-key fact rows: hot is NULL there; keep them on the cold
+      // path so left/anti semantics see them exactly once
+      val coldPath = fact.filter(coalesce(!hot, lit(true)))
+        .join(dim.filter(hot.isNotNull && !hot), Seq(key), joinType)
+      hotPath.unionByName(coldPath)
+    }
+  }
 }

@@ -118,4 +118,40 @@ class SkewJoinSpec extends SparkSpecBase {
       assert(e.getMessage.contains("duplicate"), jt)
     }
   }
+
+  test("selective salting equals plain join; NULLs ride the cold path") {
+    import spark.implicits._
+    // 90% hot key 7 + a long cold tail + NULL-key fact rows
+    val fact = spark.range(10000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(7L))
+          .when(col("id") % 20 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val sel = SkewJoin.saltedEquiJoinSelective(
+        fact, dim, "k", salts = 8, joinType = jt, minShare = 16)
+      val plain = fact.join(dim, Seq("k"), jt)
+      assert(sel.exceptAll(plain).isEmpty && plain.exceptAll(sel).isEmpty,
+        s"joinType=$jt")
+    }
+
+    // the sketch census is bounded: <= minShare-1 candidates, and the
+    // truly hot key (>1/16 of rows) is guaranteed in it
+    val cand = fact
+      .agg(graft.functions.sketches
+        .misra_gries(col("k").cast("long"), 15))
+      .head().getSeq[Long](0)
+    assert(cand.size <= 15 && cand.contains(7L))
+
+    // non-integral keys are rejected toward the generic path
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoinSelective(
+        Seq(("a", 1L)).toDF("k", "v"), Seq(("a", "x")).toDF("k", "attr"),
+        "k")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
