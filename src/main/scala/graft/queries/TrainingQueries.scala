@@ -38,7 +38,8 @@ object TrainingQueries {
     e23TrainSplit, e24Chunking, e25Shuffle, e26Quantize, e27Bigrams,
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
-    e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix)
+    e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
+    e53DsirSelect)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -723,6 +724,76 @@ object TrainingQueries {
         atRank(expr("(9*n + 9) div 10")).as("p90"),
         atRank(expr("(99*n + 99) div 100")).as("p99"))
       .orderBy("lang")
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score every raw-corpus document by how target-like its hashed
+    * n-gram features are, then keep the top slice — the importance-
+    * selection step that picks pretraining data resembling a trusted
+    * target domain (here: the src0 slice standing in for the target,
+    * as in e20). Features are word hashes bucketed mod 4096 (DSIR's
+    * hashed unigram model); the per-feature weight is an INTEGER ratio
+    * proxy `((cnt_target+1)·10⁶) div (cnt_raw+1)` in place of the
+    * paper's log-likelihood ratio — the e44 discipline: same
+    * target-affinity ranking family, but exact integer arithmetic,
+    * immune to cross-engine libm log() last-ulp drift. Per-doc score =
+    * integer sum of its tokens' weights; selection = top 100 by
+    * (score desc, doc_id).
+    *
+    * Shape at 100 TB: the feature table is BOUNDED at 4096 rows
+    * (broadcast back over the corpus); everything else is one explode +
+    * two groupBys riding a single feature-keyed exchange (repartition
+    * before the per-branch filters — the e20 ReuseExchange pattern) and
+    * one doc-keyed aggregation. Linear in corpus size.
+    */
+  private def e53DsirSelect = {
+    val buckets = 4096L
+    val topK = 100
+    QueryDef.sql(
+      "e53_dsir_select",
+      s"""WITH w AS (SELECT doc_id, source, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |ex AS (SELECT doc_id, source, unnest(wh) % $buckets AS f FROM w
+         |  WHERE len(wh) > 0),
+         |tgt AS (SELECT f, count(*) AS cnt_t FROM ex
+         |  WHERE source = 'src0' GROUP BY f),
+         |raw AS (SELECT f, count(*) AS cnt_r FROM ex
+         |  WHERE source <> 'src0' GROUP BY f),
+         |wt AS (SELECT raw.f,
+         |    (COALESCE(cnt_t, 0) + 1) * 1000000 // (cnt_r + 1) AS wf
+         |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(wf) AS BIGINT) AS score
+         |  FROM ex JOIN wt USING (f)
+         |  WHERE source <> 'src0' GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin) { (s, dir) =>
+      // one feature-keyed exchange serves the target census, the raw
+      // census, and the scoring join probe (filter AFTER repartition;
+      // the doc_id null-filter keeps the three subtrees canonical —
+      // the e20 pattern)
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(F.word_hashes(col("text"))).as("h"))
+        .select(col("doc_id"), col("source"),
+          pmod(col("h"), lit(buckets)).as("f"))
+        .filter(col("doc_id").isNotNull)
+        .repartition(col("f"))
+      val tgt = ex.filter(col("source") === "src0")
+        .groupBy("f").agg(count(lit(1)).as("cnt_t"))
+      val raw = ex.filter(col("source") =!= "src0")
+        .groupBy("f").agg(count(lit(1)).as("cnt_r"))
+      val wt = raw.join(tgt, Seq("f"), "left")
+        .select(col("f"), expr(
+          s"(coalesce(cnt_t, 0L) + 1L) * 1000000L div (cnt_r + 1L)")
+          .as("wf"))
+      ex.filter(col("source") =!= "src0")
+        .join(wt, "f") // wt ≤ 4096 rows: broadcast by size estimation
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wf")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(topK)
+    }
   }
 
   /** Temperature-scaled mixture WEIGHT DERIVATION — the step BEFORE
