@@ -741,10 +741,14 @@ object TrainingQueries {
     * (score desc, doc_id).
     *
     * Shape at 100 TB: the feature table is BOUNDED at 4096 rows
-    * (broadcast back over the corpus); everything else is one explode +
-    * two groupBys riding a single feature-keyed exchange (repartition
-    * before the per-branch filters — the e20 ReuseExchange pattern) and
-    * one doc-keyed aggregation. Linear in corpus size.
+    * (broadcast back over the corpus). The CORPUS side is scanned and
+    * shuffled exactly once — the raw census and the scoring probe share
+    * one feature-keyed exchange (ReusedExchange, plan-verified) — while
+    * the target census splits off as its own scan with `source = src0`
+    * PUSHED to parquet, reading only the benchmark-sized slice: two
+    * scans, each touching only its slice, beats forcing all three
+    * consumers through one unpushed full exchange. Linear in corpus
+    * size.
     */
   private def e53DsirSelect = {
     val buckets = 4096L
@@ -768,10 +772,12 @@ object TrainingQueries {
          |  WHERE source <> 'src0' GROUP BY doc_id)
          |SELECT doc_id, n_tokens, score FROM sc
          |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin) { (s, dir) =>
-      // one feature-keyed exchange serves the target census, the raw
-      // census, and the scoring join probe (filter AFTER repartition;
-      // the doc_id null-filter keeps the three subtrees canonical —
-      // the e20 pattern)
+      // filters go AFTER the repartition, but Catalyst pushes them back
+      // below it per-branch: the two corpus consumers (raw census +
+      // scoring probe) keep identical subtrees and reuse one exchange,
+      // while the target census becomes a separate scan with its
+      // source=src0 predicate pushed to parquet — the cheaper plan when
+      // the target slice is benchmark-sized
       val ex = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           explode(F.word_hashes(col("text"))).as("h"))
@@ -779,10 +785,16 @@ object TrainingQueries {
           pmod(col("h"), lit(buckets)).as("f"))
         .filter(col("doc_id").isNotNull)
         .repartition(col("f"))
+      // count(doc_id), not count(*): doc_id is never null (counts are
+      // identical) but referencing it keeps the column in the census
+      // branches, so the raw census prunes exactly like the scoring
+      // probe and reuses its exchange (the e20 count(sh) trick; with
+      // count(*) the census drops doc_id and pays a private
+      // scan+exchange over the full corpus)
       val tgt = ex.filter(col("source") === "src0")
-        .groupBy("f").agg(count(lit(1)).as("cnt_t"))
+        .groupBy("f").agg(count(col("doc_id")).as("cnt_t"))
       val raw = ex.filter(col("source") =!= "src0")
-        .groupBy("f").agg(count(lit(1)).as("cnt_r"))
+        .groupBy("f").agg(count(col("doc_id")).as("cnt_r"))
       val wt = raw.join(tgt, Seq("f"), "left")
         .select(col("f"), expr(
           s"(coalesce(cnt_t, 0L) + 1L) * 1000000L div (cnt_r + 1L)")

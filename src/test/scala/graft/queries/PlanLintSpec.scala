@@ -115,6 +115,22 @@ class PlanLintSpec extends SparkSpecBase {
     }
   }
 
+  test("e53 corpus side is scanned at most twice (census reuses the probe)") {
+    // The count(doc_id) witness keeps the raw census pruning exactly
+    // like the scoring probe, so they share one exchange; the target
+    // census legitimately splits off as a filter-pushed scan of the
+    // benchmark slice. Total: 2 FileSourceScans. A count(*) regression
+    // (or an optimizer change breaking the reuse) makes it 3 — a whole
+    // extra corpus pass at 100 TB — and must fail here loudly.
+    val df = SparkEntry.queries("e53_dsir_select")(lintSession, dir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size <= 2,
+      s"e53: expected <= 2 FileSourceScans (corpus exchange shared), " +
+        s"got ${scans.size}:\n${df.queryExecution.executedPlan}")
+  }
+
   test("every SparkEntry query has a scale-clean static physical plan") {
     // Pipeline queries (g1, p1) execute the engine itself when built —
     // their returned frames are tiny materialized summaries, but building
