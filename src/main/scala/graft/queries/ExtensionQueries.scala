@@ -40,7 +40,7 @@ object ExtensionQueries {
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
-    e47JlProject, e49SemDedup, e52DupMatrix)
+    e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1293,6 +1293,46 @@ object ExtensionQueries {
             .as("canonical_id"),
           when(col("mn").isNotNull, 1).otherwise(0).as("is_dup"))
     }
+  }
+
+  /** Vocabulary-growth / hapax report per source — the corpus-health
+    * metrics a data audit reads: token volume, distinct-type count,
+    * type-token ratio (Heaps'-law position), and the hapax-legomenon
+    * share (singleton types — high hapax + low TTR flags OCR noise or
+    * boilerplate floods respectively). One (source, word) aggregation —
+    * vocabulary-bounded, map-side combined — then a #sources-row
+    * rollup; ratios are integer-count divisions done once per source
+    * row. Linear in corpus size at 100 TB.
+    */
+  private def e54VocabGrowth = QueryDef.sql(
+    "e54_vocab_growth",
+    s"""WITH w AS (SELECT source, unnest(${Portable.wordsDuck}) AS word
+       |  FROM documents),
+       |tf AS (SELECT source, word, count(*) AS cnt FROM w
+       |  GROUP BY source, word)
+       |SELECT source,
+       |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_types,
+       |  count(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
+       |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS type_token_ratio,
+       |  round(CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+       |    / count(*), 6) AS hapax_share
+       |FROM tf GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), explode(expr(Portable.wordsSpark)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("cnt") === 1, 1)).as("n_hapax"))
+      .select(
+        col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+      .orderBy("source")
   }
 
   /** Text-quality statistics per language. Every ratio is a ratio of
