@@ -211,7 +211,10 @@ object sketches {
     * input size, map-side combined, merged by bitwise OR (trivially
     * associative and commutative — the built bitmap is partitioning-
     * independent). Probe positions are the affine family
-    * `(BloomA(i)·v + BloomB(i)) mod P mod mBits` for i < kHashes —
+    * `(BloomA(i)·floorMod(v, P) + BloomB(i)) mod P mod mBits` for
+    * i < kHashes (the inner floorMod is identity on the documented
+    * [0, P) domain and keeps out-of-domain keys consistent between
+    * build and probe instead of crashing) —
     * plain integer arithmetic, so [[might_contain]] recomputes them
     * with builtin column functions and any external engine can too.
     *
@@ -255,7 +258,13 @@ object sketches {
         input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
       val v = child.eval(input)
       if (v != null) {
-        val key = v.asInstanceOf[Long]
+        // Normalize into [0, P) BEFORE the affine transform: the
+        // documented domain is [0, P), but a key outside it must degrade
+        // to a consistent insert (still a valid bloom), not an
+        // ArrayIndexOutOfBounds mid-job. Normalizing first also keeps
+        // every product < 2^38, so the probe side can mirror this with
+        // pmod under ANSI arithmetic without overflow.
+        val key = Math.floorMod(v.asInstanceOf[Long], P)
         var i = 0
         while (i < kHashes) {
           val pos = ((as(i) * key + bs(i)) % P % mBits).toInt
@@ -315,8 +324,12 @@ object sketches {
     import org.apache.spark.sql.functions._
     require(bitmap.length == mBits / 64, "bitmap length must match mBits")
     val words = lit(bitmap)
+    // pmod = Java floorMod: normalize the key into [0, P) exactly as
+    // BloomAgg.update does, so out-of-domain keys probe the same bits
+    // they inserted and the affine products can't overflow under ANSI.
+    val k = pmod(key, lit(graft.functions.Portable.P))
     (0 until kHashes).map { i =>
-      val pos = (lit(graft.functions.Portable.BloomA(i)) * key +
+      val pos = (lit(graft.functions.Portable.BloomA(i)) * k +
         lit(graft.functions.Portable.BloomB(i))) %
         graft.functions.Portable.P % lit(mBits.toLong)
       val word = element_at(words, (pos / 64).cast("int") + 1)

@@ -100,6 +100,12 @@ object SkewJoin {
       salts: Int = 8, joinType: String = "inner",
       saltCols: Seq[String] = Nil, minShare: Int = 64): DataFrame = {
     require(minShare > 1, "minShare must be > 1")
+    // Contract check up front: the empty-candidate fast path below would
+    // otherwise accept right/full outer that the hot path rejects, making
+    // the API's legality depend on the data's skew profile.
+    require(SupportedJoinTypes(joinType.toLowerCase),
+      s"saltedEquiJoinSelective: joinType '$joinType' would duplicate " +
+        "unmatched dim rows on the salted path; use inner/left/semi/anti")
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Set[org.apache.spark.sql.types.DataType](
         ByteType, ShortType, IntegerType, LongType)

@@ -341,27 +341,33 @@ object ExtensionQueries {
          |    doc_a, doc_b
          |  FROM pairs
          |  JOIN documents da ON da.doc_id = doc_a
-         |  JOIN documents db ON db.doc_id = doc_b)
-         |SELECT src_lo, src_hi, count(*) AS n_pairs,
-         |  count(DISTINCT doc_a) + count(DISTINCT doc_b) AS n_docs_touched
-         |FROM lab GROUP BY src_lo, src_hi
+         |  JOIN documents db ON db.doc_id = doc_b),
+         |stacked AS (SELECT src_lo, src_hi, doc_a AS doc FROM lab
+         |  UNION ALL SELECT src_lo, src_hi, doc_b FROM lab)
+         |SELECT src_lo, src_hi, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+         |  count(DISTINCT doc) AS n_docs_touched
+         |FROM stacked GROUP BY src_lo, src_hi
          |ORDER BY src_lo, src_hi""".stripMargin) { (s, dir) =>
       val pairs = minhashVerifiedPairs(s, dir)
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b")
       val srcs = Tables.documents(s, dir).select(
         col("doc_id"), col("source"))
+      // n_docs_touched is a TRUE distinct count over both pair endpoints:
+      // stack each pair into two (group, doc) rows, then count(*) / 2
+      // recovers the pair count exactly (every pair contributes 2 rows)
+      // while count(DISTINCT doc) no longer double-counts a document
+      // that appears as doc_a in one pair and doc_b in another.
       pairs
         .join(srcs.as("da"), col("doc_a") === col("da.doc_id"))
         .join(srcs.as("db"), col("doc_b") === col("db.doc_id"))
         .select(
           least(col("da.source"), col("db.source")).as("src_lo"),
           greatest(col("da.source"), col("db.source")).as("src_hi"),
-          col("doc_a"), col("doc_b"))
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
         .groupBy("src_lo", "src_hi")
-        .agg(count(lit(1)).as("n_pairs"),
-          (countDistinct(col("doc_a")) + countDistinct(col("doc_b")))
-            .as("n_docs_touched"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs_touched"))
         .orderBy("src_lo", "src_hi")
     }
 

@@ -1431,8 +1431,12 @@ object ReferenceQueries {
     * as in q2 (AQE/threshold picks broadcast while it fits).
     *
     * The bucketed tables are built lazily per source dir and reused
-    * when the row count already matches — mirroring production, where
-    * bucketing is a write-time layout decision, not per-query work.
+    * while a marker-file fingerprint (schema + input-file paths, sizes,
+    * mtimes — [[graft.sources.Layout.scanFingerprint]]) still matches:
+    * a metadata-only freshness probe, so the reuse path runs zero count
+    * jobs, and a source dir whose contents changed at equal row count
+    * still triggers a rebuild. Mirrors production, where bucketing is a
+    * write-time layout decision, not per-query work.
     * Cites reference dbt_sao/models/mart/fct_order_products.sql:13-33.
     */
   private def q42BucketedStar = QueryDef.sql(
@@ -1448,16 +1452,16 @@ object ReferenceQueries {
       |ORDER BY order_id, line_no""".stripMargin) { (s, dir) =>
     val buckets = 16
     // one table pair per source dir (Verify and Bench hit different SFs
-    // in one JVM lifetime); rebuilt only when absent or stale
-    val tag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
-      .toHexString
+    // in one JVM lifetime); rebuilt only when absent or stale. The tag
+    // is 64 bits of SHA-256 over the dir — a 32-bit hash left two dirs
+    // one birthday-collision away from aliasing each other's tables.
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val liT = s"graft_bkt_lineitem_$tag"
     val oT = s"graft_bkt_orders_$tag"
-    def ensure(df: DataFrame, table: String, key: String): Unit = {
-      val fresh = s.catalog.tableExists(table) &&
-        s.table(table).count() == df.count()
-      if (!fresh) graft.sources.Layout.writeBucketed(df, table, key, buckets)
-    }
+    def ensure(df: DataFrame, table: String, key: String): Unit =
+      graft.sources.Layout.writeBucketedIfStale(
+        df, table, key, buckets, graft.sources.Layout.scanFingerprint(df))
     ensure(Tables.lineitem(s, dir), liT, "l_orderkey")
     ensure(Tables.orders(s, dir), oT, "o_orderkey")
     val l = s.table(liT)

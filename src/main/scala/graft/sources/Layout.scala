@@ -53,6 +53,14 @@ object Layout {
       df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
+    // The stale-location cleanup below derives the managed path as
+    // <warehouse>/<table> — only valid for unqualified default-database
+    // names (db.tbl lives under <db>.db/<tbl>). Reject qualified names
+    // rather than aim a recursive delete at the wrong directory.
+    require(!table.contains(".") && table.nonEmpty,
+      s"writeBucketed: table name '$table' must be a simple unqualified " +
+        "(default-database) identifier — the stale-location cleanup " +
+        "resolves <warehouse>/<name> and would mis-aim for db.tbl")
     // A managed table's LOCATION outlives a JVM whose in-memory catalog
     // did not: the warehouse dir persists on disk while the default
     // catalog is per-session, so Overwrite-saveAsTable in a fresh
@@ -76,6 +84,61 @@ object Layout {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
+
+  /** Freshness fingerprint of the files backing `df`'s scan: schema plus
+    * (path, size, mtime) of every input file — METADATA-ONLY (no count
+    * job, no data scan), and it changes whenever the source contents
+    * change even at identical row count, the case a count-equality
+    * freshness check silently misses.
+    */
+  def scanFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(df.schema.catalogString.getBytes("UTF-8"))
+    df.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(s"$f:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The marker carrying the source fingerprint a bucketed table was
+    * built from. Lives INSIDE the managed-table directory (an
+    * underscore-prefixed name, ignored by the parquet reader like
+    * `_SUCCESS`) so it is dropped atomically with the table's data.
+    */
+  private def markerPath(
+      spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase),
+      "_graft_fingerprint")
+
+  /** [[writeBucketed]] guarded by a marker-file fingerprint: rebuild only
+    * when the table is absent or its recorded source fingerprint differs
+    * from `fingerprint` (pass [[scanFingerprint]] of the source scan).
+    * The freshness probe is two filesystem stats — no count jobs on the
+    * reuse path. Returns true when the table was (re)built.
+    */
+  def writeBucketedIfStale(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      fingerprint: String): Boolean = {
+    val spark = df.sparkSession
+    val mp = markerPath(spark, table)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = spark.catalog.tableExists(table) && fs.exists(mp) && {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString == fingerprint
+      finally in.close()
+    }
+    if (!fresh) {
+      writeBucketed(df, table, bucketCol, buckets)
+      val out = fs.create(mp, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+    !fresh
   }
 
   /** Join two same-bucketing tables on the bucket key — planned with no

@@ -62,4 +62,19 @@ class BloomSpec extends SparkSpecBase {
     val setBits = (0 until mBits).filter(p => (bm(p >> 6) >> (p & 63) & 1L) == 1L)
     assert(setBits.toSet === expected)
   }
+
+  test("out-of-domain (negative) keys degrade safely: no crash, no false " +
+    "negative") {
+    import spark.implicits._
+    // The documented domain is [0, P); a contract violation must not
+    // throw ArrayIndexOutOfBounds mid-job or probe different bits than
+    // the build inserted. floorMod build + pmod probe keep the two
+    // aligned, preserving the no-false-negative guarantee even here.
+    val weird = Seq(-1L, -42L, Long.MinValue + 7, P + 5, Long.MaxValue - 3)
+    val bm = weird.toDF("k")
+      .agg(sketches.bloom_bitmap(col("k"), mBits, kHashes))
+      .head.getSeq[Long](0).toArray
+    val probe = sketches.might_contain(bm, col("k"), mBits, kHashes)
+    assert(weird.toDF("k").filter(!probe).count() === 0L)
+  }
 }

@@ -154,4 +154,19 @@ class SkewJoinSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("selective salting rejects right/full outer even with no hot keys") {
+    import spark.implicits._
+    // A uniform fact has an undersized MG census; the contract must NOT
+    // become data-dependent (accepting right outer only while the data
+    // happens to be flat, then failing once a hot key appears).
+    val fact = spark.range(64).select(col("id").as("k"), col("id").as("v"))
+    val dim = (0L until 64L).map(k => (k, s"d$k")).toDF("k", "attr")
+    for (jt <- Seq("right", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedEquiJoinSelective(fact, dim, "k", joinType = jt)
+      }
+      assert(e.getMessage.contains("duplicate"), jt)
+    }
+  }
 }

@@ -63,7 +63,7 @@ class BucketedStarSpec extends SparkSpecBase {
   }
 
   test("bucketed tables are built once and reused on a second run") {
-    // the count-guard: a second construction must not rewrite the tables
+    // the marker-guard: a second construction must not rewrite the tables
     val before = session.table(
       session.catalog.listTables().collect()
         .map(_.name).filter(_.startsWith("graft_bkt_lineitem_")).head)

@@ -112,6 +112,48 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("writeBucketedIfStale reuses on match, rebuilds on changed source " +
+    "at equal row count") {
+    import spark.implicits._
+    val table = "graft_bkt_marker"
+    val src = Files.createTempDirectory("graft_marker").toString + "/src"
+    def write(tagText: String): Unit =
+      (0 until 100).map(i => (i.toLong, s"$tagText-$i"))
+        .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(src)
+    try {
+      write("aaaa")
+      val df1 = spark.read.parquet(src)
+      assert(Layout.writeBucketedIfStale(
+        df1, table, "k", 4, Layout.scanFingerprint(df1)), "first build")
+      val files1 = spark.table(table).inputFiles.toSeq.sorted
+
+      // unchanged source: marker matches, NO rebuild, same files
+      val df2 = spark.read.parquet(src)
+      assert(!Layout.writeBucketedIfStale(
+        df2, table, "k", 4, Layout.scanFingerprint(df2)), "reuse")
+      assert(spark.table(table).inputFiles.toSeq.sorted === files1)
+
+      // changed contents at EQUAL row count — the case a count-equality
+      // freshness check silently reuses stale buckets on
+      write("bbbbbbbb")
+      val df3 = spark.read.parquet(src)
+      assert(Layout.writeBucketedIfStale(
+        df3, table, "k", 4, Layout.scanFingerprint(df3)),
+        "equal-count content change must rebuild")
+      assert(spark.table(table).filter(col("v").startsWith("bbbbbbbb"))
+        .count() === 100, "rebuilt table must carry the new contents")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("writeBucketed rejects database-qualified names (cleanup would " +
+    "mis-aim)") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Layout.writeBucketed(df, "somedb.graft_bkt_q", "k", 4)
+    }
+  }
+
   test("z-ordered write yields tight 2-D bounding boxes per file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_zord").toString + "/ev"
