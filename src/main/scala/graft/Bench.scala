@@ -13,20 +13,41 @@ import org.apache.spark.sql.SparkSession
   * median is robust to one slow outlier pass in a way min/mean are not.
   * Failures are reported per query (never folded into the total as a fake
   * timing).
+  *
+  * Even the median-of-3 in-session numbers overstate the ITERATIVE-
+  * CHECKPOINT queries (e32/e45/e46: per-round localCheckpoint blocks
+  * compete with the session's accumulated block-manager/GC state — r8
+  * measured up to 2.5x isolated steady state), so after the in-session
+  * sweep those queries are re-timed each in a FRESH SparkSession (same
+  * JVM: JIT/codegen stay warm, which is exactly the part of warmup that
+  * is NOT the artifact) and the sidecar carries both numbers under
+  * `isolated`. The `total` remains the in-session sum — the driver
+  * contract is unchanged; `isolated` is additive signal.
+  *
+  * Env knobs: SPARK_GRAFT_BENCH_ONLY=name,name restricts the run (dev
+  * iteration on one query); SPARK_GRAFT_BENCH_ISOLATED overrides the
+  * isolated re-time set (empty string disables it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    val spark = newSession()
 
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warmup: one untimed pass (errors ignored here; they resurface timed).
     queries.foreach { case (_, fn) =>
@@ -50,6 +71,26 @@ object Bench {
       }
       name -> times.sorted.apply((times.size - 1) / 2) // median (lower mid)
     }
+    spark.stop()
+
+    // Isolated re-time: fresh SparkContext per query (block manager,
+    // shuffle/broadcast state, GC pressure all reset; JIT stays warm).
+    val isolatedSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED",
+      "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val isolated = queries.collect {
+      case (name, fn) if isolatedSet(name) && !errs.contains(name) =>
+        val s = newSession()
+        try {
+          try fn(s, sfDir).count() catch { case _: Throwable => () } // warmup
+          val times = (1 to passes).map { _ =>
+            val t0 = System.nanoTime()
+            fn(s, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> times.sorted.apply((times.size - 1) / 2)
+        } finally s.stop()
+    }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -63,14 +104,17 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val iso = isolated
+      .map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
+      .mkString("{", ",", "}")
     val total = results.collect {
       case (n, v) if !errs.contains(n) => v
     }.sum
     val line =
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
-        s""""queries":$qs,"errors":$es,"n_queries":${results.size},""" +
+        s""""queries":$qs,"errors":$es,"isolated":$iso,""" +
+        s""""n_queries":${results.size},""" +
         s""""n_failed":${errs.size},"sf":${jstr(sfDir)}}"""
-    spark.stop()
     // Sidecar file first: sbt decorates stdout with "[info] " prefixes the
     // driver's line-parse can trip on (BENCH_r02 had parsed:null), so the
     // JSON is also written somewhere log decoration can't reach.

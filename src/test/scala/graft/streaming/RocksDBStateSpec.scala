@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SparkSpecBase
+import graft.streaming.CustomerState.OrderEvent
+import graft.streaming.TopKState.Scored
+
+/** The stateful streaming twins under the RocksDB state store provider —
+  * the 100 TB configuration: the default in-memory (HDFS-backed) provider
+  * holds every key's state on the executor heap, so keyed state that
+  * grows with the user population eventually evicts the job; RocksDB
+  * spills to local disk and bounds heap by its block cache instead. The
+  * operators must be provider-agnostic (they only use the GroupState
+  * API), and these cases pin that: same results as the in-memory runs in
+  * the per-operator specs, with the provider's engagement asserted from
+  * the query progress metrics (not assumed from the conf).
+  *
+  * Each test runs on its OWN `newSession()` so the provider conf cannot
+  * leak into concurrently-running suites that exercise the default
+  * provider.
+  */
+class RocksDBStateSpec extends SparkSpecBase {
+
+  private def rocksSession(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    s
+  }
+
+  /** The engagement proof: RocksDB-specific custom metrics appear on the
+    * state operator's progress only when that provider actually loaded.
+    */
+  private def assertRocksEngaged(q: StreamingQuery): Unit = {
+    val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(ops.nonEmpty, "no state operator in progress")
+    val keys = ops.flatMap(_.customMetrics.keySet()
+      .toArray(Array.empty[String]))
+    assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+      s"state operator custom metrics carry no rocksdb keys: $keys")
+  }
+
+  test("CustomerState accumulates across batches on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[OrderEvent]
+    val q = CustomerState.runningStats(ms.toDS())
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_cust").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(OrderEvent("c1", "o1", 10.0), OrderEvent("c2", "o2", 7.0))
+      q.processAllAvailable()
+      ms.addData(OrderEvent("c1", "o3", 5.0))
+      q.processAllAvailable()
+      val got = s.table("rocks_cust")
+        .groupBy("customer_id")
+        .agg(max("n_orders").as("n"), max("total_amount").as("t"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(got("c1") === ((2L, 15.0)) && got("c2") === ((1L, 7.0)))
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
+  test("TopKState leaderboard converges identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[Scored]
+    val q = TopKState.topK(ms.toDS(), k = 2)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_topk").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(Scored("a", 1L, 10L), Scored("a", 2L, 20L),
+        Scored("a", 3L, 5L))
+      q.processAllAvailable()
+      // replay id 2 with a lower score (idempotence) + a new leader
+      ms.addData(Scored("a", 2L, 15L), Scored("a", 4L, 30L))
+      q.processAllAvailable()
+      val last = s.table("rocks_topk")
+        .orderBy(col("ids").desc) // latest emission has the newest leader
+        .collect().head
+      assert(last.getSeq[Long](1) === Seq(4L, 2L))
+      assert(last.getSeq[Long](2) === Seq(30L, 20L))
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
+  test("Sessionize gap-splits and timeout-flushes on RocksDB state") {
+    def ts(h: Int, m: Int) =
+      Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val q = Sessionize.sessions(
+      ms.toDF().toDF("user_id", "event_id", "ts"), "5 minutes")
+      .writeStream
+      .format("memory").queryName("rocks_sess").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // user 1: two sessions split by a >30 min gap inside one batch
+      ms.addData(Seq((1L, 1L, ts(10, 0)), (1L, 2L, ts(10, 10)),
+        (1L, 3L, ts(11, 0))): _*)
+      q.processAllAvailable()
+      // far-future event drives the watermark past everything open
+      ms.addData((9L, 4L, ts(20, 0)))
+      q.processAllAvailable()
+      ms.addData((9L, 5L, ts(23, 0)))
+      q.processAllAvailable()
+      val got = s.table("rocks_sess").as[Sessionize.Session].collect()
+        .map(x => (x.user_id, x.session_start) -> x.n_events).toMap
+      assert(got((1L, ts(10, 0))) === 2L)
+      assert(got((1L, ts(11, 0))) === 1L)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+}

@@ -93,4 +93,49 @@ class StreamingIngestSpec extends SparkSpecBase {
     si.drainOnce(Seq("customers"), maxFilesPerTrigger = Some(1))
     assert(spark.table(s"$db.customers").count() === 3000)
   }
+
+  test("10-file backlog drains in multiple batches, each bounded by " +
+    "maxFilesPerTrigger") {
+    // The SCALING.md ingestion lever: an inbox that accumulated a backlog
+    // (a paused consumer, a burst producer) must NOT drain as one giant
+    // micro-batch — unbounded batch size is how a streaming job that ran
+    // fine for months dies on its first restart-after-outage. Each
+    // micro-batch is capped at maxFilesPerTrigger staged files, so batch
+    // memory/row footprint stays bounded no matter how deep the backlog.
+    val db = "streaming_backlog_raw"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Schemas.rawTables.foreach { case (t, sch) =>
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $db.$t (${sch.toDDL}) USING parquet")
+    }
+    val root = Files.createTempDirectory("graft-stream-backlog")
+    val si = new StreamingIngest(spark, db, root)
+    val t0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+
+    // 10 staged files of 1000 rows each — the backlog
+    for (i <- 0 until 10)
+      si.stage("customers",
+        MockData.customers(spark, 100L + i, t0.plusMinutes(i))
+          .drop("gen_idx"), s"b$i")
+
+    // after each applied batch, record the cumulative table row count —
+    // consecutive deltas are the per-batch row loads
+    val cumulative = scala.collection.mutable.ArrayBuffer.empty[Long]
+    si.drainOnce(Seq("customers"), maxFilesPerTrigger = Some(3),
+      afterBatch = (t, _) => {
+        spark.catalog.refreshTable(s"$db.$t")
+        cumulative += spark.table(s"$db.$t").count()
+      })
+
+    // all rows landed, in ceil(10/3) = 4 bounded batches
+    assert(cumulative.last === 10000L)
+    assert(cumulative.size === 4,
+      s"expected 4 micro-batches for a 10-file backlog at cap 3, " +
+        s"got ${cumulative.size}")
+    val deltas = (0L +: cumulative.toSeq).sliding(2)
+      .map { case Seq(a, b) => b - a }.toSeq
+    assert(deltas.forall(_ <= 3000L),
+      s"per-batch rows exceeded the 3-file bound: $deltas")
+    assert(deltas.count(_ == 3000L) === 3 && deltas.last === 1000L)
+  }
 }
