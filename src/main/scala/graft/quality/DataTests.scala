@@ -85,6 +85,64 @@ object DataTests {
     tests.map(tc => TestResult(tc.name, byName(tc.name)))
   }
 
+  /** Compile one test INCREMENTALLY: validate only the rows matched by
+    * `touched` (a predicate on the table's partition columns — e.g.
+    * `col("load_date") === d` over a [[graft.sources.Layout
+    * .writePartitioned]] layout), so the scan prunes to the partitions a
+    * batch wrote (`PartitionFilters` non-empty) instead of re-reading
+    * the whole table on every ingest tick. At 100 TB this is the
+    * difference between a per-batch test suite costing O(batch) and
+    * O(history).
+    *
+    * Soundness, given prior batches already passed their own runs:
+    *  - not_null / accepted_values are row-local — new rows are the only
+    *    possible new violations.
+    *  - relationships checks the batch's child rows against the FULL
+    *    parent (only the anti-join's left side prunes; a missing parent
+    *    for an old child would have failed an earlier run).
+    *  - unique is NOT row-local (a new row can collide with an old one):
+    *    failing keys are the batch's keys whose count over the FULL
+    *    table exceeds 1 — the history side is a single-column semi-join
+    *    scan (column-pruned), the irreducible cost of cross-batch
+    *    uniqueness without an index.
+    */
+  def compileIncremental(
+      tc: TestCase, resolve: String => DataFrame,
+      touched: org.apache.spark.sql.Column): DataFrame = {
+    val df = resolve(tc.table)
+    tc.spec match {
+      case NotNull(c) =>
+        df.filter(touched).filter(col(c).isNull)
+      case AcceptedValues(c, vals) =>
+        df.filter(touched).filter(col(c).isNotNull && !col(c).isin(vals: _*))
+      case Relationships(c, toTable, toColumn) =>
+        df.filter(touched).filter(col(c).isNotNull)
+          .join(resolve(toTable).select(col(toColumn).as(c)), Seq(c), "left_anti")
+      case Unique(c) =>
+        val batchKeys = df.filter(touched).select(col(c)).distinct()
+        df.select(col(c))
+          .join(batchKeys, Seq(c), "left_semi")
+          .groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+    }
+  }
+
+  /** [[runBatched]] over [[compileIncremental]]: the per-ingest-tick
+    * suite, one Spark action, scans pruned to the batch's partitions.
+    */
+  def runIncremental(
+      tests: Seq[TestCase], resolve: String => DataFrame,
+      touched: org.apache.spark.sql.Column): Seq[TestResult] = {
+    val counts = tests.map { tc =>
+      compileIncremental(tc, resolve, touched)
+        .agg(count(lit(1)).as("failing"))
+        .select(lit(tc.name).as("name"), col("failing"))
+    }
+    val byName = counts.reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tests.map(tc => TestResult(tc.name, byName(tc.name)))
+  }
+
   // ---- The declared instances ---------------------------------------------
 
   /** sources/_bike_shop.yml:12-55 — raw-table tests, including the

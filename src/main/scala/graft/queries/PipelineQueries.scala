@@ -12,11 +12,12 @@ import graft.pipeline.Ingest
 import graft.quality.DataTests
 
 /** Driver-visible queries over the ENGINE itself (generator, ingest
-  * pipeline, staging/mart models, data-quality suite). These are not
-  * derivable from the testdata parquet, so they are Spark-only (rows
-  * check) — their value semantics are pinned by the ScalaTest suite
-  * (MockDataSpec, IngestSpec, ModelsSpec, DataTestsSpec) instead of the
-  * DuckDB oracle.
+  * pipeline, staging/mart models, data-quality suite). The generator
+  * queries (g1/g2) carry DuckDB twins built from the same affine-modular
+  * coefficients, so they are oracle-proven; only p1 (a full scratch-db
+  * pipeline run) is structurally Spark-only (rows check), its value
+  * semantics pinned by the ScalaTest suite (IngestSpec, ModelsSpec,
+  * DataTestsSpec).
   *
   * Each invocation builds a FRESH raw/mart database (unique suffix) so
   * output is deterministic per run (seed + fixed batch timestamps), then
@@ -27,26 +28,107 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(g1MockBatch, g2GenBatch, p1PipelineE2e)
 
   private val T0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+  // def, not val: `all` above initializes FIRST during object init, so a
+  // val here would still be 0 while the g1 SQL string is being built
+  // (DuckDB `x % 0` is NULL — every draw silently hits the CASE's ELSE).
+  private def P: Long = graft.functions.Portable.P
+
+  // ---- DuckDB dialect helpers shared by the g1/g2 generator twins ---------
+
+  private def poolSql(pool: Seq[String]): String =
+    pool.map(v => s"'$v'").mkString("[", ", ", "]")
+  /** pick() twin: (r * n) int-cast truncation == floor for r >= 0. */
+  private def pickSql(u: String, pool: Seq[String]): String =
+    s"${poolSql(pool)}[CAST(floor($u * ${pool.size}) AS INT) + 1]"
+  /** weightedChoice() twin: the same cumulative thresholds, as doubles.
+    * `quote` renders values as SQL literals (strings quoted, ints bare).
+    */
+  private def choiceSql[T](
+      u: String, values: Seq[T], weights: Seq[Int], quote: T => String): String = {
+    val total = weights.sum.toDouble
+    val cum = weights.scanLeft(0)(_ + _).tail.map(_ / total)
+    val whens = values.zip(cum).init
+      .map { case (v, c) => s"WHEN $u < $c THEN ${quote(v)}" }.mkString(" ")
+    s"CASE $whens ELSE ${quote(values.last)} END"
+  }
+  private def choiceStrSql(u: String, values: Seq[String], weights: Seq[Int]) =
+    choiceSql[String](u, values, weights, v => s"'$v'")
+  private def choiceIntSql(u: String, values: Seq[Int], weights: Seq[Int]) =
+    choiceSql[Int](u, values, weights, _.toString)
+  private def uuidSql(digits: String): String =
+    s"substr($digits, 1, 8) || '-' || substr($digits, 9, 4) || '-4' || " +
+      s"substr($digits, 13, 3) || '-a' || substr($digits, 16, 3) || '-' || " +
+      s"substr($digits, 19, 12)"
+  /** strKey() twin: the base-31 polynomial rolling hash mod P. */
+  private def polyHashSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''),
+       |    c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a*31 + c) % $P)""".stripMargin
 
   /** One full generator batch (mock_data.py:116-134 twin): per-table
     * row counts and the distribution invariants as one summary frame.
+    * The DuckDB twin RECOMPUTES every data-dependent number from the
+    * same affine-modular draw family over `range(1000)` — order statuses
+    * from the "os" draw, items-per-order from the "ni" draw over the
+    * poly-hashed order uuid (so the order_products row count is re-
+    * derived, not asserted), quantities from the "q" draw over the
+    * (order, item) pair key. The only literal is the product-seed size,
+    * a compile-time constant (8 series x 12 tiers — MockData.seedRows).
     */
-  private def g1MockBatch = QueryDef.sparkOnly("g1_mock_batch") { (s, _) =>
-    val products = MockData.products(s, 42L, T0)
-    val customers = MockData.customers(s, 42L, T0)
-    val orders = MockData.orders(
-      s, 42L, T0, customers.select(col("gen_idx"), col("id")))
-    val orderProducts = MockData.orderProducts(s, 42L, T0, products, orders)
-    val statuses = orders.groupBy("order_status").count()
-      .select(col("order_status").as("k"), col("count"))
-    val quantities = orderProducts.groupBy("quantity").count()
-      .select(concat(lit("qty_"), col("quantity")).as("k"), col("count"))
-    val counts = Seq(
-      ("products", products), ("customers", customers),
-      ("orders", orders), ("order_products", orderProducts))
-      .map { case (n, df) => df.agg(lit(n).as("k"), count(lit(1)).as("count")) }
-      .reduce(_ unionByName _)
-    counts.unionByName(statuses).unionByName(quantities).orderBy("k")
+  private def g1MockBatch: QueryDef = {
+    val seed = 42L
+    QueryDef.sql(
+      "g1_mock_batch",
+      s"""WITH idx AS (SELECT CAST(range AS BIGINT) AS gen_idx FROM range(1000)),
+         |o AS (SELECT gen_idx,
+         |    ${uuidSql(MockData.uuidDuckDigits(seed, "order", "gen_idx"))}
+         |      AS order_id,
+         |    ${choiceStrSql(
+               MockData.hashUnitDuck(seed, "os", "gen_idx"),
+               Schemas.orderStatuses, Schemas.orderStatusWeights)}
+         |      AS order_status
+         |  FROM idx),
+         |ok AS (SELECT order_id, order_status,
+         |    ${polyHashSql("order_id")} AS okey FROM o),
+         |ni AS (SELECT order_id, okey,
+         |    ${choiceIntSql(
+               MockData.hashUnitDuck(seed, "ni", "okey"),
+               Schemas.itemsPerOrder, Schemas.itemsPerOrderWeights)}
+         |      AS n_items
+         |  FROM ok),
+         |items AS (SELECT order_id, okey,
+         |    CAST(unnest(generate_series(1, n_items)) AS BIGINT) AS item_idx
+         |  FROM ni),
+         |q AS (SELECT ${choiceIntSql(
+               MockData.hashUnitDuck(seed, "q", s"((okey * 131 + item_idx) % $P)"),
+               Schemas.quantities, Schemas.quantityWeights)} AS quantity
+         |  FROM items),
+         |summary AS (
+         |  SELECT 'products' AS k, CAST(96 AS BIGINT) AS "count"
+         |  UNION ALL SELECT 'customers', count(*) FROM idx
+         |  UNION ALL SELECT 'orders', count(*) FROM o
+         |  UNION ALL SELECT 'order_products', count(*) FROM items
+         |  UNION ALL SELECT order_status, count(*) FROM o GROUP BY order_status
+         |  UNION ALL SELECT 'qty_' || CAST(quantity AS VARCHAR), count(*)
+         |    FROM q GROUP BY quantity)
+         |SELECT k, "count" FROM summary ORDER BY k""".stripMargin) { (s, _) =>
+      val products = MockData.products(s, seed, T0)
+      val customers = MockData.customers(s, seed, T0)
+      val orders = MockData.orders(
+        s, seed, T0, customers.select(col("gen_idx"), col("id")))
+      val orderProducts = MockData.orderProducts(s, seed, T0, products, orders)
+      val statuses = orders.groupBy("order_status").count()
+        .select(col("order_status").as("k"), col("count"))
+      val quantities = orderProducts.groupBy("quantity").count()
+        .select(concat(lit("qty_"), col("quantity")).as("k"), col("count"))
+      val counts = Seq(
+        ("products", products), ("customers", customers),
+        ("orders", orders), ("order_products", orderProducts))
+        .map { case (n, df) => df.agg(lit(n).as("k"), count(lit(1)).as("count")) }
+        .reduce(_ unionByName _)
+      counts.unionByName(statuses).unionByName(quantities).orderBy("k")
+    }
   }
 
   /** The generator itself, oracle-proven (VERDICT r7 item 3): one full
@@ -64,23 +146,6 @@ object PipelineQueries {
   private def g2GenBatch: QueryDef = {
     val seed = 42L
     val key = "gen_idx"
-    def poolSql(pool: Seq[String]): String =
-      pool.map(v => s"'$v'").mkString("[", ", ", "]")
-    // pick() twin: (r * n) int-cast truncation == floor for r >= 0
-    def pickSql(u: String, pool: Seq[String]): String =
-      s"${poolSql(pool)}[CAST(floor($u * ${pool.size}) AS INT) + 1]"
-    // weightedChoice() twin: the same cumulative thresholds, as doubles
-    def choiceSql(u: String, values: Seq[String], weights: Seq[Int]): String = {
-      val total = weights.sum.toDouble
-      val cum = weights.scanLeft(0)(_ + _).tail.map(_ / total)
-      val whens = values.zip(cum).init
-        .map { case (v, c) => s"WHEN $u < $c THEN '$v'" }.mkString(" ")
-      s"CASE $whens ELSE '${values.last}' END"
-    }
-    def uuidSql(digits: String): String =
-      s"substr($digits, 1, 8) || '-' || substr($digits, 9, 4) || '-4' || " +
-        s"substr($digits, 13, 3) || '-a' || substr($digits, 16, 3) || '-' || " +
-        s"substr($digits, 19, 12)"
     QueryDef.sql(
       "g2_gen_batch",
       s"""WITH idx AS (SELECT CAST(range AS BIGINT) AS gen_idx FROM range(1000)),
@@ -98,7 +163,7 @@ object PipelineQueries {
          |c AS (SELECT gen_idx, u_od, u_os, cus, ous,
          |    ${pickSql("u_fn", MockData.firstNamePool)} AS first_name,
          |    ${pickSql("u_ln", MockData.lastNamePool)} AS last_name,
-         |    ${choiceSql("u_g", Schemas.genders, Seq(48, 48, 4))} AS gender,
+         |    ${choiceStrSql("u_g", Schemas.genders, Seq(48, 48, 4))} AS gender,
          |    ${pickSql("u_ct", MockData.cityPool)} AS city,
          |    ${pickSql("u_dom", MockData.domainPool)} AS dom
          |  FROM h)
@@ -109,7 +174,7 @@ object PipelineQueries {
          |  lower(first_name) || '.' || lower(last_name) ||
          |    CAST(gen_idx AS VARCHAR) || '@' || dom AS email,
          |  DATE '2026-01-01' - CAST(floor(u_od * 30) AS INT) AS order_date,
-         |  ${choiceSql("u_os", Schemas.orderStatuses,
+         |  ${choiceStrSql("u_os", Schemas.orderStatuses,
              Schemas.orderStatusWeights)} AS order_status,
          |  '2026-01-01 00:00:00' AS loaded_at
          |FROM c ORDER BY gen_idx""".stripMargin) { (s, _) =>
