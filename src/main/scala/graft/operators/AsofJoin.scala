@@ -97,4 +97,121 @@ object AsofJoin {
       probe.columns.map(c => col(s"__p.$c").as(c)).toIndexedSeq ++
         build.columns.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
+
+  /** [[asofJoin]] for a SKEWED key distribution — the hot-key lever for
+    * window-heavy shapes (SCALING.md: q26/q45's user window). The plain
+    * operator partitions its window by key, so one pathological key (a
+    * bot user with 10^8 events) serializes into a single task — and AQE
+    * cannot split a window partition the way it splits a skewed join.
+    *
+    * Construction: partition the window by (key, time-chunk) with
+    * `chunk = floor(ts / chunkSize)` — monotone in ts, so ordering and
+    * equal-timestamp ties (same ts ⇒ same chunk) are preserved — and
+    * resolve probes whose match lives in a LATER chunk (forward; earlier
+    * for backward) through a per-(key, chunk) BOUNDARY table: the
+    * extremal build row of each chunk, suffix/prefix-scanned per key so
+    * every (key, chunk) knows the nearest cross-chunk match. Per-task
+    * work is now bounded by the hot key's densest time chunk; the
+    * boundary table has one row per (key, chunk) — timeRange/chunkSize
+    * rows per key, independent of row count — so its window is trivially
+    * small and the final patch-up is a plain equi-join on (key, chunk)
+    * that AQE can split like any join. Results are identical to
+    * [[asofJoin]] (AsofJoinSpec pins equality on adversarial data, both
+    * directions).
+    *
+    * @param chunkSize time-chunk width in the ts column's own numeric
+    *                  unit (cast to long) — size it so the hot key's
+    *                  rows per chunk fit a task comfortably, e.g. an
+    *                  hour of micros for a key logging 10^6 events/day
+    */
+  def asofJoinChunked(
+      probe: DataFrame, probeTs: String,
+      build: DataFrame, buildTs: String,
+      key: String, buildTie: String,
+      chunkSize: Long,
+      prefix: String = "asof_",
+      forward: Boolean = false): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val clash = probe.columns.toSet intersect build.columns.map(prefix + _).toSet
+    require(clash.isEmpty,
+      s"asofJoinChunked output would duplicate column(s) " +
+        s"${clash.mkString(", ")}; pick a different prefix")
+    val bType = StructType(build.schema.fields)
+    val pType = StructType(probe.schema.fields)
+    val joinable = col("__k").isNotNull && col("__t").isNotNull
+    val (buildSide, probeSide) = if (forward) (1, 0) else (0, 1)
+    def chunkOf(t: org.apache.spark.sql.Column) =
+      floor(t.cast(LongType).cast("double") / chunkSize).cast(LongType)
+    val b = build.select(
+      col(key).as("__k"), col(buildTs).as("__t"),
+      lit(buildSide).as("__side"),
+      col(buildTie).cast(LongType).as("__tie"),
+      struct(build.columns.map(col).toIndexedSeq: _*).as("__b"),
+      lit(null).cast(pType).as("__p"))
+      .withColumn("__c", chunkOf(col("__t")))
+    val p = probe.select(
+      col(key).as("__k"), col(probeTs).as("__t"),
+      lit(probeSide).as("__side"),
+      lit(null).cast(LongType).as("__tie"),
+      lit(null).cast(bType).as("__b"),
+      struct(probe.columns.map(col).toIndexedSeq: _*).as("__p"))
+      .withColumn("__c", chunkOf(col("__t")))
+
+    // Phase 1 — the asofJoin window, partitioned by (key, chunk): hot
+    // keys spread over their time chunks. Probes matched within their
+    // own chunk are final (the nearest build in ts order shares the
+    // chunk or none does).
+    val ordered = Window.partitionBy(col("__k"), col("__c"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+    val (w, pick) =
+      if (forward)
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__b"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__b"), ignoreNulls = true))
+    val inChunk = b.where(joinable).unionByName(p.where(joinable))
+      .withColumn("__m", pick.over(w))
+      .where(col("__side") === probeSide)
+
+    // Phase 2 — boundary table: the extremal build per (key, chunk)
+    // (earliest for forward, latest for backward), then a per-key
+    // prefix/suffix scan over the key's DISTINCT chunks (bounded by the
+    // time range, not the row count) telling each chunk its nearest
+    // cross-chunk build.
+    val extremal =
+      if (forward) min_by(col("__b"), struct(col("__t"), col("__tie")))
+      else max_by(col("__b"), struct(col("__t"), col("__tie")))
+    val perChunk = b.where(joinable)
+      .groupBy(col("__k"), col("__c")).agg(extremal.as("__cb"))
+    val allChunks = b.where(joinable).select(col("__k"), col("__c"))
+      .unionByName(p.where(joinable).select(col("__k"), col("__c")))
+      .distinct()
+      .join(perChunk, Seq("__k", "__c"), "left")
+    val scan = Window.partitionBy(col("__k")).orderBy(col("__c"))
+    val crossChunk = (
+      if (forward)
+        allChunks.withColumn("__nb",
+          first(col("__cb"), ignoreNulls = true).over(
+            scan.rowsBetween(1, Window.unboundedFollowing)))
+      else
+        allChunks.withColumn("__nb",
+          last(col("__cb"), ignoreNulls = true).over(
+            scan.rowsBetween(Window.unboundedPreceding, -1)))
+      ).select(col("__k"), col("__c"), col("__nb"))
+
+    // Phase 3 — patch unmatched probes from the boundary scan: a plain
+    // (key, chunk) equi-join against the small chunk table (AQE-
+    // splittable; no ordering, O(1) per probe row).
+    val patched = inChunk
+      .join(crossChunk, Seq("__k", "__c"), "left")
+      .withColumn("__m", coalesce(col("__m"), col("__nb")))
+      .unionByName(
+        p.where(!joinable)
+          .withColumn("__m", col("__b"))
+          .withColumn("__nb", col("__b")))
+    patched.select(
+      probe.columns.map(c => col(s"__p.$c").as(c)).toIndexedSeq ++
+        build.columns.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
 }

@@ -29,7 +29,8 @@ object ReferenceQueries {
     q30IncrementalMerge, q31TopkPerGroup, q32SaltedJoin, q33GroupingSets,
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
-    q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward)
+    q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
+    q46SessionizeChunked, q47AsofChunked)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1526,6 +1527,104 @@ object ReferenceQueries {
         clicks, "click_ts", purchases, "purchase_ts",
         key = "user_id", buildTie = "purchase_id", prefix = "n_",
         forward = true)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("n_purchase_id").as("purchase_id"),
+        col("n_purchase_ts").as("purchase_ts"),
+        col("n_purchase_value").as("purchase_value"))
+  }
+
+  /** q17's sessionization via the SKEW-SAFE chunked operator
+    * ([[graft.operators.GapSessions.sessionsChunked]]): the event-level
+    * window partitions by (user, 6-hour time chunk) instead of user
+    * alone, so a pathological single-user stream — SCALING.md's named
+    * q17 risk — spreads across tasks; cross-chunk sessions are stitched
+    * by a merge chain over ≤ 2 boundary-session rows per chunk. The
+    * oracle is q17's SQL VERBATIM: identical sessions is the operator's
+    * contract (GapSessionsSpec pins it for adversarial chunk sizes;
+    * this query pins it against DuckDB on the real events table).
+    */
+  private def q46SessionizeChunked = QueryDef.sql(
+    "q46_sessionize_chunked",
+    """WITH o AS (SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM o),
+      |s AS (SELECT user_id, event_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start,
+      |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+      |    AS duration_sec
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    import graft.operators.GapSessions
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+    val sess = GapSessions.sessionsChunked(
+      ev, "user_id", "tsu", "event_id",
+      gap = 1800L * 1000000L, chunkSize = 6L * 3600L * 1000000L)
+    // session_idx: the running gap-split counter equals the session's
+    // time rank per user (sessions are disjoint, starts strictly
+    // increase) — a window over SESSION rows, far below event volume
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_start"))
+    sess
+      .withColumn("session_idx", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        timestamp_micros(col("session_start")).as("session_start"),
+        // q17's duration: timestamp→long casts floor to whole seconds
+        (expr("session_end div 1000000") - expr("session_start div 1000000"))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** q45's forward as-of via the SKEW-SAFE chunked operator
+    * ([[graft.operators.AsofJoin.asofJoinChunked]], 6-hour chunks): the
+    * user window becomes a (user, chunk) window plus a bounded boundary
+    * patch — the "salt a pathological key" lever for q26/q45's shape.
+    * Oracle is q45's SQL verbatim (identical result is the contract).
+    */
+  private def q47AsofChunked = QueryDef.sql(
+    "q47_asof_chunked",
+    """WITH t AS (
+      |  SELECT user_id, ts, 1 AS side, event_id AS tie,
+      |         NULL::BIGINT AS c_id
+      |    FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, event_id
+      |    FROM events WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT user_id, ts, side, c_id,
+      |    first_value(tie IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, side, tie
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS purchase_id
+      |  FROM t)
+      |SELECT w.c_id AS click_id, w.user_id, w.ts AS click_ts,
+      |  w.purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM w LEFT JOIN events p ON p.event_id = w.purchase_id
+      |WHERE w.side = 0""".stripMargin) { (s, dir) =>
+    import graft.operators.AsofJoin
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    AsofJoin.asofJoinChunked(
+        clicks, "click_ts", purchases, "purchase_ts",
+        key = "user_id", buildTie = "purchase_id",
+        chunkSize = 6L * 3600L, // ts casts to whole seconds
+        prefix = "n_", forward = true)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("n_purchase_id").as("purchase_id"),
         col("n_purchase_ts").as("purchase_ts"),
