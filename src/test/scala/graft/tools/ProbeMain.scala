@@ -13,6 +13,17 @@ object ProbeMain {
     val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("e20_contamination", "e22_rarity", "e24_chunking", "e19_pii_redact")
+    // Shuffle-byte census: stage-completion metrics summed via listener
+    // (SCALING.md probe rows record wall-time AND shuffle volume).
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       // Warmup must run df's OWN QueryExecution so the adaptive plan
@@ -24,14 +35,19 @@ object ProbeMain {
       df.queryExecution.toRdd.foreach(_ => ())
       // Rebuild per timed run: a fresh plan means fresh RDDs, so no
       // shuffle-stage reuse from the warmup — same conditions as Bench.
+      Thread.sleep(500) // let the warmup's stage events drain
+      val sw0 = shuffleW.get()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()
       val dt = (System.nanoTime()-t0)/1e9
+      Thread.sleep(500) // listener events are async; settle before reading
+      val swMb = (shuffleW.get() - sw0) / 1e6
       val plan = df.queryExecution.executedPlan.toString
       val fin = plan.linesIterator.takeWhile(!_.contains("Initial Plan")).toSeq
       val stages = fin.count(_.contains("ShuffleQueryStage"))
       val reused = fin.count(l => l.contains("ReusedExchange"))
-      println(f"== $n%-20s $dt%6.2f s  shuffleStages=$stages reused=$reused")
+      println(f"== $n%-20s $dt%6.2f s  shuffleStages=$stages " +
+        f"reused=$reused shuffleWrite=$swMb%.1f MB")
       if (sys.env.contains("PROBE_PLAN")) println(fin.mkString("\n").take(12000))
     }
     spark.stop()
