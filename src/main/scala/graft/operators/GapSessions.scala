@@ -85,7 +85,11 @@ object GapSessions {
       .agg(min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"))
-    // Phase 2: split interior (final) sessions from boundary ones.
+    // Phase 2: split interior (final) sessions from boundary ones. The
+    // two branches below share phase 1's exchange via ReuseExchange
+    // (a localCheckpoint here was probed and bought nothing — the
+    // duplicated window re-reads the reused shuffle, it does not
+    // re-shuffle the events).
     val perChunk = Window.partitionBy(col(user), col("__c"))
     val marked = local.withColumn("__last",
       max(col("__sess")).over(perChunk))
