@@ -39,7 +39,7 @@ object TrainingQueries {
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
-    e53DsirSelect)
+    e53DsirSelect, e55LmSurprisal)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -297,6 +297,88 @@ object TrainingQueries {
         .select(col("doc_id"), col("n_tokens"), col("s_freq"),
           round(log((col("n_total") * col("n_tokens")).cast("double") /
             col("s_freq")), 4).as("rarity"))
+  }
+
+  /** Bigram-LM surprisal scoring (quality stage): the perplexity-filter
+    * twin (CCNet/Gopher-style — score each document under a language
+    * model trained on the corpus itself, drop the tails). The LM is a
+    * bigram model with add-one smoothing whose conditional
+    * P(w2|w1) = (c12 + 1)/(c1 + V); a document's surprisal is the sum
+    * over its bigram positions of the INTEGER inverse-probability proxy
+    * floor(1000 · (c1 + V)/(c12 + 1)) — monotone in 1/P per position,
+    * so ranking/filtering behaves like summed perplexity while staying
+    * in exact BIGINT arithmetic end to end (the e38/e22 discipline: no
+    * cross-row float folds to diverge between engines; a production
+    * variant swaps in log2 doubles at the final projection only).
+    *
+    * Scale shape: two corpus passes — one bigram explode feeding the
+    * count side, whose (w1, w2) exchange the c12-join build and the
+    * c1 derivation SHARE (c1 = Σ_w2 c12; explicit notnull filters keep
+    * the subtrees canonical-equal for ReuseExchange), and one probe
+    * pass carrying (doc_id, lang). The smoothing constant V is the
+    * bigram vocabulary size, derived from the aggregated c12 table —
+    * vocab-bounded, no extra corpus pass. Nothing is corpus-quadratic;
+    * the frequency tables are zipfian-vocabulary-sized at 100 TB.
+    */
+  private def e55LmSurprisal = QueryDef.sql(
+    "e55_lm_surprisal",
+    s"""WITH w AS (SELECT doc_id, lang, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |ex AS (SELECT doc_id, lang,
+       |    unnest(list_slice(wh, 1, len(wh) - 1)) AS w1,
+       |    unnest(list_slice(wh, 2, len(wh))) AS w2
+       |  FROM w WHERE len(wh) > 1),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM ex GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+       |  FROM c12 GROUP BY w1),
+       |vocab AS (SELECT count(*) AS v FROM
+       |  (SELECT w1 AS h FROM c12 UNION SELECT w2 FROM c12)),
+       |scored AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+       |    CAST(sum(((c1 + v) * 1000) // (c12 + 1)) AS BIGINT) AS surprisal
+       |  FROM ex JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |  CROSS JOIN vocab
+       |  GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_bigrams, surprisal,
+       |  surprisal // n_bigrams AS avg_surprisal
+       |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wh = F.word_hashes(col("text"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), wh.as("wh"))
+    // arrays_zip, not zip_with: a lambda's NamedLambdaVariable ids defeat
+    // plan canonicalization, so the three (w1, w2) subtrees would each
+    // re-shingle the corpus instead of sharing one exchange.
+    val ex = docs.filter(size(col("wh")) > 1)
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(
+          slice(col("wh"), lit(1), size(col("wh")) - 1),
+          slice(col("wh"), lit(2), size(col("wh")) - 1))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.0").as("w1"), col("bg.1").as("w2"))
+      // explicit non-null filter on BOTH keys: the (w1, w2) join infers
+      // notnull(w1, w2) into its count branch while the w1-only c1 join
+      // infers just notnull(w1) — without this, the two count subtrees
+      // canonicalize differently and each re-shingles the corpus; with
+      // it they share one exchange (word hashes are never null, so the
+      // filter is a no-op on the data)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .repartition(col("w1"), col("w2"))
+    val c12 = ex.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // V from the bigram vocabulary (distinct endpoints of c12), not a
+    // third corpus pass: a smoothing constant only needs a consistent
+    // definition, and this one costs vocab-bounded work over the
+    // already-aggregated table
+    val vocab = c12.select(col("w1").as("h"))
+      .union(c12.select(col("w2").as("h")))
+      .agg(countDistinct(col("h")).as("v"))
+    ex.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("((c1 + v) * 1000) div (c12 + 1)")).as("surprisal"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("surprisal"),
+        expr("surprisal div n_bigrams").as("avg_surprisal"))
   }
 
   /** Deterministic stratified train/val/test split (split stage):

@@ -83,4 +83,39 @@ class TrainingOpsSpec extends SparkSpecBase {
       col("checksum") < 0 || col("checksum") >= graft.functions.Portable.P)
       .isEmpty)
   }
+
+  test("e55: surprisal bounds hold, and repeated text scores below " +
+    "shuffled-rare text") {
+    val out = q("e55_lm_surprisal")
+    // per-position proxy is floor(1000 * (c1+V)/(c12+1)): with add-one
+    // smoothing c12+1 <= c1+1 <= c1+V always, so every position
+    // contributes >= 1000 — avg_surprisal below 1000 is arithmetically
+    // impossible; zero/negative counts likewise
+    assert(out.filter(col("n_bigrams") <= 0).isEmpty)
+    assert(out.filter(col("avg_surprisal") < 1000).isEmpty)
+    assert(out.filter(col("surprisal") <
+      col("n_bigrams") * 1000).isEmpty)
+
+    // discrimination: a corpus of one heavily-repeated sentence plus one
+    // unique-word document must rank the repeated doc as LESS surprising
+    // — the property the perplexity filter exists for
+    import spark.implicits._
+    // rare words must be pure letters: the [a-z]+ tokenizer would split
+    // digit-carrying tokens into REPEATING fragments ("xq0zt" -> "xq
+    // zt" forever), silently inverting the fixture
+    val rep = ("the cat sat on the mat " * 50).trim
+    val rare = (0 until 100).map { i =>
+      s"q${('a' + i / 26 % 26).toChar}${('a' + i % 26).toChar}z"
+    }.mkString(" ")
+    val docs = Seq((1L, rep, "en", "s", rep.length.toLong),
+      (2L, rare, "en", "s", rare.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e55").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scored = graft.SparkEntry.queries("e55_lm_surprisal")(spark, tmp)
+      .select("doc_id", "avg_surprisal")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored(1L) < scored(2L),
+      s"repeated text must be less surprising: $scored")
+  }
 }
