@@ -39,7 +39,7 @@ object TrainingQueries {
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
-    e53DsirSelect, e55LmSurprisal)
+    e53DsirSelect, e55LmSurprisal, e56BpeTokenCount)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1089,9 +1089,103 @@ object TrainingQueries {
     * generated chained CTEs — same folds, same tie-breaks — so the
     * learned merge table is value-checked cross-engine.
     */
+  // ---- BPE machinery shared by e50 (train) and e56 (apply) ---------------
+
+  // defs, not vals: `all` at the top of the object initializes first,
+  // so a val here would still be 0 while the e50/e56 SQL strings are
+  // being built (the PipelineQueries `% 0` lesson)
+  private def BpeRounds: Int = 8
+  private def BpeVocabCap: Int = 300
+
+  private def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
+  /** Greedy leftmost-first non-overlapping merge of (a, b) -> merged
+    * over a symbol array — the standard BPE apply, as a codegen'd
+    * `aggregate` fold.
+    */
+  private def bpeApplyOnce(
+      syms: org.apache.spark.sql.Column, a: String, b: String,
+      merged: String): org.apache.spark.sql.Column =
+    aggregate(
+      syms, lit(Array.empty[String]),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train the first [[BpeRounds]] merges on the count-desc/lex-capped
+    * word-frequency vocabulary (one corpus pass; every round is a
+    * vocabulary-bounded job + one 1-row driver pull). Returns
+    * (round, a, b, merged, pairCount) in round order.
+    */
+  private def bpeTrainMerges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] = {
+    val words = Tables.documents(s, dir)
+      .select(explode(expr(Portable.wordsSpark)).as("word"))
+    var vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(BpeVocabCap)
+      .select(col("word"), col("cnt"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    try {
+      var r = 1
+      while (r <= BpeRounds) {
+        // sequence(1, 0) DESCENDS in Spark — guard 1-symbol words out
+        val best = vocab.filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "struct(element_at(syms, i) AS a, " +
+              "element_at(syms, i + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .take(1) // 1-row driver pull per round, bounded
+        require(best.nonEmpty,
+          s"vocabulary exhausted before $BpeRounds merge rounds")
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = a + b
+        merges += ((r, a, b, merged, c))
+        val next = vocab
+          .select(col("word"), col("cnt"),
+            bpeApplyOnce(col("syms"), a, b, merged).as("syms"))
+          .localCheckpoint(true)
+        releaseCheckpoints(vocab)
+        vocab = next
+        r += 1
+      }
+    } finally releaseCheckpoints(vocab)
+    merges.toSeq
+  }
+
+  /** DuckDB twin of one training round: best pair b{r} from s{r-1},
+    * rewritten symbols s{r} — identical fold and tie-breaks.
+    */
+  private def bpeRoundDuck(r: Int): String =
+    s"""b$r AS (SELECT a, b, c FROM (
+       |    SELECT x.syms[x.i] AS a, x.syms[x.i+1] AS b, sum(x.cnt) AS c
+       |    FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+       |          FROM s${r - 1}) x
+       |    GROUP BY 1, 2)
+       |  ORDER BY c DESC, a, b LIMIT 1),
+       |s$r AS (SELECT word, cnt, list_reduce(
+       |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+       |        AND x[1] = m.b
+       |      THEN acc[1:len(acc)-1] || [m.a || m.b]
+       |      ELSE acc || x END) AS syms
+       |  FROM s${r - 1} CROSS JOIN b$r m)""".stripMargin
+
   private def e50BpeTrain = {
-    val R = 8
-    val vocabCap = 300
+    val R = BpeRounds
+    val vocabCap = BpeVocabCap
     // round r CTEs: best pair b{r} from s{r-1}, rewritten symbols s{r}
     def roundDuck(r: Int): String =
       s"""b$r AS (SELECT a, b, c FROM (
@@ -1123,57 +1217,82 @@ object TrainingQueries {
              s" a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b$r")
            .mkString("\n  UNION ALL\n")})
          |ORDER BY round""".stripMargin) { (s, dir) =>
-      def release(df: DataFrame): Unit =
-        df.queryExecution.analyzed.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(false))
-      val words = Tables.documents(s, dir)
+      import s.implicits._
+      bpeTrainMerges(s, dir)
+        .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+        .orderBy("round")
+    }
+  }
+
+  /** Tokenizer APPLY (e50's missing second half — train → apply →
+    * budget): token counts per document under the trained BPE merges.
+    * The scale insight: BPE tokenization is a function of the WORD
+    * alone, so the corpus is never tokenized row by row — the R merges
+    * are applied to the DISTINCT-word table (vocabulary-bounded, R
+    * bounded rounds of the same greedy fold used in training), yielding
+    * a (word → n_tokens) map that one keyed join carries back over the
+    * corpus. Per-document output: words, tokens — the numbers a token
+    * budgeter (e34) consumes. The DuckDB twin replays training verbatim
+    * (e50's CTE chain) and then the same apply chain over the full
+    * vocabulary.
+    */
+  private def e56BpeTokenCount = {
+    def applyDuck(r: Int): String =
+      s"""a$r AS (SELECT word, list_reduce(
+         |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+         |        AND x[1] = m.b
+         |      THEN acc[1:len(acc)-1] || [m.a || m.b]
+         |      ELSE acc || x END) AS syms
+         |  FROM a${r - 1} CROSS JOIN b$r m)""".stripMargin
+    QueryDef.sql(
+      "e56_bpe_token_count",
+      s"""WITH d AS (SELECT doc_id, lang, ${Portable.wordsDuck} AS words
+         |  FROM documents),
+         |w AS (SELECT unnest(words) AS word FROM d),
+         |v0 AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+         |  ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
+         |s0 AS (SELECT word, cnt,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM v0),
+         |${(1 to BpeRounds).map(bpeRoundDuck).mkString(",\n")},
+         |a0 AS (SELECT word,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM (SELECT DISTINCT word FROM w)),
+         |${(1 to BpeRounds).map(applyDuck).mkString(",\n")},
+         |t AS (SELECT word, len(syms) AS n_tokens FROM a$BpeRounds),
+         |dw AS (SELECT doc_id, lang, unnest(words) AS word FROM d)
+         |SELECT doc_id, lang, count(*) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM dw JOIN t USING (word)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val merges = bpeTrainMerges(s, dir)
+      var tok = Tables.documents(s, dir)
         .select(explode(expr(Portable.wordsSpark)).as("word"))
-      var vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
-        .select(col("word"), col("cnt"), expr(
+        .distinct()
+        .select(col("word"), expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
         .localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, String, Long)]
       try {
-        var r = 1
-        while (r <= R) {
-          // sequence(1, 0) DESCENDS in Spark — guard 1-symbol words out
-          val best = vocab.filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> " +
-                "struct(element_at(syms, i) AS a, " +
-                "element_at(syms, i + 1) AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("cnt")).as("c"))
-            .orderBy(col("c").desc, col("a"), col("b"))
-            .take(1) // 1-row driver pull per round, bounded
-          require(best.nonEmpty,
-            s"vocabulary exhausted before $R merge rounds")
-          val (a, b, c) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          val merged = a + b
-          merges += ((r, a, b, merged, c))
-          val applied = aggregate(
-            col("syms"), lit(Array.empty[String]),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === a && x === b,
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-              .otherwise(concat(acc, array(x))))
-          val next = vocab
-            .select(col("word"), col("cnt"), applied.as("syms"))
+        for ((_, a, b, merged, _) <- merges) {
+          val next = tok
+            .select(col("word"), bpeApplyOnce(col("syms"), a, b, merged).as("syms"))
             .localCheckpoint(true)
-          release(vocab)
-          vocab = next
-          r += 1
+          releaseCheckpoints(tok)
+          tok = next
         }
-      } finally release(vocab)
-      import s.implicits._
-      merges.toSeq
-        .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
-        .orderBy("round")
+        val wordTokens = tok
+          .select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(expr(Portable.wordsSpark)).as("word"))
+          .join(wordTokens, "word")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+          // materialize before the checkpointed word map is released
+          .localCheckpoint(true)
+      } finally releaseCheckpoints(tok)
     }
   }
 }
