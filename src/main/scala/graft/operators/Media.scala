@@ -94,4 +94,46 @@ object Media {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(g => sampleBatch(g.toSeq, nFrames)))
   }
+
+  /** Windowed energy over a payload — the audio VAD (voice-activity
+    * detection) stand-in: a real deployment decodes PCM and thresholds
+    * per-window RMS; the stub sums byte values over fixed-size windows,
+    * so the plumbing (window segmentation, per-window stats, activity
+    * thresholding) is fully checkable. `active` = mean byte ≥ 96
+    * (energy ≥ 96·windowLen in exact integers).
+    */
+  final case class MediaWindow(
+      doc_id: Long,
+      win_idx: Long,
+      offset: Long,
+      win_len: Long,
+      energy: Long,
+      active: Int)
+
+  private def energyBatch(
+      batch: Seq[MediaDoc], winBytes: Int): Seq[MediaWindow] =
+    batch.flatMap { d =>
+      val n = d.payload.length
+      (0 until (n + winBytes - 1) / winBytes).map { w =>
+        val off = w * winBytes
+        val end = math.min(n, off + winBytes)
+        var e = 0L
+        var j = off
+        while (j < end) { e += (d.payload(j) & 0xffL); j += 1 }
+        MediaWindow(d.doc_id, w.toLong, off.toLong, (end - off).toLong,
+          e, if (e >= 96L * (end - off)) 1 else 0)
+      }
+    }
+
+  /** Partition-local, batched windowed-energy extraction (the VAD
+    * shape): 1-to-⌈len/winBytes⌉ row expansion inside the partition,
+    * no shuffle.
+    */
+  def windowEnergy(
+      ds: Dataset[MediaDoc], winBytes: Int = 32,
+      batchSize: Int = 256): Dataset[MediaWindow] = {
+    require(winBytes > 0, "winBytes must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => energyBatch(g.toSeq, winBytes)))
+  }
 }

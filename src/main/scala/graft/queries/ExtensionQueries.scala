@@ -40,7 +40,8 @@ object ExtensionQueries {
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
-    e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth)
+    e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
+    e58MediaEnergy)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1652,6 +1653,52 @@ object ExtensionQueries {
         .select(col("doc_id"), col("frame_idx"), col("offset"),
           col("frame_hash"))
     }
+  }
+
+  /** Audio-shaped multimodal op: windowed energy + activity thresholding
+    * over the opaque payload ([[graft.operators.Media.windowEnergy]]) —
+    * the VAD (voice-activity-detection) stand-in; a real deployment
+    * thresholds per-window PCM RMS through the same batched
+    * mapPartitions stage. The stub's window energy is an exact integer
+    * byte sum, so the whole path — window segmentation, per-window
+    * energy, the active flag, and the per-document activity rollup —
+    * is DuckDB-oracle-checkable. Per-row expansion is partition-local
+    * (⌈len/32⌉ windows per doc, no shuffle before the final rollup).
+    */
+  private def e58MediaEnergy = QueryDef.sql(
+    "e58_media_energy",
+    s"""WITH f AS (SELECT doc_id, text, length(text) AS n,
+       |    unnest(range(0, (length(text) + 31) // 32)) AS w
+       |  FROM documents),
+       |win AS (SELECT doc_id, w, w * 32 AS off,
+       |    substr(text, CAST(w * 32 AS INT) + 1, 32) AS chunk
+       |  FROM f),
+       |e AS (SELECT doc_id, w, off, length(chunk) AS win_len,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(chunk, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> a + c) AS energy
+       |  FROM win)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  CAST(sum(CASE WHEN energy >= 96 * win_len THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_active,
+       |  CAST(sum(energy) AS BIGINT) AS energy_total,
+       |  (CAST(sum(CASE WHEN energy >= 96 * win_len THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000) // count(*) AS active_permille
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Media.MediaDoc]
+    Media.windowEnergy(docs, winBytes = 32)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("active")).cast("long").as("n_active"),
+        sum(col("energy")).as("energy_total"))
+      .select(col("doc_id"), col("n_windows"), col("n_active"),
+        col("energy_total"),
+        expr("(n_active * 1000) div n_windows").as("active_permille"))
   }
 
   /** Multimodal plumbing: documents as opaque binary payloads with typed

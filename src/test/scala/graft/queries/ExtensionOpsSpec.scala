@@ -69,4 +69,25 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(persisted === rescanned)
     assert(persisted.nonEmpty)
   }
+
+  test("e58 window geometry: counts cover every byte, both activity " +
+    "classes live, permille bounded") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("e58_media_energy")(spark, dir)
+    // every doc's windows tile its byte length: n_windows = ceil(len/32)
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    val bad = out.join(lens, "doc_id")
+      .filter(col("n_windows") =!= expr("(n + 31) div 32") ||
+        col("active_permille") < 0 || col("active_permille") > 1000 ||
+        col("n_active") > col("n_windows"))
+      .count()
+    assert(bad === 0L)
+    // the threshold discriminates on real text: some windows active
+    // (letter-dense), some not (space/punct-dense) — a dead flag means
+    // the stub threshold stopped testing anything
+    val (act, tot) = out.agg(sum("n_active"), sum("n_windows"))
+      .as[(Long, Long)].head()
+    assert(act > 0L && act < tot, s"activity flag is dead: $act/$tot")
+  }
 }
