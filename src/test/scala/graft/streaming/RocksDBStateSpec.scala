@@ -100,6 +100,60 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamDedup drops within-horizon replays on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamDedup.firstArrivalByContent(
+      ms.toDF().toDF("doc_id", "event_ts", "text"),
+      "event_ts", "30 minutes")
+      .writeStream
+      .format("memory").queryName("rocks_dedup").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"),
+        (3L, ts(2), "alpha"))
+      q.processAllAvailable()
+      ms.addData((4L, ts(5), "alpha"), (5L, ts(6), "gamma"))
+      q.processAllAvailable()
+      val kept = s.table("rocks_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 5L))
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
+  test("StreamJoin interval attribution matches on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = StreamJoin.attributed(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      buys.toDF().toDF("event_id", "user_id", "ts", "value"),
+      windowMinutes = 15)
+      .writeStream
+      .format("memory").queryName("rocks_sjoin").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      views.addData((1L, 7L, ts(0)), (2L, 8L, ts(1)))
+      buys.addData((10L, 7L, ts(5), 9.0), // within window: matches view 1
+        (11L, 8L, ts(50), 5.0)) //          outside 15 min: no match
+      q.processAllAvailable()
+      val got = s.table("rocks_sjoin")
+        .select("view_id", "buy_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 10L)))
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("Sessionize gap-splits and timeout-flushes on RocksDB state") {
     def ts(h: Int, m: Int) =
       Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
