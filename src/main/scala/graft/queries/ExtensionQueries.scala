@@ -41,7 +41,7 @@ object ExtensionQueries {
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
-    e58MediaEnergy)
+    e57SplitLeakage, e58MediaEnergy)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -371,6 +371,63 @@ object ExtensionQueries {
           countDistinct(col("doc")).as("n_docs_touched"))
         .orderBy("src_lo", "src_hi")
     }
+
+  /** Train/test SPLIT-LEAKAGE audit — the dataset-quality check a
+    * training run demands before benchmark decontamination (e20) even
+    * matters: near-duplicate pairs that STRADDLE e23's deterministic
+    * train/val/test split leak evaluation data into training. Pair
+    * generation is e3's shared banded machinery; each verified pair is
+    * labeled with its endpoints' splits (a pure doc_id hash — no join
+    * against a split table) and rolled up into the split×split matrix
+    * with true distinct-document counts (the e52 stacking). The
+    * diagonal is benign intra-split duplication; off-diagonal cells
+    * are the leaks. #splits² rows of output.
+    */
+  private def e57SplitLeakage = {
+    val seed = 42L
+    val t80 = math.ceil(0.8 * P).toLong
+    val t90 = math.ceil(0.9 * P).toLong
+    def splitDuck(e: String): String = {
+      val draw = graft.gen.MockData.hashLongDuck(seed, "split", e)
+      s"CASE WHEN $draw < $t80 THEN 'train' WHEN $draw < $t90 THEN 'val'" +
+        " ELSE 'test' END"
+    }
+    QueryDef.sql(
+      "e57_split_leakage",
+      s"""$minhashPairsDuck,
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |lab AS (SELECT
+         |    least(${splitDuck("doc_a")}, ${splitDuck("doc_b")}) AS split_lo,
+         |    greatest(${splitDuck("doc_a")}, ${splitDuck("doc_b")}) AS split_hi,
+         |    doc_a, doc_b
+         |  FROM pairs),
+         |stacked AS (SELECT split_lo, split_hi, doc_a AS doc FROM lab
+         |  UNION ALL SELECT split_lo, split_hi, doc_b FROM lab)
+         |SELECT split_lo, split_hi, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+         |  count(DISTINCT doc) AS n_docs_touched,
+         |  CAST(CASE WHEN split_lo = split_hi THEN 0 ELSE 1 END AS INT)
+         |    AS is_leak
+         |FROM stacked GROUP BY split_lo, split_hi
+         |ORDER BY split_lo, split_hi""".stripMargin) { (s, dir) =>
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val draw = graft.gen.MockData.hashLong(seed, "split", c)
+        when(draw < t80, "train").when(draw < t90, "val").otherwise("test")
+      }
+      minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select(
+          least(splitOf(col("doc_a")), splitOf(col("doc_b"))).as("split_lo"),
+          greatest(splitOf(col("doc_a")), splitOf(col("doc_b"))).as("split_hi"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy("split_lo", "split_hi")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs_touched"))
+        .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+          col("n_docs_touched"),
+          (col("split_lo") =!= col("split_hi")).cast("int").as("is_leak"))
+        .orderBy("split_lo", "split_hi")
+    }
+  }
 
   /** The dedup APPLY step — the last mile after pair generation (e3)
     * and clustering (e32): drop every non-canonical cluster member
