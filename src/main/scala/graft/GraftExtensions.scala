@@ -71,6 +71,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.sketches.MinKAgg(args.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch", classOf[graft.functions.sketches.KmvAgg]),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch(values, k): k must be an integer literal, got $other")
+        }
+        graft.functions.sketches.KmvAgg(args.head, k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bloom_bitmap"),
       info("bloom_bitmap", classOf[graft.functions.sketches.BloomAgg]),
       (args: Seq[Expression]) => {

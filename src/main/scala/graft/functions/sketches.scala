@@ -206,6 +206,111 @@ object sketches {
       MinKAgg(ColumnBridge.expression(values), k)
         .toAggregateExpression())
 
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002; Beyer et al., SIGMOD'07): the k smallest DISTINCT hash values
+    * seen, as a bounded native aggregate — ≤ k longs per partial buffer
+    * regardless of input size, map-side combined, merged by set union
+    * then re-truncation (mergeable summary, same family as [[MinKAgg]]
+    * but duplicate-insensitive, which is what makes it a DISTINCT
+    * estimator rather than a posting-list truncator).
+    *
+    * For hashes uniform on [0, M) the estimator is
+    * `D ≈ (k−1)·M / h_k` with h_k the k-th smallest distinct hash
+    * (relative standard error ~ 1/√(k−2)); when fewer than k distinct
+    * values exist the sketch holds ALL of them and the exact count is
+    * its size. Everything downstream of the emitted sorted array is
+    * plain integer arithmetic, so an external engine can replay the
+    * estimate bit-for-bit from the same hash set (e60's oracle does).
+    *
+    * At 100 TB this replaces the (group, value)-distinct shuffle that an
+    * exact `count(DISTINCT …)` pays — cardinality of the DATA — with one
+    * ≤ k-entry buffer per partial aggregate: the shuffle payload is
+    * k longs per group, independent of corpus size.
+    */
+  case class KmvAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+    require(k > 1, "KMV sketch size k must be > 1")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "kmv_sketch"
+
+    // ordered set of the k smallest distinct values (last = cutoff)
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+      if (buf.size < k) { buf.add(v); () }
+      else if (v < buf.last) {
+        if (buf.add(v)) { buf.remove(buf.last); () }
+      }
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(
+        buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+      val it = other.iterator()
+      while (it.hasNext) add(buf, it.next())
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out) // ascending by TreeSet order
+    }
+
+    override def serialize(
+        buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.size * 8)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(
+        bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(off: Int): KmvAgg =
+      copy(mutableAggBufferOffset = off)
+    override def withNewInputAggBufferOffset(off: Int): KmvAgg =
+      copy(inputAggBufferOffset = off)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): KmvAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Column API: ascending array of the ≤ k smallest DISTINCT values. */
+  def kmv_sketch(values: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvAgg(ColumnBridge.expression(values), k)
+        .toAggregateExpression())
+
   /** Bloom-filter bitmap over LONG keys in [0, Portable.P) as a bounded
     * native aggregate: `mBits/64` longs per partial buffer regardless of
     * input size, map-side combined, merged by bitwise OR (trivially

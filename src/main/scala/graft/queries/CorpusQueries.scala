@@ -38,7 +38,7 @@ object CorpusQueries {
 
   val all: Seq[QueryDef] = Seq(
     e37InvertedIndex, e38ZscoreOutliers, e39DistinctiveTerms, e40ZorderTiles,
-    e42FuzzyMatch, e43SourceQuota)
+    e42FuzzyMatch, e43SourceQuota, e59Bm25, e60KmvDistinct)
 
   /** Per-(term, doc) term frequencies — the shared first aggregation of
     * e37/e39 (each query runs its own instance; they are independent
@@ -236,6 +236,122 @@ object CorpusQueries {
         levenshtein(col("a.adj"), col("b.adj")).cast("long").as("dist"),
         (col("a.cnt") * col("b.cnt")).as("n_pairs"))
       .orderBy("noun", "adj_a", "adj_b")
+  }
+
+  /** BM25 ranked retrieval (the search side of a corpus index): top-20
+    * documents for a fixed 3-term query, scored with the BM25 saturation
+    * term (k1 = 1.2, b = 0.75) and a log-free RATIONAL Robertson idf
+    * `(N − df + ½)/(df + ½)` — same idf ordering as the log form (log is
+    * monotone), kept rational so the whole score is integer arithmetic
+    * at fixed scales (idf ×10⁶ via the ×2 half-trick, dl/avgdl and the
+    * saturation term ×10³) and ranks bit-identically in any engine.
+    * Overflow headroom: idf6 ≤ 2N·10⁶/3 and the saturation factor is
+    * ≤ 2200 by construction (tf·2200·10³ / (tf·10³) at dl→0), so a
+    * 3-term score stays < 2^62 up to N = 10⁹ documents.
+    *
+    * Scale shape: the df/idf frame is |query|-rows (broadcast), postings
+    * are FILTERED to query terms before any join (the selective scan),
+    * per-doc length joins on doc_id, the corpus-wide (N, T) constants
+    * ride a one-row broadcast (the e22 pattern), and the final top-20 is
+    * a TakeOrdered — no window, no full sort.
+    */
+  private def e59Bm25 = {
+    val qTerms = Seq("spark", "stream", "vector")
+    val qIn = qTerms.map(t => s"'$t'").mkString(", ")
+    QueryDef.sql(
+      "e59_bm25",
+      s"""WITH $termDocTfDuck,
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM td GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n_docs, sum(dl) AS n_terms FROM dl),
+         |dfq AS (SELECT term, count(*) AS df FROM td
+         |  WHERE term IN ($qIn) GROUP BY term),
+         |sc AS (SELECT td.doc_id, dl.dl, td.tf,
+         |    ((2*n_docs - 2*df + 1) * 1000000) // (2*df + 1) AS idf6,
+         |    (dl.dl * 1000 * n_docs) // n_terms AS dlnorm3
+         |  FROM td JOIN dfq USING (term)
+         |  JOIN dl ON dl.doc_id = td.doc_id CROSS JOIN tot),
+         |co AS (SELECT doc_id, dl,
+         |    idf6 * ((tf * 2200 * 1000) // (tf*1000 +
+         |      (1200 * (250 + (750 * dlnorm3) // 1000)) // 1000)) AS contrib
+         |  FROM sc)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |  CAST(sum(contrib) AS BIGINT) AS score
+         |FROM co GROUP BY doc_id, dl
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val td = termDocTf(s, dir)
+      val dl = td.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_terms"))
+      val dfq = td.filter(col("term").isin(qTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      td.filter(col("term").isin(qTerms: _*))
+        .join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf6",
+          expr("((2*n_docs - 2*df + 1) * 1000000) div (2*df + 1)"))
+        .withColumn("dlnorm3", expr("(dl * 1000 * n_docs) div n_terms"))
+        .withColumn("contrib",
+          expr("idf6 * ((tf * 2200 * 1000) div (tf*1000 + " +
+            "(1200 * (250 + (750 * dlnorm3) div 1000)) div 1000))"))
+        .groupBy("doc_id", "dl").agg(sum("contrib").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .select("doc_id", "dl", "score")
+    }
+  }
+
+  /** KMV distinct-count sketch, calibrated against the exact answer:
+    * per-source distinct shingle cardinality estimated from the k = 64
+    * smallest distinct shingle hashes ([[sketches.KmvAgg]], a bounded
+    * mergeable summary) next to the exact `count(DISTINCT …)`, with the
+    * error in basis points. The estimator is `(k−1)·P div h_k` (hashes
+    * uniform on [0, P)), pure integer arithmetic replayed bit-for-bit by
+    * the oracle from the same hash set; when a source has fewer than k
+    * distinct shingles the sketch IS the exact set and the estimate is
+    * its size.
+    *
+    * The exact side exists here to MEASURE the sketch (a calibration
+    * harness, the e29 sketch-then-verify discipline applied to
+    * cardinality); production pipelines run the sketch alone, replacing
+    * the (source, shingle)-distinct shuffle — cardinality of the corpus —
+    * with ≤ 64 longs per partial aggregate per source.
+    */
+  private def e60KmvDistinct = {
+    val k = 64
+    QueryDef.sql(
+      "e60_kmv_distinct",
+      s"""WITH w AS (SELECT source, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT source, ${Portable.shinglesDuck} AS shs FROM w
+         |  WHERE len(wh) >= 3),
+         |ex AS (SELECT source, unnest(shs) AS h FROM sh),
+         |d AS (SELECT source, h FROM ex GROUP BY source, h),
+         |per AS (SELECT source, count(*) AS n_exact,
+         |    (list_sort(list(h)))[$k] AS hk
+         |  FROM d GROUP BY source),
+         |est AS (SELECT source, n_exact,
+         |    CASE WHEN n_exact < $k THEN n_exact
+         |      ELSE (CAST(${k - 1} AS BIGINT) * ${Portable.P}) // hk
+         |      END AS kmv_est
+         |  FROM per)
+         |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(kmv_est AS BIGINT) AS kmv_est,
+         |  CAST(abs(kmv_est - n_exact) * 10000 // n_exact AS BIGINT)
+         |    AS err_bp
+         |FROM est ORDER BY source""".stripMargin) { (s, dir) =>
+      val ex = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(F.shingle_hashes(col("text"))).as("h"))
+      ex.groupBy("source")
+        .agg(countDistinct(col("h")).as("n_exact"),
+          sketches.kmv_sketch(col("h"), k).as("sk"))
+        .withColumn("kmv_est",
+          when(col("n_exact") < k, col("n_exact"))
+            .otherwise(expr(s"(${k - 1} * ${Portable.P}L) div element_at(sk, $k)")))
+        .select(col("source"), col("n_exact"), col("kmv_est"),
+          expr("abs(kmv_est - n_exact) * 10000 div n_exact").as("err_bp"))
+        .orderBy("source")
+    }
   }
 
   private def e40ZorderTiles = QueryDef.sql(

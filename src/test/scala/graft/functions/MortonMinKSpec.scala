@@ -75,4 +75,56 @@ class MortonMinKSpec extends SparkSpecBase {
     assert(withNulls.agg(sketches.min_k(col("v"), 2)).head()
       .getSeq[Long](0).toSeq === Seq(1L, 5L))
   }
+
+  test("kmv_sketch is duplicate-insensitive min-k across merges; " +
+    "estimator within KMV error bounds") {
+    import spark.implicits._
+    // Each value appears 7 times across 11 partitions: a KMV sketch must
+    // collapse duplicates (min_k would fill with 7 copies of 1).
+    val dup = scala.util.Random.shuffle(
+      (1L to 500L).flatMap(v => Seq.fill(7)(v)).toList)
+    val df = dup.toDF("v").repartition(11)
+    val got = df.agg(sketches.kmv_sketch(col("v"), 8)).head().getSeq[Long](0)
+    assert(got.toSeq === (1L to 8L))
+    // fewer than k distinct values → the sketch IS the distinct set
+    val small = df.filter(col("v") <= 3).agg(sketches.kmv_sketch(col("v"), 8))
+      .head().getSeq[Long](0)
+    assert(small.toSeq === (1L to 3L))
+    // nulls ignored, duplicates collapsed
+    val withNulls = Seq[java.lang.Long](5L, null, 1L, 5L, null, 1L, 9L)
+      .toDF("v").repartition(3)
+    assert(withNulls.agg(sketches.kmv_sketch(col("v"), 2)).head()
+      .getSeq[Long](0).toSeq === Seq(1L, 5L))
+    // estimator: 10k distinct keys hashed into [0, P) via the portable
+    // affine family; (k-1)*P/h_k within 4 relative standard errors
+    // (1/sqrt(k-2)) of the true cardinality — deterministic given the
+    // fixed hash, so this is a regression pin, not a flaky bound.
+    val p = Portable.P
+    // multiplier > P so products wrap the modulus many times over and
+    // the hash actually spreads across [0, P) (48271 would not: its
+    // largest product stays below P, bunching all hashes in the low
+    // half and biasing the estimator 2x)
+    val hashed = (1L to 10000L).map(v => (v * 2654435761L) % p).toDF("h")
+      .repartition(13)
+    val k = 64
+    val sk = hashed.agg(sketches.kmv_sketch(col("h"), k))
+      .head().getSeq[Long](0)
+    assert(sk.length === k)
+    val est = (k - 1).toLong * p / sk.last
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 4 * rse,
+      s"KMV estimate $est too far from 10000")
+  }
+
+  test("kmv_sketch is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    (1L to 100L).flatMap(v => Seq(v, v)).toDF("v")
+      .createOrReplaceTempView("kmv_in")
+    val got = spark.sql("SELECT kmv_sketch(v, 5) AS sk FROM kmv_in")
+      .head().getSeq[Long](0)
+    assert(got.toSeq === (1L to 5L))
+    intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(v, v) FROM kmv_in").collect()
+    }
+  }
 }
