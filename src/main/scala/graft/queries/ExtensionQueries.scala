@@ -41,7 +41,7 @@ object ExtensionQueries {
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
-    e57SplitLeakage, e58MediaEnergy)
+    e57SplitLeakage, e58MediaEnergy, e61LshCalibration)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -236,6 +236,95 @@ object ExtensionQueries {
       .join(mh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(mh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  /** MinHash CALIBRATION report: for every LSH candidate pair, compare
+    * the Jaccard ESTIMATE the 12-permutation signature implies
+    * (matching positions / 12 — the Broder estimator the banding scheme
+    * is built on) against the exact shingle-set Jaccard, rolled up per
+    * signature-agreement level. The sketch-quality audit a production
+    * dedup stage runs when choosing (r, b): each row says "pairs where
+    * m of 12 hashes agree have true similarity mean/min/max …", exposing
+    * both estimator bias and the band-collision tail (candidates with
+    * low agreement that a single lucky band let through).
+    *
+    * All similarity arithmetic is integer basis points (trunc division,
+    * both engines), so rows hash-match bit-for-bit. Same candidate
+    * machinery as e3 (banded bucket join, never all-pairs); the rollup
+    * adds one low-cardinality (≤ 13 keys) aggregation.
+    */
+  private def e61LshCalibration = {
+    val matchesDuck = (0 until 12)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef.sql(
+      "e61_lsh_calibration",
+      s"""$minhashPairsDuck,
+         |pr AS (SELECT
+         |    CAST($matchesDuck AS BIGINT) AS matches,
+         |    CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) * 10000
+         |      // (len(sa.shs) + len(sb.shs)
+         |        - len(list_intersect(sa.shs, sb.shs))) AS exact_bp
+         |  FROM cand
+         |  JOIN mh sa ON sa.doc_id = doc_a
+         |  JOIN mh sb ON sb.doc_id = doc_b)
+         |SELECT matches, CAST(matches * 10000 // 12 AS BIGINT) AS est_bp,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(exact_bp) // count(*) AS BIGINT) AS mean_exact_bp,
+         |  CAST(min(exact_bp) AS BIGINT) AS min_exact_bp,
+         |  CAST(max(exact_bp) AS BIGINT) AS max_exact_bp
+         |FROM pr GROUP BY matches ORDER BY matches""".stripMargin) {
+      (s, dir) =>
+        val sh = docShingles(Tables.documents(s, dir))
+        val mh = sh.select(col("doc_id"), col("shs"),
+          F.min_hashes(col("shs")).as("sig"))
+          .repartition(col("doc_id"))
+        val bandKeys = array((0 until 6).map(k =>
+          element_at(col("sig"), 2 * k + 1) * P +
+            element_at(col("sig"), 2 * k + 2)): _*)
+        // Same shared-exchange discipline as minhashVerifiedPairs: the
+        // vacuous guards keep shs/sig referenced on every mh consumer so
+        // all three branches reuse one shuffle of the signature frame.
+        val bands = mh
+          .select(col("doc_id"),
+            posexplode(when(size(col("shs")) > 0, bandKeys))
+              .as(Seq("band_id", "band_key")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val matches = (1 to 12).map(i =>
+          when(size(col("sa.sig")) > 0 &&
+            element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i),
+            1).otherwise(0))
+          .reduce(_ + _).cast("long")
+        val inter = when(
+          size(col("sa.sig")) > 0 && size(col("sb.sig")) > 0,
+          size(array_intersect(col("sa.shs"), col("sb.shs"))))
+        val exactBp = expr(
+          "CAST(size(array_intersect(sa.shs, sb.shs)) AS BIGINT) * 10000" +
+            " div (size(sa.shs) + size(sb.shs)" +
+            " - size(array_intersect(sa.shs, sb.shs)))")
+        cand
+          .join(mh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(mh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(matches.as("matches"),
+            when(inter >= 0, exactBp).as("exact_bp"))
+          .groupBy("matches")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("exact_bp").as("sum_bp"),
+            min("exact_bp").as("min_exact_bp"),
+            max("exact_bp").as("max_exact_bp"))
+          .select(col("matches"),
+            expr("matches * 10000 div 12").as("est_bp"),
+            col("n_pairs"),
+            expr("sum_bp div n_pairs").as("mean_exact_bp"),
+            col("min_exact_bp"), col("max_exact_bp"))
+          .orderBy("matches")
+    }
   }
 
   /** Dedup CLUSTERS from the LSH near-dup pairs: connected components

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{F, Portable}
@@ -39,7 +40,7 @@ object TrainingQueries {
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
-    e53DsirSelect, e55LmSurprisal, e56BpeTokenCount)
+    e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1089,6 +1090,63 @@ object TrainingQueries {
     * generated chained CTEs — same folds, same tie-breaks — so the
     * learned merge table is value-checked cross-engine.
     */
+  /** Per-source quality-score CALIBRATION (score stage): normalize an
+    * integer quality signal (stopword-ratio basis points, the e14
+    * signal) to its in-source percentile rank before applying one global
+    * keep threshold. A single raw-score threshold over a multi-source
+    * corpus is dominated by inter-source distribution shift — a clean
+    * source would sail through while a noisy one is decimated, silently
+    * reweighting the mixture; ranking within source first makes the
+    * keep-rate uniform per source (the per-dump calibration discipline
+    * of web-scale curation pipelines), and mixture weights stay where
+    * e51 put them.
+    *
+    * Percentiles are integer basis points over a UNIQUE ordering
+    * (score, then doc_id), so ranks — and therefore every emitted row —
+    * are bit-portable. The window partitions by source: at 100 TB each
+    * source ranks independently in parallel, and a mega-source is
+    * exactly the q46 chunked-rank escalation path if one partition ever
+    * dominates.
+    */
+  private def e62ScoreCalibration = QueryDef.sql(
+    "e62_score_calibration",
+    s"""WITH sc AS (SELECT doc_id, source,
+       |    len(list_filter(${Portable.wordsDuck}, w -> w IN ('the', 'a')))
+       |      * 10000 // len(${Portable.wordsDuck}) AS score_bp
+       |  FROM documents WHERE len(${Portable.wordsDuck}) > 0),
+       |rk AS (SELECT doc_id, source, score_bp,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score_bp, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM sc)
+       |SELECT doc_id, source, CAST(score_bp AS BIGINT) AS score_bp,
+       |  CAST(CASE WHEN n_src = 1 THEN 10000
+       |    ELSE (rn - 1) * 10000 // (n_src - 1) END AS BIGINT) AS pct_bp,
+       |  CAST(CASE WHEN (CASE WHEN n_src = 1 THEN 10000
+       |      ELSE (rn - 1) * 10000 // (n_src - 1) END) >= 5000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val words = expr(Portable.wordsSpark)
+    val sc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(words, w => w.isin("the", "a"))).cast("long")
+          .as("n_stop"),
+        size(words).cast("long").as("n_words"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("source"),
+        expr("n_stop * 10000 div n_words").as("score_bp"))
+    val byScore = Window.partitionBy("source")
+      .orderBy(col("score_bp"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    val pct = when(col("n_src") === 1, lit(10000L))
+      .otherwise(expr("(rn - 1) * 10000 div (n_src - 1)"))
+    sc.withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(whole))
+      .select(col("doc_id"), col("source"), col("score_bp"),
+        pct.as("pct_bp"),
+        when(pct >= 5000, 1L).otherwise(0L).as("keep"))
+  }
+
   // ---- BPE machinery shared by e50 (train) and e56 (apply) ---------------
 
   // defs, not vals: `all` at the top of the object initializes first,
