@@ -100,6 +100,40 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("CardinalityState KMV estimates converge identically on RocksDB " +
+    "state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val p = graft.functions.Portable.P
+    def h(v: Long): Long = (v * 2654435761L) % p
+    val ms = MemoryStream[CardinalityState.Obs]
+    val q = CardinalityState.distinctEstimate(ms.toDS(), k = 16)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_card").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1L to 200L).map(v => CardinalityState.Obs("a", h(v))): _*)
+      q.processAllAvailable()
+      // replay batch 1 in full, grow by 201..300
+      ms.addData((1L to 300L).map(v => CardinalityState.Obs("a", h(v))): _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_card")
+        .as[CardinalityState.Card].collect().filter(_.key == "a").last
+      // same summary as the in-memory-provider spec's invariant: the
+      // state equals the batch aggregate over the union of observations
+      val batchSk = (1L to 300L).map(h).toDF("h")
+        .agg(graft.functions.sketches.kmv_sketch(col("h"), 16))
+        .head().getSeq[Long](0)
+      assert(last.sketch_size === 16)
+      assert(last.estimate === 15L * p / batchSk.last)
+      assert(last.n_seen === 500L)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamDedup drops within-horizon replays on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
