@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,7 +40,8 @@ object TrainingQueries {
     e30SpanDedup, e31TopWordPerLang, e33StratifiedSample, e34TokenShards,
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
-    e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration)
+    e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
+    e63SampledQuantiles)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1090,6 +1091,78 @@ object TrainingQueries {
     * generated chained CTEs — same folds, same tie-breaks — so the
     * learned merge table is value-checked cross-engine.
     */
+  /** SAMPLED quantile estimation, calibrated against the exact answer:
+    * per-language n_chars percentiles computed by e35's rank selection
+    * over a DETERMINISTIC 10% hash sample (`hashLong(doc_id) < ⌈0.1·P⌉`
+    * — the e23 split discipline, not Bernoulli `rand()`, so the sample
+    * is replayable, partition-stable, and oracle-checkable bit-for-bit),
+    * emitted next to the exact percentiles with absolute errors. The
+    * scale lever a monitoring pipeline actually uses: the sampled path's
+    * value-frequency shuffle is 10× smaller at identical plan shape, and
+    * at 100 TB a sub-percent sample answers "did the length distribution
+    * drift today?" for 1% of the cost; the exact side here is the
+    * calibration harness (the e60 discipline), not the production path.
+    */
+  private def e63SampledQuantiles = {
+    val seed = 7L
+    val t10 = math.ceil(0.1 * P).toLong
+    val drawDuck = MockData.hashLongDuck(seed, "qsample", "doc_id")
+    def ranksDuck(src: String, pfx: String) =
+      s"""${pfx}freq AS (SELECT lang, n_chars, count(*) AS cnt
+         |  FROM $src GROUP BY lang, n_chars),
+         |${pfx}cum AS (SELECT lang, n_chars,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM ${pfx}freq),
+         |${pfx}tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM ${pfx}freq GROUP BY lang),
+         |${pfx}q AS (SELECT c.lang, t.n,
+         |    min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END)
+         |      AS p50,
+         |    min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END)
+         |      AS p90
+         |  FROM ${pfx}cum c JOIN ${pfx}tot t USING (lang)
+         |  GROUP BY c.lang, t.n)""".stripMargin
+    QueryDef.sql(
+      "e63_sampled_quantiles",
+      s"""WITH smp AS (SELECT lang, n_chars FROM documents
+         |  WHERE $drawDuck < $t10),
+         |${ranksDuck("documents", "x")},
+         |${ranksDuck("smp", "s")}
+         |SELECT x.lang, x.n AS n_docs, s.n AS n_sample,
+         |  x.p50, s.p50 AS p50_est, abs(s.p50 - x.p50) AS err50,
+         |  x.p90, s.p90 AS p90_est, abs(s.p90 - x.p90) AS err90
+         |FROM xq x JOIN sq s USING (lang) ORDER BY x.lang""".stripMargin) {
+      (s, dir) =>
+        def ranks(df: DataFrame): DataFrame = {
+          val freq = df.groupBy("lang", "n_chars")
+            .agg(count(lit(1)).as("cnt"))
+          val cum = freq.withColumn("cum",
+            sum(col("cnt")).over(Window.partitionBy(col("lang"))
+              .orderBy(col("n_chars"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val tot = freq.groupBy("lang").agg(sum(col("cnt")).as("n"))
+          def atRank(rank: Column) = min(when(col("cum") >= rank, col("n_chars")))
+          cum.join(tot, "lang")
+            .groupBy(col("lang"), col("n"))
+            .agg(atRank(expr("(n + 1) div 2")).as("p50"),
+              atRank(expr("(9*n + 9) div 10")).as("p90"))
+        }
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        val exact = ranks(docs)
+        val est = ranks(docs
+          .filter(MockData.hashLong(seed, "qsample", col("doc_id")) < t10))
+        exact.as("x").join(est.as("s"), "lang")
+          .select(col("lang"), col("x.n").as("n_docs"),
+            col("s.n").as("n_sample"),
+            col("x.p50").as("p50"), col("s.p50").as("p50_est"),
+            abs(col("s.p50") - col("x.p50")).as("err50"),
+            col("x.p90").as("p90"), col("s.p90").as("p90_est"),
+            abs(col("s.p90") - col("x.p90")).as("err90"))
+          .orderBy("lang")
+    }
+  }
+
   /** Per-source quality-score CALIBRATION (score stage): normalize an
     * integer quality signal (stopword-ratio basis points, the e14
     * signal) to its in-source percentile rank before applying one global
