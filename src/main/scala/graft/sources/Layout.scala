@@ -141,6 +141,34 @@ object Layout {
     !fresh
   }
 
+  /** [[writePartitioned]] guarded by the same marker-file fingerprint
+    * discipline as [[writeBucketedIfStale]], for PATH-addressed
+    * partitioned layouts (indexes, hive-layout exports): rebuild only
+    * when the path is absent or its recorded source fingerprint differs.
+    * The marker lives inside the output directory (underscore-prefixed,
+    * invisible to the parquet reader), so a manual delete of the layout
+    * also drops its freshness claim. Returns true when (re)built.
+    */
+  def writePartitionedIfStale(
+      df: DataFrame, path: String, partCols: Seq[String],
+      fingerprint: String, filesPerPart: Int = 1): Boolean = {
+    val spark = df.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "_graft_fingerprint")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(mp) && {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString == fingerprint
+      finally in.close()
+    }
+    if (!fresh) {
+      writePartitioned(df, path, partCols, filesPerPart)
+      val out = fs.create(mp, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+    !fresh
+  }
+
   /** Join two same-bucketing tables on the bucket key — planned with no
     * exchange when both sides' bucketing matches the join key.
     */

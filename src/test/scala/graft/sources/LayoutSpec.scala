@@ -145,6 +145,46 @@ class LayoutSpec extends SparkSpecBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("writePartitionedIfStale: marker reuse, rebuild on change; the " +
+    "e64 probe join dynamically prunes index partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pidx").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, i.toLong % 8))
+        .toDF("vec_id", "list_id").coalesce(1)
+        .write.mode("overwrite").parquet(src)
+    write(400)
+    val df1 = spark.read.parquet(src)
+    assert(Layout.writePartitionedIfStale(
+      df1, idx, Seq("list_id"), Layout.scanFingerprint(df1)), "first build")
+    val files1 = spark.read.parquet(idx).inputFiles.toSeq.sorted
+    // marker fresh: no rewrite, identical files
+    val df2 = spark.read.parquet(src)
+    assert(!Layout.writePartitionedIfStale(
+      df2, idx, Seq("list_id"), Layout.scanFingerprint(df2)), "reuse")
+    assert(spark.read.parquet(idx).inputFiles.toSeq.sorted === files1)
+    // source change (same layout path) → rebuild
+    write(500)
+    val df3 = spark.read.parquet(src)
+    assert(Layout.writePartitionedIfStale(
+      df3, idx, Seq("list_id"), Layout.scanFingerprint(df3)), "rebuild")
+    assert(spark.read.parquet(idx).count() === 500)
+    // the e64 probe shape: selective filter on one side of a
+    // partition-column self-join → DPP subquery on the scan
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ix = s2.read.parquet(idx)
+    val probe = ix.filter(col("vec_id") % 97 === 5)
+      .select(col("vec_id").as("query_id"), col("list_id").as("qlist"))
+    val plan = probe.as("q")
+      .join(ix.as("i"), col("qlist") === col("i.list_id") &&
+        col("query_id") =!= col("i.vec_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
+
   test("writeBucketed rejects database-qualified names (cleanup would " +
     "mis-aim)") {
     import spark.implicits._
