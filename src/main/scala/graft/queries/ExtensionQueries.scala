@@ -41,7 +41,8 @@ object ExtensionQueries {
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
-    e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed)
+    e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
+    e65DedupBest)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -559,6 +560,61 @@ object ExtensionQueries {
           count(when(col("dropped").isNull, 1)).as("n_kept"),
           count(col("dropped")).as("n_dropped"))
         .orderBy("lang")
+    }
+
+  /** QUALITY-AWARE dedup survivor selection: per near-dup cluster
+    * (e32's components over the verified-pair graph), keep the LONGEST
+    * member — max n_chars, ties to the lower doc_id — instead of e45's
+    * positional min-id rule. The policy that matters when near-dups are
+    * truncations/mirrors of one another: min-id keeps whichever copy
+    * crawled first, this keeps the most complete copy. Same shapes as
+    * e45 (banded pair generation, pointer-jumping components) plus one
+    * cluster-keyed argmax — a struct-max aggregate, no window over
+    * cluster members (a mega-cluster's rows spread across tasks and
+    * combine map-side; the DuckDB oracle uses max-then-filter because
+    * struct ORDERING is not engine-portable, argmax VALUES are).
+    */
+  private def e65DedupBest =
+    QueryDef.sql(
+      "e65_dedup_best",
+      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |m AS (SELECT comp.cluster, comp.node, d.n_chars
+         |  FROM comp JOIN documents d ON d.doc_id = comp.node),
+         |best AS (SELECT cluster, max(n_chars) AS survivor_chars
+         |  FROM m GROUP BY cluster),
+         |surv AS (SELECT m.cluster, min(node) AS survivor
+         |  FROM m JOIN best USING (cluster)
+         |  WHERE n_chars = survivor_chars GROUP BY m.cluster),
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM comp
+         |  GROUP BY cluster)
+         |SELECT s.cluster, s.survivor, b.survivor_chars, z.cluster_size
+         |FROM surv s JOIN best b USING (cluster) JOIN sz z USING (cluster)
+         |ORDER BY s.cluster""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val m = comp
+        .join(Tables.documents(s, dir).select(
+          col("doc_id").as("node"), col("n_chars")), "node")
+      // argmax as ONE struct-max (the e17 discipline): max (n_chars,
+      // -node) = longest member, ties to the LOWER doc_id
+      m.groupBy(col("comp").as("cluster"))
+        .agg(
+          max(struct(col("n_chars"), (-col("node")).as("nn"))).as("mx"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("cluster"), (-col("mx.nn")).as("survivor"),
+          col("mx.n_chars").as("survivor_chars"), col("cluster_size"))
+        .orderBy("cluster")
     }
 
   /** Adds `n_same` = cluster size of `keyCol` via groupBy(key).count +
