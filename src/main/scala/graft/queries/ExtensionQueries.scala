@@ -42,7 +42,7 @@ object ExtensionQueries {
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
-    e65DedupBest)
+    e65DedupBest, e67AnnRecall)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1516,6 +1516,119 @@ object ExtensionQueries {
           .filter(col("rk") <= k)
           .drop("rk")
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }
+  }
+
+  /** ANN RECALL calibration: recall@3 of the IVF (nprobe = 1) search
+    * against exact brute-force top-3 on the deterministic probe set —
+    * the measurement that decides whether an ANN configuration is good
+    * enough to replace the exact path (the e60/e61/e63 calibration
+    * discipline applied to similarity search). ANN side is e17's
+    * same-cell search restricted to the probes; exact side rides
+    * [[cosineTopkExact]]'s guarded broadcast (probes × corpus, linear
+    * scans — affordable precisely because recall is measured on a probe
+    * SAMPLE, which is also the production posture at 100 TB). Both
+    * top-3 sets use the identical rounded-cosine/neighbor-id tie rule,
+    * so the intersection count — and therefore recall — is
+    * engine-portable integer arithmetic.
+    */
+  private def e67AnnRecall = {
+    val k = 3
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e67_ann_recall",
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM base WHERE vec_id % 67 = 3),
+         |sc AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM base b CROSS JOIN cent c),
+         |best AS (SELECT vec_id, max(cs) AS mc FROM sc GROUP BY vec_id),
+         |assign AS (SELECT sc.vec_id, min(cid) AS list_id
+         |  FROM sc JOIN best USING (vec_id) WHERE cs = mc GROUP BY sc.vec_id),
+         |v AS (SELECT base.vec_id, base.embedding, base.nrm, list_id
+         |  FROM base JOIN assign USING (vec_id)),
+         |annp AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    round(${dotCols("a.embedding", "b.embedding")} /
+         |      (a.nrm * b.nrm), 4) + 0 AS cosine
+         |  FROM v a JOIN v b
+         |    ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 97 = 5),
+         |ann AS (SELECT qid, nid FROM annp
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) <= $k),
+         |exq AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(${dotCols("q.embedding", "c.embedding")} /
+         |      (q.nrm * c.nrm), 4) + 0 AS cosine
+         |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 97 = 5),
+         |ex AS (SELECT qid, nid FROM exq
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) <= $k),
+         |anns AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid),
+         |hits AS (SELECT qid, count(*) AS n_hits
+         |  FROM ann JOIN ex USING (qid, nid) GROUP BY qid),
+         |p AS (SELECT vec_id AS qid FROM base WHERE vec_id % 97 = 5)
+         |SELECT p.qid AS query_id,
+         |  CAST(coalesce(n_ann, 0) AS BIGINT) AS n_ann,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) * 10000 // $k AS BIGINT) AS recall_bp
+         |FROM p LEFT JOIN anns USING (qid) LEFT JOIN hits USING (qid)
+         |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        .filter(col("vec_id").isNotNull)
+      val cent = base.filter(col("vec_id") % 67 === 3)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"))
+      val scored = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+            .as("cs"))
+      val assign = scored.groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+      val vs = base.join(assign, "vec_id").repartition(col("list_id"))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid"))
+      val annCos = round(
+        dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
+      val ann = vs.as("a")
+        .join(vs.as("b"),
+          col("a.list_id") === col("b.list_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .filter(col("a.vec_id") % 97 === 5)
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+          annCos.as("cosine"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") <= k)
+        .select("qid", "nid")
+      val exact = cosineTopkExact(
+        base.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe")),
+        base.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
+        k)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val anns = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+      val hits = ann.join(exact, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      base.filter(col("vec_id") % 97 === 5)
+        .select(col("vec_id").as("qid"))
+        .join(anns, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid").as("query_id"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr(s"coalesce(n_hits, 0L) * 10000 div $k").as("recall_bp"))
+        .orderBy("query_id")
     }
   }
 

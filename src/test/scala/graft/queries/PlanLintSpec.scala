@@ -41,7 +41,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e51_temperature_mix", // one-row normalizer frame, the e22 pattern
       "e55_lm_surprisal", // one-row vocabulary-size scalar, the e22 pattern
       "e59_bm25", // one-row (N, total-terms) frame, the e22 pattern
-      "e64_ann_indexed") // the e17 codebook broadcast, same bound
+      "e64_ann_indexed", // the e17 codebook broadcast, same bound
+      "e67_ann_recall") // e17 codebook + e5's guarded probe broadcast
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
