@@ -42,7 +42,7 @@ object ExtensionQueries {
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
-    e65DedupBest, e67AnnRecall)
+    e65DedupBest, e67AnnRecall, e68AnnNprobeSweep)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1629,6 +1629,151 @@ object ExtensionQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           expr(s"coalesce(n_hits, 0L) * 10000 div $k").as("recall_bp"))
         .orderBy("query_id")
+    }
+  }
+
+  /** RECALL-vs-NPROBE sweep: e67's recall measurement repeated at
+    * nprobe ∈ {1, 2, 4} probed cells per query, with the candidate
+    * volume each level pays — the tuning CURVE (recall vs cost) that
+    * decides the production nprobe, not just a single point. Centroid
+    * ranks per vector come from one row_number over the broadcast
+    * codebook scoring (portable: both engines fold the dot product in
+    * the same element order, so the doubles — and therefore the rank
+    * order under the (cs desc, cid) tie rule — are bit-identical).
+    * Candidates are computed ONCE at the deepest level and fanned out
+    * to the sweep levels by a 3-row non-equi broadcast join
+    * (construction-bounded); each neighbor lives in exactly one home
+    * cell, so per-level candidate sets are duplicate-free by
+    * construction. Exact side is the same guarded-broadcast top-k as
+    * e67, computed once and joined against every level.
+    *
+    * Shape at 100 TB: identical to e17/e67 — codebook broadcast is
+    * k×dims, candidate volume per query is nprobe × (corpus/k_cells),
+    * and the whole sweep runs on the deterministic probe SAMPLE, so
+    * the exact baseline stays affordable. Output is 3 rows.
+    */
+  private def e68AnnNprobeSweep = {
+    val k = 3
+    val maxProbe = 4
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e68_ann_nprobe_sweep",
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM base WHERE vec_id % 67 = 3),
+         |sc AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM base b CROSS JOIN cent c),
+         |ranked AS (SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS crank
+         |  FROM sc QUALIFY crank <= $maxProbe),
+         |assign AS (SELECT vec_id, cid AS list_id FROM ranked
+         |  WHERE crank = 1),
+         |v AS (SELECT base.vec_id, base.embedding, base.nrm, list_id
+         |  FROM base JOIN assign USING (vec_id)),
+         |qp AS (SELECT r.vec_id AS qid, r.cid AS cell, r.crank,
+         |    b.embedding AS qe, b.nrm AS qn
+         |  FROM ranked r JOIN base b ON r.vec_id = b.vec_id
+         |  WHERE r.vec_id % 97 = 5),
+         |cand AS (SELECT qp.qid, qp.crank, v.vec_id AS nid,
+         |    round(${dotCols("qp.qe", "v.embedding")} /
+         |      (qp.qn * v.nrm), 4) + 0 AS cosine
+         |  FROM qp JOIN v ON qp.cell = v.list_id AND qp.qid <> v.vec_id),
+         |lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |cl AS (SELECT lv.nprobe, c.qid, c.nid, c.cosine
+         |  FROM lv JOIN cand c ON c.crank <= lv.nprobe),
+         |ann AS (SELECT nprobe, qid, nid FROM cl
+         |  QUALIFY row_number() OVER (PARTITION BY nprobe, qid
+         |    ORDER BY cosine DESC, nid) <= $k),
+         |exq AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(${dotCols("q.embedding", "c.embedding")} /
+         |      (q.nrm * c.nrm), 4) + 0 AS cosine
+         |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 97 = 5),
+         |ex AS (SELECT qid, nid FROM exq
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) <= $k),
+         |cc AS (SELECT nprobe, count(*) AS n_candidates FROM cl
+         |  GROUP BY nprobe),
+         |hits AS (SELECT nprobe, count(*) AS n_hits
+         |  FROM ann JOIN ex USING (qid, nid) GROUP BY nprobe),
+         |nq AS (SELECT count(*) AS n_queries FROM base
+         |  WHERE vec_id % 97 = 5)
+         |SELECT CAST(lv.nprobe AS BIGINT) AS nprobe, nq.n_queries,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) * 10000 // (nq.n_queries * $k)
+         |    AS BIGINT) AS recall_bp
+         |FROM lv CROSS JOIN nq
+         |LEFT JOIN cc ON cc.nprobe = lv.nprobe
+         |LEFT JOIN hits ON hits.nprobe = lv.nprobe
+         |ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val embD = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        .filter(col("vec_id").isNotNull)
+      val cent = base.filter(col("vec_id") % 67 === 3)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"))
+      val wC = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val ranked = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+            .as("cs"))
+        .withColumn("crank", row_number().over(wC))
+        .filter(col("crank") <= maxProbe)
+        .select("vec_id", "cid", "crank")
+      val assign = ranked.filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid").as("list_id"))
+      val vs = base.join(assign, "vec_id").repartition(col("list_id"))
+      val qp = ranked.filter(col("vec_id") % 97 === 5)
+        .join(base, "vec_id")
+        .select(col("vec_id").as("qid"), col("cid").as("cell"),
+          col("crank"), col("emb").as("qe"), col("nrm").as("qn"))
+      val cand = qp.join(vs.as("b"),
+          col("cell") === col("b.list_id") &&
+            col("qid") =!= col("b.vec_id"))
+        .select(col("qid"), col("crank"), col("b.vec_id").as("nid"),
+          round(dot(col("qe"), col("b.emb")) / (col("qn") * col("b.nrm")),
+            4).as("cosine"))
+      val levels = Seq(1, 2, 4).toDF("nprobe")
+      val cl = cand.join(broadcast(levels), col("crank") <= col("nprobe"))
+        .select("nprobe", "qid", "nid", "cosine")
+      val wL = Window.partitionBy(col("nprobe"), col("qid"))
+        .orderBy(col("cosine").desc, col("nid"))
+      val ann = cl.withColumn("rk", row_number().over(wL))
+        .filter(col("rk") <= k)
+        .select("nprobe", "qid", "nid")
+      val exact = cosineTopkExact(
+        base.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe")),
+        base.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
+        k)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val cc = cl.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+      val hits = ann.join(exact, Seq("qid", "nid"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      val nq = base.filter(col("vec_id") % 97 === 5)
+        .agg(count(lit(1)).as("n_queries"))
+      levels.crossJoin(broadcast(nq))
+        .join(cc, Seq("nprobe"), "left")
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe").cast("long").as("nprobe"),
+          col("n_queries"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr(s"coalesce(n_hits, 0L) * 10000 div (n_queries * $k)")
+            .as("recall_bp"))
+        .orderBy("nprobe")
     }
   }
 

@@ -41,7 +41,7 @@ object TrainingQueries {
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
-    e63SampledQuantiles)
+    e63SampledQuantiles, e69SourceDrift)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1424,6 +1424,73 @@ object TrainingQueries {
           // materialize before the checkpointed word map is released
           .localCheckpoint(true)
       } finally releaseCheckpoints(tok)
+    }
+  }
+
+  /** SOURCE-DRIFT matrix: pairwise total-variation distance between the
+    * per-source unigram distributions over e53's hashed feature space
+    * (word hash mod 4096) — the distribution-shift monitor a mixture
+    * pipeline needs before trusting per-source quality thresholds or
+    * mixture weights derived on last month's crawl. TV distance is
+    * chosen over KL/JS deliberately: with rational bucket proportions
+    * (cnt_f/N_s), ½·Σ|p−q| has the exact integer form
+    * Σ|cnt_a·N_b − cnt_b·N_a| · 5000 div (N_a·N_b) — no cross-engine
+    * libm log and no float fold anywhere (the e53/e44 discipline).
+    *
+    * Shape at 100 TB: ONE corpus scan builds the (source, bucket)
+    * census; everything after runs on construction-bounded frames
+    * (#sources × 4096 grid, #source-pairs output). The grid completes
+    * each source's census with zero-count buckets via a BNLJ whose
+    * build side is the #sources-row totals frame. Integer headroom:
+    * the numerator is ≤ 2·N_a·N_b and the bp scaling multiplies by
+    * 5·10³, so per-source token counts up to ~10⁹ fit int64 exactly;
+    * beyond that, downscale the census to per-million proportions
+    * first (same discipline as the a804a06 revenue-sum headroom note).
+    */
+  private def e69SourceDrift = {
+    val buckets = 4096L
+    QueryDef.sql(
+      "e69_source_drift",
+      s"""WITH w AS (SELECT doc_id, source, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |ex AS (SELECT source, unnest(wh) % $buckets AS f FROM w
+         |  WHERE len(wh) > 0),
+         |cen AS (SELECT source, f, count(*) AS cnt FROM ex
+         |  GROUP BY source, f),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM cen
+         |  GROUP BY source),
+         |fs AS (SELECT DISTINCT f FROM cen),
+         |grid AS (SELECT t.source, fs.f, t.n, coalesce(c.cnt, 0) AS cnt
+         |  FROM tot t CROSS JOIN fs
+         |  LEFT JOIN cen c ON c.source = t.source AND c.f = fs.f),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    a.n AS n_a, b.n AS n_b,
+         |    CAST(sum(abs(a.cnt * b.n - b.cnt * a.n)) AS BIGINT) AS numer
+         |  FROM grid a JOIN grid b ON a.f = b.f AND a.source < b.source
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT src_a, src_b, n_a, n_b,
+         |  CAST(numer * 5000 // (n_a * n_b) AS BIGINT) AS tv_bp
+         |FROM pairs ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val ex = Tables.documents(s, dir)
+        .select(col("source"), explode(F.word_hashes(col("text"))).as("h"))
+        .select(col("source"), pmod(col("h"), lit(buckets)).as("f"))
+      val cen = ex.groupBy("source", "f").agg(count(lit(1)).as("cnt"))
+      val tot = cen.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val fs = cen.select("f").distinct()
+      val grid = fs.crossJoin(broadcast(tot))
+        .join(cen, Seq("source", "f"), "left")
+        .select(col("source"), col("f"), col("n"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      grid.as("a")
+        .join(grid.as("b"),
+          col("a.f") === col("b.f") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .agg(sum(abs(col("a.cnt") * col("b.n") - col("b.cnt") * col("a.n")))
+          .as("numer"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          expr("numer * 5000L div (n_a * n_b)").as("tv_bp"))
+        .orderBy("src_a", "src_b")
     }
   }
 }

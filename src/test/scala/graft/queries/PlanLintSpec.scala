@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpecBase {
       "e55_lm_surprisal", // one-row vocabulary-size scalar, the e22 pattern
       "e59_bm25", // one-row (N, total-terms) frame, the e22 pattern
       "e64_ann_indexed", // the e17 codebook broadcast, same bound
-      "e67_ann_recall") // e17 codebook + e5's guarded probe broadcast
+      "e67_ann_recall", // e17 codebook + e5's guarded probe broadcast
+      "e68_ann_nprobe_sweep", // e67's bounds + the 3-row sweep-levels frame
+      "e69_source_drift") // #sources-row totals frame onto the 4096 buckets
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
