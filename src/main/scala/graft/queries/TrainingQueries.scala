@@ -41,7 +41,7 @@ object TrainingQueries {
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
-    e63SampledQuantiles, e69SourceDrift)
+    e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1425,6 +1425,64 @@ object TrainingQueries {
           .localCheckpoint(true)
       } finally releaseCheckpoints(tok)
     }
+  }
+
+  /** CHUNKED score calibration — e62's named mega-source escalation (the
+    * q46/q47 discipline: identical output, skew-safe plan, the oracle IS
+    * e62's SQL verbatim). e62 ranks each source inside ONE window
+    * partition, so a source with 10⁹ docs is one task; here the rank is
+    * decomposed as rn = cum_before(source, score_bp) + tie_rank, where
+    * cum_before comes from a cumulative window over the (source,
+    * score_bp) FREQUENCY table (bounded at #sources × 10001 rows — the
+    * e35 discipline) and tie_rank is a row_number partitioned by
+    * (source, score_bp), 10001× finer than e62's per-source partition:
+    * the biggest task shrinks from |source| to the largest single-score
+    * tie group. Per-source totals broadcast back (#sources rows).
+    */
+  private def e70CalibrationChunked = QueryDef.sql(
+    "e70_calibration_chunked",
+    s"""WITH sc AS (SELECT doc_id, source,
+       |    len(list_filter(${Portable.wordsDuck}, w -> w IN ('the', 'a')))
+       |      * 10000 // len(${Portable.wordsDuck}) AS score_bp
+       |  FROM documents WHERE len(${Portable.wordsDuck}) > 0),
+       |rk AS (SELECT doc_id, source, score_bp,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score_bp, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM sc)
+       |SELECT doc_id, source, CAST(score_bp AS BIGINT) AS score_bp,
+       |  CAST(CASE WHEN n_src = 1 THEN 10000
+       |    ELSE (rn - 1) * 10000 // (n_src - 1) END AS BIGINT) AS pct_bp,
+       |  CAST(CASE WHEN (CASE WHEN n_src = 1 THEN 10000
+       |      ELSE (rn - 1) * 10000 // (n_src - 1) END) >= 5000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val words = expr(Portable.wordsSpark)
+    val sc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(words, w => w.isin("the", "a"))).cast("long")
+          .as("n_stop"),
+        size(words).cast("long").as("n_words"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("source"),
+        expr("n_stop * 10000 div n_words").as("score_bp"))
+    val freq = sc.groupBy("source", "score_bp")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("source").orderBy("score_bp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = freq.select(col("source"), col("score_bp"),
+      coalesce(sum(col("cnt")).over(wCum), lit(0L)).as("cum_before"))
+    val tot = freq.groupBy("source").agg(sum(col("cnt")).as("n_src"))
+    val wTie = Window.partitionBy("source", "score_bp").orderBy("doc_id")
+    val pct = when(col("n_src") === 1, lit(10000L))
+      .otherwise(expr("(rn - 1) * 10000 div (n_src - 1)"))
+    sc.join(cum, Seq("source", "score_bp"))
+      .join(broadcast(tot), "source")
+      .withColumn("tie", row_number().over(wTie).cast("long"))
+      .withColumn("rn", col("cum_before") + col("tie"))
+      .select(col("doc_id"), col("source"), col("score_bp"),
+        pct.as("pct_bp"),
+        when(pct >= 5000, 1L).otherwise(0L).as("keep"))
   }
 
   /** SOURCE-DRIFT matrix: pairwise total-variation distance between the
