@@ -134,6 +134,34 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamDrift census accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ref = Map(0 -> 10L, 1 -> 10L)
+    val ms = MemoryStream[StreamDrift.Tok]
+    val q = StreamDrift.tvDrift(ms.toDS(), ref, buckets = 4)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_drift").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: uniform over {0,1} — matches the reference exactly
+      ms.addData(Seq(0, 1, 0, 1).map(StreamDrift.Tok("a", _)): _*)
+      q.processAllAvailable()
+      // batch 2: all mass on bucket 2 → union is (1/4, 1/4, 1/2, 0) vs
+      // (1/2, 1/2, 0, 0) → TV = 1/2
+      ms.addData(Seq(2, 2, 2, 2).map(StreamDrift.Tok("a", _)): _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_drift").as[StreamDrift.Drift]
+        .collect().filter(_.source == "a").maxBy(_.n_tokens)
+      assert(last.n_tokens === 8L)
+      assert(last.tv_bp === 5000L)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamDedup drops within-horizon replays on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
