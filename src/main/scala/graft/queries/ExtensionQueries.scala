@@ -42,7 +42,7 @@ object ExtensionQueries {
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
-    e65DedupBest, e67AnnRecall, e68AnnNprobeSweep)
+    e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -561,6 +561,79 @@ object ExtensionQueries {
           count(col("dropped")).as("n_dropped"))
         .orderBy("lang")
     }
+
+  /** DEDUP YIELD report: the per-source audit every production dedup
+    * pipeline ships — how many documents (and characters) each stage
+    * removes, broken out by exact-duplicate drops (e1's min-id-per-
+    * digest rule) vs near-duplicate drops (e45's cluster-canonical
+    * rule), with kept counts and the char yield. Classification is
+    * prioritized: a doc that is both an exact copy and a near-dup
+    * cluster loser counts as an exact drop (the cheaper stage catches
+    * it first in the real pipeline order). The digest is only a
+    * GROUPING key, so each engine can use its native hash (sha2 vs
+    * md5) — the e1 discipline.
+    *
+    * Shape at 100 TB: the exact stage is one digest groupBy (never
+    * shuffles text — 32-byte digests); the near stage reuses the e3/e45
+    * banded candidate machinery verbatim; the report itself is a
+    * #sources-row rollup. Chars are int64 sums — exact to 9.2×10¹⁸
+    * chars, comfortably past 100 TB of text.
+    */
+  private def e71DedupYield = QueryDef.sql(
+    "e71_dedup_yield",
+    s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+       |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+       |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+       |losers AS (SELECT node AS doc_id FROM comp WHERE node <> cluster),
+       |fx AS (SELECT doc_id, source, n_chars,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+       |  FROM documents),
+       |cls AS (SELECT f.source, f.n_chars,
+       |    CASE WHEN f.doc_id <> f.first_id THEN 1 ELSE 0 END AS ex,
+       |    CASE WHEN f.doc_id = f.first_id AND l.doc_id IS NOT NULL
+       |      THEN 1 ELSE 0 END AS nr
+       |  FROM fx f LEFT JOIN losers l ON f.doc_id = l.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(ex) AS BIGINT) AS n_exact_dropped,
+       |  CAST(sum(nr) AS BIGINT) AS n_near_dropped,
+       |  CAST(count(*) - sum(ex) - sum(nr) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN ex = 0 AND nr = 0 THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_kept
+       |FROM cls GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sha2(col("text"), 256).as("dig"))
+    val firsts = docs.groupBy("dig").agg(min(col("doc_id")).as("first_id"))
+    val nearLosers = graft.operators.ConnectedComponents
+      .components(
+        minhashVerifiedPairs(s, dir).filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"), lit(1).as("near"))
+    docs.join(firsts, "dig")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"),
+        when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L).as("ex"),
+        when(col("doc_id") === col("first_id") && col("near").isNotNull,
+          1L).otherwise(0L).as("nr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ex")).as("n_exact_dropped"),
+        sum(col("nr")).as("n_near_dropped"),
+        (count(lit(1)) - sum(col("ex")) - sum(col("nr"))).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("ex") === 0 && col("nr") === 0, col("n_chars"))
+          .otherwise(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
 
   /** QUALITY-AWARE dedup survivor selection: per near-dup cluster
     * (e32's components over the verified-pair graph), keep the LONGEST
