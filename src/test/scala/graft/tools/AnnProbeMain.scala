@@ -57,21 +57,65 @@ object AnnProbeMain {
     base.agg(sum(col("nrm"))).collect()
 
     // ---- build: assignment + cell-partitioned write ------------------
-    val path = s"/tmp/graft_annprobe_idx_${n}_$cells"
+    // flat: every vector scores the FULL codebook (n x cells dots).
+    // hierarchical (ANN_PROBE_HIER=1): the next-100x lever measured —
+    // score a ~sqrt(cells) top-level codebook first, then only the
+    // centroids routed to that coarse cell (n x ~2*sqrt(cells) dots).
+    // Cell ids differ from flat assignment (coarse routing is lossy);
+    // the probe-side cost model is identical, which is what's measured.
+    val hier = sys.env.get("ANN_PROBE_HIER").contains("1")
+    val path = s"/tmp/graft_annprobe_idx_${n}_${cells}_$hier"
     val cent = base.filter(col("vec_id") % m === 3)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
-    val assign = base.crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-        (F.array_dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-          .as("cs"), col("cid"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("x"))
-      .select(col("vec_id"), (-col("x.nc")).as("list_id"))
-    timed("build") {
+    def argmaxBy(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+        score: org.apache.spark.sql.Column,
+        id: org.apache.spark.sql.Column, out: String) =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(max(struct(score.as("s"), (-id).as("ni"))).as("x"))
+        .select(keyCols.map(col) :+ (-col("x.ni")).as(out): _*)
+    val assign = if (!hier) {
+      argmaxBy(
+        base.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            (F.array_dot(col("emb"), col("cemb")) /
+              (col("nrm") * col("cnrm"))).as("cs"), col("cid")),
+        Seq("vec_id"), col("cs"), col("cid"), "list_id")
+    } else {
+      val nCents = cent.count()
+      val coarseK = math.max(math.sqrt(nCents.toDouble).round, 1L)
+      val top = cent.orderBy("cid").limit(coarseK.toInt)
+        .select(col("cid").as("tid"), col("cemb").as("temb"),
+          col("cnrm").as("tnrm"))
+      // route each centroid to its coarse cell (tiny: cells x sqrt)
+      val centRoute = argmaxBy(
+        cent.crossJoin(broadcast(top))
+          .select(col("cid"),
+            (F.array_dot(col("cemb"), col("temb")) /
+              (col("cnrm") * col("tnrm"))).as("ts"), col("tid")),
+        Seq("cid"), col("ts"), col("tid"), "route")
+      val routed = cent.join(centRoute, "cid")
+      // vectors: coarse pass against sqrt(cells) tops...
+      val vecCoarse = argmaxBy(
+        base.crossJoin(broadcast(top))
+          .select(col("vec_id"),
+            (F.array_dot(col("emb"), col("temb")) /
+              (col("nrm") * col("tnrm"))).as("ts"), col("tid")),
+        Seq("vec_id"), col("ts"), col("tid"), "route")
+      // ...then fine pass against only the centroids routed to that cell
+      argmaxBy(
+        base.join(vecCoarse, "vec_id")
+          .join(broadcast(routed), "route")
+          .select(col("vec_id"),
+            (F.array_dot(col("emb"), col("cemb")) /
+              (col("nrm") * col("cnrm"))).as("cs"), col("cid")),
+        Seq("vec_id"), col("cs"), col("cid"), "list_id")
+    }
+    timed(if (hier) "build-hier" else "build") {
       Layout.writePartitionedIfStale(
         base.join(assign, "vec_id"), path, Seq("list_id"),
-        Layout.scanFingerprint(Tables.embeddings(spark, dir)) + s"_$cells")
+        Layout.scanFingerprint(Tables.embeddings(spark, dir)) +
+          s"_${cells}_$hier")
     }
 
     // ---- exact probe: 100 queries x full corpus ----------------------
