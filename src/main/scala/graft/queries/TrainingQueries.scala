@@ -41,7 +41,8 @@ object TrainingQueries {
     e35LengthQuantiles, e36MixtureResample, e44Collocations,
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
-    e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked)
+    e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
+    e72FlooredSample)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1160,6 +1161,101 @@ object TrainingQueries {
             col("x.p90").as("p90"), col("s.p90").as("p90_est"),
             abs(col("s.p90") - col("x.p90")).as("err90"))
           .orderBy("lang")
+    }
+  }
+
+  /** FLOORED sampled quantiles — e63's named escalation, built: a fixed
+    * global sample rate starves small groups (a 0.1 % fleet-scale rate
+    * leaves a minority language with too few draws for a stable p90),
+    * so the threshold adapts PER GROUP: rate_g = max(base, floor_n/n_g)
+    * capped at 1, in exact integer form t_g = least(P, greatest(t_base,
+    * ceil(P·floor_n / n_g))). The draw itself is the same deterministic
+    * value-hash as e63 (same seed/tag — one document's sample fate is
+    * consistent across both estimators), so group membership only moves
+    * the THRESHOLD, never the hash: replayable, partition-stable,
+    * oracle-checkable. Groups smaller than the floor saturate at 100 %
+    * and report zero error by construction — visible in the output at
+    * sf0.01, where every non-en language caps out.
+    *
+    * Shape at 100 TB: one #groups-row census (cheap count), broadcast
+    * back as the per-group threshold; everything else is e63's bounded
+    * frequency-table rank machinery. The floor guarantee costs nothing
+    * on big groups (base rate binds) and pays only floor_n rows on
+    * small ones.
+    */
+  private def e72FlooredSample = {
+    val seed = 7L
+    val t10 = math.ceil(0.1 * P).toLong
+    val floorN = 120L
+    val drawDuck = MockData.hashLongDuck(seed, "qsample", "doc_id")
+    def ranksDuck(src: String, pfx: String) =
+      s"""${pfx}freq AS (SELECT lang, n_chars, count(*) AS cnt
+         |  FROM $src GROUP BY lang, n_chars),
+         |${pfx}cum AS (SELECT lang, n_chars,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM ${pfx}freq),
+         |${pfx}tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM ${pfx}freq GROUP BY lang),
+         |${pfx}q AS (SELECT c.lang, t.n,
+         |    min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END)
+         |      AS p50,
+         |    min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END)
+         |      AS p90
+         |  FROM ${pfx}cum c JOIN ${pfx}tot t USING (lang)
+         |  GROUP BY c.lang, t.n)""".stripMargin
+    QueryDef.sql(
+      "e72_floored_sample",
+      s"""WITH g AS (SELECT lang, count(*) AS n_g FROM documents
+         |  GROUP BY lang),
+         |th AS (SELECT lang, n_g,
+         |    least(CAST($P AS BIGINT), greatest(CAST($t10 AS BIGINT),
+         |      (CAST($P AS BIGINT) * $floorN + n_g - 1) // n_g)) AS t_g
+         |  FROM g),
+         |smp AS (SELECT d.lang, d.n_chars
+         |  FROM documents d JOIN th USING (lang) WHERE $drawDuck < t_g),
+         |${ranksDuck("documents", "x")},
+         |${ranksDuck("smp", "s")}
+         |SELECT x.lang, x.n AS n_docs, s.n AS n_sample,
+         |  CAST(th.t_g * 10000 // $P AS BIGINT) AS rate_bp,
+         |  x.p50, s.p50 AS p50_est, abs(s.p50 - x.p50) AS err50,
+         |  x.p90, s.p90 AS p90_est, abs(s.p90 - x.p90) AS err90
+         |FROM xq x JOIN sq s USING (lang) JOIN th USING (lang)
+         |ORDER BY x.lang""".stripMargin) { (s, dir) =>
+      def ranks(df: DataFrame): DataFrame = {
+        val freq = df.groupBy("lang", "n_chars")
+          .agg(count(lit(1)).as("cnt"))
+        val cum = freq.withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = freq.groupBy("lang").agg(sum(col("cnt")).as("n"))
+        def atRank(rank: Column) = min(when(col("cum") >= rank, col("n_chars")))
+        cum.join(tot, "lang")
+          .groupBy(col("lang"), col("n"))
+          .agg(atRank(expr("(n + 1) div 2")).as("p50"),
+            atRank(expr("(9*n + 9) div 10")).as("p90"))
+      }
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val th = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+        .select(col("lang"), expr(
+          s"least(${P}L, greatest(${t10}L, " +
+            s"(${P}L * ${floorN}L + n_g - 1L) div n_g))").as("t_g"))
+      val smp = docs.join(broadcast(th), "lang")
+        .filter(MockData.hashLong(seed, "qsample", col("doc_id")) <
+          col("t_g"))
+        .select("lang", "n_chars")
+      val exact = ranks(docs)
+      val est = ranks(smp)
+      exact.as("x").join(est.as("s"), "lang").join(th, "lang")
+        .select(col("lang"), col("x.n").as("n_docs"),
+          col("s.n").as("n_sample"),
+          expr(s"t_g * 10000 div ${P}L").as("rate_bp"),
+          col("x.p50").as("p50"), col("s.p50").as("p50_est"),
+          abs(col("s.p50") - col("x.p50")).as("err50"),
+          col("x.p90").as("p90"), col("s.p90").as("p90_est"),
+          abs(col("s.p90") - col("x.p90")).as("err90"))
+        .orderBy("lang")
     }
   }
 
