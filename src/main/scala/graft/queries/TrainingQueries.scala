@@ -42,7 +42,7 @@ object TrainingQueries {
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
-    e72FlooredSample)
+    e72FlooredSample, e73ShardManifest)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1161,6 +1161,57 @@ object TrainingQueries {
             col("x.p90").as("p90"), col("s.p90").as("p90_est"),
             abs(col("s.p90") - col("x.p90")).as("err90"))
           .orderBy("lang")
+    }
+  }
+
+  /** SHARD MANIFEST with integrity checksums — the reproducibility
+    * artifact a training-data DELIVERY ships next to e34's token-budget
+    * shards: per shard, the doc/token counts and id range plus an
+    * order-insensitive content checksum (sum of per-doc rolling-hash
+    * fingerprints mod P — e10's `poly_hash`, so the checksum is
+    * engine-portable and can be recomputed from any copy of the shard
+    * to prove bit-level integrity after a transfer, independent of row
+    * order). A consumer re-derives the manifest from received shards
+    * and diffs: any dropped, duplicated, or corrupted document moves
+    * the checksum.
+    *
+    * Shape at 100 TB: e34's scale-safe running total
+    * ([[graft.operators.Indexing.withRunningTotal]] — per-partition
+    * offsets, no global window) plus one per-shard aggregation; the
+    * checksum is a plain int64 sum folded mod P at the end (headroom:
+    * fingerprints < P ≈ 10⁹, so 9.2×10⁹ docs per shard before the sum
+    * needs chunked folding — far past any shard size).
+    */
+  private def e73ShardManifest = {
+    val budget = 2000L
+    QueryDef.sql(
+      "e73_shard_manifest",
+      s"""WITH w AS (SELECT doc_id,
+         |    len(${Portable.wordsDuck}) AS n_tok,
+         |    ${Portable.textFingerprintDuck} AS fp
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok, fp,
+         |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM w)
+         |SELECT CAST(cum_before // $budget AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST(sum(fp) % ${Portable.P} AS BIGINT) AS checksum
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
+          F.poly_hash(col("text")).as("fp"))
+      graft.operators.Indexing
+        .withRunningTotal(toks, col("doc_id"), col("n_tok"), "cum_before")
+        .groupBy(expr(s"cum_before div ${budget}L").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          expr(s"sum(fp) % ${Portable.P}L").as("checksum"))
+        .orderBy("shard_id")
     }
   }
 
