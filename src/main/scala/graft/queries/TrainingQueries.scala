@@ -1605,6 +1605,12 @@ object TrainingQueries {
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val words = expr(Portable.wordsSpark)
+    // ONE corpus tokenize pass: the scored frame is repartitioned by the
+    // chunk key before any consumer, so the census branch and the rank
+    // branch share a single exchange (the e53 count(doc_id) discipline —
+    // without this the expensive word extraction runs once per branch),
+    // and both the tie window and the cum join-back require exactly this
+    // HashPartitioning, adding no further corpus shuffle.
     val sc = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(filter(words, w => w.isin("the", "a"))).cast("long")
@@ -1613,8 +1619,14 @@ object TrainingQueries {
       .filter(col("n_words") > 0)
       .select(col("doc_id"), col("source"),
         expr("n_stop * 10000 div n_words").as("score_bp"))
+      // semantically a no-op (n_words > 0 guarantees a score), but the
+      // cum join-back infers isnotnull(score_bp) on ITS branch only —
+      // stating it explicitly keeps both consumers' subtrees canonical
+      // so they share the one exchange (the e53/e20 reuse rule)
+      .filter(col("score_bp").isNotNull)
+      .repartition(col("source"), col("score_bp"))
     val freq = sc.groupBy("source", "score_bp")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(col("doc_id")).as("cnt"))
     val wCum = Window.partitionBy("source").orderBy("score_bp")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = freq.select(col("source"), col("score_bp"),
@@ -1623,7 +1635,7 @@ object TrainingQueries {
     val wTie = Window.partitionBy("source", "score_bp").orderBy("doc_id")
     val pct = when(col("n_src") === 1, lit(10000L))
       .otherwise(expr("(rn - 1) * 10000 div (n_src - 1)"))
-    sc.join(cum, Seq("source", "score_bp"))
+    sc.join(broadcast(cum), Seq("source", "score_bp"))
       .join(broadcast(tot), "source")
       .withColumn("tie", row_number().over(wTie).cast("long"))
       .withColumn("rn", col("cum_before") + col("tie"))
