@@ -42,7 +42,7 @@ object TrainingQueries {
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
-    e72FlooredSample, e73ShardManifest)
+    e72FlooredSample, e73ShardManifest, e74EpochSchedule)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -935,6 +935,69 @@ object TrainingQueries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(w, 6).as("weight"),
           floor(w * budget).cast("long").as("quota_tokens"))
+        .orderBy("source")
+    }
+  }
+
+  /** EPOCH SCHEDULE — the step between e51 (how many tokens each source
+    * SHOULD contribute) and e36 (physically resampling docs): convert
+    * per-source token quotas into epoch repeat counts with a max-repeat
+    * cap, reporting saturation — the data-recipe table (à la multi-epoch
+    * upsampling of small high-quality sources) that tells the operator
+    * which sources the temperature weights want MORE of than the cap
+    * allows, and how many tokens of demand go unmet. Epoch counts are
+    * integer basis points (quota·10⁴ div n_tokens); the only floats are
+    * e51's sqrt/sorted-fold weight computation, reused verbatim (IEEE-
+    * exact, proven bit-identical cross-engine there). Shape: one
+    * #sources-row aggregate crossed with a one-row normalizer — the e51
+    * plan exactly.
+    */
+  private def e74EpochSchedule = {
+    val budget = 1000000L
+    val cap = 4L // max epochs per source before saturation
+    QueryDef.sql(
+      "e74_epoch_schedule",
+      s"""WITH src AS (SELECT source,
+         |    CAST(sum(len(${Portable.wordsDuck})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))),
+         |    (s, v) -> s + v) AS z FROM src),
+         |q AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / z * $budget)
+         |      AS BIGINT) AS quota_tokens
+         |  FROM src CROSS JOIN tot)
+         |SELECT source, n_tokens, quota_tokens,
+         |  CAST(quota_tokens * 10000 // n_tokens AS BIGINT) AS epochs_bp,
+         |  CAST(CASE WHEN quota_tokens > $cap * n_tokens THEN 1 ELSE 0 END
+         |    AS BIGINT) AS capped,
+         |  CAST(least(quota_tokens, $cap * n_tokens) AS BIGINT)
+         |    AS eff_tokens,
+         |  CAST(quota_tokens - least(quota_tokens, $cap * n_tokens)
+         |    AS BIGINT) AS shortfall_tokens
+         |FROM q ORDER BY source""".stripMargin) { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(expr(Portable.wordsSpark)).cast("long"))
+          .as("n_tokens"))
+      val tot = src.agg(
+        aggregate(
+          sort_array(collect_list(sqrt(col("n_tokens").cast("double")))),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+      val quota = floor(
+        sqrt(col("n_tokens").cast("double")) / col("z") * budget)
+        .cast("long")
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), quota.as("quota_tokens"))
+        .select(col("source"), col("n_tokens"), col("quota_tokens"),
+          expr("quota_tokens * 10000 div n_tokens").as("epochs_bp"),
+          when(col("quota_tokens") > lit(cap) * col("n_tokens"), 1L)
+            .otherwise(0L).as("capped"),
+          least(col("quota_tokens"), lit(cap) * col("n_tokens"))
+            .as("eff_tokens"),
+          (col("quota_tokens") -
+            least(col("quota_tokens"), lit(cap) * col("n_tokens")))
+            .as("shortfall_tokens"))
         .orderBy("source")
     }
   }

@@ -44,7 +44,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e64_ann_indexed", // the e17 codebook broadcast, same bound
       "e67_ann_recall", // e17 codebook + e5's guarded probe broadcast
       "e68_ann_nprobe_sweep", // e67's bounds + the 3-row sweep-levels frame
-      "e69_source_drift") // #sources-row totals frame onto the 4096 buckets
+      "e69_source_drift", // #sources-row totals frame onto the 4096 buckets
+      "e74_epoch_schedule") // one-row normalizer frame, the e51 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine

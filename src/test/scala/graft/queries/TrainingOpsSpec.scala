@@ -84,6 +84,27 @@ class TrainingOpsSpec extends SparkSpecBase {
       .isEmpty)
   }
 
+  test("e74: epoch schedule arithmetic is self-consistent") {
+    val out = q("e74_epoch_schedule").cache()
+    // epochs_bp is the integer-division basis-point ratio of quota to size
+    assert(out.filter(
+      col("epochs_bp") =!= expr("quota_tokens * 10000 div n_tokens"))
+      .isEmpty)
+    // capped <=> demand exceeds cap*size; shortfall agrees with capping
+    assert(out.filter(
+      (col("quota_tokens") > lit(4L) * col("n_tokens")) =!=
+        (col("capped") === 1L)).isEmpty)
+    assert(out.filter(
+      col("eff_tokens") + col("shortfall_tokens") =!= col("quota_tokens"))
+      .isEmpty)
+    assert(out.filter(
+      (col("shortfall_tokens") > 0L) =!= (col("capped") === 1L)).isEmpty)
+    // floor() in the quota keeps the schedule within budget
+    val totalQuota = out.agg(sum("quota_tokens")).head.getLong(0)
+    assert(totalQuota <= 1000000L, s"schedule over budget: $totalQuota")
+    out.unpersist()
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
