@@ -42,7 +42,8 @@ object TrainingQueries {
     e48BloomDecontaminate, e50BpeTrain, e51TemperatureMix,
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
-    e72FlooredSample, e73ShardManifest, e74EpochSchedule)
+    e72FlooredSample, e73ShardManifest, e74EpochSchedule,
+    e75TokenFertility, e76CurriculumBins, e77ShardStability)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1278,6 +1279,91 @@ object TrainingQueries {
     }
   }
 
+  /** SHARD STABILITY under corpus growth — the design audit behind
+    * e73's manifest: when a delta batch ARRIVES (append = the top 20 %
+    * of doc_ids, the only growth mode an ingestion log produces), how
+    * many already-delivered documents change shard? Two sharding
+    * disciplines are compared on identical data: `arrival` shards in
+    * doc_id order — prefix sums of earlier docs are untouched by an
+    * append, so reassignments are ZERO by construction and the manifest
+    * stays valid; `shuffled` shards in e25's seeded-permutation order —
+    * new docs interleave throughout the permutation, shifting almost
+    * every cumulative offset behind them, so nearly the whole corpus
+    * re-shards (moved_bp ≈ 10⁴). The two rows of this query are the
+    * quantified argument for WHY a 100 TB pipeline shards in arrival
+    * order and shuffles WITHIN the training loader (e25 pos is derived,
+    * never a storage key), not before sharding.
+    *
+    * Shape at 100 TB: four runs of the scale-safe prefix sum
+    * ([[graft.operators.Indexing.withRunningTotal]]) + two doc_id-keyed
+    * equi-joins + a two-row aggregate. The base/full split threshold is
+    * a one-row count pulled as a driver scalar (the e33 discipline).
+    */
+  private def e77ShardStability = {
+    val budget = 2000L
+    val seed = 42L
+    val drawDuck = MockData.hashLongDuck(seed, "stab", "doc_id")
+    def cumDuck(src: String, key: String): String =
+      s"""SELECT doc_id, CAST(COALESCE(sum(n_tok) OVER (ORDER BY $key
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $budget AS BIGINT) AS shard
+         |  FROM $src""".stripMargin
+    QueryDef.sql(
+      "e77_shard_stability",
+      s"""WITH w AS (SELECT doc_id,
+         |    len(${Portable.wordsDuck}) AS n_tok,
+         |    $drawDuck AS draw
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n FROM w),
+         |b AS (SELECT w.* FROM w CROSS JOIN n WHERE doc_id * 5 < 4 * n),
+         |fa AS (${cumDuck("w", "doc_id")}),
+         |ba AS (${cumDuck("b", "doc_id")}),
+         |fs AS (${cumDuck("w", "draw")}),
+         |bs AS (${cumDuck("b", "draw")})
+         |SELECT * FROM (
+         |  SELECT 'arrival' AS mode, count(*) AS n_base_docs,
+         |    CAST(sum(CASE WHEN ba.shard != fa.shard THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved,
+         |    CAST(sum(CASE WHEN ba.shard != fa.shard THEN 1 ELSE 0 END)
+         |      * 10000 // count(*) AS BIGINT) AS moved_bp
+         |  FROM ba JOIN fa USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'shuffled' AS mode, count(*) AS n_base_docs,
+         |    CAST(sum(CASE WHEN bs.shard != fs.shard THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved,
+         |    CAST(sum(CASE WHEN bs.shard != fs.shard THEN 1 ELSE 0 END)
+         |      * 10000 // count(*) AS BIGINT) AS moved_bp
+         |  FROM bs JOIN fs USING (doc_id))
+         |ORDER BY mode""".stripMargin) { (s, dir) =>
+      val w = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
+          MockData.hashLong(seed, "stab", col("doc_id")).as("draw"))
+      // one-row count pulled as the base/delta threshold scalar — the
+      // e33 discipline (a constant of the run; relational would be a
+      // 1-row BNLJ for no gain)
+      val n = w.count()
+      val base = w.filter(col("doc_id") * 5 < lit(4L * n))
+      def shards(df: DataFrame, key: String): DataFrame =
+        graft.operators.Indexing
+          .withRunningTotal(df, col(key), col("n_tok"), "cum_before")
+          .select(col("doc_id"),
+            expr(s"cum_before div ${budget}L").as("shard"))
+      def audit(mode: String, b: DataFrame, f: DataFrame): DataFrame =
+        b.join(f.withColumnRenamed("shard", "shard_full"), "doc_id")
+          .agg(count(lit(1)).as("n_base_docs"),
+            sum(when(col("shard") =!= col("shard_full"), 1L)
+              .otherwise(0L)).as("n_moved"))
+          .select(lit(mode).as("mode"), col("n_base_docs"),
+            col("n_moved"),
+            expr("n_moved * 10000 div n_base_docs").as("moved_bp"))
+      audit("arrival", shards(base, "doc_id"), shards(w, "doc_id"))
+        .union(
+          audit("shuffled", shards(base, "draw"), shards(w, "draw")))
+        .orderBy("mode")
+    }
+  }
+
   /** FLOORED sampled quantiles — e63's named escalation, built: a fixed
     * global sample rate starves small groups (a 0.1 % fleet-scale rate
     * leaves a minority language with too few draws for a stable p90),
@@ -1637,6 +1723,105 @@ object TrainingQueries {
     }
   }
 
+  /** TOKENIZER FERTILITY audit — the acceptance gate run after e50
+    * trains and before e56's counts are trusted: tokens-per-word and
+    * chars-per-token by (source, lang), the standard fertility metric
+    * used to judge whether a tokenizer under-serves a language or a
+    * source (high fertility = more tokens per word = that slice pays
+    * more compute per character of signal). Ratios are integer basis
+    * points (the e34 `div` discipline), so the audit is bit-identical
+    * cross-engine.
+    *
+    * Shape at 100 TB: the corpus collapses to a (source, lang, word)
+    * frequency table in ONE pass (map-side combine; the only corpus
+    * shuffle), the trained word→token-count map is vocabulary-bounded
+    * (e56's insight — BPE is a function of the word alone), and the
+    * fertility join runs frequency-table × word-map: every post-scan
+    * stage is vocabulary-sized, independent of corpus row count —
+    * unlike e56, not even one per-document row survives the first
+    * aggregation.
+    */
+  private def e75TokenFertility = {
+    def applyDuck(r: Int): String =
+      s"""a$r AS (SELECT word, list_reduce(
+         |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+         |        AND x[1] = m.b
+         |      THEN acc[1:len(acc)-1] || [m.a || m.b]
+         |      ELSE acc || x END) AS syms
+         |  FROM a${r - 1} CROSS JOIN b$r m)""".stripMargin
+    QueryDef.sql(
+      "e75_token_fertility",
+      s"""WITH d AS (SELECT source, lang, ${Portable.wordsDuck} AS words
+         |  FROM documents),
+         |w AS (SELECT unnest(words) AS word FROM d),
+         |v0 AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+         |  ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
+         |s0 AS (SELECT word, cnt,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM v0),
+         |${(1 to BpeRounds).map(bpeRoundDuck).mkString(",\n")},
+         |a0 AS (SELECT word,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM (SELECT DISTINCT word FROM w)),
+         |${(1 to BpeRounds).map(applyDuck).mkString(",\n")},
+         |t AS (SELECT word, len(syms) AS n_tokens FROM a$BpeRounds),
+         |f AS (SELECT source, lang, word, count(*) AS cnt
+         |  FROM (SELECT source, lang, unnest(words) AS word FROM d)
+         |  GROUP BY 1, 2, 3)
+         |SELECT source, lang,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(cnt * len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * n_tokens) * 10000 // sum(cnt) AS BIGINT)
+         |    AS fertility_bp,
+         |  CAST(sum(cnt * len(word)) * 10000 // sum(cnt * n_tokens)
+         |    AS BIGINT) AS chars_per_token_bp
+         |FROM f JOIN t USING (word)
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
+      (s, dir) =>
+        val merges = bpeTrainMerges(s, dir)
+        var tok = Tables.documents(s, dir)
+          .select(explode(expr(Portable.wordsSpark)).as("word"))
+          .distinct()
+          .select(col("word"), expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+            .as("syms"))
+          .localCheckpoint(true)
+        try {
+          for ((_, a, b, merged, _) <- merges) {
+            val next = tok
+              .select(col("word"),
+                bpeApplyOnce(col("syms"), a, b, merged).as("syms"))
+              .localCheckpoint(true)
+            releaseCheckpoints(tok)
+            tok = next
+          }
+          val wordTokens = tok.select(col("word"),
+            size(col("syms")).cast("long").as("n_tokens"),
+            length(col("word")).cast("long").as("n_chars_w"))
+          Tables.documents(s, dir)
+            .select(col("source"), col("lang"),
+              explode(expr(Portable.wordsSpark)).as("word"))
+            .groupBy("source", "lang", "word")
+            .agg(count(lit(1)).as("cnt"))
+            .join(wordTokens, "word")
+            .groupBy("source", "lang")
+            .agg(sum(col("cnt")).as("n_words"),
+              sum(col("cnt") * col("n_tokens")).as("n_tokens"),
+              sum(col("cnt") * col("n_chars_w")).as("n_chars"))
+            .select(col("source"), col("lang"), col("n_words"),
+              col("n_tokens"), col("n_chars"),
+              expr("n_tokens * 10000 div n_words").as("fertility_bp"),
+              expr("n_chars * 10000 div n_tokens")
+                .as("chars_per_token_bp"))
+            .orderBy("source", "lang")
+            // materialize before the checkpointed word map is released
+            .localCheckpoint(true)
+        } finally releaseCheckpoints(tok)
+    }
+  }
+
   /** CHUNKED score calibration — e62's named mega-source escalation (the
     * q46/q47 discipline: identical output, skew-safe plan, the oracle IS
     * e62's SQL verbatim). e62 ranks each source inside ONE window
@@ -1705,6 +1890,85 @@ object TrainingQueries {
       .select(col("doc_id"), col("source"), col("score_bp"),
         pct.as("pct_bp"),
         when(pct >= 5000, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** CURRICULUM BINS — the pacing table a quality-curriculum trainer
+    * consumes: documents are cut into global quality DECILES (stopword-
+    * ratio score, e62/e70's score_bp) and each bin reports its doc and
+    * word mass plus its score range — the schedule that says "epoch 1
+    * draws from bins 7–9, epoch 3 opens bins 3+". Cut points are
+    * VALUE-based discrete quantiles from the e35 rank math — exact
+    * integer ranks over the score frequency table, not row-based ntile —
+    * so ties land in one bin deterministically on both engines, and bins
+    * can collapse when a score value spans a cut (count(bins) ≤ 10 is
+    * semantics, not loss).
+    *
+    * Shape at 100 TB: one corpus pass builds the (score_bp → docs,
+    * words) frequency table, bounded at 10 001 rows by the basis-point
+    * codomain — every later stage (cumulative window, 9-cut frame cross,
+    * bin aggregation) runs on that bounded frame, never the corpus. The
+    * unpartitioned window and the two 1-row broadcasts ride
+    * construction-bounded frames (named PlanLint allowances).
+    */
+  private def e76CurriculumBins = QueryDef.sql(
+    "e76_curriculum_bins",
+    s"""WITH sc AS (SELECT doc_id,
+       |    len(${Portable.wordsDuck}) AS n_words,
+       |    len(list_filter(${Portable.wordsDuck},
+       |      w -> w IN ('the', 'a'))) * 10000
+       |      // len(${Portable.wordsDuck}) AS score_bp
+       |  FROM documents WHERE len(${Portable.wordsDuck}) > 0),
+       |freq AS (SELECT score_bp, count(*) AS cnt,
+       |    CAST(sum(n_words) AS BIGINT) AS wsum
+       |  FROM sc GROUP BY score_bp),
+       |cum AS (SELECT score_bp, cnt, wsum,
+       |    CAST(sum(cnt) OVER (ORDER BY score_bp
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM freq),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM freq),
+       |cuts AS (SELECT
+       |    ${(1 to 9).map(p =>
+             s"min(CASE WHEN cum >= ($p*n + 9) // 10 THEN score_bp END)" +
+               s" AS c$p").mkString(",\n       |    ")}
+       |  FROM cum CROSS JOIN tot)
+       |SELECT ${(1 to 9).map(p =>
+           s"CASE WHEN score_bp > c$p THEN 1 ELSE 0 END")
+           .mkString(" +\n       |    ")} AS bin,
+       |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(wsum) AS BIGINT) AS n_words,
+       |  min(score_bp) AS lo_score_bp, max(score_bp) AS hi_score_bp
+       |FROM cum CROSS JOIN cuts
+       |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+    val words = expr(Portable.wordsSpark)
+    val sc = Tables.documents(s, dir)
+      .where(size(words) > 0)
+      .select(
+        size(words).cast("long").as("n_words"),
+        expr(s"size(filter(${Portable.wordsSpark}," +
+          " w -> w IN ('the', 'a'))) * 10000L" +
+          s" div size(${Portable.wordsSpark})").as("score_bp"))
+    val freq = sc.groupBy("score_bp")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_words")).as("wsum"))
+    // cumulative window over the score FREQUENCY table — bounded at
+    // 10 001 rows by the basis-point codomain, never the corpus
+    val cum = freq.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("score_bp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.agg(sum(col("cnt")).as("n"))
+    val cutCols = (1 to 9).map(p =>
+      min(when(col("cum") >= expr(s"($p*n + 9) div 10"),
+        col("score_bp"))).as(s"c$p"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val bin = (1 to 9).map(p =>
+      when(col("score_bp") > col(s"c$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    cum.crossJoin(broadcast(cuts))
+      .groupBy(bin.as("bin"))
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("wsum")).as("n_words"),
+        min(col("score_bp")).as("lo_score_bp"),
+        max(col("score_bp")).as("hi_score_bp"))
+      .orderBy("bin")
   }
 
   /** SOURCE-DRIFT matrix: pairwise total-variation distance between the

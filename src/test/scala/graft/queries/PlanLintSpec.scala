@@ -45,7 +45,9 @@ class PlanLintSpec extends SparkSpecBase {
       "e67_ann_recall", // e17 codebook + e5's guarded probe broadcast
       "e68_ann_nprobe_sweep", // e67's bounds + the 3-row sweep-levels frame
       "e69_source_drift", // #sources-row totals frame onto the 4096 buckets
-      "e74_epoch_schedule") // one-row normalizer frame, the e51 pattern
+      "e74_epoch_schedule", // one-row normalizer frame, the e51 pattern
+      "e76_curriculum_bins") // 1-row totals + 1-row cuts onto the
+                             // 10001-bounded score frequency table
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
@@ -54,7 +56,10 @@ class PlanLintSpec extends SparkSpecBase {
     * in the plan because the spine's marker column would be
     * column-pruned below the WindowExec.
     */
-  private val spineWindowAllowed = Set("q44_interpolate")
+  private val spineWindowAllowed = Set("q44_interpolate",
+    // e76's cumulative window runs over the score_bp FREQUENCY table —
+    // bounded at 10001 rows by the basis-point codomain, never the corpus
+    "e76_curriculum_bins")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()

@@ -105,6 +105,46 @@ class TrainingOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("e75: fertility bounds — every word >= 1 token, every token >= 1 char") {
+    val out = q("e75_token_fertility").cache()
+    assert(out.filter(col("fertility_bp") < 10000).isEmpty)
+    assert(out.filter(col("chars_per_token_bp") < 10000).isEmpty)
+    assert(out.filter(col("n_tokens") > col("n_chars") ||
+      col("n_tokens") < col("n_words")).isEmpty)
+    out.unpersist()
+  }
+
+  test("e76: decile bins have disjoint, ordered score ranges covering all docs") {
+    val rows = q("e76_curriculum_bins").orderBy("bin").collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val b = r.getAs[Int]("bin"); b >= 0 && b <= 9
+    })
+    // consecutive bins never overlap in score space
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("hi_score_bp") < hi.getAs[Long]("lo_score_bp"))
+      case _ =>
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .where(size(expr(graft.functions.Portable.wordsSpark)) > 0).count()
+    assert(total === docs)
+  }
+
+  test("e77: appends never re-shard arrival-order shards; shuffled-order " +
+    "sharding moves most of the base corpus") {
+    val rows = q("e77_shard_stability").collect()
+      .map(r => r.getAs[String]("mode") ->
+        (r.getAs[Long]("n_base_docs"), r.getAs[Long]("n_moved"),
+          r.getAs[Long]("moved_bp"))).toMap
+    assert(rows("arrival")._2 === 0L)
+    assert(rows("arrival")._3 === 0L)
+    // the permutation interleaves the delta throughout: most base docs move
+    assert(rows("shuffled")._3 > 5000L,
+      s"expected >50% reassignment, got ${rows("shuffled")}")
+    assert(rows("arrival")._1 === rows("shuffled")._1)
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
