@@ -1524,11 +1524,6 @@ object TrainingQueries {
   private def BpeRounds: Int = 8
   private def BpeVocabCap: Int = 300
 
-  private def releaseCheckpoints(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false))
-
   /** Greedy leftmost-first non-overlapping merge of (a, b) -> merged
     * over a symbol array — the standard BPE apply, as a codegen'd
     * `aggregate` fold.
@@ -1543,54 +1538,81 @@ object TrainingQueries {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
         .otherwise(concat(acc, array(x))))
 
+  /** [[bpeApplyOnce]]'s driver-local twin — the identical leftmost-first
+    * fold over a plain array.
+    */
+  private def bpeApplyLocal(
+      ss: Array[String], a: String, b: String,
+      merged: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (x <- ss) {
+      if (out.nonEmpty && out.last == a && x == b) {
+        out.remove(out.length - 1); out += merged
+      } else out += x
+    }
+    out.toArray
+  }
+
   /** Train the first [[BpeRounds]] merges on the count-desc/lex-capped
-    * word-frequency vocabulary (one corpus pass; every round is a
-    * vocabulary-bounded job + one 1-row driver pull). Returns
-    * (round, a, b, merged, pairCount) in round order.
+    * word-frequency vocabulary. ONE corpus pass builds the capped
+    * vocabulary; training then runs DRIVER-LOCAL over those
+    * [[BpeVocabCap]] rows — the e33 bounded-pull discipline (the bound
+    * is by construction: 300 rows here, ~10⁵ at fleet scale, driver-
+    * trivial either way), replacing [[BpeRounds]]×2 vocabulary-sized
+    * Spark jobs + localCheckpoint churn per training run. The fold and
+    * every tie-break replicate the relational formulation exactly
+    * (symbols are ASCII, so Scala String ordering == Spark's UTF8
+    * binary ordering), and the DuckDB oracle still runs the full
+    * relational CTE chain — the hash compare proves the identity.
+    * Returns (round, a, b, merged, pairCount) in round order.
     */
   private def bpeTrainMerges(
       s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Int, String, String, String, Long)] = {
-    val words = Tables.documents(s, dir)
+    val vocab = Tables.documents(s, dir)
       .select(explode(expr(Portable.wordsSpark)).as("word"))
-    var vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(BpeVocabCap)
-      .select(col("word"), col("cnt"), expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        .as("syms"))
-      .localCheckpoint(true)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    try {
-      var r = 1
-      while (r <= BpeRounds) {
-        // sequence(1, 0) DESCENDS in Spark — guard 1-symbol words out
-        val best = vocab.filter(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-              "struct(element_at(syms, i) AS a, " +
-              "element_at(syms, i + 1) AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("a"), col("b"))
-          .take(1) // 1-row driver pull per round, bounded
-        require(best.nonEmpty,
-          s"vocabulary exhausted before $BpeRounds merge rounds")
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val merged = a + b
-        merges += ((r, a, b, merged, c))
-        val next = vocab
-          .select(col("word"), col("cnt"),
-            bpeApplyOnce(col("syms"), a, b, merged).as("syms"))
-          .localCheckpoint(true)
-        releaseCheckpoints(vocab)
-        vocab = next
-        r += 1
+    for (r <- 1 to BpeRounds) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((ss, c) <- syms; i <- 0 until ss.length - 1)
+        pairCounts.updateWith((ss(i), ss(i + 1))) {
+          case Some(v) => Some(v + c); case None => Some(c)
+        }
+      require(pairCounts.nonEmpty,
+        s"vocabulary exhausted before $BpeRounds merge rounds")
+      // best pair by (count desc, a, b) — e50's relational tie-break
+      val ((a, b), c) = pairCounts.minBy { case ((pa, pb), pc) =>
+        (-pc, pa, pb)
       }
-    } finally releaseCheckpoints(vocab)
+      val merged = a + b
+      merges += ((r, a, b, merged, c))
+      syms = syms.map { case (ss, cc) =>
+        (bpeApplyLocal(ss, a, b, merged), cc)
+      }
+    }
     merges.toSeq
   }
+
+  /** The trained merges applied as ONE chained projection —
+    * `merge_R(...merge_1(chars(word)))` composed from [[bpeApplyOnce]]
+    * folds: a single vocabulary-bounded pass, no per-round
+    * materialization (sequential-rounds and composed-folds semantics
+    * coincide because each fold applies its ONE merge exhaustively).
+    */
+  private def bpeTokensPerWord(
+      merges: Seq[(Int, String, String, String, Long)]):
+      org.apache.spark.sql.Column =
+    merges.foldLeft(expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")) {
+      case (c, (_, a, b, m, _)) => bpeApplyOnce(c, a, b, m)
+    }
 
   /** DuckDB twin of one training round: best pair b{r} from s{r-1},
     * rewritten symbols s{r} — identical fold and tie-breaks.
@@ -1694,32 +1716,17 @@ object TrainingQueries {
          |FROM dw JOIN t USING (word)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val merges = bpeTrainMerges(s, dir)
-      var tok = Tables.documents(s, dir)
+      val wordTokens = Tables.documents(s, dir)
         .select(explode(expr(Portable.wordsSpark)).as("word"))
         .distinct()
-        .select(col("word"), expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("syms"))
-        .localCheckpoint(true)
-      try {
-        for ((_, a, b, merged, _) <- merges) {
-          val next = tok
-            .select(col("word"), bpeApplyOnce(col("syms"), a, b, merged).as("syms"))
-            .localCheckpoint(true)
-          releaseCheckpoints(tok)
-          tok = next
-        }
-        val wordTokens = tok
-          .select(col("word"), size(col("syms")).cast("long").as("n_tok"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            explode(expr(Portable.wordsSpark)).as("word"))
-          .join(wordTokens, "word")
-          .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
-          // materialize before the checkpointed word map is released
-          .localCheckpoint(true)
-      } finally releaseCheckpoints(tok)
+        .select(col("word"),
+          size(bpeTokensPerWord(merges)).cast("long").as("n_tok"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(Portable.wordsSpark)).as("word"))
+        .join(wordTokens, "word")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
     }
   }
 
@@ -1781,44 +1788,28 @@ object TrainingQueries {
          |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
       (s, dir) =>
         val merges = bpeTrainMerges(s, dir)
-        var tok = Tables.documents(s, dir)
+        val wordTokens = Tables.documents(s, dir)
           .select(explode(expr(Portable.wordsSpark)).as("word"))
           .distinct()
-          .select(col("word"), expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-            .as("syms"))
-          .localCheckpoint(true)
-        try {
-          for ((_, a, b, merged, _) <- merges) {
-            val next = tok
-              .select(col("word"),
-                bpeApplyOnce(col("syms"), a, b, merged).as("syms"))
-              .localCheckpoint(true)
-            releaseCheckpoints(tok)
-            tok = next
-          }
-          val wordTokens = tok.select(col("word"),
-            size(col("syms")).cast("long").as("n_tokens"),
+          .select(col("word"),
+            size(bpeTokensPerWord(merges)).cast("long").as("n_tokens"),
             length(col("word")).cast("long").as("n_chars_w"))
-          Tables.documents(s, dir)
-            .select(col("source"), col("lang"),
-              explode(expr(Portable.wordsSpark)).as("word"))
-            .groupBy("source", "lang", "word")
-            .agg(count(lit(1)).as("cnt"))
-            .join(wordTokens, "word")
-            .groupBy("source", "lang")
-            .agg(sum(col("cnt")).as("n_words"),
-              sum(col("cnt") * col("n_tokens")).as("n_tokens"),
-              sum(col("cnt") * col("n_chars_w")).as("n_chars"))
-            .select(col("source"), col("lang"), col("n_words"),
-              col("n_tokens"), col("n_chars"),
-              expr("n_tokens * 10000 div n_words").as("fertility_bp"),
-              expr("n_chars * 10000 div n_tokens")
-                .as("chars_per_token_bp"))
-            .orderBy("source", "lang")
-            // materialize before the checkpointed word map is released
-            .localCheckpoint(true)
-        } finally releaseCheckpoints(tok)
+        Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            explode(expr(Portable.wordsSpark)).as("word"))
+          .groupBy("source", "lang", "word")
+          .agg(count(lit(1)).as("cnt"))
+          .join(wordTokens, "word")
+          .groupBy("source", "lang")
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("n_tokens")).as("n_tokens"),
+            sum(col("cnt") * col("n_chars_w")).as("n_chars"))
+          .select(col("source"), col("lang"), col("n_words"),
+            col("n_tokens"), col("n_chars"),
+            expr("n_tokens * 10000 div n_words").as("fertility_bp"),
+            expr("n_chars * 10000 div n_tokens")
+              .as("chars_per_token_bp"))
+          .orderBy("source", "lang")
     }
   }
 
