@@ -246,4 +246,31 @@ class RocksDBStateSpec extends SparkSpecBase {
       assertRocksEngaged(q)
     } finally q.stop()
   }
+
+  test("StreamShardAssign cursor persists across batches on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[StreamShardAssign.Doc]
+    val q = StreamShardAssign.assign(ms.toDS(), budget = 100L)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_shard").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(StreamShardAssign.Doc("s1", 1L, 80L))
+      q.processAllAvailable()
+      ms.addData(StreamShardAssign.Doc("s1", 2L, 30L),
+        StreamShardAssign.Doc("s1", 1L, 80L)) // replay → quarantine
+      q.processAllAvailable()
+      val got = s.table("rocks_shard")
+        .as[StreamShardAssign.Assigned].collect()
+      // batch-2 doc continues from the batch-1 cursor (cum 80 → shard 0)
+      val d2 = got.find(_.doc_id == 2L).get
+      assert(d2.shard_id === 0L && d2.cum_before === 80L)
+      assert(got.count(_.shard_id == -1L) === 1)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
 }
