@@ -1335,10 +1335,16 @@ object TrainingQueries {
          |      * 10000 // count(*) AS BIGINT) AS moved_bp
          |  FROM bs JOIN fs USING (doc_id))
          |ORDER BY mode""".stripMargin) { (s, dir) =>
+      // tokenize ONCE: all four prefix-sum runs read this 24-byte/doc
+      // projection, not the text — materialized eagerly so the corpus
+      // scan + word extraction never repeats (measured 51 → ~15 s on
+      // the 100× probe replica; at fleet scale the frame is ~24 B/doc,
+      // disk-spillable, vs 4 full-text rescans)
       val w = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
           MockData.hashLong(seed, "stab", col("doc_id")).as("draw"))
+        .localCheckpoint(true)
       // one-row count pulled as the base/delta threshold scalar — the
       // e33 discipline (a constant of the run; relational would be a
       // 1-row BNLJ for no gain)
