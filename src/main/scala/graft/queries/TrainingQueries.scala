@@ -43,7 +43,8 @@ object TrainingQueries {
     e53DsirSelect, e55LmSurprisal, e56BpeTokenCount, e62ScoreCalibration,
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
     e72FlooredSample, e73ShardManifest, e74EpochSchedule,
-    e75TokenFertility, e76CurriculumBins, e77ShardStability)
+    e75TokenFertility, e76CurriculumBins, e77ShardStability,
+    e78PackContexts)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1367,6 +1368,70 @@ object TrainingQueries {
         .union(
           audit("shuffled", shards(base, "draw"), shards(w, "draw")))
         .orderBy("mode")
+    }
+  }
+
+  /** CONTEXT PACKING manifest — the SPLIT-ALLOWED packing regime (GPT
+    * pretraining's concatenate-then-chunk), complementing e34's
+    * document-preserving shards: the corpus token stream is cut into
+    * fixed [[e78 Ctx]]-token training contexts, and each context row
+    * reports how many documents it touches, how many of those continue
+    * into the next context (split docs — the attention-contamination
+    * metric a packer tunes context length against), and its fill (all
+    * contexts are full except the tail by construction — padding waste
+    * is the FINAL row only, the regime's defining property). A document
+    * at global token offset `cum` spanning `n_tok` tokens overlaps
+    * contexts floor(cum/C) .. floor((cum+n_tok−1)/C) — closed form, so
+    * packing 100 TB is one prefix sum + a bounded explode (≤⌈n_tok/C⌉+1
+    * contexts per doc), never a sequential walk.
+    *
+    * Shape at 100 TB: e34's scale-safe running total + one
+    * context-keyed aggregation with map-side combine; output is
+    * corpus_tokens/C rows.
+    */
+  private def e78PackContexts = {
+    val ctx = 512L // context length in tokens (words)
+    QueryDef.sql(
+      "e78_pack_contexts",
+      s"""WITH w AS (SELECT doc_id,
+         |    len(${Portable.wordsDuck}) AS n_tok
+         |  FROM documents WHERE len(${Portable.wordsDuck}) > 0),
+         |c AS (SELECT doc_id, n_tok,
+         |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM w),
+         |x AS (SELECT doc_id, n_tok, cum,
+         |    unnest(range(cum // $ctx, (cum + n_tok - 1) // $ctx + 1))
+         |      AS ctx_id
+         |  FROM c)
+         |SELECT CAST(ctx_id AS BIGINT) AS ctx_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN (cum + n_tok - 1) // $ctx > ctx_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+         |  CAST(sum(least((ctx_id + 1) * $ctx, cum + n_tok)
+         |    - greatest(ctx_id * $ctx, cum)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY 1 ORDER BY ctx_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+      graft.operators.Indexing
+        .withRunningTotal(toks, col("doc_id"), col("n_tok"), "cum")
+        .select(col("doc_id"), col("n_tok"), col("cum"),
+          explode(sequence(
+            expr(s"cum div ${ctx}L"),
+            expr(s"(cum + n_tok - 1) div ${ctx}L"))).as("ctx_id"))
+        .groupBy("ctx_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr(s"(cum + n_tok - 1) div ${ctx}L") > col("ctx_id"),
+            1L).otherwise(0L)).as("n_split"),
+          sum(least((col("ctx_id") + 1) * ctx, col("cum") + col("n_tok"))
+            - greatest(col("ctx_id") * ctx, col("cum"))).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("ctx_id")
     }
   }
 

@@ -145,6 +145,33 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(rows("arrival")._1 === rows("shuffled")._1)
   }
 
+  test("e78: every context except the tail is exactly full; token mass " +
+    "and splits are conserved") {
+    val rows = q("e78_pack_contexts").orderBy("ctx_id").collect()
+    val last = rows.length - 1
+    // contiguous ids from 0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("ctx_id") === i.toLong)
+    }
+    // full contexts everywhere but the tail
+    rows.init.foreach(r => assert(r.getAs[Long]("n_tokens") === 512L))
+    assert(rows(last).getAs[Long]("n_tokens") <= 512L)
+    // token mass equals the corpus total
+    val total = graft.sources.Tables.documents(spark, dir)
+      .agg(sum(size(expr(graft.functions.Portable.wordsSpark))
+        .cast("long"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+    // a context's split docs continue into the next: every non-tail
+    // context with a split must share its last_doc with the next's first
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.getAs[Long]("n_split") > 0)
+          assert(a.getAs[Long]("last_doc") === b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    assert(rows(last).getAs[Long]("n_split") === 0L)
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
