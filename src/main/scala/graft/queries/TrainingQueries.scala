@@ -44,7 +44,7 @@ object TrainingQueries {
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
     e72FlooredSample, e73ShardManifest, e74EpochSchedule,
     e75TokenFertility, e76CurriculumBins, e77ShardStability,
-    e78PackContexts)
+    e78PackContexts, e79LengthBuckets)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1432,6 +1432,86 @@ object TrainingQueries {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("ctx_id")
+    }
+  }
+
+  /** LENGTH-BUCKETED batching audit — the DOCUMENT-PRESERVING padded
+    * regime, completing e78's taxonomy (split-allowed packs contexts
+    * full and pays attention contamination; document-preserving pads
+    * every sequence in a batch to the batch max and pays dead compute).
+    * Two batch assignments over identical data are compared: `arrival`
+    * batches B consecutive docs in doc_id order — lengths mix freely,
+    * so short docs ride batches whose max is set by the longest member;
+    * `sorted` batches in (n_tok, doc_id) order — near-equal lengths
+    * share a batch, collapsing pad waste (the measured argument for the
+    * length-bucketed batch samplers every padded-training loader
+    * ships). Per regime: batch count, token mass, pad tokens, pad share
+    * of padded capacity in basis points, and the worst single batch.
+    *
+    * Shape at 100 TB: the (doc_id, n_tok) projection is computed ONCE
+    * (e77's materialize-the-16-byte-frame discipline), then two runs of
+    * the scale-safe rank (exclusive prefix count via
+    * [[graft.operators.Indexing.withRunningTotal]] — per-partition
+    * offsets, no single-task global window; the sorted regime's rank
+    * orders by a (n_tok, doc_id) struct, i.e. ONE range exchange — the
+    * same shuffle a global sort would pay, which IS the production
+    * cost of length bucketing) + one batch-keyed map-side-combined
+    * aggregation each + a one-row rollup per regime.
+    */
+  private def e79LengthBuckets = {
+    val b = 32L // docs per batch
+    def regimeDuck(mode: String, src: String): String =
+      s"""SELECT '$mode' AS mode, count(*) AS n_batches,
+         |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n * mx - tok) AS BIGINT) AS pad_tokens,
+         |    CAST(sum(n * mx - tok) * 10000 // sum(n * mx) AS BIGINT)
+         |      AS pad_bp,
+         |    CAST(max(n * mx - tok) AS BIGINT) AS max_batch_pad
+         |  FROM $src""".stripMargin
+    QueryDef.sql(
+      "e79_length_buckets",
+      s"""WITH w AS (SELECT doc_id,
+         |    len(${Portable.wordsDuck}) AS n_tok
+         |  FROM documents WHERE len(${Portable.wordsDuck}) > 0),
+         |a AS (SELECT n_tok,
+         |    (row_number() OVER (ORDER BY doc_id) - 1) // $b AS batch
+         |  FROM w),
+         |s AS (SELECT n_tok,
+         |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // $b
+         |      AS batch
+         |  FROM w),
+         |ab AS (SELECT batch, count(*) AS n, max(n_tok) AS mx,
+         |    sum(n_tok) AS tok FROM a GROUP BY batch),
+         |sb AS (SELECT batch, count(*) AS n, max(n_tok) AS mx,
+         |    sum(n_tok) AS tok FROM s GROUP BY batch)
+         |SELECT * FROM (${regimeDuck("arrival", "ab")}
+         |  UNION ALL ${regimeDuck("sorted", "sb")})
+         |ORDER BY mode""".stripMargin) { (s, dir) =>
+      val w = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+        .localCheckpoint(true)
+      def batches(key: Column): DataFrame =
+        graft.operators.Indexing
+          .withRunningTotal(w, key, lit(1L), "rank")
+          .groupBy(expr(s"rank div ${b}L").as("batch"))
+          .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+            sum(col("n_tok")).as("tok"))
+      def audit(mode: String, bdf: DataFrame): DataFrame =
+        bdf.agg(count(lit(1)).as("n_batches"),
+            sum(col("tok")).as("n_tokens"),
+            sum(col("n") * col("mx") - col("tok")).as("pad_tokens"),
+            max(col("n") * col("mx") - col("tok")).as("max_batch_pad"),
+            sum(col("n") * col("mx")).as("cap"))
+          .select(lit(mode).as("mode"), col("n_batches"),
+            col("n_tokens"), col("pad_tokens"),
+            expr("pad_tokens * 10000 div cap").as("pad_bp"),
+            col("max_batch_pad"))
+      audit("arrival", batches(col("doc_id")))
+        .union(audit("sorted",
+          batches(struct(col("n_tok"), col("doc_id")))))
+        .orderBy("mode")
     }
   }
 

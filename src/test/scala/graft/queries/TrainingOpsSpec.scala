@@ -172,6 +172,27 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(rows(last).getAs[Long]("n_split") === 0L)
   }
 
+  test("e79: both regimes batch the same corpus; length-sorting strictly " +
+    "cuts pad waste") {
+    val rows = q("e79_length_buckets").collect()
+      .map(r => r.getAs[String]("mode") -> r).toMap
+    assert(rows.keySet === Set("arrival", "sorted"))
+    val (a, s) = (rows("arrival"), rows("sorted"))
+    // identical corpus, identical batch count — only the assignment moves
+    assert(a.getAs[Long]("n_batches") === s.getAs[Long]("n_batches"))
+    assert(a.getAs[Long]("n_tokens") === s.getAs[Long]("n_tokens"))
+    // sorting can only shrink every pad metric
+    assert(s.getAs[Long]("pad_tokens") <= a.getAs[Long]("pad_tokens"))
+    assert(s.getAs[Long]("max_batch_pad") <= a.getAs[Long]("max_batch_pad"))
+    // on sf0.001's length spread the cut is large (~9x at sf0.01)
+    assert(s.getAs[Long]("pad_bp") < a.getAs[Long]("pad_bp"))
+    // pad_bp is pad over padded capacity (= pad + real tokens), in bp
+    Seq(a, s).foreach { r =>
+      val (pad, tok) = (r.getAs[Long]("pad_tokens"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("pad_bp") === pad * 10000L / (pad + tok))
+    }
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
