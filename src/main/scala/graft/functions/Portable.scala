@@ -56,6 +56,25 @@ object Portable {
     s"""list_distinct(list_transform(range(1, greatest(len(wh) - 1, 1)),
        |  i -> (((wh[i]*31 + wh[i + 1]) % $P)*31 + wh[i + 2]) % $P))""".stripMargin
 
+  /** POSITIONAL word-3-gram hashes over `wh` (no dedup — index i is the
+    * gram starting at word i, the sequence winnowing slides over).
+    * Callers must guard `len(wh) >= 3`.
+    */
+  val posShinglesDuck: String =
+    s"""list_transform(range(1, len(wh) - 1),
+       |  i -> (((wh[i]*31 + wh[i + 1]) % $P)*31 + wh[i + 2]) % $P)""".stripMargin
+
+  /** Winnowing selection over the positional gram list `g` (window w=4,
+    * rightmost-min tie-break, distinct selected values) — the DuckDB
+    * twin of [[TextHash.winnowHashes]]. Callers must guard
+    * `len(g) >= 1`.
+    */
+  val winnowedDuck: String =
+    """list_distinct(list_transform(range(1, greatest(len(g) - 3, 1) + 1),
+      |  p -> g[list_max(list_filter(range(p, least(p + 3, len(g)) + 1),
+      |        j -> g[j] = list_min(list_slice(g, p, least(p + 3, len(g))))))]))"""
+      .stripMargin
+
   val textFingerprintDuck: String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),

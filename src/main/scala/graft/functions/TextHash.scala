@@ -69,6 +69,46 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    * distinct window-min selection over the POSITIONAL word-k-gram hash
+    * sequence — every window of `w` consecutive gram hashes contributes
+    * its minimum (rightmost position on ties, the robust-winnowing
+    * convention), guaranteeing any shared word run of length >= w+k-1
+    * yields a shared fingerprint while keeping expected density at
+    * 2/(w+1) of the grams. Docs with fewer than k words return empty;
+    * docs with fewer than w grams contribute their global min.
+    */
+  def winnowHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val wh = wordHashes(text).toLongArray()
+    if (wh.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = wh.length - k + 1
+    val g = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + wh(i + j)) % P; j += 1 }
+      g(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[Long]()
+    val nw = math.max(m - w + 1, 1)
+    var p = 0
+    while (p < nw) {
+      val end = math.min(p + w, m) // exclusive
+      var best = p
+      var j = p + 1
+      while (j < end) { if (g(j) <= g(best)) best = j; j += 1 }
+      seen.add(g(best))
+      p += 1
+    }
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Char-level rolling hash of the whole text (code points, mod P). */
   def polyHash(text: UTF8String): Long = polyHash(text, 31L, P)
 

@@ -46,6 +46,20 @@ object expressions {
       copy(child = newChild)
   }
 
+  case class WinnowHashes(child: Expression, k: Int = 3, w: Int = 4)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.winnowHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowHashes($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+      copy(child = newChild)
+  }
+
   case class PolyHash(child: Expression, base: Long = 31L, mod: Long = Portable.P)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -152,6 +166,8 @@ object F {
 
   def word_hashes(text: Column): Column = c(WordHashes(e(text)))
   def shingle_hashes(text: Column, k: Int = 3): Column = c(ShingleHashes(e(text), k))
+  def winnow_hashes(text: Column, k: Int = 3, w: Int = 4): Column =
+    c(WinnowHashes(e(text), k, w))
   def poly_hash(text: Column): Column = c(PolyHash(e(text)))
   def poly_hash(text: Column, base: Long, mod: Long): Column =
     c(PolyHash(e(text), base, mod))

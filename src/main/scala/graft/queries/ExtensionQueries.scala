@@ -42,7 +42,8 @@ object ExtensionQueries {
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
-    e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield)
+    e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
+    e80Winnowing)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -135,6 +136,71 @@ object ExtensionQueries {
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.3)
+  }
+
+  /** WINNOWING overlap detection (Schleimer/Wilkerson/Aiken SIGMOD'03 —
+    * the MOSS fingerprinting scheme): per document, the positional
+    * word-3-gram hash sequence is winnowed by a w=4 sliding window —
+    * each window contributes its minimum gram hash (rightmost on ties),
+    * so any shared word run of length >= w+k-1 = 7 GUARANTEES a shared
+    * fingerprint while the index holds only ~2/(w+1) = 40 % of the
+    * grams. Fingerprint postings then drive e2's candidate shape
+    * (df<=100 prune, self-join, pair counts), reporting pairs sharing
+    * >= 2 fingerprints with containment in basis points of the smaller
+    * set. vs e2 (distinct-shingle Jaccard): winnowing's index is a
+    * guaranteed-coverage SAMPLE — same detection floor for long
+    * overlaps at a fraction of the postings shuffle, the property that
+    * makes it the substring-overlap screen a 100 TB corpus can afford.
+    *
+    * The selection is one compiled Catalyst expression
+    * ([[graft.functions.TextHash.winnowHashes]], codegen'd loop — no
+    * higher-order-function re-evaluation); the postings exchange is
+    * shuffled once and reused across the df-census and both join
+    * probes, exactly e2's plan discipline.
+    */
+  private def e80Winnowing = QueryDef.sql(
+    "e80_winnowing",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |gr AS (SELECT doc_id, ${Portable.posShinglesDuck} AS g
+       |  FROM w WHERE len(wh) >= 3),
+       |fps AS (SELECT doc_id, ${Portable.winnowedDuck} AS fp_set FROM gr),
+       |ex AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |kept AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 100),
+       |pr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN kept USING (fp)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM pr GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared,
+       |  CAST(c * 10000 // least(sa.sz, sb.sz) AS BIGINT)
+       |    AS containment_bp
+       |FROM common
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE c >= 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), F.winnow_hashes(col("text")).as("fp_set"))
+      .filter(size(col("fp_set")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(col("fp_set")).as("fp"))
+      .repartition(col("fp"))
+    val kept = ex.groupBy("fp").agg(count(col("doc_id")).as("df"))
+      .filter(col("df") <= 100).select("fp")
+    val pr = ex.join(kept, "fp")
+    val sz = pr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pr.as("a")
+      .join(pr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("c") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("c").as("n_shared"),
+        expr("c * 10000 div least(sa.sz, sb.sz)").as("containment_bp"))
   }
 
   /** Near-dup via MinHash + LSH banding: 12 affine min-hashes over the

@@ -36,6 +36,43 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowHashes: subset of gram hashes, bounded density, and the " +
+    "shared-run detection guarantee") {
+    def grams(s: String): Seq[Long] = {
+      val wh = refWords(s).map(refWordHash)
+      if (wh.length < 3) Nil
+      else (0 to wh.length - 3).map(i =>
+        wh.slice(i, i + 3).foldLeft(0L)((a, h) => (a * 31 + h) % P))
+    }
+    def winnow(s: String): Seq[Long] =
+      TextHash.winnowHashes(UTF8String.fromString(s), 3, 4)
+        .toLongArray().toSeq
+    asciiTexts(300).foreach { s =>
+      val (fp, g) = (winnow(s), grams(s))
+      // every fingerprint is a gram; no duplicates
+      assert(fp.toSet.subsetOf(g.toSet), s"text=<$s>")
+      assert(fp.distinct === fp)
+      if (g.isEmpty) assert(fp.isEmpty)
+      else {
+        // at least one per window; at most one NEW per window
+        assert(fp.nonEmpty && fp.length <= math.max(g.length - 3, 1))
+        // windows guarantee: global min of every 4-gram window selected
+        assert(fp.contains(g.min))
+      }
+    }
+    // detection guarantee: a shared run of >= w+k-1 = 7 words yields a
+    // shared fingerprint regardless of surrounding text
+    val run = "lorem ipsum dolor sit amet consectetur adipiscing"
+    val a = s"zebra yak xylophone $run walrus vulture"
+    val b = s"quack $run mamba lemur kudu jackal iguana heron"
+    assert(winnow(a).toSet.intersect(winnow(b).toSet).nonEmpty)
+    // short docs: fewer than k words -> empty; fewer than w grams ->
+    // the global min alone
+    assert(winnow("one two").isEmpty)
+    val short = "alpha beta gamma delta" // 2 grams < w
+    assert(winnow(short) === Seq(grams(short).min))
+  }
+
   test("shingleHashes: distinct 3-gram hashes, empty below 3 words") {
     asciiTexts(300).foreach { s =>
       val wh = refWords(s).map(refWordHash)

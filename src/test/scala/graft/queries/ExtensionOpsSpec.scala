@@ -54,6 +54,28 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(cappedPairs.exceptAll(uncappedPairsAllK).isEmpty)
   }
 
+  test("e80: winnowed overlap pairs are sane and catch the corpus " +
+    "near-dups e2 reports with high similarity") {
+    def run(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+    val pairs = run("e80_winnowing").collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= 2L)
+      val bp = r.getAs[Long]("containment_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+    // detection floor: every pair e2 scores at jaccard >= 0.6 shares a
+    // long word run, so winnowing must surface it too
+    val strong = run("e2_ngram_jaccard")
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnowed = pairs.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strong.subsetOf(winnowed),
+      s"missed: ${strong.diff(winnowed).take(5)}")
+  }
+
   test("e29 persist-vs-rescan knob: both modes return identical hitters") {
     val q = ExtensionQueries.all.find(_.name == "e29_heavy_hitters").get
     def runWith(persist: Boolean) = {
