@@ -43,7 +43,7 @@ object ExtensionQueries {
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
-    e80Winnowing)
+    e80Winnowing, e81MrlTruncation)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1144,6 +1144,102 @@ object ExtensionQueries {
         .select(col("vec_id").as("neighbor_id"),
           col("embedding").cast("array<double>").as("ce"))
       cosineTopkExact(q, c, k = 5)
+  }
+
+  /** EMBEDDING-TRUNCATION ablation (the Matryoshka/MRL serving
+    * question, Kusupati et al. NeurIPS'22): retrieval quality of
+    * PREFIX-truncated embeddings vs the full 64-dim ranking — for each
+    * truncation d in {8,16,32,64}, rank the corpus per query by
+    * d-prefix cosine and report how many of the full-dim top-10 the
+    * truncated top-10 retains (recall@10, basis points). This is the
+    * table a serving stack reads to pick its index dimension: d=64 is
+    * the identity row (recall 10000 by construction), and the d where
+    * recall plateaus is the cheapest faithful index.
+    *
+    * Shape at 100 TB: ONE query-broadcast pairing pass computes all
+    * four prefix cosines per candidate (slices of one vector load — no
+    * per-d rescan of the corpus), the per-(query,d) top-10 runs as a
+    * partial-mode WindowGroupLimit before the shuffle (map-side top-k),
+    * and everything after the rank filter is 40·|queries| rows. The
+    * query count is a driver scalar (the e33 discipline).
+    */
+  private def e81MrlTruncation = {
+    val ds = Seq(8, 16, 32, 64)
+    def dotDuckD(a: String, b: String, d: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${d + 1}),
+         |    i -> CAST($a.embedding[i] AS DOUBLE)
+         |       * CAST($b.embedding[i] AS DOUBLE))),
+         |  (s, v) -> s + v)""".stripMargin
+    def cosDuck(d: Int): String =
+      s"round(${dotDuckD("q", "c", d)} / (sqrt(${dotDuckD("q", "q", d)})" +
+        s" * sqrt(${dotDuckD("c", "c", d)})), 4) + 0 AS cos$d"
+    QueryDef.sql(
+      "e81_mrl_truncation",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${ds.map(cosDuck).mkString(",\n    ")}
+         |  FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+         |st AS (${ds.map(d =>
+             s"SELECT query_id, neighbor_id, $d AS d, cos$d AS cosine " +
+               "FROM scored").mkString("\n  UNION ALL ")}),
+         |top AS (SELECT query_id, d, neighbor_id FROM st
+         |  QUALIFY row_number() OVER (PARTITION BY query_id, d
+         |    ORDER BY cosine DESC, neighbor_id) <= 10),
+         |truth AS (SELECT query_id, neighbor_id FROM top WHERE d = 64),
+         |nq AS (SELECT count(*) AS n FROM q)
+         |SELECT CAST(d AS BIGINT) AS d,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(count(*) * 10000 // (max(nq.n) * 10) AS BIGINT)
+         |    AS recall_bp
+         |FROM top JOIN truth USING (query_id, neighbor_id)
+         |CROSS JOIN nq
+         |GROUP BY d ORDER BY d""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      def prefixed(df: DataFrame, vec: String, p: String): DataFrame =
+        ds.foldLeft(df) { (acc, d) =>
+          acc.withColumn(s"$p$d", slice(col(vec), 1, d))
+            .withColumn(s"${p}n$d",
+              sqrt(dot(col(s"$p$d"), col(s"$p$d"))))
+        }.drop(vec)
+      val q = prefixed(
+        emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qe")),
+        "qe", "q")
+      val c = prefixed(
+        emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("ce")),
+        "ce", "c")
+      // driver scalar: |queries| (e33 discipline — a 1-row BNLJ adds
+      // nothing; the probe reads the pruned id column only)
+      val nq = emb.filter(col("vec_id") % 50 === 0)
+        .select("vec_id").count()
+      val scored = c.join(broadcast(q),
+          col("query_id") =!= col("neighbor_id"))
+        .select(Seq(col("query_id"), col("neighbor_id")) ++
+          ds.map(d => round(
+            dot(col(s"q$d"), col(s"c$d")) / (col(s"qn$d") * col(s"cn$d")),
+            4).as(s"cos$d")): _*)
+      val st = scored.selectExpr("query_id", "neighbor_id",
+        s"stack(${ds.size}, ${ds.map(d => s"$d, cos$d").mkString(", ")})" +
+          " as (d, cosine)")
+      val top = st.withColumn("rk",
+          row_number().over(Window.partitionBy(col("query_id"), col("d"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rk") <= 10)
+        .select("query_id", "d", "neighbor_id")
+      val truth = top.filter(col("d") === 64)
+        .select("query_id", "neighbor_id")
+      top.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("d").cast("long").as("d"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("d"), col("n_hits"),
+          expr(s"n_hits * 10000 div (${nq}L * 10)").as("recall_bp"))
+        .orderBy("d")
+    }
   }
 
   /** LSH-bucketed ANN — the scale path for similarity search: a `bits`-bit

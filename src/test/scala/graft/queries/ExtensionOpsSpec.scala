@@ -76,6 +76,18 @@ class ExtensionOpsSpec extends SparkSpecBase {
       s"missed: ${strong.diff(winnowed).take(5)}")
   }
 
+  test("e81: truncation recall is monotone in d and exact at full dim") {
+    val rows = graft.SparkEntry.queries("e81_mrl_truncation")(spark, dir)
+      .orderBy("d").collect()
+    assert(rows.map(_.getAs[Long]("d")).toSeq === Seq(8L, 16L, 32L, 64L))
+    // full dim ranks against itself: recall@10 is 10000 bp by construction
+    assert(rows.last.getAs[Long]("recall_bp") === 10000L)
+    val bps = rows.map(_.getAs[Long]("recall_bp"))
+    bps.foreach(bp => assert(bp >= 0L && bp <= 10000L))
+    // a longer prefix can only rank more faithfully on this corpus
+    bps.sliding(2).foreach { case Array(lo, hi) => assert(lo <= hi) }
+  }
+
   test("e29 persist-vs-rescan knob: both modes return identical hitters") {
     val q = ExtensionQueries.all.find(_.name == "e29_heavy_hitters").get
     def runWith(persist: Boolean) = {

@@ -46,8 +46,10 @@ class PlanLintSpec extends SparkSpecBase {
       "e68_ann_nprobe_sweep", // e67's bounds + the 3-row sweep-levels frame
       "e69_source_drift", // #sources-row totals frame onto the 4096 buckets
       "e74_epoch_schedule", // one-row normalizer frame, the e51 pattern
-      "e76_curriculum_bins") // 1-row totals + 1-row cuts onto the
+      "e76_curriculum_bins", // 1-row totals + 1-row cuts onto the
                              // 10001-bounded score frequency table
+      "e81_mrl_truncation") // e5's 2%-of-corpus query-set broadcast,
+                            // same bound (one pairing pass, 4 prefixes)
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
