@@ -273,4 +273,34 @@ class RocksDBStateSpec extends SparkSpecBase {
       assertRocksEngaged(q)
     } finally q.stop()
   }
+
+  test("StreamPackContexts cursor persists across batches on RocksDB " +
+    "state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[StreamPackContexts.Doc]
+    val q = StreamPackContexts.pack(ms.toDS(), ctxLen = 100L)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_pack").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(StreamPackContexts.Doc("s1", 1L, 80L))
+      q.processAllAvailable()
+      ms.addData(StreamPackContexts.Doc("s1", 2L, 30L),
+        StreamPackContexts.Doc("s1", 1L, 80L)) // replay → quarantine
+      q.processAllAvailable()
+      val got = s.table("rocks_pack")
+        .as[StreamPackContexts.Packed].collect()
+      // batch-2 doc continues from the batch-1 cursor: starts at token
+      // 80 inside ctx 0, runs into ctx 1, sealing ctx 0
+      val d2 = got.find(_.doc_id == 2L).get
+      assert(d2.ctx_first === 0L && d2.ctx_last === 1L &&
+        d2.off_in_ctx === 80L && d2.n_sealed === 1L)
+      assert(got.count(_.ctx_first == -1L) === 1)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
 }
