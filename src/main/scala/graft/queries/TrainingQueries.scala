@@ -44,7 +44,7 @@ object TrainingQueries {
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
     e72FlooredSample, e73ShardManifest, e74EpochSchedule,
     e75TokenFertility, e76CurriculumBins, e77ShardStability,
-    e78PackContexts, e79LengthBuckets)
+    e78PackContexts, e79LengthBuckets, e82InterleaveSchedule)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -1512,6 +1512,87 @@ object TrainingQueries {
         .union(audit("sorted",
           batches(struct(col("n_tok"), col("doc_id")))))
         .orderBy("mode")
+    }
+  }
+
+  /** SOURCE-INTERLEAVE delivery schedule audit — the deterministic
+    * answer to "in what ORDER do the per-source delivery units ship so
+    * the training stream is locally well-mixed?" (long single-source
+    * runs early in training are the mixing failure e51's quotas alone
+    * cannot prevent). Each source's token mass becomes u_s = ceil(T_s/B)
+    * delivery units; unit i of source s gets the evenly-spread ideal
+    * key (2i+1)·10⁹ div (2·u_s) — the largest-remainder / Bresenham
+    * interleave in pure integer math — and the global delivery position
+    * is the rank of (key, source, i). The audit reports, per source,
+    * the spacing the schedule achieved: min/max gap between that
+    * source's consecutive positions and its longest run of adjacent
+    * positions (max_run = 1 means never two units back-to-back).
+    *
+    * Shape at 100 TB: one map-side-combined groupBy collapses the
+    * corpus to #sources rows; the unit fan-out is corpus_tokens/B rows
+    * (delivery units, not documents); the rank is the scale-safe
+    * [[graft.operators.Indexing.withGlobalIndex]] range-partitioned
+    * index — no single-task window anywhere; gaps and runs are
+    * source-partitioned windows over the bounded unit frame.
+    */
+  private def e82InterleaveSchedule = {
+    val b = 100L // tokens per delivery unit
+    QueryDef.sql(
+      "e82_interleave_schedule",
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(${Portable.wordsDuck})) AS BIGINT) AS tok
+         |  FROM documents GROUP BY source),
+         |u AS (SELECT source, (tok + ${b - 1}) // $b AS us FROM t
+         |  WHERE tok > 0),
+         |units AS (SELECT source, us, unnest(range(0, us)) AS i FROM u),
+         |k AS (SELECT source, us, i,
+         |    (2*i + 1) * 1000000000 // (2*us) AS key FROM units),
+         |o AS (SELECT source, us, i,
+         |    row_number() OVER (ORDER BY key, source, i) - 1 AS pos
+         |  FROM k),
+         |g AS (SELECT source, us, i, pos, pos - i AS island,
+         |    pos - lag(pos) OVER (PARTITION BY source ORDER BY pos)
+         |      AS gap
+         |  FROM o),
+         |runs AS (SELECT source, island, count(*) AS run
+         |  FROM g GROUP BY 1, 2),
+         |mr AS (SELECT source, CAST(max(run) AS BIGINT) AS max_run
+         |  FROM runs GROUP BY source)
+         |SELECT g.source, CAST(max(us) AS BIGINT) AS n_units,
+         |  CAST(min(gap) AS BIGINT) AS min_gap,
+         |  CAST(max(gap) AS BIGINT) AS max_gap, mr.max_run
+         |FROM g JOIN mr USING (source)
+         |GROUP BY g.source, mr.max_run ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val t = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(expr(Portable.wordsSpark)).cast("long")).as("tok"))
+        val units = t
+          // tok > 0 guard: a zero-token source would otherwise hand
+          // sequence() an empty DESCENDING range (Spark's sequence runs
+          // backwards when start > stop — it does not return empty)
+          .where(col("tok") > 0)
+          .select(col("source"),
+            expr(s"(tok + ${b - 1}L) div ${b}L").as("us"))
+          .select(col("source"), col("us"),
+            explode(sequence(lit(0L), col("us") - 1)).as("i"))
+          .withColumn("key", expr("(2*i + 1) * 1000000000L div (2*us)"))
+        val o = graft.operators.Indexing.withGlobalIndex(
+          units, struct(col("key"), col("source"), col("i")), "pos")
+        val w = Window.partitionBy(col("source")).orderBy(col("pos"))
+        val g = o
+          .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+          .withColumn("island", col("pos") - col("i"))
+        val mr = g.groupBy(col("source"), col("island"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy("source").agg(max(col("run")).as("max_run"))
+        g.groupBy("source")
+          .agg(max(col("us")).as("n_units"), min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap"))
+          .join(mr, "source")
+          .select(col("source"), col("n_units"), col("min_gap"),
+            col("max_gap"), col("max_run"))
+          .orderBy("source")
     }
   }
 

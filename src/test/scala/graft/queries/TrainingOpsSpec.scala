@@ -193,6 +193,29 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("e82: the interleave schedule spreads every source evenly — " +
+    "bounded gaps, no long same-source runs") {
+    val rows = q("e82_interleave_schedule").collect()
+    assert(rows.length === 20)
+    val total = rows.map(_.getAs[Long]("n_units")).sum
+    rows.foreach { r =>
+      val u = r.getAs[Long]("n_units")
+      assert(u >= 1L)
+      val ideal = total / u // target spacing for this source
+      if (u >= 2L) {
+        val (lo, hi) = (r.getAs[Long]("min_gap"), r.getAs[Long]("max_gap"))
+        // even spread: consecutive units of a source land within a
+        // factor-2 band of the ideal gap, never adjacent-heavy
+        assert(lo >= ideal / 2,
+          s"${r.getString(0)}: min_gap $lo < ideal/2 ${ideal / 2}")
+        assert(hi <= 2 * ideal + 2,
+          s"${r.getString(0)}: max_gap $hi > 2*ideal+2 ${2 * ideal + 2}")
+      }
+      // a minority source (< half the stream) never ships back-to-back
+      if (2 * u < total) assert(r.getAs[Long]("max_run") === 1L)
+    }
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
