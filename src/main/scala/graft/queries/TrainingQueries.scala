@@ -44,7 +44,8 @@ object TrainingQueries {
     e63SampledQuantiles, e69SourceDrift, e70CalibrationChunked,
     e72FlooredSample, e73ShardManifest, e74EpochSchedule,
     e75TokenFertility, e76CurriculumBins, e77ShardStability,
-    e78PackContexts, e79LengthBuckets, e82InterleaveSchedule)
+    e78PackContexts, e79LengthBuckets, e82InterleaveSchedule,
+    e83MemorizationNgrams)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -2258,6 +2259,58 @@ object TrainingQueries {
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
           expr("numer * 5000L div (n_a * n_b)").as("tv_bp"))
         .orderBy("src_a", "src_b")
+    }
+  }
+
+  /** MEMORIZATION-RISK audit: the most-repeated LONG n-grams (8-word
+    * rolling-hash grams) corpus-wide, with total occurrences, distinct
+    * documents, and a representative doc. Long verbatim repeats are the
+    * spans a model memorizes and regurgitates; unlike e27's bigram
+    * counts (vocabulary statistics) or e80's winnowing pairs (document
+    * overlap), this ranks the offending PHRASES themselves — the report
+    * that drives "drop or down-weight sequences repeated more than k
+    * times" policies from the deduplication literature.
+    *
+    * Shape at 100 TB: one scan, positional 8-gram hashes as per-row
+    * expression work (a left fold of word hashes mod P — no string
+    * shuffles), one hash-keyed aggregation with map-side combine; the
+    * distinct-doc count rides the same exchange (two-level aggregate,
+    * gram then gram×doc). Top-20 is TakeOrderedAndProject — per-partition
+    * heads, never a global sort of the gram table. The exact gram table
+    * is corpus-sized by design (this is the audit); the streaming twin
+    * for continuous monitoring is e29's bounded Misra-Gries sketch.
+    */
+  private def e83MemorizationNgrams = {
+    val k = 8 // gram length in words — long enough to be "verbatim"
+    val gramDuck = (1 until k).foldLeft("wh[i]")((acc, j) =>
+      s"(($acc * 31 + wh[i + $j]) % $P)")
+    val gramSpark = (1 until k).foldLeft("element_at(wh, i)")((acc, j) =>
+      s"(($acc * 31 + element_at(wh, i + $j)) % $P)")
+    QueryDef.sql(
+      "e83_memorization_ngrams",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(wh) - ${k - 2}), i -> $gramDuck)) AS gram_key
+         |  FROM w WHERE len(wh) >= $k)
+         |SELECT gram_key, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS example_doc
+         |FROM g GROUP BY gram_key HAVING count(*) >= 2
+         |ORDER BY n DESC, gram_key LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), F.word_hashes(col("text")).as("wh"))
+        .filter(size(col("wh")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(wh) - ${k - 1}), i -> $gramSpark)"))
+          .as("gram_key"))
+        .groupBy("gram_key")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("gram_key"))
+        .limit(20)
     }
   }
 }

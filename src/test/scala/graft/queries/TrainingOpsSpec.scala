@@ -216,6 +216,28 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("e83: memorization audit ranks repeated 8-grams — counts " +
+    "consistent, descending, keys in-range") {
+    val rows = q("e83_memorization_ngrams").collect()
+    assert(rows.length === 20)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (key, n, nd) = (r.getAs[Long]("gram_key"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_docs"))
+      assert(key >= 0L && key < graft.functions.Portable.P)
+      assert(n >= 2L, s"gram $key: n $n < 2 escaped the HAVING filter")
+      assert(nd >= 1L && nd <= n,
+        s"gram $key: n_docs $nd outside [1, n=$n]")
+      assert(n <= prev, s"gram $key: n $n not descending (prev $prev)")
+      prev = n
+    }
+    // a gram repeated across documents must show a real example doc
+    val multi = rows.filter(_.getAs[Long]("n_docs") >= 2L)
+    assert(multi.nonEmpty,
+      "sf0.01 carries exact-dup clusters; expected cross-doc repeats")
+    multi.foreach(r => assert(r.getAs[Long]("example_doc") >= 0L))
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
