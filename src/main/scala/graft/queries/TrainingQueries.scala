@@ -45,7 +45,7 @@ object TrainingQueries {
     e72FlooredSample, e73ShardManifest, e74EpochSchedule,
     e75TokenFertility, e76CurriculumBins, e77ShardStability,
     e78PackContexts, e79LengthBuckets, e82InterleaveSchedule,
-    e83MemorizationNgrams)
+    e83MemorizationNgrams, e84BoilerplatePrefix, e85CharSkew)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -2311,6 +2311,108 @@ object TrainingQueries {
         .filter(col("n") >= 2)
         .orderBy(col("n").desc, col("gram_key"))
         .limit(20)
+    }
+  }
+
+  /** BOILERPLATE-PREFIX detection: the top-3 most-shared leading
+    * 3-grams per source, with the share of that source's documents
+    * opening with each. A crawl source whose pages all start with the
+    * same banner/header is the classic boilerplate-stripping target;
+    * unlike e30 (repeated spans anywhere) this is POSITIONAL — only the
+    * document head counts, which is what makes it a header signal
+    * rather than a quotation signal. share_bp over the source's
+    * ≥3-word documents is the strip-threshold input.
+    *
+    * Shape at 100 TB: prefix hash is per-row fold math on the scan; one
+    * (source, prefix) aggregation with map-side combine; totals are a
+    * #sources-row broadcast; the per-source top-3 compiles to
+    * WindowGroupLimit (map-side group heads, no full sort of the prefix
+    * table). Output is 3 × #sources rows by construction.
+    */
+  private def e84BoilerplatePrefix = QueryDef.sql(
+    "e84_boilerplate_prefix",
+    s"""WITH w AS (SELECT source, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |p AS (SELECT source,
+       |    (((wh[1]*31 + wh[2]) % $P)*31 + wh[3]) % $P AS prefix_hash
+       |  FROM w WHERE len(wh) >= 3),
+       |c AS (SELECT source, prefix_hash, count(*) AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |t AS (SELECT source, count(*) AS n_src FROM p GROUP BY 1),
+       |r AS (SELECT c.source, c.prefix_hash, c.n_docs, t.n_src,
+       |    row_number() OVER (PARTITION BY c.source
+       |      ORDER BY c.n_docs DESC, c.prefix_hash) AS rank
+       |  FROM c JOIN t USING (source))
+       |SELECT source, CAST(rank AS BIGINT) AS rank, prefix_hash,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_docs * 10000 // n_src AS BIGINT) AS share_bp
+       |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin) {
+    (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .select(col("source"), F.word_hashes(col("text")).as("wh"))
+        .filter(size(col("wh")) >= 3)
+        .select(col("source"), expr(
+          s"(((element_at(wh, 1)*31 + element_at(wh, 2)) % $P)*31" +
+            s" + element_at(wh, 3)) % $P").as("prefix_hash"))
+      val c = p.groupBy("source", "prefix_hash")
+        .agg(count(lit(1)).as("n_docs"))
+      val t = p.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_docs").desc, col("prefix_hash"))
+      c.join(broadcast(t), "source")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("prefix_hash"),
+          col("n_docs"),
+          expr("n_docs * 10000L div n_src").as("share_bp"))
+        .orderBy("source", "rank")
+  }
+
+  /** CHARACTER-SKEW quality gate: per-document letter-histogram
+    * concentration as pure integer math — the gibberish / char-spam
+    * signal e14's word-level ratios cannot see (a page of "aaaa…" has a
+    * perfectly normal length). Per doc over lowercased text:
+    * `top_bp` = share of the single most frequent letter and
+    * `simpson_bp` = collision mass Σc_i² / n² (the Rényi-2 entropy
+    * surrogate: ~650 bp for English-like text, 10000 bp for one-letter
+    * spam) — both as basis points via integer div, so no float logs and
+    * the scores are bit-identical across engines.
+    *
+    * Shape at 100 TB: the 26-way histogram is one replace/length chain
+    * per row on the scan — embarrassingly parallel, no shuffle at all
+    * (the output IS per-doc scores); downstream gates consume the bp
+    * columns as pushable predicates.
+    */
+  private def e85CharSkew = {
+    val letters = ('a' to 'z').toSeq
+    def countsOf(rep: Char => String) =
+      letters.map(ch => s"CAST(length(t) - length(${rep(ch)}) AS BIGINT)")
+    val csSpark = countsOf(ch => s"replace(t, '$ch', '')")
+      .mkString("array(", ", ", ")")
+    val csDuck = countsOf(ch => s"replace(t, '$ch', '')")
+      .mkString("[", ", ", "]")
+    QueryDef.sql(
+      "e85_char_skew",
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |h AS (SELECT doc_id, $csDuck AS cs FROM d),
+         |m AS (SELECT doc_id, list_sum(cs) AS n, list_max(cs) AS mx,
+         |    list_sum(list_transform(cs, x -> x * x)) AS sq
+         |  FROM h)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_letters,
+         |  CAST(mx * 10000 // n AS BIGINT) AS top_bp,
+         |  CAST(sq * 10000 // (n * n) AS BIGINT) AS simpson_bp
+         |FROM m WHERE n > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"), expr(csSpark).as("cs"))
+        .select(col("doc_id"),
+          aggregate(col("cs"), lit(0L), (a, x) => a + x).as("n"),
+          array_max(col("cs")).as("mx"),
+          aggregate(col("cs"), lit(0L), (a, x) => a + x * x).as("sq"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n").as("n_letters"),
+          expr("mx * 10000L div n").as("top_bp"),
+          expr("sq * 10000L div (n * n)").as("simpson_bp"))
     }
   }
 }

@@ -238,6 +238,43 @@ class TrainingOpsSpec extends SparkSpecBase {
     multi.foreach(r => assert(r.getAs[Long]("example_doc") >= 0L))
   }
 
+  test("e84: boilerplate prefixes rank top-3 per source with " +
+    "consistent shares") {
+    val rows = q("e84_boilerplate_prefix").collect()
+    assert(rows.length === 60) // 3 ranks x 20 sources
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+      val counts = sorted.map(_.getAs[Long]("n_docs"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"$src: n_docs not descending across ranks: ${counts.toSeq}")
+      val shares = sorted.map(_.getAs[Long]("share_bp"))
+      assert(shares.forall(bp => bp >= 0L && bp <= 10000L))
+      // three disjoint prefix groups can never exceed the whole source
+      assert(shares.sum <= 10000L, s"$src: top-3 shares ${shares.toSeq}")
+    }
+  }
+
+  test("e85: char-skew scores sit inside the algebraic envelope " +
+    "(uniform floor, top-share ceiling)") {
+    val rows = q("e85_char_skew").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (top, simp) =
+        (r.getAs[Long]("top_bp"), r.getAs[Long]("simpson_bp"))
+      assert(r.getAs[Long]("n_letters") > 0L)
+      // Cauchy-Schwarz over <= 26 letters: collision mass >= 1/26
+      assert(simp >= 384L, s"doc ${r.getLong(0)}: simpson_bp $simp < 384")
+      // collision mass never exceeds the max letter share
+      assert(simp <= top, s"doc ${r.getLong(0)}: simpson $simp > top $top")
+      assert(top <= 10000L)
+    }
+    // English-like synthetic text is skewed but nowhere near char spam
+    val meanSimp = rows.map(_.getAs[Long]("simpson_bp")).sum / rows.length
+    assert(meanSimp > 384L && meanSimp < 3000L,
+      s"mean simpson_bp $meanSimp outside the natural-text band")
+  }
+
   test("e55: surprisal bounds hold, and repeated text scores below " +
     "shuffled-rare text") {
     val out = q("e55_lm_surprisal")
