@@ -25,7 +25,8 @@ import graft.quality.DataTests
   */
 object PipelineQueries {
 
-  val all: Seq[QueryDef] = Seq(g1MockBatch, g2GenBatch, p1PipelineE2e)
+  val all: Seq[QueryDef] =
+    Seq(g1MockBatch, g2GenBatch, g3DocsSource, p1PipelineE2e)
 
   private val T0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
   // def, not val: `all` above initializes FIRST during object init, so a
@@ -191,6 +192,63 @@ object PipelineQueries {
           col("email"), col("order_date"), col("order_status"),
           date_format(col("loaded_at"), "yyyy-MM-dd HH:mm:ss").as("loaded_at"))
         .orderBy("gen_idx")
+    }
+  }
+
+  /** The [[graft.sources.MockDocs]] DataSource V2 connector,
+    * value-checked cross-engine: the Spark side is a plain
+    * `spark.read.format("graft-docs")` scan (executor-side row
+    * generation, 8 planned slices), and the oracle recomputes the SAME
+    * cube-affine draw chain — per-doc word count, per-slot vocab index,
+    * base-26 word construction, language/source choice — in pure DuckDB
+    * integer SQL. A hash-green row here proves the connector's row-space
+    * generator is bit-identical to the portable column-space arithmetic
+    * (same mixCoeffs, same word scrambling), not merely
+    * distribution-equivalent.
+    */
+  private def g3DocsSource: QueryDef = {
+    val seed = 7L
+    val rows = 1000
+    val vocab = 5000
+    // base-26 place values for the word characters (7 = max word len)
+    val pow26 = (0 until 7).map(i => math.pow(26, i).toLong)
+      .mkString("[", ", ", "]")
+    QueryDef.sql(
+      "g3_docs_source",
+      s"""WITH idx AS (SELECT CAST(range AS BIGINT) AS doc_id
+         |  FROM range($rows)),
+         |n AS (SELECT doc_id,
+         |    20 + ${MockData.hashLongDuck(seed, "len", "doc_id")} % 101
+         |      AS n_words
+         |  FROM idx),
+         |wj AS (SELECT doc_id, unnest(range(0, n_words)) AS j FROM n),
+         |wv AS (SELECT doc_id, j,
+         |    ${MockData.hashLongDuck(seed, "w", "doc_id*131 + j")} % $vocab
+         |      AS v
+         |  FROM wj),
+         |ws AS (SELECT doc_id, j,
+         |    ${MockData.hashLongDuck(0L, "vocab", "v")} AS sc FROM wv),
+         |ww AS (SELECT doc_id, j,
+         |    list_reduce(list_transform(range(0, 3 + sc % 5),
+         |      i -> chr(97 + CAST((sc // 5 // ($pow26)[i + 1]) % 26
+         |        AS INT))),
+         |      (a, b) -> a || b) AS word
+         |  FROM ws),
+         |t AS (SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
+         |  FROM ww GROUP BY doc_id)
+         |SELECT doc_id, text,
+         |  (['en','de','fr','es','pt'])[1 +
+         |    CAST(${MockData.hashLongDuck(seed, "lang", "doc_id")} % 5
+         |      AS INT)] AS lang,
+         |  printf('src_%02d',
+         |    ${MockData.hashLongDuck(seed, "src", "doc_id")} % 20)
+         |    AS source,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, _) =>
+      s.read.format("graft-docs")
+        .option("rows", rows.toString).option("seed", seed.toString)
+        .option("partitions", "8")
+        .load()
     }
   }
 

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class MockDocsSpec extends SparkSpecBase {
+
+  private def read(opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-docs")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("generates the declared row count with unique ids and the " +
+    "documents schema") {
+    val df = read("rows" -> "500")
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(df.count() === 500L)
+    assert(df.select("doc_id").distinct().count() === 500L)
+  }
+
+  test("output is partition-stable: 1 slice and 7 slices generate " +
+    "identical rows") {
+    def rows(parts: String) =
+      read("rows" -> "300", "partitions" -> parts)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(rows("1").toSeq === rows("7").toSeq)
+  }
+
+  test("row values honor the generation contract: n_chars, word " +
+    "bounds, lang/source domains") {
+    val df = read("rows" -> "400", "minwords" -> "5", "maxwords" -> "9")
+    val bad = df.filter(
+      length(col("text")) =!= col("n_chars") ||
+        size(split(col("text"), " ")) < 5 ||
+        size(split(col("text"), " ")) > 9 ||
+        !col("lang").isin(MockDocs.Langs: _*) ||
+        !col("source").rlike("^src_[01][0-9]$"))
+    assert(bad.count() === 0L)
+  }
+
+  test("column pruning reaches the scan: a metadata projection reads " +
+    "a 2-column schema and never builds text") {
+    val df = read("rows" -> "200").select("doc_id", "lang")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec in the plan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ===
+      Seq("doc_id", "lang"))
+    assert(df.count() === 200L)
+    // zero-column projection (count star) survives pruning too
+    assert(read("rows" -> "123").count() === 123L)
+  }
+
+  test("generation slices split the id range evenly across the " +
+    "requested partitions") {
+    val df = read("rows" -> "1000", "partitions" -> "8")
+    val perPart = df
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"),
+        max("doc_id").as("hi"))
+      .collect()
+    assert(perPart.length === 8)
+    perPart.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"))
+      assert(n === 125L)
+      assert(hi - lo === n - 1, "slice ids must be contiguous")
+    }
+  }
+}
