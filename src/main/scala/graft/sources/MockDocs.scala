@@ -5,8 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,8 +74,12 @@ private[sources] class MockDocsTable(cfg: MockDocs.Config)
 }
 
 private[sources] class MockDocsScanBuilder(cfg: MockDocs.Config)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = MockDocs.Schema
+  private var idLo = 0L
+  private var idHi = cfg.rows // exclusive
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order; an empty projection (count(*)) is a
@@ -84,11 +88,55 @@ private[sources] class MockDocsScanBuilder(cfg: MockDocs.Config)
       MockDocs.Schema.fields.filter(f => requiredSchema.fieldNames
         .contains(f.name)))
 
-  override def build(): Scan = new MockDocsScan(cfg, required)
+  /** doc_id range predicates prune generation SLICES at plan time (the
+    * generated-source analog of partition pruning): the slice planner
+    * intersects [start, end) with the accepted bound, so a
+    * `doc_id < k` probe plans ~k/rows of the work instead of
+    * generating-then-discarding. Bound handling is exact, so accepted
+    * filters are NOT re-evaluated by Spark; everything else stays
+    * residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val (sup, rest) = filters.partition {
+      case EqualTo("doc_id", v) => asLong(v).isDefined
+      case GreaterThan("doc_id", v) => asLong(v).isDefined
+      case GreaterThanOrEqual("doc_id", v) => asLong(v).isDefined
+      case LessThan("doc_id", v) => asLong(v).isDefined
+      case LessThanOrEqual("doc_id", v) => asLong(v).isDefined
+      case IsNotNull("doc_id") => true // non-nullable: trivially true
+      case _ => false
+    }
+    sup.foreach {
+      case EqualTo("doc_id", v) =>
+        val l = asLong(v).get
+        idLo = math.max(idLo, l); idHi = math.min(idHi, l + 1)
+      case GreaterThan("doc_id", v) =>
+        idLo = math.max(idLo, asLong(v).get + 1)
+      case GreaterThanOrEqual("doc_id", v) =>
+        idLo = math.max(idLo, asLong(v).get)
+      case LessThan("doc_id", v) =>
+        idHi = math.min(idHi, asLong(v).get)
+      case LessThanOrEqual("doc_id", v) =>
+        idHi = math.min(idHi, asLong(v).get + 1)
+      case IsNotNull(_) => ()
+    }
+    accepted = sup
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new MockDocsScan(cfg, required, idLo, idHi)
 }
 
 private[sources] class MockDocsScan(
-    cfg: MockDocs.Config, required: StructType) extends Scan with Batch {
+    cfg: MockDocs.Config, required: StructType,
+    idLo: Long, idHi: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -97,8 +145,10 @@ private[sources] class MockDocsScan(
     val parts = math.max(1, cfg.partitions)
     val per = (n + parts - 1) / parts
     (0L until parts.toLong).iterator
-      .map(p => MockDocsSlice(p * per, math.min(n, (p + 1) * per), cfg,
-        required.fieldNames))
+      .map(p => MockDocsSlice(
+        math.max(p * per, idLo),
+        math.min(math.min(n, (p + 1) * per), idHi),
+        cfg, required.fieldNames))
       .filter(s => s.start < s.end)
       .toArray[InputPartition]
   }

@@ -56,6 +56,31 @@ class MockDocsSpec extends SparkSpecBase {
     assert(read("rows" -> "123").count() === 123L)
   }
 
+  test("doc_id range filters prune generation slices at plan time") {
+    val base = read("rows" -> "1000", "partitions" -> "8")
+    // only the first 125-row slice survives a doc_id < 100 bound
+    val lo = base.filter(col("doc_id") < 100)
+    assert(lo.rdd.getNumPartitions === 1)
+    assert(lo.count() === 100L)
+    // a closed interval spanning two slices plans exactly those two
+    val mid = base.filter(col("doc_id") >= 200 && col("doc_id") <= 300)
+    assert(mid.rdd.getNumPartitions === 2)
+    assert(mid.count() === 101L)
+    // point lookup plans one slice and returns the right row
+    val pt = base.filter(col("doc_id") === 777).select("doc_id", "lang")
+    assert(pt.rdd.getNumPartitions === 1)
+    assert(pt.collect().map(_.getLong(0)).toSeq === Seq(777L))
+    // contradictory bounds plan zero work
+    assert(base.filter(col("doc_id") < 10 && col("doc_id") > 20)
+      .rdd.getNumPartitions === 0)
+    // pruned values match the unpruned generator output exactly
+    val expect = base.collect().filter { r =>
+      val id = r.getLong(0); id >= 200 && id <= 300
+    }.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(mid.collect().map(_.toSeq).sortBy(
+      _.head.asInstanceOf[Long]).toSeq === expect.toSeq)
+  }
+
   test("generation slices split the id range evenly across the " +
     "requested partitions") {
     val df = read("rows" -> "1000", "partitions" -> "8")
