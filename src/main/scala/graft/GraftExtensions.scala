@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"morton2 expects 2 or 3 arguments, got ${args.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("avg_hash64"), info("avg_hash64", classOf[AvgHash64]),
+      (args: Seq[Expression]) => AvgHash64(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries", classOf[graft.functions.sketches.MisraGriesAgg]),
       (args: Seq[Expression]) => {

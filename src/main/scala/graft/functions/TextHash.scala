@@ -216,4 +216,39 @@ object TextHash {
     }
     z
   }
+
+  /** 64-bit average-hash (aHash) of a byte payload: partition the bytes
+    * into 64 contiguous blocks (byte i lands in block `i*64 div len`, so
+    * block sizes differ by at most one), and set bit j iff block j's
+    * byte mean exceeds the global byte mean — compared cross-multiplied
+    * in integers (`sum_j * len > total * count_j`), so no division and
+    * no float. The perceptual-dedup primitive for opaque media columns:
+    * near-identical payloads differ in few bits, and Hamming distance
+    * over the hash is a banded-joinable similarity. Empty input hashes
+    * to 0. Overflow-safe for payloads under ~2^27 bytes (sum_j*len ≤
+    * 255·len² < 2^63).
+    */
+  def avgHash64(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    if (len == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val j = ((i.toLong * 64) / len).toInt
+      val v = (bytes(i) & 0xff).toLong
+      sums(j) += v
+      cnts(j) += 1
+      total += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * len > total * cnts(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
 }

@@ -153,6 +153,25 @@ object expressions {
         newLeft: Expression, newRight: Expression): Morton2 =
       copy(left = newLeft, right = newRight)
   }
+
+  /** 64-bit average-hash (aHash) of a BINARY payload — the perceptual
+    * fingerprint for opaque media columns ([[TextHash.avgHash64]]):
+    * bit j set iff block j's byte mean exceeds the payload's global
+    * mean. Near-identical payloads land at small Hamming distance, so
+    * the hash feeds a banded Hamming near-dup join.
+    */
+  case class AvgHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "avg_hash64"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.avgHash64(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.avgHash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): AvgHash64 =
+      copy(child = newChild)
+  }
 }
 
 /** Column-API surface for the custom expressions (usable without any
@@ -177,4 +196,5 @@ object F {
   def array_dot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def morton2(x: Column, y: Column, bits: Int = 16): Column =
     c(Morton2(e(x), e(y), bits))
+  def avg_hash64(payload: Column): Column = c(AvgHash64(e(payload)))
 }

@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{F, Portable}
+import graft.gen.MockData
+import graft.sources.Tables
+
+/** Round-9 curation additions: the remaining stages a production
+  * training-data pipeline runs that the e1–e85 surface did not yet
+  * cover, each with a DuckDB oracle twin.
+  *
+  *  - e86 line-level exact dedup with document reassembly (the C4 /
+  *    RefinedWeb "dedup at the line level, keep first occurrence, write
+  *    the doc back" transform — distinct from e30, which only AUDITS
+  *    repeated spans).
+  *  - e87 perceptual-hash near-dup over opaque media payloads (aHash +
+  *    banded Hamming join — the image-dedup shape of LAION-scale
+  *    pipelines, on the engine's binary media columns).
+  *  - e88 hybrid retrieval fusion: lexical-overlap ranking + dense
+  *    cosine ranking merged by Reciprocal Rank Fusion (the two-tower
+  *    serving pattern of every RAG stack).
+  *  - e89 priority sampling (Duffield–Lund–Thorup): weighted k-sample
+  *    without replacement with the threshold estimator, all-integer.
+  *  - e90 hashed linear classifier inference (the fasttext-style
+  *    quality-filter pass) as a zero-shuffle projection.
+  *
+  * Scale design (100 TB), per query:
+  *  - e86 runs one word-explode aggregation keyed (doc, line), one
+  *    window keyed by line text (the dedup exchange — high-cardinality
+  *    key, no data-bearing single partition), one per-doc rollup. At
+  *    production scale the window key would be a 128-bit digest of the
+  *    line rather than the line itself (fixed-width shuffle payload);
+  *    the text key here keeps the oracle compare byte-exact.
+  *  - e87 hashes each payload to 64 bits ONCE (codegen'd
+  *    [[graft.functions.expressions.AvgHash64]]), then only band-equal
+  *    pairs meet in the join — 8 bands of 8 bits, so the candidate set
+  *    is |pairs|·8/256 in expectation on unrelated payloads, never
+  *    all-pairs. The final top-20 is a map-side TakeOrdered.
+  *  - e88 broadcasts the query side (a driver-bounded slice), ranks
+  *    with per-query windows (partial-mode WindowGroupLimit applies),
+  *    and fuses two ≤ 20-row-per-query lists — post-rank data is
+  *    O(|queries|), not corpus-sized.
+  *  - e89 is two map-side TakeOrdered passes (k and k+1) plus one
+  *    1-row broadcast — no full sort, no window over the corpus.
+  *  - e90 is a pure projection (aggregate() over the word-hash array):
+  *    ZERO shuffles; the classifier weights are a hash formula, so no
+  *    weight table is even broadcast.
+  */
+object CurationQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    e86LineDedup, e87MediaPhash, e88HybridRrf, e89PrioritySample,
+    e90HashedClassifier)
+
+  // ---- e86: line-level exact dedup with doc reassembly ---------------------
+
+  /** C4-style line dedup: segment each document into 8-word "lines",
+    * keep only the corpus-wide FIRST occurrence of each distinct line
+    * (order: doc_id, then position), and report per document the line
+    * counts, the retained character fraction (basis points), and the
+    * md5 of the reassembled deduplicated text — the transform a C4 /
+    * RefinedWeb-style curation stage applies before training.
+    */
+  private def e86LineDedup = {
+    val W = 8
+    QueryDef.sql(
+      "e86_line_dedup",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordsDuck} AS ws
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos,
+         |    unnest(ws) AS word FROM w WHERE len(ws) > 0),
+         |l AS (SELECT doc_id, pos // $W AS line_idx,
+         |    string_agg(word, ' ' ORDER BY pos) AS line
+         |  FROM ex GROUP BY doc_id, pos // $W),
+         |k AS (SELECT doc_id, line_idx, line, len(line) AS lc,
+         |    CASE WHEN row_number() OVER (PARTITION BY line
+         |      ORDER BY doc_id, line_idx) = 1 THEN 1 ELSE 0 END AS kept
+         |  FROM l)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept = 1 THEN lc ELSE 0 END) * 10000
+         |    // sum(lc) AS BIGINT) AS retained_bp,
+         |  md5(coalesce(string_agg(line, ' ' ORDER BY line_idx)
+         |    FILTER (WHERE kept = 1), '')) AS dedup_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(Portable.wordsSpark)).as(Seq("pos", "word")))
+      // line assembly: bounded groups (≤ W words), order restored by
+      // array_sort over (pos, word) structs — collect_list alone is
+      // arrival-ordered and nondeterministic under shuffle
+      val lines = ex
+        .groupBy(col("doc_id"), expr(s"pos div $W").as("line_idx"))
+        .agg(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, word)))," +
+            " x -> x.word)")).as("line"))
+      val firstWin = Window.partitionBy(col("line"))
+        .orderBy(col("doc_id"), col("line_idx"))
+      lines
+        .withColumn("kept", (row_number().over(firstWin) === 1).cast("int"))
+        .withColumn("lc", length(col("line")).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          expr("sum(case when kept = 1 then lc else 0 end) * 10000" +
+            " div sum(lc)").cast("long").as("retained_bp"),
+          md5(concat_ws(" ",
+            expr("transform(array_sort(collect_list(" +
+              "case when kept = 1 then struct(line_idx, line) end))," +
+              " x -> x.line)"))).as("dedup_md5"))
+    }
+  }
+
+  // ---- e87: perceptual-hash media near-dup ---------------------------------
+
+  /** Perceptual near-dup over opaque media payloads: 64-bit average-hash
+    * per payload (bit j = block-j byte mean above global mean — the
+    * classic aHash, computed by the codegen'd expression), candidate
+    * pairs via 8×8-bit banded self-join (a Hamming-space LSH: any
+    * shared band makes a pair a candidate), then the 20 closest
+    * candidate pairs by exact Hamming distance. On a real image corpus
+    * the payload would be decoded-luma blocks; here payload bytes stand
+    * in for pixels (the engine-side plumbing — binary column, hash
+    * expression, banded join — is the real thing).
+    */
+  private def e87MediaPhash = {
+    val minLong = "CAST(-9223372036854775807 - 1 AS BIGINT)"
+    QueryDef.sql(
+      "e87_media_phash",
+      s"""WITH chs AS (SELECT doc_id,
+         |    list_transform(string_split(text, ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS cs,
+         |    len(text) AS L FROM documents WHERE len(text) > 0),
+         |ph AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 64), j -> CASE
+         |      WHEN coalesce(list_sum(
+         |          cs[((j*L+63)//64)+1 : ((j+1)*L+63)//64]), 0) * L
+         |        > list_sum(cs) * (((j+1)*L+63)//64 - ((j*L+63)//64))
+         |      THEN CASE WHEN j = 63 THEN $minLong
+         |           ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+         |      -- list_sum widens to HUGEINT; xor/bit_count must run on
+         |      -- 64-bit two's complement, so force the hash back to BIGINT
+         |      ELSE 0 END)) AS BIGINT) AS h
+         |  FROM chs),
+         |bd AS (SELECT doc_id, h, unnest(range(0, 8)) AS k FROM ph),
+         |b2 AS (SELECT doc_id, h, k,
+         |    (h >> CAST(8*k AS INT)) & 255 AS bv FROM bd),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.h AS ha, b.h AS hb
+         |  FROM b2 a JOIN b2 b
+         |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val d = Tables.documents(s, dir)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            F.avg_hash64(col("text").cast("binary")).as("h"))
+        val bands = d.select(col("doc_id"), col("h"),
+          posexplode(array((0 until 8).map(k =>
+            shiftright(col("h"), 8 * k).bitwiseAND(lit(255L))): _*))
+            .as(Seq("k", "bv")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.h").as("ha"), col("b.h").as("hb"))
+          .distinct()
+        cand.select(col("doc_a"), col("doc_b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+              .as("hamming"))
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+          .limit(20)
+    }
+  }
+
+  // ---- e88: hybrid retrieval with Reciprocal Rank Fusion -------------------
+
+  /** Hybrid retrieval: per query document, a LEXICAL ranking (distinct
+    * shared terms with each candidate, the inverted-index side) and a
+    * DENSE ranking (embedding cosine, the vector side) are fused with
+    * Reciprocal Rank Fusion — score = Σ systems 1e6 div (60 + rank),
+    * integer basis so both engines agree exactly. The corpus is the
+    * id-aligned document∩embedding universe (at some scales the
+    * embedding table covers a prefix of the documents); each system
+    * contributes its top-20, the fused top-10 per query is emitted.
+    */
+  private def e88HybridRrf = {
+    def dotDuck(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65),
+         |      i -> CAST($a.embedding[i] AS DOUBLE)
+         |         * CAST($b.embedding[i] AS DOUBLE))),
+         |    (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e88_hybrid_rrf",
+      s"""WITH u AS (SELECT d.doc_id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |q AS (SELECT * FROM u WHERE doc_id % 50 = 0),
+         |dsc AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |    round(${dotDuck("q", "c")} /
+         |      (sqrt(${dotDuck("q", "q")}) * sqrt(${dotDuck("c", "c")})),
+         |      4) + 0 AS cosine
+         |  FROM q JOIN u c ON c.doc_id <> q.doc_id),
+         |dr AS (SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM dsc QUALIFY rnk <= 20),
+         |t AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(${Portable.wordsDuck}) AS term
+         |    FROM u) z),
+         |ov AS (SELECT qt.doc_id AS query_id, ct.doc_id AS cand_id,
+         |    count(*) AS overlap
+         |  FROM t qt JOIN t ct
+         |    ON qt.term = ct.term AND ct.doc_id <> qt.doc_id
+         |  WHERE qt.doc_id % 50 = 0 GROUP BY 1, 2),
+         |sr AS (SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY overlap DESC, cand_id) AS rnk
+         |  FROM ov QUALIFY rnk <= 20),
+         |un AS (SELECT query_id, cand_id, rnk AS dn, NULL AS sn FROM dr
+         |  UNION ALL
+         |  SELECT query_id, cand_id, NULL, rnk FROM sr),
+         |f AS (SELECT query_id, cand_id,
+         |    CAST(coalesce(max(dn), 0) AS BIGINT) AS d_rank,
+         |    CAST(coalesce(max(sn), 0) AS BIGINT) AS s_rank,
+         |    CAST(coalesce(max(1000000 // (60 + dn)), 0)
+         |       + coalesce(max(1000000 // (60 + sn)), 0) AS BIGINT)
+         |      AS rrf_score
+         |  FROM un GROUP BY 1, 2)
+         |SELECT query_id, cand_id, d_rank, s_rank, rrf_score FROM f
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, cand_id) <= 10
+         |ORDER BY query_id, rrf_score DESC, cand_id""".stripMargin) {
+      (s, dir) =>
+        val u = Tables.documents(s, dir).join(
+          Tables.embeddings(s, dir),
+          col("vec_id") === col("doc_id"))
+        val byQuery = Window.partitionBy(col("query_id"))
+        // dense: query side is driver-bounded (id % 50) → broadcast
+        val q = u.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qe"))
+        val c = u.select(col("doc_id").as("cand_id"),
+          col("embedding").cast("array<double>").as("ce"))
+        val cosine = round(F.array_dot(col("qe"), col("ce")) /
+          (sqrt(F.array_dot(col("qe"), col("qe"))) *
+            sqrt(F.array_dot(col("ce"), col("ce")))), 4) + lit(0)
+        val dr = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+          .withColumn("rnk", row_number().over(
+            byQuery.orderBy(col("cosine").desc, col("cand_id"))))
+          .filter(col("rnk") <= 20)
+        // sparse: distinct-term overlap through a broadcast postings join
+        val terms = u.select(col("doc_id"),
+          explode(array_distinct(expr(Portable.wordsSpark))).as("term"))
+        val qt = terms.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("query_id"), col("term"))
+        val sr = terms.select(col("doc_id").as("cand_id"), col("term"))
+          .join(broadcast(qt), "term")
+          .filter(col("cand_id") =!= col("query_id"))
+          .groupBy("query_id", "cand_id").agg(count(lit(1)).as("overlap"))
+          .withColumn("rnk", row_number().over(
+            byQuery.orderBy(col("overlap").desc, col("cand_id"))))
+          .filter(col("rnk") <= 20)
+        val un = dr.select(col("query_id"), col("cand_id"),
+            col("rnk").as("dn"), lit(null).cast("int").as("sn"))
+          .unionByName(sr.select(col("query_id"), col("cand_id"),
+            lit(null).cast("int").as("dn"), col("rnk").as("sn")))
+        un.groupBy("query_id", "cand_id")
+          .agg(coalesce(max(col("dn")), lit(0)).cast("long").as("d_rank"),
+            coalesce(max(col("sn")), lit(0)).cast("long").as("s_rank"),
+            (coalesce(max(expr("1000000 div (60 + dn)")), lit(0L)) +
+              coalesce(max(expr("1000000 div (60 + sn)")), lit(0L)))
+              .cast("long").as("rrf_score"))
+          .withColumn("rnk", row_number().over(
+            byQuery.orderBy(col("rrf_score").desc, col("cand_id"))))
+          .filter(col("rnk") <= 10).drop("rnk")
+          .orderBy(col("query_id"), col("rrf_score").desc, col("cand_id"))
+    }
+  }
+
+  // ---- e89: priority sampling (weighted k w/o replacement) -----------------
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM'07): a weighted
+    * k-sample without replacement with an unbiased subset-sum
+    * estimator. Priority q_i = w_i / u_i with u_i a seeded uniform;
+    * take the top k priorities, and estimate each kept item's weight as
+    * max(w_i, τ) with τ the (k+1)-th priority. All arithmetic is
+    * integer: u_i = (draw+1)/P as a rational, so
+    * q_i = w_i·P·1000 div (draw+1) in milli-units, and the estimator
+    * column is exact in both engines. Weights are n_chars — i.e. sample
+    * documents proportional to length, the token-budget-aware sampling
+    * a data-mixture stage runs.
+    */
+  private def e89PrioritySample = {
+    val k = 50
+    val seed = 7L
+    val drawDuck = MockData.hashLongDuck(seed, "prio", "doc_id")
+    QueryDef.sql(
+      "e89_priority_sample",
+      s"""WITH d AS (SELECT doc_id, n_chars, $drawDuck AS draw
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_chars,
+         |    (n_chars * ${Portable.P} * 1000) // (draw + 1) AS priority
+         |  FROM d),
+         |t AS (SELECT CASE WHEN count(*) >= ${k + 1} THEN min(priority)
+         |      ELSE 0 END AS tau
+         |  FROM (SELECT priority FROM p
+         |    ORDER BY priority DESC, doc_id LIMIT ${k + 1}) z)
+         |SELECT doc_id, n_chars AS weight, priority,
+         |  greatest(n_chars * 1000, tau) AS w_est_milli
+         |FROM p CROSS JOIN t
+         |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin) { (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          MockData.hashLong(seed, "prio", col("doc_id")).as("draw"))
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"n_chars * ${Portable.P}L * 1000 div (draw + 1)")
+            .as("priority"))
+      // τ = the (k+1)-th priority (0 when the corpus has ≤ k rows):
+      // a map-side TakeOrdered of k+1 rows, reduced to one broadcast row
+      val tau = p.orderBy(col("priority").desc, col("doc_id"))
+        .limit(k + 1)
+        .agg(when(count(lit(1)) >= k + 1, min(col("priority")))
+          .otherwise(0L).as("tau"))
+      p.orderBy(col("priority").desc, col("doc_id")).limit(k)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("n_chars").as("weight"), col("priority"),
+          greatest(col("n_chars") * 1000, col("tau")).as("w_est_milli"))
+        .orderBy(col("priority").desc, col("doc_id"))
+    }
+  }
+
+  // ---- e90: hashed linear classifier inference -----------------------------
+
+  /** Hashed-feature linear classifier inference — the fasttext-shaped
+    * quality-filter pass: every token hashes into one of 4096 buckets,
+    * each bucket carries a deterministic weight in [0, 2000] (neutral
+    * 1000; a trained model would broadcast its weight array — here the
+    * weights are a hash formula so the oracle can replay them), and a
+    * document's score is the sum over token OCCURRENCES. Emits the raw
+    * sum, the per-token mean (milli-units), and the keep decision
+    * (mean above neutral). The entire pass is one projection over the
+    * corpus — aggregate() over the word-hash array — with ZERO
+    * shuffles: the 100 TB form is embarrassingly parallel.
+    */
+  private def e90HashedClassifier = QueryDef.sql(
+    "e90_hashed_classifier",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sc AS (SELECT doc_id, len(wh) AS n_terms,
+       |    list_sum(list_transform(wh,
+       |      h -> ((h % 4096) * 2654435761) % 2147483647 % 2001))
+       |      AS raw_score
+       |  FROM w WHERE len(wh) > 0)
+       |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(raw_score AS BIGINT) AS raw_score,
+       |  CAST(raw_score * 1000 // n_terms AS BIGINT) AS mean_milli,
+       |  CAST(CASE WHEN raw_score > 1000 * n_terms THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), F.word_hashes(col("text")).as("wh"))
+      .filter(size(col("wh")) > 0)
+      .select(col("doc_id"), size(col("wh")).cast("long").as("n_terms"),
+        expr("aggregate(wh, 0L, (acc, h) -> acc +" +
+          " ((h % 4096) * 2654435761L) % 2147483647L % 2001L)")
+          .as("raw_score"))
+      .select(col("doc_id"), col("n_terms"), col("raw_score"),
+        expr("raw_score * 1000 div n_terms").as("mean_milli"),
+        (col("raw_score") > col("n_terms") * 1000).cast("long").as("kept"))
+  }
+}

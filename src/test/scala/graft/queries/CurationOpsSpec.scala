@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.functions.{F, TextHash}
+
+/** Engine-level pins for the round-9 curation operators (the oracle
+  * compare checks values; these pin the SEMANTIC invariants that a
+  * value hash alone would not explain).
+  */
+class CurationOpsSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("avg_hash64 matches a direct reference implementation") {
+    // independent re-implementation of aHash (float means, no
+    // cross-multiplication) — agreement pins the integer formulation
+    def ref(bytes: Array[Byte]): Long = {
+      val len = bytes.length
+      if (len == 0) return 0L
+      val blocks = Array.fill(64)(Vector.empty[Int])
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        val j = ((i.toLong * 64) / len).toInt
+        blocks(j) = blocks(j) :+ (b & 0xff)
+      }
+      val mean = bytes.map(b => (b & 0xff).toLong).sum.toDouble / len
+      blocks.zipWithIndex.foldLeft(0L) { case (h, (blk, j)) =>
+        if (blk.nonEmpty && blk.sum.toDouble / blk.size > mean)
+          h | (1L << j)
+        else h
+      }
+    }
+    val samples = Seq("", "a", "abc def", "z" * 63, "spark " * 40,
+      new String((0 until 200).map(i => ('a' + i % 26).toChar).toArray))
+    samples.foreach { s =>
+      val bytes = s.getBytes("UTF-8")
+      assert(TextHash.avgHash64(bytes) === ref(bytes), s"text: '$s'")
+    }
+    // and the Catalyst expression agrees with the static method
+    import spark.implicits._
+    val got = samples.toDF("text")
+      .select(F.avg_hash64(col("text").cast("binary")))
+      .as[Long].collect().toSeq
+    assert(got === samples.map(s => TextHash.avgHash64(s.getBytes("UTF-8"))))
+  }
+
+  test("e86 line dedup: kept lines are distinct and first-occurrence wins") {
+    val out = CurationQueries.all.find(_.name == "e86_line_dedup").get
+      .run(spark, dir).cache()
+    val rows = out.collect()
+    // every doc appears once; counts are sane
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val (nLines, nKept, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept <= nLines && nKept >= 0)
+      assert(bp >= 0 && bp <= 10000)
+    }
+    // total kept lines == number of DISTINCT lines in the corpus
+    // (exactly one occurrence of each distinct line survives)
+    val totalKept = rows.map(_.getLong(2)).sum
+    val lines = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(expr(graft.functions.Portable.wordsSpark))
+          .as(Seq("pos", "word")))
+      .groupBy(col("doc_id"), expr("pos div 8").as("li"))
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, word)))," +
+          " x -> x.word)")).as("line"))
+      .select("line").distinct().count()
+    assert(totalKept === lines, s"kept $totalKept != distinct lines $lines")
+    out.unpersist()
+  }
+
+  test("e89 priority sample: size, threshold estimator lower bound") {
+    val out = CurationQueries.all.find(_.name == "e89_priority_sample").get
+      .run(spark, dir).collect()
+    assert(out.length === 50)
+    // DLT invariant: every kept item's estimate is >= its true weight,
+    // and equals max(weight*1000, tau) for a single corpus-wide tau
+    val taus = out.map(r => r.getLong(3) max r.getLong(1) * 1000).distinct
+    out.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(1) * 1000)
+    }
+    assert(taus.nonEmpty)
+  }
+
+  test("e90 hashed classifier is a pure projection (no shuffle)") {
+    val df = CurationQueries.all.find(_.name == "e90_hashed_classifier").get
+      .run(spark, dir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "e90 must not shuffle")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, raw, mean, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= 0 && raw <= 2000L * n)
+      assert(mean === raw * 1000 / n)
+      assert(kept === (if (raw > 1000 * n) 1L else 0L))
+    }
+  }
+}

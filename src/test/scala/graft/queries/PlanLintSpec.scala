@@ -48,8 +48,10 @@ class PlanLintSpec extends SparkSpecBase {
       "e74_epoch_schedule", // one-row normalizer frame, the e51 pattern
       "e76_curriculum_bins", // 1-row totals + 1-row cuts onto the
                              // 10001-bounded score frequency table
-      "e81_mrl_truncation") // e5's 2%-of-corpus query-set broadcast,
+      "e81_mrl_truncation", // e5's 2%-of-corpus query-set broadcast,
                             // same bound (one pairing pass, 4 prefixes)
+      "e88_hybrid_rrf", // e5's guarded query-set broadcast (dense leg)
+      "e89_priority_sample") // one-row threshold (τ) frame, the e22 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
