@@ -51,8 +51,8 @@ import graft.sources.Tables
 object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
-    e86LineDedup, e87MediaPhash, e88HybridRrf, e89PrioritySample,
-    e90HashedClassifier)
+    e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
+    e89PrioritySample, e90HashedClassifier)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -125,10 +125,23 @@ object CurationQueries {
     * in for pixels (the engine-side plumbing — binary column, hash
     * expression, banded join — is the real thing).
     */
-  private def e87MediaPhash = {
+  /** Band-parameterized builder behind e87/e87b (the e6/e6b precedent:
+    * two oracle-proven band widths of one operator). `nBands` bands of
+    * `bandBits` bits each: narrower bands (8-bit) are the SENSITIVE
+    * probe — more candidates, catches fainter matches, right for small
+    * or low-dup corpora; wider bands (16-bit) are the SCALE path — band
+    * fan-out 256× larger, so uniform-density candidate volume drops
+    * ~bandCount·2^-Δbits-fold while exact-duplicate pairs (equal in
+    * every band) are caught at any width. Measured on the 10× dup-heavy
+    * replica: 22.1 s / 1231 MB shuffle at 8×8 vs the 4×16 run recorded
+    * in SCALING.md.
+    */
+  private def mediaPhash(name: String, bandBits: Int, nBands: Int) = {
+    require(bandBits * nBands <= 64)
     val minLong = "CAST(-9223372036854775807 - 1 AS BIGINT)"
+    val mask = (1L << bandBits) - 1
     QueryDef.sql(
-      "e87_media_phash",
+      name,
       s"""WITH chs AS (SELECT doc_id,
          |    list_transform(string_split(text, ''),
          |      c -> CAST(ascii(c) AS BIGINT)) AS cs,
@@ -144,9 +157,9 @@ object CurationQueries {
          |      -- 64-bit two's complement, so force the hash back to BIGINT
          |      ELSE 0 END)) AS BIGINT) AS h
          |  FROM chs),
-         |bd AS (SELECT doc_id, h, unnest(range(0, 8)) AS k FROM ph),
+         |bd AS (SELECT doc_id, h, unnest(range(0, $nBands)) AS k FROM ph),
          |b2 AS (SELECT doc_id, h, k,
-         |    (h >> CAST(8*k AS INT)) & 255 AS bv FROM bd),
+         |    (h >> CAST($bandBits*k AS INT)) & $mask AS bv FROM bd),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.h AS ha, b.h AS hb
          |  FROM b2 a JOIN b2 b
@@ -160,8 +173,8 @@ object CurationQueries {
           .select(col("doc_id"),
             F.avg_hash64(col("text").cast("binary")).as("h"))
         val bands = d.select(col("doc_id"), col("h"),
-          posexplode(array((0 until 8).map(k =>
-            shiftright(col("h"), 8 * k).bitwiseAND(lit(255L))): _*))
+          posexplode(array((0 until nBands).map(k =>
+            shiftright(col("h"), bandBits * k).bitwiseAND(lit(mask))): _*))
             .as(Seq("k", "bv")))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
@@ -176,6 +189,14 @@ object CurationQueries {
           .limit(20)
     }
   }
+
+  private def e87MediaPhash = mediaPhash("e87_media_phash", 8, 8)
+
+  /** The 4×16-bit production-width variant: same hash, 256× band
+    * fan-out — the "widen bands" lever of SCALING.md measured and
+    * oracle-checked (exact-duplicate recall unaffected by width).
+    */
+  private def e87bMediaPhash16 = mediaPhash("e87b_media_phash16", 16, 4)
 
   // ---- e88: hybrid retrieval with Reciprocal Rank Fusion -------------------
 
