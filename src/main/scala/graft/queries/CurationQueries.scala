@@ -47,12 +47,21 @@ import graft.sources.Tables
   *  - e90 is a pure projection (aggregate() over the word-hash array):
   *    ZERO shuffles; the classifier weights are a hash formula, so no
   *    weight table is even broadcast.
+  *  - e91 incremental IVF-index maintenance: the delta batch assigns
+  *    against the FROZEN base codebook (broadcast, delta-only scan) and
+  *    per-cell stats merge — the q40 incremental-agg discipline applied
+  *    to the vector index, with the growth report as the re-split
+  *    trigger a production index maintainer acts on.
+  *  - e92 shard-manifest diff: e73's manifest for base vs base+delta,
+  *    full-outer on shard_id — append-only growth leaves every shipped
+  *    shard byte-identical except the boundary (e77's argument as the
+  *    operational diff artifact a delivery system actually runs).
   */
 object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
-    e89PrioritySample, e90HashedClassifier)
+    e89PrioritySample, e90HashedClassifier, e91IvfUpsert, e92ManifestDiff)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -392,5 +401,170 @@ object CurationQueries {
       .select(col("doc_id"), col("n_terms"), col("raw_score"),
         expr("raw_score * 1000 div n_terms").as("mean_milli"),
         (col("raw_score") > col("n_terms") * 1000).cast("long").as("kept"))
+  }
+
+  // ---- e91: incremental IVF-index maintenance (upsert) ---------------------
+
+  /** IVF-index UPSERT: a delta batch (vec_id % 10 = 7 — the arriving
+    * vectors) assigns against the FROZEN codebook trained on the base
+    * corpus (e17's deterministic sample rule over base rows), and the
+    * index's per-cell stats merge old + new counts with a growth report
+    * — the maintenance pass a production vector index runs between full
+    * retrains, where the growth_bp column is the re-split/retrain
+    * trigger. Cells a delta never touches keep n_delta = 0; a cell with
+    * no base members reports growth −1 (fresh cell).
+    *
+    * Shape at 100 TB: the upsert scans ONLY the delta (codebook
+    * broadcast, argmax as one struct-max aggregation — no corpus
+    * rescan), and the stat merge is cell-keyed (K rows) — the q40
+    * incremental-aggregation discipline applied to the vector index.
+    */
+  private def e91IvfUpsert = {
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    def assignDuck(src: String, tag: String): String =
+      s"""s$tag AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM $src b CROSS JOIN cent c),
+         |m$tag AS (SELECT vec_id, max(cs) AS mc FROM s$tag GROUP BY vec_id),
+         |a$tag AS (SELECT s$tag.vec_id, min(cid) AS list_id
+         |  FROM s$tag JOIN m$tag USING (vec_id) WHERE cs = mc
+         |  GROUP BY s$tag.vec_id),
+         |n$tag AS (SELECT list_id, count(*) AS n FROM a$tag
+         |  GROUP BY list_id)""".stripMargin
+    QueryDef.sql(
+      "e91_ivf_upsert",
+      s"""WITH all0 AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |b0 AS (SELECT * FROM all0 WHERE vec_id % 10 <> 7),
+         |d0 AS (SELECT * FROM all0 WHERE vec_id % 10 = 7),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM b0 WHERE vec_id % 67 = 3),
+         |${assignDuck("b0", "b")},
+         |${assignDuck("d0", "d")}
+         |SELECT cid, CAST(coalesce(nb.n, 0) AS BIGINT) AS n_base,
+         |  CAST(coalesce(nd.n, 0) AS BIGINT) AS n_delta,
+         |  CAST(CASE WHEN coalesce(nb.n, 0) > 0
+         |    THEN coalesce(nd.n, 0) * 10000 // nb.n ELSE -1 END AS BIGINT)
+         |    AS growth_bp
+         |FROM cent LEFT JOIN nb ON cid = nb.list_id
+         |LEFT JOIN nd ON cid = nd.list_id
+         |ORDER BY cid""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("emb"))
+        .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
+        .filter(col("vec_id").isNotNull)
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val delta = emb.filter(col("vec_id") % 10 === 7)
+      val cent = base.filter(col("vec_id") % 67 === 3)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"))
+      // e17's argmax idiom: one struct-max aggregation, min-cid tiebreak
+      def cellCounts(frame: org.apache.spark.sql.DataFrame) = frame
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (F.array_dot(col("emb"), col("cemb")) /
+            (col("nrm") * col("cnrm"))).as("cs"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+        .select((-col("m.nc")).as("list_id"))
+        .groupBy("list_id").agg(count(lit(1)).as("n"))
+      val nb = cellCounts(base).withColumnRenamed("n", "nb")
+      val nd = cellCounts(delta).withColumnRenamed("n", "nd")
+      cent.select(col("cid"))
+        .join(nb, col("cid") === nb("list_id"), "left").drop("list_id")
+        .join(nd, col("cid") === nd("list_id"), "left").drop("list_id")
+        .select(col("cid"),
+          coalesce(col("nb"), lit(0L)).as("n_base"),
+          coalesce(col("nd"), lit(0L)).as("n_delta"),
+          when(coalesce(col("nb"), lit(0L)) > 0,
+            expr("coalesce(nd, 0L) * 10000 div nb"))
+            .otherwise(-1L).cast("long").as("growth_bp"))
+        .orderBy("cid")
+    }
+  }
+
+  // ---- e92: shard-manifest diff under append-only growth -------------------
+
+  /** Manifest DIFF: e73's shard manifest computed for the BASE corpus
+    * (first 80 % of doc_ids — the e77 split) and for the full corpus,
+    * full-outer-joined on shard_id with per-shard status. Append-only
+    * growth leaves every shipped shard's (docs, tokens, checksum)
+    * byte-identical except the boundary shard the delta starts filling
+    * — this is e77's stability argument emitted as the operational
+    * artifact: the delivery system re-ships exactly the `changed` +
+    * `new` rows. Order-insensitive checksums (sum of fingerprints mod
+    * P) make the compare content-based, not layout-based.
+    *
+    * Shape at 100 TB: two scale-safe prefix-sum runs
+    * ([[graft.operators.Indexing.withRunningTotal]] — per-partition
+    * offsets, no global window) + one shard-keyed (#shards-row) join.
+    */
+  private def e92ManifestDiff = {
+    val budget = 2000L
+    def manifestDuck(src: String, tag: String): String =
+      s"""c$tag AS (SELECT doc_id, n_tok, fp,
+         |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb
+         |  FROM $src),
+         |m$tag AS (SELECT CAST(cb // $budget AS BIGINT) AS shard_id,
+         |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(fp) % ${Portable.P} AS BIGINT) AS checksum
+         |  FROM c$tag GROUP BY 1)""".stripMargin
+    QueryDef.sql(
+      "e92_manifest_diff",
+      s"""WITH w AS (SELECT doc_id,
+         |    len(${Portable.wordsDuck}) AS n_tok,
+         |    ${Portable.textFingerprintDuck} AS fp
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n FROM w),
+         |b AS (SELECT w.* FROM w CROSS JOIN n WHERE doc_id * 5 < 4 * n),
+         |${manifestDuck("b", "b")},
+         |${manifestDuck("w", "f")}
+         |SELECT coalesce(mf.shard_id, mb.shard_id) AS shard_id,
+         |  CASE WHEN mb.shard_id IS NULL THEN 'new'
+         |       WHEN mb.n_docs = mf.n_docs AND mb.n_tokens = mf.n_tokens
+         |            AND mb.checksum = mf.checksum THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  CAST(coalesce(mb.n_docs, 0) AS BIGINT) AS base_docs,
+         |  CAST(coalesce(mf.n_docs, 0) AS BIGINT) AS full_docs,
+         |  CAST(coalesce(mb.checksum, -1) AS BIGINT) AS base_checksum,
+         |  CAST(coalesce(mf.checksum, -1) AS BIGINT) AS full_checksum
+         |FROM mb FULL OUTER JOIN mf ON mb.shard_id = mf.shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
+          F.poly_hash(col("text")).as("fp"))
+      // split threshold as a driver scalar (the e33/e77 discipline)
+      val n = toks.count()
+      def manifest(frame: org.apache.spark.sql.DataFrame, tag: String) =
+        graft.operators.Indexing
+          .withRunningTotal(frame, col("doc_id"), col("n_tok"), "cb")
+          .groupBy(expr(s"cb div ${budget}L").as(s"shard_$tag"))
+          .agg(count(lit(1)).as(s"docs_$tag"),
+            sum(col("n_tok")).as(s"toks_$tag"),
+            expr(s"sum(fp) % ${Portable.P}L").as(s"ck_$tag"))
+      val mb = manifest(toks.filter(col("doc_id") * 5 < 4 * n), "b")
+      val mf = manifest(toks, "f")
+      mb.join(mf, col("shard_b") === col("shard_f"), "full_outer")
+        .select(coalesce(col("shard_f"), col("shard_b")).as("shard_id"),
+          when(col("shard_b").isNull, "new")
+            .when(col("docs_b") === col("docs_f") &&
+              col("toks_b") === col("toks_f") &&
+              col("ck_b") === col("ck_f"), "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce(col("docs_b"), lit(0L)).as("base_docs"),
+          coalesce(col("docs_f"), lit(0L)).as("full_docs"),
+          coalesce(col("ck_b"), lit(-1L)).as("base_checksum"),
+          coalesce(col("ck_f"), lit(-1L)).as("full_checksum"))
+        .orderBy("shard_id")
+    }
   }
 }

@@ -85,6 +85,39 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(taus.nonEmpty)
   }
 
+  test("e91 ivf upsert: delta fully assigned, growth consistent") {
+    val rows = CurationQueries.all.find(_.name == "e91_ivf_upsert").get
+      .run(spark, dir).collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nDelta = emb.filter(col("vec_id") % 10 === 7).count()
+    val nBase = emb.filter(col("vec_id") % 10 =!= 7).count()
+    // every base and delta vector lands in exactly one cell
+    assert(rows.map(_.getLong(1)).sum === nBase)
+    assert(rows.map(_.getLong(2)).sum === nDelta)
+    rows.foreach { r =>
+      val (nb, nd, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (nb > 0) assert(bp === nd * 10000 / nb) else assert(bp === -1L)
+    }
+  }
+
+  test("e92 manifest diff: append flips only the boundary shard") {
+    val rows = CurationQueries.all.find(_.name == "e92_manifest_diff").get
+      .run(spark, dir).collect()
+    val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // append-only growth: every base shard except the boundary one is
+    // byte-identical; the boundary shard is the only 'changed' row and
+    // the delta appends 'new' shards after it
+    assert(byStatus.getOrElse("changed", 0) <= 1)
+    assert(byStatus.getOrElse("new", 0) >= 1)
+    assert(byStatus.getOrElse("unchanged", 0) >= 1)
+    // unchanged shards carry equal checksums, changed/new differ
+    rows.foreach { r =>
+      val (st, bck, fck) = (r.getString(1), r.getLong(4), r.getLong(5))
+      if (st == "unchanged") assert(bck === fck)
+      else assert(bck !== fck)
+    }
+  }
+
   test("e90 hashed classifier is a pure projection (no shuffle)") {
     val df = CurationQueries.all.find(_.name == "e90_hashed_classifier").get
       .run(spark, dir)

@@ -51,7 +51,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e81_mrl_truncation", // e5's 2%-of-corpus query-set broadcast,
                             // same bound (one pairing pass, 4 prefixes)
       "e88_hybrid_rrf", // e5's guarded query-set broadcast (dense leg)
-      "e89_priority_sample") // one-row threshold (τ) frame, the e22 pattern
+      "e89_priority_sample", // one-row threshold (τ) frame, the e22 pattern
+      "e91_ivf_upsert") // the e17 codebook broadcast, same bound
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
