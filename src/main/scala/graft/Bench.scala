@@ -76,7 +76,8 @@ object Bench {
     // Isolated re-time: fresh SparkContext per query (block manager,
     // shuffle/broadcast state, GC pressure all reset; JIT stays warm).
     val isolatedSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED",
-      "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train")
+      "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train," +
+        "e73_shard_manifest,e77_shard_stability")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val isolated = queries.collect {
       case (name, fn) if isolatedSet(name) && !errs.contains(name) =>

@@ -414,10 +414,14 @@ object CurationQueries {
     * trigger. Cells a delta never touches keep n_delta = 0; a cell with
     * no base members reports growth −1 (fresh cell).
     *
-    * Shape at 100 TB: the upsert scans ONLY the delta (codebook
-    * broadcast, argmax as one struct-max aggregation — no corpus
-    * rescan), and the stat merge is cell-keyed (K rows) — the q40
-    * incremental-aggregation discipline applied to the vector index.
+    * Shape at 100 TB: in production the base cell counts are PERSISTED
+    * index state (the q40 incremental-agg discipline), so the upsert
+    * scans ONLY the delta — codebook broadcast, argmax as one
+    * struct-max aggregation, cell-keyed merge of K rows. The registered
+    * twin recomputes both sides (the oracle needs the full report) but
+    * still in ONE corpus pass: the base/delta flag rides the argmax
+    * into a conditional count split, so there is a single scan, a
+    * single broadcast pairing, and two bounded aggregations.
     */
   private def e91IvfUpsert = {
     def dotCols(x: String, y: String): String =
@@ -459,26 +463,32 @@ object CurationQueries {
           .as("emb"))
         .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
         .filter(col("vec_id").isNotNull)
-      val base = emb.filter(col("vec_id") % 10 =!= 7)
-      val delta = emb.filter(col("vec_id") % 10 === 7)
-      val cent = base.filter(col("vec_id") % 67 === 3)
+      val cent = emb
+        .filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 67 === 3)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"),
           col("nrm").as("cnrm"))
+      // ONE corpus scan assigns base AND delta (is_delta rides the
+      // argmax through to a conditional count split) — the oracle keeps
+      // the two-branch formulation; results agree because the assign
+      // rule is identical on both sides of the flag.
       // e17's argmax idiom: one struct-max aggregation, min-cid tiebreak
-      def cellCounts(frame: org.apache.spark.sql.DataFrame) = frame
+      val counts = emb
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"),
+          (col("vec_id") % 10 === 7).as("is_delta"),
           (F.array_dot(col("emb"), col("cemb")) /
             (col("nrm") * col("cnrm"))).as("cs"))
         .groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-        .select((-col("m.nc")).as("list_id"))
-        .groupBy("list_id").agg(count(lit(1)).as("n"))
-      val nb = cellCounts(base).withColumnRenamed("n", "nb")
-      val nd = cellCounts(delta).withColumnRenamed("n", "nd")
+        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"),
+          // is_delta is functionally dependent on the grouping key
+          max(col("is_delta")).as("is_delta"))
+        .select((-col("m.nc")).as("list_id"), col("is_delta"))
+        .groupBy("list_id")
+        .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("nd"))
       cent.select(col("cid"))
-        .join(nb, col("cid") === nb("list_id"), "left").drop("list_id")
-        .join(nd, col("cid") === nd("list_id"), "left").drop("list_id")
+        .join(counts, col("cid") === counts("list_id"), "left")
+        .drop("list_id")
         .select(col("cid"),
           coalesce(col("nb"), lit(0L)).as("n_base"),
           coalesce(col("nd"), lit(0L)).as("n_delta"),
