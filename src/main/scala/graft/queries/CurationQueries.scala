@@ -61,7 +61,8 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
-    e89PrioritySample, e90HashedClassifier, e91IvfUpsert, e92ManifestDiff)
+    e89PrioritySample, e90HashedClassifier, e91IvfUpsert, e92ManifestDiff,
+    e93AnnInt8)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -496,6 +497,112 @@ object CurationQueries {
             expr("coalesce(nd, 0L) * 10000 div nb"))
             .otherwise(-1L).cast("long").as("growth_bp"))
         .orderBy("cid")
+    }
+  }
+
+  // ---- e93: int8-quantized ANN with recall audit ---------------------------
+
+  /** INT8 retrieval ablation — the serving-stack question after e26
+    * quantizes storage: search in the quantized domain (integer dot of
+    * per-vector symmetric int8 codes, corrected by the two stored
+    * scales) and report per query how many of the float-cosine top-10
+    * the int8 top-10 retains. Vectors are L2-NORMALIZED before
+    * quantization (the production int8-IP scheme: cosine becomes inner
+    * product, and the scale correction `qdot·scale_a·scale_b` is one
+    * multiply per candidate); the quantization rule is e26's
+    * (scale = max|u|/127, round-half-up).
+    *
+    * Shape at 100 TB: identical to e5's guarded pairing (query slice
+    * broadcast, per-query WindowGroupLimit top-k) — the point is the
+    * SCORE arithmetic: the candidate-side work is an integer
+    * multiply-add loop over int8 codes, the form SIMD executes 4–8×
+    * wider than float32, with recall_bp the evidence the speedup is
+    * affordable. Both rankings compute in the ONE pairing pass (the
+    * e81 discipline — no second corpus scan for the truth side).
+    */
+  private def e93AnnInt8 = {
+    val k = 10
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e93_ann_int8",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM b WHERE nrm > 0),
+         |sc AS (SELECT vec_id, uv,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(uv, x -> abs(x))), (a, x) -> greatest(a, x))
+         |      / 127 AS scale
+         |  FROM u),
+         |q8 AS (SELECT vec_id, uv, scale,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(floor(uv[i] / scale + 0.5) AS BIGINT)) AS qv
+         |  FROM sc WHERE scale > 0),
+         |pr AS (SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${dotCols("a.uv", "c.uv")}, 4) + 0 AS cosine,
+         |    round((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 65), i -> a.qv[i] * c.qv[i])),
+         |        (s, x) -> s + x) * a.scale) * c.scale, 4) + 0 AS qscore
+         |  FROM q8 a JOIN q8 c
+         |    ON a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id),
+         |ft AS (SELECT query_id, cand_id FROM pr
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) <= $k),
+         |qt AS (SELECT query_id, cand_id FROM pr
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qscore DESC, cand_id) <= $k)
+         |SELECT ft.query_id, count(qt.cand_id) AS n_hits,
+         |  CAST(count(qt.cand_id) * 10000 // $k AS BIGINT) AS recall_bp
+         |FROM ft LEFT JOIN qt USING (query_id, cand_id)
+         |GROUP BY ft.query_id ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+        .withColumn("scale",
+          array_max(transform(col("uv"), x => abs(x))) / 127)
+        .filter(col("scale") > 0)
+        .withColumn("qv",
+          transform(col("uv"), x => floor(x / col("scale") + 0.5)
+            .cast("long")))
+        .select(col("vec_id"), col("uv"), col("scale"), col("qv"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("uv").as("qu"),
+          col("scale").as("qs"), col("qv").as("qq"))
+      val pr = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          (round(F.array_dot(col("qu"), col("uv")), 4) + lit(0))
+            .as("cosine"),
+          (round(
+            aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+              lit(0L), (s0, x) => s0 + x).cast("double")
+              * col("qs") * col("scale"), 4) + lit(0)).as("qscore"))
+      val byQuery = Window.partitionBy(col("query_id"))
+      val ft = pr
+        .withColumn("r", row_number().over(
+          byQuery.orderBy(col("cosine").desc, col("cand_id"))))
+        .filter(col("r") <= k).select("query_id", "cand_id")
+      val qt = pr
+        .withColumn("r", row_number().over(
+          byQuery.orderBy(col("qscore").desc, col("cand_id"))))
+        .filter(col("r") <= k).select("query_id", "cand_id")
+      // left join, not semi: a query whose int8 top-k misses ALL truth
+      // rows must still report n_hits = 0 (the oracle's LEFT JOIN count)
+      ft.join(qt.withColumn("hit", lit(1)),
+          Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr(s"n_hits * 10000 div $k").as("recall_bp"))
+        .orderBy("query_id")
     }
   }
 
