@@ -62,7 +62,7 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
     e89PrioritySample, e90HashedClassifier, e91IvfUpsert, e92ManifestDiff,
-    e93AnnInt8)
+    e93AnnInt8, e94DataCard)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -604,6 +604,58 @@ object CurationQueries {
           expr(s"n_hits * 10000 div $k").as("recall_bp"))
         .orderBy("query_id")
     }
+  }
+
+  // ---- e94: per-source data card -------------------------------------------
+
+  /** DATA CARD — the per-source datasheet a shipped corpus carries
+    * (Gebru et al., "Datasheets for Datasets"): document and token
+    * volume, language spread, exact-duplicate rate (poly-hash digest
+    * multiplicity), and length extremes, one row per source. The
+    * integer columns make the card reproducible by any engine.
+    *
+    * Shape at 100 TB: one corpus scan into a (source, digest) partial
+    * aggregate (digest is fixed-width — the e1 discipline: text never
+    * shuffles), then a #sources-row rollup. Every statistic is
+    * algebraic (sum/count/min/max), so the whole card is two map-side
+    * combined aggregations — no window, no join, no second scan.
+    */
+  private def e94DataCard = QueryDef.sql(
+    "e94_data_card",
+    s"""WITH d AS (SELECT source, lang, n_chars,
+       |    len(${Portable.wordsDuck}) AS n_tok,
+       |    ${Portable.textFingerprintDuck} AS fp
+       |  FROM documents),
+       |g AS (SELECT source, lang, fp, count(*) AS n, sum(n_tok) AS toks,
+       |    sum(n_chars) AS chars, min(n_chars) AS mn, max(n_chars) AS mx
+       |  FROM d GROUP BY source, lang, fp)
+       |SELECT source,
+       |  CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(toks) * 1000 // sum(n) AS BIGINT) AS toks_per_doc_milli,
+       |  CAST((sum(n) - count(DISTINCT fp)) * 10000 // sum(n) AS BIGINT)
+       |    AS dup_bp,
+       |  CAST(min(mn) AS BIGINT) AS min_chars,
+       |  CAST(max(mx) AS BIGINT) AS max_chars
+       |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
+        F.poly_hash(col("text")).as("fp"))
+      .groupBy("source", "lang", "fp")
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"),
+        sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      .groupBy("source")
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        expr("sum(toks) * 1000 div sum(n)").as("toks_per_doc_milli"),
+        expr("(sum(n) - count(DISTINCT fp)) * 10000 div sum(n)")
+          .as("dup_bp"),
+        min(col("mn")).as("min_chars"), max(col("mx")).as("max_chars"))
+      .orderBy("source")
   }
 
   // ---- e92: shard-manifest diff under append-only growth -------------------
