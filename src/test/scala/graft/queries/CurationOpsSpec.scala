@@ -43,6 +43,10 @@ class CurationOpsSpec extends SparkSpecBase {
       .select(F.avg_hash64(col("text").cast("binary")))
       .as[Long].collect().toSeq
     assert(got === samples.map(s => TextHash.avgHash64(s.getBytes("UTF-8"))))
+    // SQL registration (GraftExtensions) resolves and agrees
+    val viaSql = spark.sql(
+      "SELECT avg_hash64(CAST('abc def' AS BINARY))").as[Long].head()
+    assert(viaSql === TextHash.avgHash64("abc def".getBytes("UTF-8")))
   }
 
   test("e86 line dedup: kept lines are distinct and first-occurrence wins") {
