@@ -62,7 +62,7 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
     e89PrioritySample, e90HashedClassifier, e91IvfUpsert, e92ManifestDiff,
-    e93AnnInt8, e94DataCard)
+    e93AnnInt8, e94DataCard, e95StratifiedPriority)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -361,6 +361,68 @@ object CurationQueries {
         .select(col("doc_id"), col("n_chars").as("weight"), col("priority"),
           greatest(col("n_chars") * 1000, col("tau")).as("w_est_milli"))
         .orderBy(col("priority").desc, col("doc_id"))
+    }
+  }
+
+  // ---- e95: stratified priority sampling -----------------------------------
+
+  /** STRATIFIED priority sampling — e89's group-wise form (the lever
+    * its SCALING row names): an independent Duffield–Lund–Thorup
+    * k-sample per language stratum, with each stratum's own threshold
+    * τ_g = its (k+1)-th priority. This is the per-language sampling
+    * budget a balanced eval/calibration set is drawn with: proportional
+    * to length WITHIN a language, fixed count ACROSS languages, and
+    * every kept row carries the unbiased max(w, τ_g) estimate.
+    *
+    * Shape at 100 TB: the per-group top-(k+1) runs as a partial-mode
+    * WindowGroupLimit (map-side group heads before one exchange — no
+    * corpus sort, no per-group TakeOrdered loop), and τ_g falls out of
+    * the SAME window (the rank-(k+1) row) rather than a second pass:
+    * one window, one #langs·(k+1)-row frame, done.
+    */
+  private def e95StratifiedPriority = {
+    val k = 10
+    val seed = 7L
+    val drawDuck = MockData.hashLongDuck(seed, "prio", "doc_id")
+    QueryDef.sql(
+      "e95_stratified_priority",
+      s"""WITH p AS (SELECT doc_id, lang, n_chars,
+         |    (n_chars * ${Portable.P} * 1000) // ($drawDuck + 1)
+         |      AS priority
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, n_chars, priority,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY priority DESC, doc_id) AS rk
+         |  FROM p QUALIFY rk <= ${k + 1}),
+         |t AS (SELECT lang, max(CASE WHEN rk = ${k + 1} THEN priority
+         |    ELSE 0 END) AS tau
+         |  FROM r GROUP BY lang)
+         |SELECT doc_id, r.lang, n_chars AS weight, priority,
+         |  greatest(n_chars * 1000, tau) AS w_est_milli
+         |FROM r JOIN t ON r.lang = t.lang WHERE rk <= $k
+         |ORDER BY r.lang, priority DESC, doc_id""".stripMargin) { (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          MockData.hashLong(seed, "prio", col("doc_id")).as("draw"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(s"n_chars * ${Portable.P}L * 1000 div (draw + 1)")
+            .as("priority"))
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(col("priority").desc, col("doc_id"))
+      // ONE window: ranks ≤ k are the sample, rank k+1 is the stratum's
+      // threshold — recovered with a bounded per-lang aggregate over the
+      // (k+1)-row heads instead of a second corpus pass
+      val heads = p.withColumn("rk", row_number().over(byLang))
+        .filter(col("rk") <= k + 1)
+      val tau = heads.groupBy("lang")
+        .agg(max(when(col("rk") === k + 1, col("priority")).otherwise(0L))
+          .as("tau"))
+      heads.filter(col("rk") <= k)
+        .join(broadcast(tau), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+          col("priority"),
+          greatest(col("n_chars") * 1000, col("tau")).as("w_est_milli"))
+        .orderBy(col("lang"), col("priority").desc, col("doc_id"))
     }
   }
 
