@@ -100,6 +100,37 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamPrioritySample holds k+1 state and matches batch on RocksDB") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val k = 2
+    val docs = (0L until 12L).map(i =>
+      StreamPrioritySample.Doc("src", i, 100 + i))
+    val ms = MemoryStream[StreamPrioritySample.Doc]
+    val q = StreamPrioritySample.sample(ms.toDS(), k)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_prio").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(docs.take(7): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(7): _*)
+      q.processAllAvailable()
+      val scored = docs.map(d => (d.doc_id, d.weight,
+          StreamPrioritySample.priority(7L, d.doc_id, d.weight)))
+        .sortBy(t => (-t._3, t._1))
+      val rows = s.table("rocks_prio")
+        .as[StreamPrioritySample.Sample].collect()
+      val last = rows.last
+      assert(last.ids === scored.take(k).map(_._1))
+      assert(last.tauMilli === scored(k)._3)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("CardinalityState KMV estimates converge identically on RocksDB " +
     "state") {
     val s = rocksSession()
