@@ -61,8 +61,9 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
-    e89PrioritySample, e90HashedClassifier, e91IvfUpsert, e92ManifestDiff,
-    e93AnnInt8, e94DataCard, e95StratifiedPriority)
+    e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
+    e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
+    e95StratifiedPriority)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -311,6 +312,150 @@ object CurationQueries {
           .orderBy(col("query_id"), col("rrf_score").desc, col("cand_id"))
     }
   }
+
+  // ---- e88b: hybrid retrieval through INDEX structures ---------------------
+
+  /** e88's production path (the lever its SCALING row names): the dense
+    * leg probes an IVF cell instead of scanning the corpus (e17's
+    * deterministic-codebook assignment — each query ranks only its own
+    * inverted list), and the lexical leg runs through df-pruned SHINGLE
+    * postings (3-word-gram overlap, df ≤ 100 — e2's candidate
+    * discipline: a stopword-ish gram never builds a corpus-sized
+    * posting list). Fusion is e88's integer RRF verbatim. Results are
+    * the INDEXED approximation of e88's exact fusion — registered with
+    * its own oracle because at 100 TB this, not the exact form, is the
+    * query you actually run: per-query work is one cell + the query's
+    * gram postings, independent of corpus size.
+    */
+  private def e88bHybridIndexed = {
+    val dfCap = 100
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e88b_hybrid_indexed",
+      s"""WITH u AS (SELECT d.doc_id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |b AS (SELECT doc_id, text, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm FROM u),
+         |cent AS (SELECT doc_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM b WHERE doc_id % 67 = 3),
+         |sc AS (SELECT b.doc_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM b CROSS JOIN cent c),
+         |best AS (SELECT doc_id, max(cs) AS mc FROM sc GROUP BY doc_id),
+         |asg AS (SELECT sc.doc_id, min(cid) AS list_id
+         |  FROM sc JOIN best USING (doc_id) WHERE cs = mc
+         |  GROUP BY sc.doc_id),
+         |v AS (SELECT b.doc_id, b.embedding, b.nrm, list_id
+         |  FROM b JOIN asg USING (doc_id)),
+         |dsc AS (SELECT a.doc_id AS query_id, c.doc_id AS cand_id,
+         |    round(${dotCols("a.embedding", "c.embedding")} /
+         |      (a.nrm * c.nrm), 4) + 0 AS cosine
+         |  FROM v a JOIN v c ON a.doc_id % 50 = 0
+         |    AND a.list_id = c.list_id AND c.doc_id <> a.doc_id),
+         |dr AS (SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM dsc QUALIFY rnk <= 20),
+         |w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh FROM u),
+         |t AS (SELECT doc_id, unnest($shinglesOf) AS term
+         |  FROM w WHERE len(wh) >= 3),
+         |dft AS (SELECT term FROM t GROUP BY term
+         |  HAVING count(*) <= $dfCap),
+         |tp AS (SELECT t.doc_id, t.term FROM t JOIN dft USING (term)),
+         |ov AS (SELECT qt.doc_id AS query_id, ct.doc_id AS cand_id,
+         |    count(*) AS overlap
+         |  FROM tp qt JOIN tp ct
+         |    ON qt.term = ct.term AND ct.doc_id <> qt.doc_id
+         |  WHERE qt.doc_id % 50 = 0 GROUP BY 1, 2),
+         |sr AS (SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY overlap DESC, cand_id) AS rnk
+         |  FROM ov QUALIFY rnk <= 20),
+         |un AS (SELECT query_id, cand_id, rnk AS dn, NULL AS sn FROM dr
+         |  UNION ALL
+         |  SELECT query_id, cand_id, NULL, rnk FROM sr),
+         |f AS (SELECT query_id, cand_id,
+         |    CAST(coalesce(max(dn), 0) AS BIGINT) AS d_rank,
+         |    CAST(coalesce(max(sn), 0) AS BIGINT) AS s_rank,
+         |    CAST(coalesce(max(1000000 // (60 + dn)), 0)
+         |       + coalesce(max(1000000 // (60 + sn)), 0) AS BIGINT)
+         |      AS rrf_score
+         |  FROM un GROUP BY 1, 2)
+         |SELECT query_id, cand_id, d_rank, s_rank, rrf_score FROM f
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, cand_id) <= 10
+         |ORDER BY query_id, rrf_score DESC, cand_id""".stripMargin) {
+      (s, dir) =>
+        val u = Tables.documents(s, dir).join(
+          Tables.embeddings(s, dir),
+          col("vec_id") === col("doc_id"))
+        val byQuery = Window.partitionBy(col("query_id"))
+        // dense leg: e17's codebook assignment, then in-cell ranking
+        val b = u.select(col("doc_id"), col("text"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
+          .filter(col("doc_id").isNotNull)
+        val cent = b.filter(col("doc_id") % 67 === 3)
+          .select(col("doc_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        val asg = b.crossJoin(broadcast(cent))
+          .select(col("doc_id"),
+            (F.array_dot(col("emb"), col("cemb")) /
+              (col("nrm") * col("cnrm"))).as("cs"), col("cid"))
+          .groupBy("doc_id")
+          .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("doc_id"), (-col("m.nc")).as("list_id"))
+        val v = b.join(asg, "doc_id").repartition(col("list_id"))
+        val dr = v.as("a").filter(col("a.doc_id") % 50 === 0)
+          .join(v.as("c"),
+            col("a.list_id") === col("c.list_id") &&
+              col("c.doc_id") =!= col("a.doc_id"))
+          .select(col("a.doc_id").as("query_id"),
+            col("c.doc_id").as("cand_id"),
+            (round(F.array_dot(col("a.emb"), col("c.emb")) /
+              (col("a.nrm") * col("c.nrm")), 4) + lit(0)).as("cosine"))
+          .withColumn("rnk", row_number().over(
+            byQuery.orderBy(col("cosine").desc, col("cand_id"))))
+          .filter(col("rnk") <= 20)
+        // lexical leg: df-pruned shingle postings (e2's discipline)
+        val t = u.select(col("doc_id"),
+          explode(F.shingle_hashes(col("text"))).as("term"))
+        val dft = t.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("term")
+        val tp = t.join(dft, "term")
+        val qt = tp.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("query_id"), col("term"))
+        val sr = tp.select(col("doc_id").as("cand_id"), col("term"))
+          .join(broadcast(qt), "term")
+          .filter(col("cand_id") =!= col("query_id"))
+          .groupBy("query_id", "cand_id").agg(count(lit(1)).as("overlap"))
+          .withColumn("rnk", row_number().over(
+            byQuery.orderBy(col("overlap").desc, col("cand_id"))))
+          .filter(col("rnk") <= 20)
+        // fusion: e88's integer RRF verbatim
+        val un = dr.select(col("query_id"), col("cand_id"),
+            col("rnk").as("dn"), lit(null).cast("int").as("sn"))
+          .unionByName(sr.select(col("query_id"), col("cand_id"),
+            lit(null).cast("int").as("dn"), col("rnk").as("sn")))
+        un.groupBy("query_id", "cand_id")
+          .agg(coalesce(max(col("dn")), lit(0)).cast("long").as("d_rank"),
+            coalesce(max(col("sn")), lit(0)).cast("long").as("s_rank"),
+            (coalesce(max(expr("1000000 div (60 + dn)")), lit(0L)) +
+              coalesce(max(expr("1000000 div (60 + sn)")), lit(0L)))
+              .cast("long").as("rrf_score"))
+          .withColumn("rnk", row_number().over(
+            byQuery.orderBy(col("rrf_score").desc, col("cand_id"))))
+          .filter(col("rnk") <= 10).drop("rnk")
+          .orderBy(col("query_id"), col("rrf_score").desc, col("cand_id"))
+    }
+  }
+
+  /** DuckDB twin of [[graft.functions.TextHash.shingleHashes]] over the
+    * `wh` word-hash list (distinct 3-gram re-hashes).
+    */
+  private def shinglesOf: String = Portable.shinglesDuck
 
   // ---- e89: priority sampling (weighted k w/o replacement) -----------------
 
