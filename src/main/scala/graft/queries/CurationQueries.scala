@@ -63,7 +63,7 @@ object CurationQueries {
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
-    e95StratifiedPriority)
+    e95StratifiedPriority, e96FilterAblation)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -941,6 +941,107 @@ object CurationQueries {
           coalesce(col("ck_b"), lit(-1L)).as("base_checksum"),
           coalesce(col("ck_f"), lit(-1L)).as("full_checksum"))
         .orderBy("shard_id")
+    }
+  }
+
+  // ---- e96: quality-filter ablation matrix --------------------------------
+
+  /** Filter-ablation matrix: for every pair of quality filters, how much
+    * of each filter's rejection set the other already covers — the
+    * analysis a curation team runs before adding a filter to the stack
+    * (a filter whose rejections are a subset of an existing one buys
+    * nothing but compute). Four filters over e14's per-document signals
+    * plus a minimum-length gate: `len5` (>= 5 words), `punct20`
+    * (punctuation ratio <= 0.2), `short200` (>= 200 chars), `stop1`
+    * (stopword ratio >= 0.01). Output is one row per unordered filter
+    * pair with each side's rejection count, the co-rejection count, and
+    * the rejection-set Jaccard in basis points (integer arithmetic —
+    * bit-identical cross-engine).
+    *
+    * Scale shape: ONE corpus scan computes all four boolean flags fused
+    * into the scan stage; everything after is a single algebraic
+    * aggregation (4 + 6 + 1 sums, map-side partial → 1-row reduce), and
+    * the 6-row matrix is exploded from that one row — no second scan,
+    * no join, no window. Adding a fifth filter is one more flag column
+    * and five more sums on the SAME pass: the cost of the ablation is
+    * O(corpus scan), independent of the number of filter pairs.
+    */
+  private def e96FilterAblation = {
+    val names = Seq("len5", "punct20", "short200", "stop1") // sorted
+    val pairs = names.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val duckPairSums = pairs.map { case (a, b) =>
+      s"CAST(sum(r_$a * r_$b) AS BIGINT) AS b_${a}_$b" }.mkString(",\n       |    ")
+    val duckRows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS filter_a, '$b' AS filter_b,
+         |  r_$a AS n_reject_a, r_$b AS n_reject_b, b_${a}_$b AS n_both,
+         |  n_docs FROM s""".stripMargin
+    }.mkString("\n       |UNION ALL\n       |")
+    QueryDef.sql(
+      "e96_filter_ablation",
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    len(${Portable.wordsDuck}) AS n_words,
+         |    len(list_filter(${Portable.wordsDuck},
+         |        w -> w IN ('the', 'a'))) AS n_stop,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+         |  FROM documents),
+         |f AS (SELECT
+         |    CASE WHEN n_words >= 5 THEN 0 ELSE 1 END AS r_len5,
+         |    CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.2
+         |      THEN 0 ELSE 1 END AS r_punct20,
+         |    CASE WHEN n_chars >= 200 THEN 0 ELSE 1 END AS r_short200,
+         |    CASE WHEN n_words > 0
+         |        AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+         |      THEN 0 ELSE 1 END AS r_stop1
+         |  FROM d),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    ${names.map(n => s"CAST(sum(r_$n) AS BIGINT) AS r_$n")
+               .mkString(",\n       |    ")},
+         |    $duckPairSums
+         |  FROM f),
+         |m AS ($duckRows)
+         |SELECT filter_a, filter_b, n_reject_a, n_reject_b, n_both,
+         |  CAST(CASE WHEN n_reject_a + n_reject_b - n_both > 0
+         |    THEN (n_both * 10000) // (n_reject_a + n_reject_b - n_both)
+         |    ELSE 0 END AS BIGINT) AS jaccard_bp,
+         |  n_docs
+         |FROM m ORDER BY filter_a, filter_b""".stripMargin) { (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val d = Tables.documents(s, dir)
+        .select(
+          col("n_chars"),
+          size(words).cast("long").as("n_words"),
+          size(filter(words, w => w.isin("the", "a"))).cast("long")
+            .as("n_stop"),
+          size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)"))
+            .cast("long").as("n_punct"))
+      val stopR = col("n_stop").cast("double") / col("n_words")
+      val punctR = col("n_punct").cast("double") / col("n_chars")
+      val flags = d.select(
+        when(col("n_words") >= 5, 0L).otherwise(1L).as("r_len5"),
+        when(punctR <= 0.2, 0L).otherwise(1L).as("r_punct20"),
+        when(col("n_chars") >= 200, 0L).otherwise(1L).as("r_short200"),
+        when(col("n_words") > 0 && stopR >= 0.01, 0L).otherwise(1L)
+          .as("r_stop1"))
+      val agg = flags.agg(
+        count(lit(1)).as("n_docs"),
+        (names.map(n => sum(col(s"r_$n")).as(s"r_$n")) ++
+          pairs.map { case (a, b) =>
+            sum(col(s"r_$a") * col(s"r_$b")).as(s"b_${a}_$b") }): _*)
+      val matrix = array(pairs.map { case (a, b) =>
+        struct(
+          lit(a).as("filter_a"), lit(b).as("filter_b"),
+          col(s"r_$a").as("n_reject_a"), col(s"r_$b").as("n_reject_b"),
+          col(s"b_${a}_$b").as("n_both"))
+      }: _*)
+      agg.select(explode(matrix).as("p"), col("n_docs"))
+        .select(col("p.filter_a"), col("p.filter_b"),
+          col("p.n_reject_a"), col("p.n_reject_b"), col("p.n_both"),
+          expr("""CAST(CASE WHEN p.n_reject_a + p.n_reject_b - p.n_both > 0
+                 |  THEN (p.n_both * 10000)
+                 |    div (p.n_reject_a + p.n_reject_b - p.n_both)
+                 |  ELSE 0 END AS BIGINT)""".stripMargin).as("jaccard_bp"),
+          col("n_docs"))
+        .orderBy("filter_a", "filter_b")
     }
   }
 }

@@ -139,4 +139,40 @@ class CurationOpsSpec extends SparkSpecBase {
       assert(kept === (if (raw > 1000 * n) 1L else 0L))
     }
   }
+
+  test("e96 ablation: matrix bounds, one corpus scan, no join") {
+    // static plan assertions need the non-adaptive physical plan
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (df, plan) =
+      try {
+        val d = CurationQueries.all.find(_.name == "e96_filter_ablation").get
+          .run(spark, dir)
+        (d, d.queryExecution.executedPlan) // force planning while AQE is off
+      } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, "ablation must read the corpus exactly once")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.isEmpty, "the pair matrix explodes one aggregated row")
+    val rows = df.collect()
+    assert(rows.length === 4 * 3 / 2) // unordered filter pairs
+    val nDocs = rows.map(_.getLong(6)).distinct
+    assert(nDocs.length === 1 && nDocs.head > 0)
+    rows.foreach { r =>
+      val (ra, rb, both, jbp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(both <= math.min(ra, rb), "co-rejections bounded by each side")
+      assert(ra <= nDocs.head && rb <= nDocs.head)
+      assert(jbp >= 0 && jbp <= 10000)
+      val denom = ra + rb - both
+      if (denom > 0) assert(jbp === both * 10000 / denom)
+      else assert(jbp === 0L)
+    }
+  }
 }
