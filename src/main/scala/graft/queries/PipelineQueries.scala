@@ -10,6 +10,7 @@ import graft.model.Schemas
 import graft.models.Models
 import graft.pipeline.Ingest
 import graft.quality.DataTests
+import graft.sources.Tables
 
 /** Driver-visible queries over the ENGINE itself (generator, ingest
   * pipeline, staging/mart models, data-quality suite). The generator
@@ -26,7 +27,7 @@ import graft.quality.DataTests
 object PipelineQueries {
 
   val all: Seq[QueryDef] =
-    Seq(g1MockBatch, g2GenBatch, g3DocsSource, p1PipelineE2e)
+    Seq(g1MockBatch, g2GenBatch, g3DocsSource, g4SchemaUnion, p1PipelineE2e)
 
   private val T0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
   // def, not val: `all` above initializes FIRST during object init, so a
@@ -283,5 +284,62 @@ object PipelineQueries {
       s.sql(s"DROP DATABASE IF EXISTS $martDb CASCADE")
       s.sql(s"DROP DATABASE IF EXISTS $rawDb CASCADE")
     }
+  }
+
+  // ---- g4: schema-evolution union across shard generations ----------------
+
+  /** Schema-drift-tolerant corpus union: a long-lived corpus ships shard
+    * generations whose schemas evolve (columns added over time), and the
+    * reader must union them without rewriting old shards. Generation v1
+    * here is the documents slice written before `source`/`n_chars`
+    * existed (projected away to simulate the old files); v2 carries the
+    * full schema. `unionByName(allowMissingColumns = true)` aligns by
+    * NAME and null-fills what a generation lacks — the positional UNION
+    * ALL would silently misalign — and the per-generation audit reports
+    * row counts and null-fill counts per added column, the check a reader
+    * runs before trusting a mixed-generation scan.
+    *
+    * Scale shape: each generation is one filter-pushed scan branch; the
+    * union is a plan-level concatenation (no shuffle), and the audit is
+    * one map-side-combined aggregation on the tiny `gen` key. At 100 TB
+    * the branches are separate parquet roots with their own pushed
+    * filters; nothing here materializes the union.
+    */
+  private def g4SchemaUnion = QueryDef.sql(
+    "g4_schema_union",
+    """WITH g1 AS (SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+      |    CAST(NULL AS BIGINT) AS n_chars, 'v1' AS gen
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |g2 AS (SELECT doc_id, lang, source, n_chars, 'v2' AS gen
+      |  FROM documents
+      |  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+      |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      |SELECT gen, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_source_filled,
+      |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_chars_filled,
+      |  count(DISTINCT lang) AS n_langs,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM u GROUP BY gen ORDER BY gen""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val v1Sources = Seq("src0", "src1", "src2", "src3")
+    // v1 simulates pre-evolution files: the added columns don't exist
+    val gen1 = docs.filter(col("source").isin(v1Sources: _*))
+      .select(col("doc_id"), col("lang"), lit("v1").as("gen"))
+    val gen2 = docs.filter(!col("source").isin(v1Sources: _*))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), lit("v2").as("gen"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy("gen")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("source").isNull, 1L).otherwise(0L))
+          .as("n_source_filled"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+          .as("n_chars_filled"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("gen")
   }
 }
