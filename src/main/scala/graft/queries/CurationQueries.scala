@@ -63,7 +63,7 @@ object CurationQueries {
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
-    e95StratifiedPriority, e96FilterAblation)
+    e95StratifiedPriority, e96FilterAblation, e97CdcChunks)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -1043,5 +1043,71 @@ object CurationQueries {
           col("n_docs"))
         .orderBy("filter_a", "filter_b")
     }
+  }
+
+  // ---- e97: content-defined chunking (rolling-hash boundaries) ------------
+
+  /** Boundary positions (1-based word indexes, first eligible index 4)
+    * where the Rabin-style rolling hash over the last 4 word hashes hits
+    * the divisor — shared by the e97 query and the insertion-stability
+    * spec pin. Because the hash window is the last 4 words ONLY, a
+    * prefix edit shifts every boundary at distance > 4 from the edit by
+    * exactly the edit length and changes nothing else — the CDC
+    * property (LBFS, Muthitacharoen et al. SOSP'01) that makes these
+    * chunks dedupable across document revisions where fixed-size
+    * chunking would re-chunk the whole tail.
+    */
+  private[graft] def cdcBoundaries(wh: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    filter(
+      transform(sequence(lit(4), size(wh)),
+        i => when((element_at(wh, i)
+          + element_at(wh, i - 1) * 31L
+          + element_at(wh, i - 2) * 961L
+          + element_at(wh, i - 3) * 29791L) % Portable.P % 16 === 0,
+          i.cast("long"))),
+      x => x.isNotNull)
+
+  /** Content-defined chunking audit: per document, the chunk boundaries
+    * a 4-word rolling hash defines (divisor 16 → ~16-word expected
+    * chunks), with the boundary-set checksum as the dedup key material.
+    * Fixed-size chunking (e24) shifts every downstream chunk when one
+    * word is inserted; CDC boundaries are content-anchored, so chunk
+    * dedup across revisions keeps matching past the edit point —
+    * CurationOpsSpec pins exactly that invariance.
+    *
+    * Scale shape: a pure per-document projection (array expressions over
+    * the word-hash array) — ZERO shuffles before the presentation sort;
+    * the chunk boundary computation never leaves the scan stage, and
+    * nothing corpus-sized aggregates.
+    */
+  private def e97CdcChunks = QueryDef.sql(
+    "e97_cdc_chunks",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |b AS (SELECT doc_id, len(wh) AS n,
+       |    list_filter(list_transform(range(4, len(wh) + 1),
+       |      i -> CASE WHEN (wh[i] + wh[i-1]*31 + wh[i-2]*961
+       |            + wh[i-3]*29791) % ${Portable.P} % 16 = 0
+       |        THEN CAST(i AS BIGINT) ELSE NULL END),
+       |      x -> x IS NOT NULL) AS bnds
+       |  FROM w WHERE len(wh) >= 4)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       |  CAST(len(bnds) + 1 AS BIGINT) AS n_chunks,
+       |  CAST((n * 10000) // (len(bnds) + 1) AS BIGINT)
+       |    AS avg_chunk_words_e4,
+       |  CAST(coalesce(list_sum(bnds), 0) % ${Portable.P} AS BIGINT)
+       |    AS boundary_ck
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), F.word_hashes(col("text")).as("wh"))
+      .filter(size(col("wh")) >= 4)
+      .select(col("doc_id"), size(col("wh")).cast("long").as("n"),
+        cdcBoundaries(col("wh")).as("bnds"))
+    d.select(col("doc_id"), col("n").as("n_words"),
+      (size(col("bnds")) + 1).cast("long").as("n_chunks"),
+      expr("(n * 10000) div (size(bnds) + 1)").as("avg_chunk_words_e4"),
+      (coalesce(aggregate(col("bnds"), lit(0L), _ + _), lit(0L))
+        % Portable.P).as("boundary_ck"))
   }
 }

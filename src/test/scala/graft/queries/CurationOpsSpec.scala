@@ -175,4 +175,38 @@ class CurationOpsSpec extends SparkSpecBase {
       else assert(jbp === 0L)
     }
   }
+
+  test("e97 CDC chunking: boundaries are insertion-stable past the window") {
+    import spark.implicits._
+    // letters-only words (the tokenizer extracts [a-z]+ runs)
+    val words = (0 until 300).map(i => ('a' + i % 26).toChar.toString * (1 + i % 5))
+    val text = words.mkString(" ")
+    val shifted = "zzz " + text // one-word prefix edit
+    def boundaries(t: String): Set[Long] = {
+      val df = Seq(t).toDF("text")
+        .select(CurationQueries.cdcBoundaries(
+          graft.functions.F.word_hashes(col("text"))).as("b"))
+      df.as[Seq[Long]].head().toSet
+    }
+    val b0 = boundaries(text)
+    val b1 = boundaries(shifted)
+    assert(b0.nonEmpty, "divisor 16 over 300 words must hit boundaries")
+    // CDC property: every original boundary survives, shifted by the
+    // edit length; anything new sits inside the 4-word hash window of
+    // the edit. Fixed-size chunking would instead shift EVERY chunk.
+    assert(b0.map(_ + 1).subsetOf(b1))
+    assert((b1 -- b0.map(_ + 1)).forall(_ <= 4))
+
+    // the audit itself is a pure projection: no shuffle in the plan
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try CurationQueries.all.find(_.name == "e97_cdc_chunks").get
+        .run(spark, dir).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "CDC chunking must not shuffle")
+  }
 }
