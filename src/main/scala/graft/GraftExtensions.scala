@@ -97,5 +97,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.sketches.BloomAgg(
           args.head, intLit(args(1), "mBits"), intLit(args(2), "kHashes"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      info("cms_sketch", classOf[graft.functions.sketches.CmsAgg]),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch(keys, depth, width): $what must be an" +
+              s" integer literal, got $other")
+        }
+        graft.functions.sketches.CmsAgg(
+          args.head, intLit(args(1), "depth"), intLit(args(2), "width"))
+      }))
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
   private def defs: Seq[QueryDef] =
     ReferenceQueries.all ++ graft.queries.ExtensionQueries.all ++
       graft.queries.TrainingQueries.all ++ graft.queries.CorpusQueries.all ++
-      graft.queries.CurationQueries.all ++ graft.queries.PipelineQueries.all
+      graft.queries.CurationQueries.all ++ graft.queries.AnalysisQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_order_products star-join twin (SURVEY.md §2.4 J1+J2).

@@ -34,6 +34,15 @@ object Portable {
   val BloomA: Seq[Long] = Seq(211L, 223L, 227L, 229L)
   val BloomB: Seq[Long] = Seq(53L, 59L, 61L, 67L)
 
+  /** Count-Min-Sketch affine coefficients (d = 4 counter rows), a prime
+    * block distinct from both the MinHash and the Bloom families. Row i's
+    * bucket for a key v in [0, P) is `(CmsA(i)·v + CmsB(i)) mod P mod w`
+    * — Long-safe (products < 2^38) and replayable as plain column
+    * arithmetic in any engine.
+    */
+  val CmsA: Seq[Long] = Seq(233L, 239L, 241L, 251L)
+  val CmsB: Seq[Long] = Seq(71L, 73L, 79L, 83L)
+
   // ---- Spark SQL dialect --------------------------------------------------
 
   /** Lowercase alpha word tokens of `text`. (The hash primitives
@@ -64,6 +73,15 @@ object Portable {
     s"""list_transform(range(1, len(wh) - 1),
        |  i -> (((wh[i]*31 + wh[i + 1]) % $P)*31 + wh[i + 2]) % $P)""".stripMargin
 
+  /** Spark-SQL twin of [[posShinglesDuck]] (same `wh` binding, same
+    * 1-based index range, same mod-P folds — products stay < 2^35, ANSI
+    * safe). Callers must guard `size(wh) >= 3`.
+    */
+  val posShinglesSpark: String =
+    s"""transform(sequence(1, size(wh) - 2),
+       |  i -> (((element_at(wh, i)*31 + element_at(wh, i + 1)) % $P)*31
+       |    + element_at(wh, i + 2)) % $P)""".stripMargin
+
   /** Winnowing selection over the positional gram list `g` (window w=4,
     * rightmost-min tie-break, distinct selected values) — the DuckDB
     * twin of [[TextHash.winnowHashes]]. Callers must guard
@@ -78,6 +96,16 @@ object Portable {
   val textFingerprintDuck: String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a*31 + c) % $P)""".stripMargin
+
+  /** DuckDB polynomial hash of an arbitrary single-string SQL expression
+    * `s` — the same base-31 mod-P left fold as [[TextHash.polyHash]], so
+    * per-word hashes computed from an unnested word column match the
+    * engine's `F.poly_hash` bit-for-bit.
+    */
+  def polyHashDuck(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, c) -> (a*31 + c) % $P)""".stripMargin
 
   // ---- Portable pseudo-random hyperplanes (sign-LSH over embeddings) ------

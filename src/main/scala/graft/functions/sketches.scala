@@ -417,6 +417,129 @@ object sketches {
       BloomAgg(ColumnBridge.expression(keys), mBits, kHashes)
         .toAggregateExpression())
 
+  /** Count-Min Sketch over LONG keys in [0, Portable.P) as a bounded
+    * native aggregate (Cormode & Muthukrishnan, J. Algorithms'05):
+    * `depth × width` long counters per partial buffer regardless of
+    * input size, map-side combined, merged by elementwise sum (counter
+    * matrices are linear, so the built sketch is partitioning- and
+    * arrival-order-INDEPENDENT — unlike Misra-Gries, the same corpus
+    * always yields the same sketch, making the whole estimate
+    * replayable in an external engine). Row i's bucket is the affine
+    * family `(CmsA(i)·floorMod(v, P) + CmsB(i)) mod P mod width` —
+    * plain integer arithmetic, so [[cms_estimate]] and any external
+    * engine recompute it with builtin column functions.
+    *
+    * Estimate contract: `min_i counters[i][h_i(v)]` NEVER underestimates
+    * the true count, and overestimates by more than `e·N/width` with
+    * probability ≤ e^-depth (N = total insertions). The sketch is the
+    * scale path for frequency queries where the full key space cannot be
+    * shuffled: the counter matrix is a fixed-size pull (depth·width
+    * longs) at any corpus size.
+    */
+  case class CmsAgg(
+      child: Expression,
+      depth: Int,
+      width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(depth > 0 && depth <= graft.functions.Portable.CmsA.size,
+      s"depth must be in [1, ${graft.functions.Portable.CmsA.size}]")
+    require(width > 1, "width must be > 1")
+
+    private val P = graft.functions.Portable.P
+    private val as = graft.functions.Portable.CmsA.toArray
+    private val bs = graft.functions.Portable.CmsB.toArray
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cms_sketch"
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](depth * width)
+
+    override def update(
+        buf: Array[Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        // Same domain discipline as BloomAgg: normalize into [0, P) so an
+        // out-of-domain key degrades to a consistent insert, never an
+        // ArrayIndexOutOfBounds, and the probe side can mirror with pmod.
+        val key = Math.floorMod(v.asInstanceOf[Long], P)
+        var i = 0
+        while (i < depth) {
+          val pos = ((as(i) * key + bs(i)) % P % width).toInt
+          buf(i * width + pos) += 1L
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(off: Int): CmsAgg =
+      copy(mutableAggBufferOffset = off)
+    override def withNewInputAggBufferOffset(off: Int): CmsAgg =
+      copy(inputAggBufferOffset = off)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): CmsAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Column API: the depth×width counter matrix as ARRAY<LONG>
+    * (row-major: counter[i][b] at index i·width + b).
+    */
+  def cms_sketch(keys: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CmsAgg(ColumnBridge.expression(keys), depth, width)
+        .toAggregateExpression())
+
+  /** Point-estimate probe against a DRIVER-HELD counter matrix (the
+    * bounded sketch pull — depth·width longs, e.g. 16 KiB at 4×512):
+    * `min_i counters[i·width + h_i(key)]`, built entirely from codegen'd
+    * builtin arithmetic over an array literal — no join, no shuffle, no
+    * custom expression. Never underestimates; overestimate bounded by
+    * the CMS guarantee.
+    */
+  def cms_estimate(
+      counters: Array[Long], key: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(counters.length == depth * width,
+      "counters length must equal depth * width")
+    val words = lit(counters)
+    val k = pmod(key, lit(graft.functions.Portable.P))
+    (0 until depth).map { i =>
+      val pos = (lit(graft.functions.Portable.CmsA(i)) * k +
+        lit(graft.functions.Portable.CmsB(i))) %
+        graft.functions.Portable.P % lit(width.toLong)
+      element_at(words, (lit(i.toLong * width) + pos).cast("int") + 1)
+    }.reduce(least(_, _))
+  }
+
   /** Membership probe against a DRIVER-HELD bitmap (mBits/64 longs —
     * e.g. 32 KiB at 2^18 bits — the bounded sketch pull, like e29's
     * candidate list): k bit tests built entirely from codegen'd builtin

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{F, Portable}
+import graft.sources.Tables
+
+/** Round-9 similarity / sketch / corpus-health additions:
+  *
+  *  - e98 prefix-filter similarity self-join (Bayardo/Ma/Srikant
+  *    "Scaling Up All Pairs", WWW'07; Xiao et al. PPJoin, WWW'08): the
+  *    EXACT-threshold near-dup join. Unlike e2 (df-cap prune — drops
+  *    high-df tokens, approximate recall) and e3 (LSH banding —
+  *    probabilistic recall), the prefix filter is lossless: order every
+  *    document's token set by ascending global document frequency, and
+  *    two sets with Jaccard ≥ t MUST share a token in their first
+  *    `|d| − ⌈t·|d|⌉ + 1` tokens — so joining only those prefix
+  *    postings finds every qualifying pair, and rare-token-first
+  *    ordering makes the prefix postings lists the SHORTEST ones.
+  *  - e99 normalized head-prefix dedup: canonicalize (casefold, strip
+  *    punctuation, collapse whitespace), key by the first 12 normal
+  *    words, group colliding heads — the template-reuse detector for
+  *    shared openings whose tails diverge; full-text normalization
+  *    dedup is the K→∞ special case of the same key.
+  *  - e100 Count-Min-Sketch frequency audit: build the bounded
+  *    [[graft.functions.sketches.CmsAgg]] counter matrix in one pass,
+  *    then report estimate-vs-exact for the top-30 3-gram occurrences —
+  *    the overestimate column IS the measured CMS error, and the whole
+  *    sketch is integer-replayable so the oracle recomputes it.
+  *  - e101 Zipf-slope corpus-health fit: per source, the OLS slope of
+  *    ln(freq) on ln(rank) over the top-200 words. Natural text sits
+  *    near −1; a source drifting toward 0 (flat/boilerplate) or below
+  *    −1.5 (degenerate repetition) is the classic corpus-mix red flag.
+  *    Complements e54 (Heaps-law vocab growth = vocabulary OPENNESS)
+  *    with the frequency-decay EXPONENT.
+  *
+  * Scale design (100 TB), per query:
+  *  - e98's work is sum over prefix tokens of df², where the prefix
+  *    holds each document's RAREST tokens by construction — the frequent
+  *    tokens that make e2-style inverted indexes quadratic never enter
+  *    the candidate join (they sit outside every prefix). Verification
+  *    touches only candidate pairs, each verified with one bounded
+  *    array intersection (token arrays ride a doc-keyed join, payload =
+  *    one document's distinct tokens). Four keyed exchanges, no
+  *    all-pairs stage anywhere; the df-rank window partitions by doc_id
+  *    (bounded frames). At production scale the token sets would be
+  *    digests (fixed-width shuffle payload) — shapes unchanged.
+  *  - e99 is e1's hash-groupBy with a normalization projection in
+  *    front: one shuffle keyed by the normalized head (which stands in
+  *    for its digest only to keep the oracle byte-exact — at production
+  *    scale the key is fixed-width), text never shuffles past the
+  *    first projection.
+  *  - e100's sketch build is a NO-SHUFFLE global aggregate (partial
+  *    counter matrices merge map-side, one 16 KiB buffer per partition
+  *    reaches the driver); the exact side is one gram-keyed aggregation
+  *    reused by the probe. The sketch pull is fixed-size at any corpus
+  *    scale — the point of the operator.
+  *  - e101 aggregates to the (source × word) grain once, windows inside
+  *    each source's bounded vocabulary, and fits over ≤ 200 rows per
+  *    source — post-aggregation data is vocabulary-sized, never
+  *    corpus-sized.
+  */
+object AnalysisQueries {
+
+  val all: Seq[QueryDef] =
+    Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope)
+
+  // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
+
+  /** Exact Jaccard ≥ 0.6 self-join over distinct word-3-gram shingle
+    * sets via the prefix filter (same token universe as e2/e3, so the
+    * three near-dup joins are directly comparable: e2 trades recall for
+    * a df cap, e3 trades it for banding, e98 pays the prefix postings
+    * for EXACT recall). All threshold math is integer (t = 3/5):
+    * ⌈3s/5⌉ = (3s+4) div 5, prefix p = s − ⌈3s/5⌉ + 1, and the final
+    * predicate `5·ov ≥ 3·(sa+sb−ov)` — no floats anywhere, so both
+    * engines agree bit-for-bit; similarity reports as integer basis
+    * points `10000·ov div union`. At sf0.01 the filter admits 175
+    * candidate pairs out of 124,750 possible (25 survive).
+    */
+  private def e98PrefixJoin = QueryDef.sql(
+    "e98_prefix_join",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w),
+       |tok AS (SELECT doc_id, unnest(shs) AS h FROM sh WHERE len(shs) > 0),
+       |df AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |ord AS (SELECT t.doc_id, t.h, s.sz,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.h) AS r
+       |  FROM tok t JOIN df d USING (h) JOIN sz s USING (doc_id)),
+       |pre AS (SELECT doc_id, h FROM ord
+       |  WHERE r <= sz - (3*sz + 4) // 5 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_sort(shs) AS ts, len(shs) AS sz
+       |  FROM sh WHERE len(shs) > 0),
+       |pairs AS (SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.ts, sb.ts)) AS ov, sa.sz AS sz_a,
+       |    sb.sz AS sz_b
+       |  FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+       |  JOIN sets sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, ov, sz_a, sz_b,
+       |  10000 * ov // (sz_a + sz_b - ov) AS jaccard_bp
+       |FROM pairs WHERE 5 * ov >= 3 * (sz_a + sz_b - ov)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // One distinct-shingle-set projection feeds everything; the postings
+    // exchange (keyed by h) is built once and reused by the df census
+    // and the prefix self-join, and the doc-keyed exchange is reused by
+    // the rank window and the verification array fetch.
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_sort(F.shingle_hashes(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("sz"))
+    val tok = sets
+      .select(col("doc_id"), col("sz"), explode(col("ts")).as("h"))
+      .repartition(col("h"))
+    val df = tok.groupBy("h").agg(count(col("doc_id")).as("df"))
+    // Rank tokens inside each document by (global df asc, h asc): the
+    // window partitions by doc_id, so every frame is one document's
+    // token set — bounded, skew-free.
+    val ranked = tok.join(df, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+    val pre = ranked
+      .filter(col("r") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"))
+      .repartition(col("h"))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ov = size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long")
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ov.as("ov"),
+        col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
+      .filter(lit(5) * col("ov") >= lit(3) * (col("sz_a") + col("sz_b") - col("ov")))
+      .select(col("doc_a"), col("doc_b"), col("ov"), col("sz_a"), col("sz_b"),
+        expr("10000 * ov div (sz_a + sz_b - ov)").as("jaccard_bp"))
+  }
+
+  // ---- e99: normalized head-prefix duplicate groups -----------------------
+
+  /** Canonicalize-then-key dedup on the document HEAD: normalize
+    * (casefold, strip non-alphanumerics, collapse whitespace — the
+    * regexp tokenization performs all three), key each document by its
+    * first 12 normalized words, and group colliding heads — the
+    * template-reuse / shared-opening detector a curation stack runs to
+    * catch boilerplate intros and syndicated copies whose tails diverge
+    * (full-text normalization-collision dedup is the K→∞ special case
+    * of the same key). Per group: smallest doc_id as canonical, member
+    * count, how many distinct FULL normalized bodies the group spans,
+    * source spread, and whether members are body-identical (`exact`) or
+    * share only the head (`head_only`).
+    */
+  private def e99HeadDup = {
+    val K = 12
+    QueryDef.sql(
+      "e99_head_dup",
+      s"""WITH n AS (SELECT doc_id, source,
+         |    array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |      ' ') AS norm,
+         |    array_to_string(list_slice(
+         |      regexp_extract_all(lower(text), '[a-z0-9]+'), 1, $K),
+         |      ' ') AS head
+         |  FROM documents)
+         |SELECT min(doc_id) AS canonical_id, count(*) AS n_docs,
+         |  count(DISTINCT norm) AS n_body_variants,
+         |  count(DISTINCT source) AS n_sources,
+         |  CASE WHEN count(DISTINCT norm) = 1 THEN 'exact' ELSE 'head_only'
+         |    END AS dup_kind
+         |FROM n GROUP BY head HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          array_join(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"),
+            " ").as("norm"),
+          array_join(slice(
+            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"), 1, K),
+            " ").as("head"))
+        .groupBy("head")
+        .agg(
+          min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("norm")).as("n_body_variants"),
+          countDistinct(col("source")).as("n_sources"),
+          when(countDistinct(col("norm")) === 1, lit("exact"))
+            .otherwise(lit("head_only")).as("dup_kind"))
+        .filter(col("n_docs") > 1)
+        .select("canonical_id", "n_docs", "n_body_variants", "n_sources",
+          "dup_kind")
+        .orderBy("canonical_id")
+    }
+  }
+
+  // ---- e100: Count-Min-Sketch frequency audit -----------------------------
+
+  /** CMS estimate vs exact count for the top-30 word-3-gram occurrences
+    * (positional grams, repeats counted — the n-gram frequency table a
+    * contamination/memorization stage consults, 16k distinct keys at
+    * sf0.01). The sketch (4×512 long counters) is built by the native
+    * [[graft.functions.sketches.CmsAgg]] in one no-shuffle pass, pulled
+    * to the driver (16 KiB — the e29 bounded-pull discipline), and
+    * probed with builtin arithmetic; `over_cnt` = estimate − exact ≥ 0
+    * is the realized sketch error, capped in probability by the CMS
+    * bound e·N/width (≈ 139 at sf0.01's 26k grams — measured max 56).
+    * The oracle replays the counter matrix exactly: linear counters,
+    * integer bucket arithmetic.
+    */
+  private def e100CmsAudit = {
+    val depth = 4
+    val width = 512
+    val as = Portable.CmsA
+    val bs = Portable.CmsB
+    val P = Portable.P
+    def duckBucket(i: Int, key: String): String =
+      s"((${as(i)} * $key + ${bs(i)}) % $P) % $width"
+    def duckBucketCase(key: String): String =
+      s"CASE i.i ${(0 until depth).map { i =>
+        s"WHEN $i THEN ${duckBucket(i, key)}" }.mkString(" ")} END"
+    QueryDef.sql(
+      "e100_cms_audit",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |g AS (SELECT doc_id, ${Portable.posShinglesDuck} AS gs FROM w
+         |  WHERE len(wh) >= 3),
+         |tok AS (SELECT unnest(gs) AS h FROM g),
+         |buck AS (SELECT i.i, ${duckBucketCase("h")} AS b, count(*) AS c
+         |  FROM tok CROSS JOIN (SELECT unnest(range(0, $depth)) AS i) i
+         |  GROUP BY 1, 2),
+         |probe AS (SELECT h, count(*) AS exact_cnt FROM tok
+         |  GROUP BY h ORDER BY exact_cnt DESC, h LIMIT 30)
+         |SELECT p.h AS gram, p.exact_cnt, min(bk.c) AS cms_est,
+         |  min(bk.c) - p.exact_cnt AS over_cnt
+         |FROM probe p
+         |CROSS JOIN (SELECT unnest(range(0, $depth)) AS i) i
+         |JOIN buck bk ON bk.i = i.i AND bk.b = ${duckBucketCase("p.h")}
+         |GROUP BY 1, 2
+         |ORDER BY exact_cnt DESC, gram""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(F.word_hashes(col("text")).as("wh"))
+        .filter(size(col("wh")) >= 3)
+        .select(explode(expr(Portable.posShinglesSpark)).as("h"))
+      // Build + pull the sketch: one no-shuffle global aggregate (partial
+      // counter matrices combine map-side), a 16 KiB driver pull.
+      val counters = tok
+        .agg(graft.functions.sketches.cms_sketch(col("h"), depth, width)
+          .as("cms"))
+        .head().getSeq[Long](0).toArray
+      val probe = tok.groupBy("h")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("h"))
+        .limit(30)
+      val est = graft.functions.sketches.cms_estimate(
+        counters, col("h"), depth, width)
+      probe.select(col("h").as("gram"), col("exact_cnt"),
+        est.as("cms_est"), (est - col("exact_cnt")).as("over_cnt"))
+        .orderBy(col("exact_cnt").desc, col("gram"))
+    }
+  }
+
+  // ---- e101: Zipf-slope corpus-health fit ---------------------------------
+
+  /** Per-source OLS fit of ln(freq) on ln(rank) over the top-200 words
+    * (rank by count desc, word asc — fully tie-broken). Slope and r²
+    * round at 4 dp with the `+ 0` normalization (QueryDef scaladoc);
+    * e22's precedent pins that last-ulp ln() drift survives 4-dp
+    * rounding on this data.
+    */
+  private def e101ZipfSlope = {
+    val topN = 200
+    QueryDef.sql(
+      "e101_zipf_slope",
+      s"""WITH w AS (SELECT source, ${Portable.wordsDuck} AS ws
+         |  FROM documents),
+         |tok AS (SELECT source, unnest(ws) AS wd FROM w),
+         |cnt AS (SELECT source, wd, count(*) AS c FROM tok GROUP BY 1, 2),
+         |rk AS (SELECT source, c,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY c DESC, wd) AS rank
+         |  FROM cnt),
+         |top AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS lx,
+         |    ln(CAST(c AS DOUBLE)) AS ly
+         |  FROM rk WHERE rank <= $topN)
+         |SELECT source, count(*) AS n_words,
+         |  round(regr_slope(ly, lx), 4) + 0 AS zipf_slope,
+         |  round(regr_r2(ly, lx), 4) + 0 AS r2
+         |FROM top GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val cnt = Tables.documents(s, dir)
+          .select(col("source"), explode(expr(Portable.wordsSpark)).as("wd"))
+          .groupBy("source", "wd").agg(count(lit(1)).as("c"))
+        // Window partitions by source over its aggregated vocabulary —
+        // post-agg cardinality, not corpus rows.
+        val top = cnt
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("c").desc, col("wd"))))
+          .filter(col("rank") <= topN)
+          .select(col("source"), log(col("rank").cast("double")).as("lx"),
+            log(col("c").cast("double")).as("ly"))
+        top.groupBy("source")
+          .agg(
+            count(lit(1)).as("n_words"),
+            (round(covar_pop(col("ly"), col("lx")) / var_pop(col("lx")), 4)
+              + lit(0)).as("zipf_slope"),
+            (round(pow(corr(col("ly"), col("lx")), 2), 4) + lit(0)).as("r2"))
+          .orderBy("source")
+    }
+  }
+}

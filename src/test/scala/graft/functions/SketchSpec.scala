@@ -63,4 +63,50 @@ class SketchSpec extends SparkSpecBase {
       .head().getSeq[Long](0)
     assert(sketch.toSeq === (1L to 40L)) // sorted, complete, exact
   }
+
+  // ---- Count-Min Sketch ---------------------------------------------------
+
+  test("cms never underestimates, is partitioning-independent, bounded") {
+    import spark.implicits._
+    val depth = 4
+    val width = 64
+    // skewed multiset over a key space >> width so collisions occur
+    val rng = new scala.util.Random(7)
+    val keys = (1 to 2000).map(_ => math.abs(rng.nextLong()) % 100000L)
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val a = keys.toDF("h").repartition(13)
+      .agg(sketches.cms_sketch(col("h"), depth, width))
+      .head().getSeq[Long](0).toArray
+    val b = keys.toDF("h").coalesce(1)
+      .agg(sketches.cms_sketch(col("h"), depth, width))
+      .head().getSeq[Long](0).toArray
+    // linear counters: same sketch under any partitioning
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === depth * width)
+    // every row of counters sums to N (nothing lost, nothing invented)
+    (0 until depth).foreach { i =>
+      assert(a.slice(i * width, (i + 1) * width).sum === keys.size.toLong)
+    }
+    // estimate >= exact for EVERY key (the CMS one-sided guarantee),
+    // via the same driver-held probe the query uses
+    val probe = counts.keys.toSeq.toDF("h")
+      .select(col("h"),
+        sketches.cms_estimate(a, col("h"), depth, width).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (k, c) =>
+      assert(probe(k) >= c, s"key $k: est ${probe(k)} < exact $c")
+    }
+  }
+
+  test("cms_sketch is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    (1L to 20L).toDF("h").createOrReplaceTempView("sk_sql_in3")
+    val sql = spark.sql("SELECT cms_sketch(h, 4, 64) AS s FROM sk_sql_in3")
+      .head().getSeq[Long](0)
+    val api = (1L to 20L).toDF("h")
+      .agg(sketches.cms_sketch(col("h"), 4, 64))
+      .head().getSeq[Long](0)
+    assert(sql.toSeq === api.toSeq)
+    assert(sql.sum === 4L * 20L)
+  }
 }
