@@ -65,7 +65,8 @@ import graft.sources.Tables
 object AnalysisQueries {
 
   val all: Seq[QueryDef] =
-    Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope)
+    Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
+      e102KmvOverlap)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -135,10 +136,27 @@ object AnalysisQueries {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Verification fetches token arrays for CANDIDATE docs only: the
+    // shingle projection is recomputed behind a doc_id semi-join, so
+    // the corpus-wide ShingleHashes pass runs ONCE (for the postings);
+    // the re-hash touches only docs that survived the prefix filter.
+    // At sf0.1 this costs ~0.3 s over the naive 3-full-hash-pass shape
+    // (two extra small joins + stages), but the naive shape's cost is
+    // 3× the corpus while this one's verification is bounded by the
+    // candidate count — the side to be on at 100 TB.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val setsCand = Tables.documents(s, dir)
+      .join(candDocs, "doc_id")
+      .select(col("doc_id"),
+        array_sort(F.shingle_hashes(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("sz"))
     val ov = size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long")
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(setsCand.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(setsCand.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), ov.as("ov"),
         col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
       .filter(lit(5) * col("ov") >= lit(3) * (col("sz_a") + col("sz_b") - col("ov")))
@@ -263,6 +281,99 @@ object AnalysisQueries {
       probe.select(col("h").as("gram"), col("exact_cnt"),
         est.as("cms_est"), (est - col("exact_cnt")).as("over_cnt"))
         .orderBy(col("exact_cnt").desc, col("gram"))
+    }
+  }
+
+  // ---- e102: KMV-sketch cross-source overlap matrix -----------------------
+
+  /** Sketch-estimated cross-source shingle-set Jaccard, calibrated
+    * against the exact answer — the sketch-scale path of e52's exact
+    * duplication matrix (Beyer et al., SIGMOD'07: the k smallest of
+    * KMV(A) ∪ KMV(B) is exactly KMV(A∪B), and the fraction of those
+    * k' values present in BOTH input sketches estimates J(A,B)).
+    * Estimator per pair: un = k'-smallest of the merged sketches,
+    * m = |{v ∈ KMV(A) ∩ KMV(B) : v ≤ un[k']}|, Ĵ = m/k' — all sorted
+    * longs and integer arithmetic, replayed bit-for-bit by the oracle.
+    * Pairs with zero exact overlap are omitted WITHOUT loss: a value in
+    * both sketches IS a shared shingle, so m > 0 ⟹ exact > 0 and the
+    * omitted rows are identically zero on both sides.
+    *
+    * At 100 TB the exact side (Σ df² self-join; the calibration
+    * harness) is what production drops: per-source KMV sketches are
+    * ≤ k longs each — the whole #sources² overlap matrix computes from
+    * a #sources×k table that fits anywhere, replacing the corpus-wide
+    * (source, shingle)-distinct pair shuffle.
+    */
+  private def e102KmvOverlap = {
+    val k = 64
+    QueryDef.sql(
+      "e102_kmv_overlap",
+      s"""WITH w AS (SELECT source, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT source, ${Portable.shinglesDuck} AS shs FROM w
+         |  WHERE len(wh) >= 3),
+         |ex AS (SELECT source, unnest(shs) AS h FROM sh),
+         |d AS (SELECT DISTINCT source, h FROM ex),
+         |per AS (SELECT source, count(*) AS n,
+         |    (list_sort(list(h)))[1:$k] AS kmv
+         |  FROM d GROUP BY source),
+         |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS inter_exact
+         |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |j AS (SELECT i.source_a, i.source_b, pa.n AS n_a, pb.n AS n_b,
+         |    i.inter_exact, pa.kmv AS ka, pb.kmv AS kb
+         |  FROM iv i JOIN per pa ON pa.source = i.source_a
+         |  JOIN per pb ON pb.source = i.source_b),
+         |c1 AS (SELECT *, list_sort(list_distinct(ka || kb)) AS un0 FROM j),
+         |c2 AS (SELECT *, least($k, len(un0)) AS kp FROM c1),
+         |c3 AS (SELECT *, un0[kp] AS thr FROM c2),
+         |c4 AS (SELECT *,
+         |    len(list_filter(list_intersect(ka, kb), x -> x <= thr)) AS m
+         |  FROM c3)
+         |SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b, inter_exact,
+         |  10000 * inter_exact // (n_a + n_b - inter_exact)
+         |    AS jac_exact_bp,
+         |  CAST(10000 * m // kp AS BIGINT) AS jac_est_bp,
+         |  CAST(abs(10000 * m // kp -
+         |    10000 * inter_exact // (n_a + n_b - inter_exact)) AS BIGINT)
+         |    AS err_bp
+         |FROM c4 ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(F.shingle_hashes(col("text"))).as("h"))
+        .distinct()
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.sketches.kmv_sketch(col("h"), k).as("kmv"))
+      val iv = d.as("a")
+        .join(d.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter_exact"))
+      val un0 = array_sort(array_distinct(concat(col("ka"), col("kb"))))
+      val jacExact =
+        expr("10000 * inter_exact div (n_a + n_b - inter_exact)")
+      val jacEst = expr(s"10000 * m div kp")
+      iv
+        .join(per.as("pa"), col("source_a") === col("pa.source"))
+        .join(per.as("pb"), col("source_b") === col("pb.source"))
+        .select(col("source_a"), col("source_b"),
+          col("pa.n").as("n_a"), col("pb.n").as("n_b"),
+          col("inter_exact"), col("pa.kmv").as("ka"), col("pb.kmv").as("kb"))
+        .withColumn("un0", un0)
+        .withColumn("kp", least(lit(k), size(col("un0"))))
+        .withColumn("thr", element_at(col("un0"), col("kp")))
+        .withColumn("m",
+          size(filter(array_intersect(col("ka"), col("kb")),
+            x => x <= col("thr"))))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("inter_exact"), jacExact.as("jac_exact_bp"),
+          jacEst.as("jac_est_bp"),
+          abs(jacEst - jacExact).as("err_bp"))
+        .orderBy("source_a", "source_b")
     }
   }
 
