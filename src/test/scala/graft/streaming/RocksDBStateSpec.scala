@@ -165,6 +165,50 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamCms counters accumulate identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val p = graft.functions.Portable.P
+    def h(v: Long): Long = (v * 2654435761L) % p
+    val depth = 4
+    val width = 32
+    val pop = (1L to 30L).flatMap(g => Seq.fill(31 - g.toInt)(h(g)))
+    val probes = Seq(h(1L), h(30L))
+    val ms = MemoryStream[StreamCms.Obs]
+    val q = StreamCms.monitor(ms.toDS(), depth, width, probes)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_cms").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val (b1, b2) = pop.splitAt(pop.size / 2)
+      ms.addData(b1.map(StreamCms.Obs("a", _)): _*)
+      q.processAllAvailable()
+      ms.addData(b2.map(StreamCms.Obs("a", _)): _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_cms")
+        .as[StreamCms.Freq].collect().filter(_.key == "a").last
+      assert(last.n_seen === pop.size.toLong)
+      // stream state == batch aggregate (linear counters), probed the
+      // same way the e100 query probes
+      val counters = pop.toDF("h")
+        .agg(graft.functions.sketches.cms_sketch(col("h"), depth, width))
+        .head().getSeq[Long](0).toArray
+      val batchEst = probes.map { pr =>
+        (0 until depth).map { i =>
+          val key = Math.floorMod(pr, p)
+          val pos = ((graft.functions.Portable.CmsA(i) * key +
+            graft.functions.Portable.CmsB(i)) % p % width).toInt
+          counters(i * width + pos)
+        }.min
+      }
+      assert(last.estimates === batchEst)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamDrift census accumulates identically on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
