@@ -66,7 +66,7 @@ object AnalysisQueries {
 
   val all: Seq[QueryDef] =
     Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
-      e102KmvOverlap)
+      e102KmvOverlap, e103DedupRecall)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -439,5 +439,178 @@ object AnalysisQueries {
             (round(pow(corr(col("ly"), col("lx")), 2), 4) + lit(0)).as("r2"))
           .orderBy("source")
     }
+  }
+
+  // ---- e103: dedup-detector recall audit ----------------------------------
+
+  /** Candidate-generator recall matrix: the three sub-quadratic near-dup
+    * detectors, each scored against the EXACT set of pairs at Jaccard
+    * ≥ 3/5 (derived via e98's prefix+positional filter, whose recall is
+    * 1 by the AllPairs theorem — the one generator allowed to define
+    * truth). Per method: candidate count, hits, recall and candidate
+    * efficiency (pre-verification precision) in basis points —
+    * the measured form of each method's design trade:
+    *
+    *  - `prefix` (e98): recall 10000 by construction; efficiency is
+    *    what the positional filter bought.
+    *  - `lsh` (e3's r=2, b=6 banding): collision probability at
+    *    J = 0.6 is 1 − (1 − 0.36)^6 ≈ 0.93 — the measured recall
+    *    should sit near it (pair-level, so dup-heavy corpora differ).
+    *  - `winnow` (e80's w=4/k=3 fingerprints, df ≤ 100, ≥ 2 shared):
+    *    guaranteed for shared word RUNS ≥ 7, not for scattered
+    *    overlap — recall on high-Jaccard pairs measures how much of
+    *    the corpus's duplication is run-shaped.
+    *
+    * The audit is the detector-selection artifact: at 100 TB one runs
+    * it on a sampled slice to pick the cheapest detector whose recall
+    * clears the pipeline's bar. All counts integer; one row per method.
+    */
+  private def e103DedupRecall = QueryDef.sql(
+    "e103_dedup_recall",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
+       |  WHERE len(wh) >= 3),
+       |tok AS (SELECT doc_id, unnest(shs) AS h FROM sh WHERE len(shs) > 0),
+       |df AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |ord AS (SELECT t.doc_id, t.h, s.sz,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.h) AS r
+       |  FROM tok t JOIN df d USING (h) JOIN sz s USING (doc_id)),
+       |pre AS (SELECT doc_id, h, r, sz FROM ord
+       |  WHERE r <= sz - (3*sz + 4) // 5 + 1),
+       |cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    min(a.r) AS ra, min(b.r) AS rb, min(a.sz) AS sa, min(b.sz) AS sb
+       |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |candp AS (SELECT doc_a, doc_b FROM cand0
+       |  WHERE 1 + least(sa - ra, sb - rb) >= (3*(sa + sb) + 7) // 8),
+       |truth AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      len(list_intersect(sa.shs, sb.shs)) AS ov,
+       |      len(sa.shs) AS za, len(sb.shs) AS zb
+       |    FROM candp c JOIN sh sa ON sa.doc_id = c.doc_a
+       |    JOIN sh sb ON sb.doc_id = c.doc_b)
+       |  WHERE 5*ov >= 3*(za + zb - ov)),
+       |tc AS (SELECT count(*) AS n_truth FROM truth),
+       |mh AS (SELECT doc_id,
+       |  ${(0 until 12).map(k =>
+            s"list_min(list_transform(shs, x -> (${Portable.MinHashA(k)}*x" +
+            s" + ${Portable.MinHashB(k)}) % ${Portable.P})) AS mh$k")
+            .mkString(",\n  ")}
+       |  FROM sh WHERE len(shs) > 0),
+       |bands AS (SELECT doc_id, unnest(range(0, 6)) AS band_id,
+       |    unnest(${(0 until 6).map(k =>
+              s"mh${2 * k}*${Portable.P} + mh${2 * k + 1}")
+              .mkString("[", ", ", "]")}) AS band_key
+       |  FROM mh),
+       |lshc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |gr AS (SELECT doc_id, ${Portable.posShinglesDuck} AS g FROM w
+       |  WHERE len(wh) >= 3),
+       |fps AS (SELECT doc_id, ${Portable.winnowedDuck} AS fp_set FROM gr),
+       |fex AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |fkept AS (SELECT fp FROM fex GROUP BY fp HAVING count(*) <= 100),
+       |fpr AS (SELECT fex.doc_id, fex.fp FROM fex JOIN fkept USING (fp)),
+       |winc AS (SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |    FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) WHERE c >= 2),
+       |trutht AS (SELECT doc_a, doc_b, 1 AS t FROM truth),
+       |stats AS (
+       |  SELECT 'prefix' AS method, count(*) AS n_cand,
+       |    CAST(sum(coalesce(t, 0)) AS BIGINT) AS n_hit
+       |  FROM candp c LEFT JOIN trutht t USING (doc_a, doc_b)
+       |  UNION ALL
+       |  SELECT 'lsh', count(*), CAST(sum(coalesce(t, 0)) AS BIGINT)
+       |  FROM lshc c LEFT JOIN trutht t USING (doc_a, doc_b)
+       |  UNION ALL
+       |  SELECT 'winnow', count(*), CAST(sum(coalesce(t, 0)) AS BIGINT)
+       |  FROM winc c LEFT JOIN trutht t USING (doc_a, doc_b))
+       |SELECT method, n_cand, n_hit, tc.n_truth,
+       |  CAST(10000 * n_hit // tc.n_truth AS BIGINT) AS recall_bp,
+       |  CAST(10000 * n_hit // n_cand AS BIGINT) AS efficiency_bp
+       |FROM stats CROSS JOIN tc
+       |ORDER BY method""".stripMargin) { (s, dir) =>
+    val P = Portable.P
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_sort(F.shingle_hashes(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("sz"))
+    val tok = sets
+      .select(col("doc_id"), col("sz"), explode(col("ts")).as("h"))
+      .repartition(col("h"))
+    val dfc = tok.groupBy("h").agg(count(col("doc_id")).as("df"))
+    val ranked = tok.join(dfc, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+    val pre = ranked
+      .filter(col("r") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"), col("r"), col("sz"))
+      .repartition(col("h"))
+    val candp = pre.as("a")
+      .join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("a.r")).as("ra"), min(col("b.r")).as("rb"),
+        min(col("a.sz")).as("sa"), min(col("b.sz")).as("sb"))
+      .filter(lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb"))
+        >= expr("(3 * (sa + sb) + 7) div 8"))
+      .select("doc_a", "doc_b")
+    val ov = size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long")
+    val truth = candp
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ov.as("ov"),
+        col("sa.sz").as("za"), col("sb.sz").as("zb"))
+      .filter(lit(5) * col("ov") >= lit(3) * (col("za") + col("zb") - col("ov")))
+      .select("doc_a", "doc_b")
+    val sig = sets.select(col("doc_id"), F.min_hashes(col("ts")).as("sig"))
+    val bandKeys = array((0 until 6).map(k =>
+      element_at(col("sig"), 2 * k + 1) * P +
+        element_at(col("sig"), 2 * k + 2)): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band_id", "band_key")))
+    val lshc = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val fex = Tables.documents(s, dir)
+      .select(col("doc_id"), F.winnow_hashes(col("text")).as("fp_set"))
+      .filter(size(col("fp_set")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(col("fp_set")).as("fp"))
+      .repartition(col("fp"))
+    val fkept = fex.groupBy("fp").agg(count(col("doc_id")).as("fdf"))
+      .filter(col("fdf") <= 100).select("fp")
+    val fpr = fex.join(fkept, "fp")
+    val winc = fpr.as("a")
+      .join(fpr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("doc_a", "doc_b")
+    val truthTagged = truth.withColumn("t", lit(1))
+    def audit(name: String, cand: DataFrame): DataFrame = cand
+      .join(truthTagged, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum(col("t")), lit(0)).cast("long").as("n_hit"))
+      .select(lit(name).as("method"), col("n_cand"), col("n_hit"))
+    val tc = truth.agg(count(lit(1)).as("n_truth"))
+    audit("prefix", candp)
+      .union(audit("lsh", lshc))
+      .union(audit("winnow", winc))
+      .crossJoin(broadcast(tc))
+      .select(col("method"), col("n_cand"), col("n_hit"), col("n_truth"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"),
+        expr("10000 * n_hit div n_cand").as("efficiency_bp"))
+      .orderBy("method")
   }
 }

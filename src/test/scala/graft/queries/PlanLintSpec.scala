@@ -54,7 +54,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e89_priority_sample", // one-row threshold (τ) frame, the e22 pattern
       "e91_ivf_upsert", // the e17 codebook broadcast, same bound
       "e93_ann_int8", // e5's guarded query-set broadcast, same bound
-      "e88b_hybrid_indexed") // the e17 codebook broadcast, same bound
+      "e88b_hybrid_indexed", // the e17 codebook broadcast, same bound
+      "e103_dedup_recall") // one-row truth-count frame, the e22 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
