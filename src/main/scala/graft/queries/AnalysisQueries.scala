@@ -529,8 +529,10 @@ object AnalysisQueries {
        |  SELECT 'winnow', count(*), CAST(sum(coalesce(t, 0)) AS BIGINT)
        |  FROM winc c LEFT JOIN trutht t USING (doc_a, doc_b))
        |SELECT method, n_cand, n_hit, tc.n_truth,
-       |  CAST(10000 * n_hit // tc.n_truth AS BIGINT) AS recall_bp,
-       |  CAST(10000 * n_hit // n_cand AS BIGINT) AS efficiency_bp
+       |  CAST(CASE WHEN tc.n_truth = 0 THEN 10000
+       |    ELSE 10000 * n_hit // tc.n_truth END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN n_cand = 0 THEN 10000
+       |    ELSE 10000 * n_hit // n_cand END AS BIGINT) AS efficiency_bp
        |FROM stats CROSS JOIN tc
        |ORDER BY method""".stripMargin) { (s, dir) =>
     val P = Portable.P
@@ -608,9 +610,13 @@ object AnalysisQueries {
       .union(audit("lsh", lshc))
       .union(audit("winnow", winc))
       .crossJoin(broadcast(tc))
+      // Dup-free-corpus guard: ANSI div would fail loudly on n_truth=0
+      // or an empty candidate set; vacuous ratios report as 10000.
       .select(col("method"), col("n_cand"), col("n_hit"), col("n_truth"),
-        expr("10000 * n_hit div n_truth").as("recall_bp"),
-        expr("10000 * n_hit div n_cand").as("efficiency_bp"))
+        expr("case when n_truth = 0 then 10000L " +
+          "else 10000 * n_hit div n_truth end").as("recall_bp"),
+        expr("case when n_cand = 0 then 10000L " +
+          "else 10000 * n_hit div n_cand end").as("efficiency_bp"))
       .orderBy("method")
   }
 }
