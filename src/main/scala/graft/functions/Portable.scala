@@ -93,11 +93,6 @@ object Portable {
       |        j -> g[j] = list_min(list_slice(g, p, least(p + 3, len(g))))))]))"""
       .stripMargin
 
-  val textFingerprintDuck: String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |  (a, c) -> (a*31 + c) % $P)""".stripMargin
-
   /** DuckDB polynomial hash of an arbitrary single-string SQL expression
     * `s` — the same base-31 mod-P left fold as [[TextHash.polyHash]], so
     * per-word hashes computed from an unnested word column match the
@@ -107,6 +102,8 @@ object Portable {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, c) -> (a*31 + c) % $P)""".stripMargin
+
+  val textFingerprintDuck: String = polyHashDuck("text")
 
   // ---- Portable pseudo-random hyperplanes (sign-LSH over embeddings) ------
 

@@ -436,7 +436,11 @@ object AnalysisQueries {
             count(lit(1)).as("n_words"),
             (round(covar_pop(col("ly"), col("lx")) / var_pop(col("lx")), 4)
               + lit(0)).as("zipf_slope"),
-            (round(pow(corr(col("ly"), col("lx")), 2), 4) + lit(0)).as("r2"))
+            // DuckDB's regr_r2 convention for a constant y (var=0) is a
+            // perfect fit (1.0); Spark's corr would yield NaN — match it.
+            (round(when(var_pop(col("ly")) === 0, lit(1.0))
+              .otherwise(pow(corr(col("ly"), col("lx")), 2)), 4) + lit(0))
+              .as("r2"))
           .orderBy("source")
     }
   }
