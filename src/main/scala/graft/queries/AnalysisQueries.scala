@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{F, Portable}
+import graft.operators.{MadOutliers, QualityPropagate}
 import graft.sources.Tables
 
 /** Round-9 similarity / sketch / corpus-health additions:
@@ -61,12 +62,21 @@ import graft.sources.Tables
   *    each source's bounded vocabulary, and fits over ≤ 200 rows per
   *    source — post-aggregation data is vocabulary-sized, never
   *    corpus-sized.
+  *
+  * Later round-9 additions (each documents its own scale design):
+  *  - e104 product-quantization ADC ANN (codes + lookup-table scoring —
+  *    the memory-side ANN scale path; 64× smaller scored representation).
+  *  - e105 hop-decayed quality propagation over the e3 near-dup graph
+  *    (max-plus label propagation, integer-deterministic).
+  *  - e106 per-source MAD robust outlier flags (Iglewicz–Hoaglin
+  *    modified z-score, all-integer comparisons).
   */
 object AnalysisQueries {
 
   val all: Seq[QueryDef] =
     Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
-      e102KmvOverlap, e103DedupRecall)
+      e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
+      e106MadOutliers)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -622,5 +632,311 @@ object AnalysisQueries {
         expr("case when n_cand = 0 then 10000L " +
           "else 10000 * n_hit div n_cand end").as("efficiency_bp"))
       .orderBy("method")
+  }
+
+  // ---- e104: product-quantization ADC ANN ---------------------------------
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring
+    * (Jégou/Douze/Schmid, TPAMI'11) — the MEMORY-side scale path for
+    * similarity search, complementing e6 (LSH — candidate pruning),
+    * e17/e64 (IVF — list pruning) and e93 (int8 — 4× scalar
+    * compression): the 64-dim vector is split into 4 subspaces of 16
+    * dims, each sub-vector quantized to its nearest subspace centroid
+    * (squared-L2, min-cid tie-break), and the corpus is represented by
+    * 4 small integers per vector. A query scores the WHOLE corpus
+    * without touching raw embeddings: it precomputes a per-subspace
+    * lookup table of distances to every centroid (m×K doubles,
+    * broadcast), and each vector's approximate distance is 4 table
+    * lookups summed — `d0+d1+d2+d3`, left-to-right in both engines.
+    * Top-k by ADC (neighbor_id tie-break) is then re-scored EXACTLY in
+    * full dimension, so the output carries `adc_l2` vs `exact_l2` —
+    * the quantization-distortion audit that decides whether the
+    * codebook is fine enough.
+    *
+    * Like e17, the codebook is a deterministic corpus sample
+    * (vec_id % 53 = 7) so the oracle replays it; production swaps in
+    * per-subspace Lloyd's ([[graft.operators.KMeans]]) without changing
+    * any plan shape. Scale design (100 TB): codes are m·log2(K) bits
+    * per vector (here 4 longs standing in for 4 bytes — a 64×
+    * compression of the scored representation), the LUT is
+    * queries×m×K doubles (bounded, broadcast), encode is one
+    * broadcast join + map-side argmin aggregation (partial min-structs
+    * combine before the one vec_id-keyed shuffle), ADC scoring is
+    * 4 broadcast lookup joins with NO corpus shuffle, and the top-k
+    * window prunes map-side (WindowGroupLimit) so only ~k rows per
+    * partition per query reach the exchange. The exact re-score
+    * touches nq·k rows. In production this composes with e64's
+    * IVF-partitioned layout: probe nprobe lists, ADC-score only those
+    * lists' codes.
+    */
+  private def e104PqAdc = {
+    val m = 4
+    val sub = 16
+    val k = 3
+    def sqFoldDuck(a: String, b: String, d: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${d + 1}),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    QueryDef.sql(
+      "e104_pq_adc",
+      s"""WITH dims AS (SELECT CAST(unnest(range(0, $m)) AS BIGINT) AS s),
+         |base AS (SELECT vec_id, embedding FROM embeddings),
+         |subs AS (SELECT vec_id, s,
+         |    list_transform(range(1, ${sub + 1}),
+         |      i -> CAST(embedding[s * $sub + i] AS DOUBLE)) AS sub
+         |  FROM base CROSS JOIN dims),
+         |cent AS (SELECT vec_id AS cid, s, sub AS csub FROM subs
+         |  WHERE vec_id % 53 = 7),
+         |enc AS (SELECT a.vec_id, a.s, c.cid,
+         |    ${sqFoldDuck("a.sub", "c.csub", sub)} AS d
+         |  FROM subs a JOIN cent c ON c.s = a.s),
+         |mn AS (SELECT vec_id, s, min(d) AS md FROM enc GROUP BY vec_id, s),
+         |codes AS (SELECT e.vec_id, e.s, min(e.cid) AS cid
+         |  FROM enc e JOIN mn ON mn.vec_id = e.vec_id AND mn.s = e.s
+         |  WHERE e.d = mn.md GROUP BY e.vec_id, e.s),
+         |cw AS (SELECT vec_id,
+         |    max(CASE WHEN s = 0 THEN cid END) AS c0,
+         |    max(CASE WHEN s = 1 THEN cid END) AS c1,
+         |    max(CASE WHEN s = 2 THEN cid END) AS c2,
+         |    max(CASE WHEN s = 3 THEN cid END) AS c3
+         |  FROM codes GROUP BY vec_id),
+         |lut AS (SELECT q.vec_id AS qid, q.s, c.cid,
+         |    ${sqFoldDuck("q.sub", "c.csub", sub)} AS d
+         |  FROM subs q JOIN cent c ON c.s = q.s WHERE q.vec_id % 101 = 5),
+         |adc AS (SELECT l0.qid, v.vec_id AS neighbor_id,
+         |    l0.d + l1.d + l2.d + l3.d AS adc
+         |  FROM cw v
+         |  JOIN lut l0 ON l0.s = 0 AND l0.cid = v.c0
+         |  JOIN lut l1 ON l1.s = 1 AND l1.cid = v.c1 AND l1.qid = l0.qid
+         |  JOIN lut l2 ON l2.s = 2 AND l2.cid = v.c2 AND l2.qid = l0.qid
+         |  JOIN lut l3 ON l3.s = 3 AND l3.cid = v.c3 AND l3.qid = l0.qid
+         |  WHERE v.vec_id <> l0.qid),
+         |topk AS (SELECT qid AS query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id)
+         |      AS rk
+         |  FROM adc QUALIFY rk <= $k),
+         |ex AS (SELECT t.query_id, t.neighbor_id, t.rk, t.adc,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> (CAST(q.embedding[i] AS DOUBLE)
+         |                - CAST(n.embedding[i] AS DOUBLE))
+         |           * (CAST(q.embedding[i] AS DOUBLE)
+         |                - CAST(n.embedding[i] AS DOUBLE)))),
+         |      (acc, v) -> acc + v) AS exact
+         |  FROM topk t JOIN base q ON q.vec_id = t.query_id
+         |  JOIN base n ON n.vec_id = t.neighbor_id)
+         |SELECT query_id, neighbor_id, rk, round(adc, 4) AS adc_l2,
+         |  round(exact, 4) AS exact_l2
+         |FROM ex ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      // Squared L2 as diff-then-self-dot: zip_with materializes each
+      // difference once, ArrayDot folds acc + diff[i]*diff[i] in element
+      // order — bit-identical to the oracle's list_reduce (e47 pattern).
+      def sq(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val dcol = zip_with(a, b, (x, y) => x - y)
+        F.array_dot(dcol, dcol)
+      }
+      val embD = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"))
+        .filter(col("vec_id").isNotNull)
+      val subsArr = array((0 until m).map(ss =>
+        struct(lit(ss.toLong).as("s"),
+          slice(col("emb"), ss * sub + 1, sub).as("sub"))): _*)
+      val subs = base.select(col("vec_id"), explode(subsArr).as("e"))
+        .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+      val cent = subs.filter(col("vec_id") % 53 === 7)
+        .select(col("vec_id").as("cid"), col("s").as("cs"),
+          col("sub").as("csub"))
+      // Encode: nearest subspace centroid per (vector, subspace) as ONE
+      // conditional min-struct aggregation — (d, cid) struct order gives
+      // min-distance with min-cid tie-break (exact-equality ties only:
+      // both engines fold identical doubles), and the map-side partial
+      // min collapses the broadcast-join fanout to one row per vector
+      // before the only corpus shuffle in the encode path.
+      val enc = subs.join(broadcast(cent), col("s") === col("cs"))
+        .select(col("vec_id"), col("s"), col("cid"),
+          sq(col("sub"), col("csub")).as("d"))
+      val codes = enc.groupBy("vec_id").agg(
+        min(when(col("s") === 0, struct(col("d"), col("cid"))))
+          .getField("cid").as("c0"),
+        min(when(col("s") === 1, struct(col("d"), col("cid"))))
+          .getField("cid").as("c1"),
+        min(when(col("s") === 2, struct(col("d"), col("cid"))))
+          .getField("cid").as("c2"),
+        min(when(col("s") === 3, struct(col("d"), col("cid"))))
+          .getField("cid").as("c3"))
+      val lut = subs.filter(col("vec_id") % 101 === 5)
+        .select(col("vec_id").as("qid"), col("s"), col("sub"))
+        .join(broadcast(cent), col("s") === col("cs"))
+        .select(col("qid"), col("s"), col("cid"),
+          sq(col("sub"), col("csub")).as("d"))
+      def lutS(ss: Int): DataFrame = lut.filter(col("s") === ss)
+        .select(col("qid").as(s"q$ss"), col("cid").as(s"k$ss"),
+          col("d").as(s"d$ss"))
+      // ADC: 4 broadcast lookup joins (LUT is queries × m × K, bounded);
+      // the corpus side carries only (vec_id, c0..c3) — no raw-embedding
+      // bytes move after encode.
+      val joined = (1 until m).foldLeft(
+        codes.join(broadcast(lutS(0)), col("c0") === col("k0"))) {
+        case (acc, ss) => acc.join(broadcast(lutS(ss)),
+          col(s"c$ss") === col(s"k$ss") && col(s"q$ss") === col("q0"))
+      }
+      val adc = joined.filter(col("vec_id") =!= col("q0"))
+        .select(col("q0").as("query_id"), col("vec_id").as("neighbor_id"),
+          (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("neighbor_id"))
+      val topk = adc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+      // Exact re-score of the nq·k winners only: broadcast the tiny
+      // result against the corpus twice (query emb, neighbor emb).
+      val qemb = base.select(col("vec_id").as("qv"), col("emb").as("qe"))
+      val nemb = base.select(col("vec_id").as("nv"), col("emb").as("ne"))
+      val withQ = qemb.join(broadcast(topk), col("qv") === col("query_id"))
+      nemb.join(broadcast(withQ), col("nv") === col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("adc"), 4).as("adc_l2"),
+          round(sq(col("qe"), col("ne")), 4).as("exact_l2"))
+        .orderBy(col("query_id"), col("rk"))
+    }
+  }
+
+  // ---- e105: quality propagation over the near-dup graph ------------------
+
+  /** Hop-decayed quality propagation over the MinHash-verified near-dup
+    * graph: every document starts with an integer quality score (e14's
+    * stopword/length signals folded to basis points), and each of 2
+    * rounds lifts a document to the best of its own score and its
+    * neighbors' scores minus a 1500 bp hop decay — max-plus label
+    * propagation, the curation move that RESCUES borderline documents
+    * whose near-duplicates are known-good (and, run on inverted scores,
+    * condemns near-dups of known-spam). Max over integers is
+    * associative and order-free, so the unrolled rounds are
+    * bit-deterministic on both engines; `lifted` marks documents whose
+    * final score came from the graph rather than their own signals.
+    *
+    * Scale design (100 TB): the edge list is e3's banded LSH join
+    * (never all-pairs), each round is one edge-keyed broadcast-free
+    * join + one dst-keyed max aggregation + one doc-keyed left join —
+    * all linear in |E|+|V| with map-side partial max; the hop radius is
+    * a small constant (quality contagion saturates fast under decay),
+    * so total work is rounds × (|E|+|V|), not iterative-to-fixpoint.
+    *
+    * On the fixed corpus every verified pair's scores agree within
+    * ~131 bp (sf0.01 measured) — faithful duplicates — so zero lifts
+    * IS the correct oracle-confirmed answer here; the lifting path is
+    * pinned by PropagationStatsSpec on a constructed graph
+    * ([[graft.operators.QualityPropagate]]).
+    */
+  private def e105QualityPropagate = {
+    val decay = 1500
+    QueryDef.sql(
+      "e105_quality_propagate",
+      s"""${ExtensionQueries.minhashPairsDuck},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  WHERE jaccard >= 0.3
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.3),
+         |sig AS (SELECT doc_id, len(w) AS n_words,
+         |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+         |  FROM (SELECT doc_id, ${Portable.wordsDuck} AS w FROM documents)),
+         |q0 AS (SELECT doc_id,
+         |    least(10000, n_stop * 30000 // n_words
+         |      + least(4000, n_words * 8)) AS bp
+         |  FROM sig WHERE n_words > 0),
+         |n1 AS (SELECT e.dst AS doc_id, max(q.bp) - $decay AS nb
+         |  FROM edges e JOIN q0 q ON q.doc_id = e.src GROUP BY e.dst),
+         |p1 AS (SELECT q0.doc_id, greatest(q0.bp, coalesce(n1.nb, 0)) AS bp
+         |  FROM q0 LEFT JOIN n1 USING (doc_id)),
+         |n2 AS (SELECT e.dst AS doc_id, max(q.bp) - $decay AS nb
+         |  FROM edges e JOIN p1 q ON q.doc_id = e.src GROUP BY e.dst),
+         |p2 AS (SELECT p1.doc_id, greatest(p1.bp, coalesce(n2.nb, 0)) AS bp
+         |  FROM p1 LEFT JOIN n2 USING (doc_id))
+         |SELECT q0.doc_id, q0.bp AS base_bp, p2.bp AS prop_bp,
+         |  CASE WHEN p2.bp > q0.bp THEN 1 ELSE 0 END AS lifted
+         |FROM q0 JOIN p2 USING (doc_id)
+         |ORDER BY q0.doc_id""".stripMargin) { (s, dir) =>
+      val pairs = ExtensionQueries.minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(
+          pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val words = expr(Portable.wordsSpark)
+      val q0 = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          size(filter(words, x => x.isin("the", "a"))).cast("long")
+            .as("n_stop"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"),
+          expr("least(10000L, n_stop * 30000 div n_words" +
+            " + least(4000L, n_words * 8))").as("bp"))
+      val p2 = QualityPropagate.propagate(edges, q0, rounds = 2, decay)
+      q0.select(col("doc_id"), col("bp").as("base_bp"))
+        .join(p2.select(col("doc_id"), col("bp").as("prop_bp")), "doc_id")
+        .select(col("doc_id"), col("base_bp"), col("prop_bp"),
+          when(col("prop_bp") > col("base_bp"), 1).otherwise(0).as("lifted"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  // ---- e106: MAD robust outlier detection ---------------------------------
+
+  /** Per-source robust outlier flagging via the median absolute
+    * deviation (Iglewicz–Hoaglin modified z-score, |z| > 3.5): length
+    * outliers inside a source are the truncated fragments and
+    * concatenation accidents that mean/stddev screens (e38) MISS when
+    * the outliers themselves inflate σ — MAD has a 50 % breakdown point
+    * vs 0 % for stddev. All comparisons are integer: medians of
+    * integers are half-integers, so the query carries 2×median
+    * (`med2`) and 4×MAD (`mad4`) exactly, and the modified z-score in
+    * basis points is `13490·|2x − med2| div mad4` (0.6745·(x−med)/MAD
+    * ×10⁴, numerator and denominator each scaled 2×) — trunc division
+    * on both engines, no float crosses the comparison. Sources where
+    * MAD = 0 (a majority of identical lengths) report NULL z rather
+    * than dividing: every row still appears, flagged 0.
+    *
+    * Scale design (100 TB): two source-grain exact-median aggregations
+    * + two broadcast joins of the 2-column per-source frame — the
+    * per-row work is one abs and one div. Exact per-group medians sort
+    * within groups; the documented fleet-scale swap is e63's
+    * reservoir-sampled quantiles (± known error) feeding the same
+    * integer flag rule.
+    *
+    * The synthetic per-source lengths are near-uniform (measured max
+    * modified z ≈ 2.97 at sf0.01), so zero flags IS the correct
+    * oracle-confirmed answer here; the flagging path is pinned by
+    * PropagationStatsSpec on a constructed skewed frame
+    * ([[graft.operators.MadOutliers]]).
+    */
+  private def e106MadOutliers = QueryDef.sql(
+    "e106_mad_outliers",
+    """WITH med AS (SELECT source, CAST(2 * median(n_chars) AS BIGINT)
+      |    AS med2
+      |  FROM documents GROUP BY source),
+      |dev AS (SELECT d.source, d.doc_id, d.n_chars, m.med2,
+      |    abs(2 * d.n_chars - m.med2) AS d2
+      |  FROM documents d JOIN med m ON m.source = d.source),
+      |mad AS (SELECT source, CAST(2 * median(d2) AS BIGINT) AS mad4
+      |  FROM dev GROUP BY source),
+      |z AS (SELECT dev.source, dev.doc_id, dev.n_chars, dev.med2,
+      |    mad.mad4,
+      |    CASE WHEN mad.mad4 = 0 THEN NULL
+      |      ELSE 13490 * dev.d2 // mad.mad4 END AS z_bp
+      |  FROM dev JOIN mad USING (source))
+      |SELECT source, doc_id, n_chars, med2, mad4, z_bp,
+      |  CASE WHEN z_bp > 35000 THEN 1 ELSE 0 END AS is_outlier
+      |FROM z ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    MadOutliers.flags(docs, "source", "n_chars")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("med2"),
+        col("mad4"), col("z_bp"), col("is_outlier"))
+      .orderBy(col("source"), col("doc_id"))
   }
 }

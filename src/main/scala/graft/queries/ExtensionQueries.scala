@@ -223,7 +223,7 @@ object ExtensionQueries {
   /** DuckDB CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
     * oracle twin of [[minhashVerifiedPairs]], shared by e3 and e32.
     */
-  private def minhashPairsDuck: String = {
+  private[queries] def minhashPairsDuck: String = {
     val mhDuck = (0 until 12).map { k =>
       s"list_min(list_transform(shs, x -> (${Portable.MinHashA(k)}*x + " +
         s"${Portable.MinHashB(k)}) % $P)) AS mh$k"
@@ -262,7 +262,7 @@ object ExtensionQueries {
     * (doc_a < doc_b, unordered, unthresholded — callers filter). Shared
     * by e3 (pair report) and e32 (cluster construction).
     */
-  private def minhashVerifiedPairs(
+  private[queries] def minhashVerifiedPairs(
       s: SparkSession, dir: String): DataFrame = {
     // mh feeds three consumers (the band explode and both verification
     // join sides); repartitioning by doc_id makes all three reuse one
