@@ -70,13 +70,29 @@ import graft.sources.Tables
   *    (max-plus label propagation, integer-deterministic).
   *  - e106 per-source MAD robust outlier flags (Iglewicz–Hoaglin
   *    modified z-score, all-integer comparisons).
+  *  - e107 IVF-codebook silhouette audit (per-cell clustering quality —
+  *    the K-tuning signal for the e17/e64/e104 index family).
+  *  - e108 quality-signal correlation matrix (Pearson from exact
+  *    integer moment sums — the signal-redundancy audit next to e96's
+  *    rejection-set overlap).
+  *  - e109 brand co-purchase association rules over the TPC-H star
+  *    (support/confidence/lift, all-integer basis points).
+  *  - e110 contrastive-pair mining (positive / hard-negative /
+  *    easy-negative roles by deterministic cosine rank — the
+  *    embedding-training data generator).
+  *  - e111 span-corruption masking manifest (T5-style deterministic
+  *    mask schedule as pure column math — trainer and pipeline agree
+  *    on masked-token counts without shipping mask arrays).
+  *  - e112 within-source diversity audit (stride-adjacent pair shingle
+  *    Jaccard — the self-similarity/redundancy score per source).
   */
 object AnalysisQueries {
 
   val all: Seq[QueryDef] =
     Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
       e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
-      e106MadOutliers)
+      e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
+      e110HardNegatives, e111MaskSpans, e112SourceDiversity)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -938,5 +954,463 @@ object AnalysisQueries {
       .select(col("source"), col("doc_id"), col("n_chars"), col("med2"),
         col("mad4"), col("z_bp"), col("is_outlier"))
       .orderBy(col("source"), col("doc_id"))
+  }
+
+  // ---- e107: IVF-codebook silhouette audit --------------------------------
+
+  /** Per-cell simplified-silhouette audit of the e17/e64 IVF codebook:
+    * for a deterministic eval sample (vec_id % 41 = 3), `a` = L2
+    * distance to the nearest centroid (the assigned cell), `b` =
+    * distance to the second-nearest, silhouette = (b − a)/max(a, b) —
+    * reported per cell as truncated basis points (mean + min). Cells
+    * with mean near 0 are boundary-smeared (centroids too close — merge
+    * or retrain), cells whose min is near 0 contain reassignment-risk
+    * vectors; this is THE K-tuning/health signal for the whole
+    * ANN-index family (e17 flat, e64 persisted, e91 upsert, e104 PQ),
+    * run before trusting a codebook.
+    *
+    * Determinism: distances are element-order folds (identical bits
+    * both engines), top-2 ranking breaks exact-equality ties by cid,
+    * silhouette truncates to integer bp. The a = b = 0 degenerate
+    * (eval vector identical to two centroids) and the K = 1 case
+    * (no second centroid) drop out via explicit null/zero guards on
+    * both sides. Scale (100 TB): eval sample × bounded codebook
+    * broadcast scoring, one vec-keyed top-2 window (K-bounded frames),
+    * one cell-keyed rollup — sampling rate and K are the levers, the
+    * corpus is never self-joined.
+    */
+  private def e107Silhouette = {
+    def sqFold(a: String, b: String): String =
+      s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+         |      (acc, v) -> acc + v))""".stripMargin
+    QueryDef.sql(
+      "e107_silhouette",
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM base
+         |  WHERE vec_id % 67 = 3),
+         |ev AS (SELECT vec_id, embedding FROM base WHERE vec_id % 41 = 3),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |    ${sqFold("e.embedding", "c.cemb")} AS d
+         |  FROM ev e CROSS JOIN cent c),
+         |rk AS (SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+         |  FROM sc QUALIFY r <= 2),
+         |ab AS (SELECT vec_id,
+         |    max(CASE WHEN r = 1 THEN cid END) AS cell_id,
+         |    max(CASE WHEN r = 1 THEN d END) AS a,
+         |    max(CASE WHEN r = 2 THEN d END) AS b
+         |  FROM rk GROUP BY vec_id),
+         |sil AS (SELECT vec_id, cell_id,
+         |    CAST(trunc((b - a) / (CASE WHEN a >= b THEN a ELSE b END)
+         |      * 10000) AS BIGINT) AS sil_bp
+         |  FROM ab
+         |  WHERE b IS NOT NULL AND (CASE WHEN a >= b THEN a ELSE b END) > 0)
+         |SELECT cell_id, count(*) AS n_vecs,
+         |  CAST(sum(sil_bp) // count(*) AS BIGINT) AS mean_sil_bp,
+         |  min(sil_bp) AS min_sil_bp
+         |FROM sil GROUP BY cell_id ORDER BY cell_id""".stripMargin) {
+      (s, dir) =>
+        def sq(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val dcol = zip_with(a, b, (x, y) => x - y)
+          sqrt(F.array_dot(dcol, dcol))
+        }
+        val embD = col("embedding").cast("array<double>")
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), embD.as("emb"))
+          .filter(col("vec_id").isNotNull)
+        val cent = base.filter(col("vec_id") % 67 === 3)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+        val ev = base.filter(col("vec_id") % 41 === 3)
+        val sc = ev.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            sq(col("emb"), col("cemb")).as("d"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d"), col("cid"))
+        val ab = sc.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 2)
+          .groupBy("vec_id")
+          .agg(
+            max(when(col("r") === 1, col("cid"))).as("cell_id"),
+            max(when(col("r") === 1, col("d"))).as("a"),
+            max(when(col("r") === 2, col("d"))).as("b"))
+        val mx = when(col("a") >= col("b"), col("a")).otherwise(col("b"))
+        val sil = ab
+          .filter(col("b").isNotNull)
+          .withColumn("mx", mx)
+          .filter(col("mx") > 0)
+          .withColumn("sil_bp",
+            ((col("b") - col("a")) / col("mx") * 10000).cast("long"))
+        sil.groupBy("cell_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            expr("sum(sil_bp) div count(1)").as("mean_sil_bp"),
+            min(col("sil_bp")).as("min_sil_bp"))
+          .orderBy(col("cell_id"))
+    }
+  }
+
+  // ---- e108: quality-signal correlation matrix ----------------------------
+
+  /** Per-source Pearson correlation between the three per-document
+    * quality signals (n_chars, n_words, n_punct — e14's raw inputs),
+    * computed from EXACT integer moment sums: n, Σx, Σy, Σxy, Σx², Σy²
+    * accumulate as BIGINTs (order-free, overflow-safe at these
+    * magnitudes), and the single float expression
+    * `(nΣxy − ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²))` is evaluated with
+    * identical operation order on both engines — so a statistic that is
+    * normally accumulation-order-dependent becomes bit-deterministic.
+    * This is the signal-REDUNDANCY audit next to e96's rejection-set
+    * overlap: a pair correlating ≈ 1 within every source means one
+    * signal is free to drop from the filter stack; a pair whose
+    * correlation varies wildly by source flags a source-conditional
+    * signal. Zero-variance guards report NULL rather than dividing.
+    *
+    * Scale (100 TB): one corpus scan → six integer partial aggregates
+    * per source (map-side combine), output #sources × 3 rows; nothing
+    * downstream of the scan touches text again.
+    */
+  private def e108SignalCorr = {
+    val punctDuck = """len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))"""
+    QueryDef.sql(
+      "e108_signal_corr",
+      s"""WITH d AS (SELECT source, n_chars,
+         |    len(${Portable.wordsDuck}) AS n_words,
+         |    $punctDuck AS n_punct
+         |  FROM documents),
+         |s AS (SELECT source, count(*) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS sx,
+         |    CAST(sum(n_words) AS BIGINT) AS sy,
+         |    CAST(sum(n_punct) AS BIGINT) AS sz,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+         |    CAST(sum(n_words * n_words) AS BIGINT) AS syy,
+         |    CAST(sum(n_punct * n_punct) AS BIGINT) AS szz,
+         |    CAST(sum(n_chars * n_words) AS BIGINT) AS sxy,
+         |    CAST(sum(n_chars * n_punct) AS BIGINT) AS sxz,
+         |    CAST(sum(n_words * n_punct) AS BIGINT) AS syz
+         |  FROM d GROUP BY source),
+         |c AS (
+         |  SELECT source, 'chars_words' AS pair, n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS va, n * syy - sy * sy AS vb FROM s
+         |  UNION ALL
+         |  SELECT source, 'chars_punct', n * sxz - sx * sz,
+         |    n * sxx - sx * sx, n * szz - sz * sz FROM s
+         |  UNION ALL
+         |  SELECT source, 'words_punct', n * syz - sy * sz,
+         |    n * syy - sy * sy, n * szz - sz * sz FROM s)
+         |SELECT source, pair,
+         |  CASE WHEN va > 0 AND vb > 0
+         |    THEN round(CAST(num AS DOUBLE) /
+         |      (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))), 4) + 0
+         |  END AS corr
+         |FROM c ORDER BY source, pair""".stripMargin) { (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          size(words).cast("long").as("n_words"),
+          size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)"))
+            .cast("long").as("n_punct"))
+      val mom = d.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_words")).as("sy"),
+        sum(col("n_punct")).as("sz"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"),
+        sum(col("n_words") * col("n_words")).as("syy"),
+        sum(col("n_punct") * col("n_punct")).as("szz"),
+        sum(col("n_chars") * col("n_words")).as("sxy"),
+        sum(col("n_chars") * col("n_punct")).as("sxz"),
+        sum(col("n_words") * col("n_punct")).as("syz"))
+      def leg(pair: String, sab: String, aa: String, bb: String) =
+        mom.select(col("source"), lit(pair).as("pair"),
+          (col("n") * col(sab) - col(aa.take(2)) * col(bb.take(2))).as("num"),
+          (col("n") * col(aa) - col(aa.take(2)) * col(aa.take(2))).as("va"),
+          (col("n") * col(bb) - col(bb.take(2)) * col(bb.take(2))).as("vb"))
+      val c = leg("chars_words", "sxy", "sxx", "syy")
+        .unionByName(leg("chars_punct", "sxz", "sxx", "szz"))
+        .unionByName(leg("words_punct", "syz", "syy", "szz"))
+      c.select(col("source"), col("pair"),
+        when(col("va") > 0 && col("vb") > 0,
+          round(col("num").cast("double") /
+            (sqrt(col("va").cast("double")) * sqrt(col("vb").cast("double"))),
+            4) + 0).as("corr"))
+        .orderBy(col("source"), col("pair"))
+    }
+  }
+
+  // ---- e109: brand co-purchase association rules --------------------------
+
+  /** Market-basket association rules at the brand grain over the TPC-H
+    * star: distinct brands per order, co-occurrence counts for every
+    * brand pair, and the support / confidence / lift triple in integer
+    * basis points (`lift_bp` = 10⁴·P(a∧b)/(P(a)·P(b)) — 10000 means
+    * independent; the synthetic uniform part mix correctly lands near
+    * there, which IS the audit's answer on this data). The relational
+    * sibling of e44's PMI collocations: same count algebra, order
+    * baskets instead of token windows.
+    *
+    * Scale (100 TB): one brand-dim broadcast join, ONE fact exchange
+    * (repartition by order key — the per-order distinct rollup and the
+    * pair self-join both reuse it: partitioning on a subset of the
+    * grouping keys satisfies the aggregate's distribution), pair
+    * explode bounded by (brands-per-order)² ≤ 25² per basket, and the
+    * pair rollup keys on a ≤ #brands² space. Item-grain rules swap the
+    * brand dim for a min-support prefilter on items (drop items under
+    * support θ BEFORE pairing — the classic Apriori prune); shapes
+    * unchanged.
+    */
+  private def e109CopurchaseLift = QueryDef.sql(
+    "e109_copurchase_lift",
+    """WITH li AS (SELECT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY l_orderkey, p_brand),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      |bc AS (SELECT p_brand, count(*) AS cnt FROM li GROUP BY p_brand),
+      |pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |    count(*) AS n_both
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_both, ba.cnt AS n_a, bb.cnt AS n_b,
+      |  n.n_orders,
+      |  CAST(n_both * 10000 // n.n_orders AS BIGINT) AS support_bp,
+      |  CAST(n_both * 10000 // ba.cnt AS BIGINT) AS conf_a_to_b_bp,
+      |  CAST(n_both * n.n_orders * 10000 // (ba.cnt * bb.cnt) AS BIGINT)
+      |    AS lift_bp
+      |FROM pairs
+      |JOIN bc ba ON ba.p_brand = brand_a
+      |JOIN bc bb ON bb.p_brand = brand_b
+      |CROSS JOIN n
+      |WHERE n_both >= 5
+      |ORDER BY brand_a, brand_b""".stripMargin) { (s, dir) =>
+    // One fact exchange: the order-keyed repartition satisfies the
+    // (orderkey, brand) rollup (subset rule) AND both pair-join sides.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "p_brand").agg(count(lit(1)).as("_c"))
+      .select("l_orderkey", "p_brand")
+    val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val bc = li.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 5)
+    pairs
+      .join(broadcast(bc.select(col("p_brand").as("brand_a"),
+        col("cnt").as("n_a"))), "brand_a")
+      .join(broadcast(bc.select(col("p_brand").as("brand_b"),
+        col("cnt").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        col("n_a"), col("n_b"), col("n_orders"),
+        expr("n_both * 10000 div n_orders").as("support_bp"),
+        expr("n_both * 10000 div n_a").as("conf_a_to_b_bp"),
+        expr("n_both * n_orders * 10000 div (n_a * n_b)").as("lift_bp"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  // ---- e110: contrastive-pair mining --------------------------------------
+
+  /** Contrastive training-pair mining for embedding models: for each
+    * anchor (vec_id % 101 = 5), emit the `pos`itive (nearest neighbor
+    * by cosine — the self-supervised positive when no labels exist),
+    * three `hneg` hard negatives (ranks 2–4: the confusable
+    * almost-matches that contrastive losses need most), and one `eneg`
+    * easy negative (the median-rank neighbor — the deterministic
+    * stand-in for a uniform random draw, reproducible across engines
+    * and runs). Roles are RANK-defined, not absolute-threshold-defined,
+    * so the miner adapts to any embedding geometry (this corpus's
+    * cosines top out ≈ 0.4 — any fixed band would go empty). Cosines
+    * are rounded to 4dp BEFORE ranking (e5's reproducible-rank rule),
+    * ties break by neighbor_id.
+    *
+    * Scale (100 TB): anchors broadcast against one corpus scan (e5's
+    * guarded-broadcast/chunking discipline applies past the guard), one
+    * anchor-partitioned window (WindowGroupLimit prunes map-side for
+    * the rank ≤ 4 head; the median-rank row rides the same window) —
+    * per-anchor work is linear in the corpus, the standard exact-mining
+    * cost; swap the scored CTE for e6/e17 candidates to go sublinear.
+    */
+  private def e110HardNegatives = QueryDef.sql(
+    "e110_hard_negatives",
+    s"""WITH a AS (SELECT * FROM embeddings WHERE vec_id % 101 = 5),
+       |scored AS (
+       |  SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+       |    round(${dotPair("a", "c")} /
+       |      (${normOf("a")} * ${normOf("c")}), 4) + 0 AS cosine
+       |  FROM a JOIN embeddings c ON a.vec_id <> c.vec_id),
+       |rk AS (SELECT anchor_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk,
+       |    count(*) OVER (PARTITION BY anchor_id) AS n_cand
+       |  FROM scored)
+       |SELECT anchor_id, rk,
+       |  CASE WHEN rk = 1 THEN 'pos' WHEN rk <= 4 THEN 'hneg'
+       |    ELSE 'eneg' END AS role,
+       |  neighbor_id, cosine
+       |FROM rk WHERE rk <= 4 OR rk = n_cand // 2
+       |ORDER BY anchor_id, rk""".stripMargin) { (s, dir) =>
+    val embD = col("embedding").cast("array<double>")
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), embD.as("emb"))
+      .filter(col("vec_id").isNotNull)
+      .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
+    val anchors = base.filter(col("vec_id") % 101 === 5)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("ae"),
+        col("nrm").as("an"))
+    val cosine = round(
+      F.array_dot(col("ae"), col("emb")) / (col("an") * col("nrm")), 4) + 0
+    val w = Window.partitionBy(col("anchor_id"))
+    val wOrd = w.orderBy(col("cosine").desc, col("neighbor_id"))
+    base.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+        cosine.as("cosine"))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .filter(col("rk") <= 4 || col("rk") === expr("n_cand div 2"))
+      .select(col("anchor_id"), col("rk"),
+        when(col("rk") === 1, "pos").when(col("rk") <= 4, "hneg")
+          .otherwise("eneg").as("role"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
+  private def dotPair(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> CAST($x.embedding[i] AS DOUBLE)
+       |           * CAST($y.embedding[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v)""".stripMargin
+
+  private def normOf(x: String): String = s"sqrt(${dotPair(x, x)})"
+
+  // ---- e111: span-corruption masking manifest -----------------------------
+
+  /** T5-style span-corruption manifest as PURE column math: every 4th
+    * token position is a potential span start, a start fires iff
+    * `((1103515245·k + 12345) mod P) mod 10 < 3` with
+    * `k = (doc_id·1000003 + i) mod P` (expected mask ratio
+    * 0.3 × 2/4 = 15 %, the T5 default), and a fired span masks
+    * `min(2, n_tokens − i)` tokens — starts are ≥ 4 apart so spans
+    * never overlap or merge by construction. Because the schedule is a
+    * deterministic function of (doc_id, position), the TRAINER can
+    * recompute exactly the masked-token counts the pipeline reports
+    * (loss normalization, token accounting) without the pipeline
+    * shipping a single mask array — the reproducible-augmentation
+    * contract, same philosophy as F4's seeded partition-stable UUIDs.
+    *
+    * Scale (100 TB): zero shuffle — per-row lambda arithmetic over the
+    * token sequence, emitted as a per-doc summary (the full mask
+    * positions are re-derivable anywhere from the formula).
+    */
+  private def e111MaskSpans = {
+    val P = Portable.P
+    val A = 1103515245L
+    val B = 12345L
+    QueryDef.sql(
+      "e111_mask_spans",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${Portable.wordsDuck}) AS BIGINT) AS nt
+         |  FROM documents),
+         |m AS (SELECT doc_id, nt,
+         |    list_filter(range(0, nt, 4), i ->
+         |      (($A * ((doc_id * 1000003 + i) % $P) + $B) % $P) % 10 < 3)
+         |      AS starts
+         |  FROM t WHERE nt > 0),
+         |agg AS (SELECT doc_id, nt,
+         |    CAST(len(starts) AS BIGINT) AS n_spans,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(starts, i -> least(CAST(2 AS BIGINT),
+         |          nt - i))),
+         |      (acc, v) -> acc + v) AS BIGINT) AS n_masked
+         |  FROM m)
+         |SELECT doc_id, nt AS n_tokens, n_spans, n_masked,
+         |  n_masked * 10000 // nt AS mask_bp
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), size(words).cast("long").as("nt"))
+        .filter(col("nt") > 0)
+      val starts = filter(
+        sequence(lit(0L), col("nt") - 1, lit(4L)),
+        i => (lit(A) * ((col("doc_id") * 1000003L + i) % P) + B) % P % 10 < 3)
+      t.withColumn("starts", starts)
+        .select(col("doc_id"), col("nt").as("n_tokens"),
+          size(col("starts")).cast("long").as("n_spans"),
+          aggregate(col("starts"), lit(0L),
+            (acc, i) => acc + least(lit(2L), col("nt") - i)).as("n_masked"))
+        .withColumn("mask_bp", expr("n_masked * 10000 div n_tokens"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  // ---- e112: within-source diversity audit --------------------------------
+
+  /** Per-source self-similarity (diversity) audit: pair each document
+    * with its stride-adjacent same-source neighbor (doc_id + 20 — the
+    * synthetic round-robin source striping makes that the next document
+    * OF THE SAME SOURCE; the source-equality predicate is kept so the
+    * pairing stays correct under any id layout), compute exact
+    * shingle-set Jaccard per pair in integer basis points, and roll up
+    * per source: pair count, mean and max similarity, and how many
+    * pairs exceed 3000 bp (the within-source redundancy count). A
+    * source whose mean creeps up is template-farming/self-syndicating —
+    * the corpus-mix signal that a source's MARGINAL document adds
+    * little; complements e52 (cross-source dups) and e71 (dedup yield)
+    * with the within-source redundancy angle.
+    *
+    * The stride pairing is a deterministic ~1-pair-per-doc sample of
+    * the within-source pair space — a keyed equi-join, NOT a window
+    * over the source partition (a per-source window would be the skew
+    * trap at 100 TB; the join is uniform per doc). Arrays ride the
+    * join doc-keyed; one source-grain rollup ends the plan.
+    */
+  private def e112SourceDiversity = QueryDef.sql(
+    "e112_source_diversity",
+    s"""WITH w AS (SELECT doc_id, source, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source, ${Portable.shinglesDuck} AS shs
+       |  FROM w),
+       |ok AS (SELECT doc_id, source, shs FROM sh WHERE len(shs) > 0),
+       |pr AS (SELECT a.source,
+       |    CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS ov,
+       |    CAST(len(a.shs) + len(b.shs)
+       |      - len(list_intersect(a.shs, b.shs)) AS BIGINT) AS un
+       |  FROM ok a JOIN ok b
+       |    ON b.doc_id = a.doc_id + 20 AND b.source = a.source)
+       |SELECT source, count(*) AS n_pairs,
+       |  CAST(sum(ov * 10000 // un) // count(*) AS BIGINT) AS mean_jac_bp,
+       |  CAST(max(ov * 10000 // un) AS BIGINT) AS max_jac_bp,
+       |  CAST(sum(CASE WHEN ov * 10000 // un >= 3000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_sim
+       |FROM pr GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val ok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        F.shingle_hashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .filter(col("doc_id").isNotNull)
+    val ov = size(array_intersect(col("a.shs"), col("b.shs"))).cast("long")
+    val un = (size(col("a.shs")) + size(col("b.shs"))).cast("long") - ov
+    val jac = expr("ov * 10000 div un")
+    ok.as("a")
+      .join(ok.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 20 &&
+          col("b.source") === col("a.source"))
+      .select(col("a.source").as("source"), ov.as("ov"), un.as("un"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ov * 10000 div un) div count(1)").as("mean_jac_bp"),
+        max(jac).as("max_jac_bp"),
+        sum(when(jac >= 3000, 1L).otherwise(0L)).as("n_sim"))
+      .orderBy(col("source"))
   }
 }

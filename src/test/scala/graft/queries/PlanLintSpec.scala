@@ -55,7 +55,11 @@ class PlanLintSpec extends SparkSpecBase {
       "e91_ivf_upsert", // the e17 codebook broadcast, same bound
       "e93_ann_int8", // e5's guarded query-set broadcast, same bound
       "e88b_hybrid_indexed", // the e17 codebook broadcast, same bound
-      "e103_dedup_recall") // one-row truth-count frame, the e22 pattern
+      "e103_dedup_recall", // one-row truth-count frame, the e22 pattern
+      "e107_silhouette", // the e17 codebook broadcast, same bound
+      "e109_copurchase_lift", // one-row n_orders frame, the e22 pattern
+      "e110_hard_negatives") // anchor-set broadcast (~1% of corpus),
+                             // the e5 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
