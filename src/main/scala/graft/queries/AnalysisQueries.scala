@@ -85,6 +85,11 @@ import graft.sources.Tables
   *    on masked-token counts without shipping mask arrays).
   *  - e112 within-source diversity audit (stride-adjacent pair shingle
   *    Jaccard — the self-similarity/redundancy score per source).
+  *  - e113 dedup candidate-budget cost model (predicted Σ df(df−1)/2
+  *    join rows vs realized distinct pairs per detector — the planner
+  *    artifact that prices the df cap and the prefix filter).
+  *  - e114 per-source hapax/tail coverage (vocabulary-tail richness —
+  *    the boilerplate-vs-organic mix signal).
   */
 object AnalysisQueries {
 
@@ -92,7 +97,8 @@ object AnalysisQueries {
     Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
       e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
-      e110HardNegatives, e111MaskSpans, e112SourceDiversity)
+      e110HardNegatives, e111MaskSpans, e112SourceDiversity,
+      e113CandidateBudget, e114HapaxCoverage)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -1411,6 +1417,197 @@ object AnalysisQueries {
         expr("sum(ov * 10000 div un) div count(1)").as("mean_jac_bp"),
         max(jac).as("max_jac_bp"),
         sum(when(jac >= 3000, 1L).otherwise(0L)).as("n_sim"))
+      .orderBy(col("source"))
+  }
+
+  // ---- e113: dedup candidate-budget cost model ----------------------------
+
+  /** Planner-style COST MODEL for the near-dup candidate joins: for each
+    * detector, the exact candidate-join row count is Σ_h df(df−1)/2
+    * over its postings — computable from the df census ALONE, one
+    * aggregation, no join executed. The query prices three detectors
+    * (`raw` uncapped inverted index, `dfcap100` = e2's prune,
+    * `prefix35` = e98's t = 3/5 prefix postings) and then RUNS the two
+    * affordable ones to report realized distinct pairs and the
+    * overcount ratio (join rows ÷ distinct pairs — how many shared
+    * tokens the average candidate pair pays for). `raw` is priced but
+    * deliberately NOT executed — that is the point of a cost model: at
+    * sf0.01 its predicted join is ~21× the prefix detector's, and at
+    * 100 TB it is the difference between a plan and an outage. A
+    * production dedup stage runs exactly this census to pick its cap
+    * before committing the pair join. (On the plain corpora no shingle
+    * reaches df > 100, so `raw` and `dfcap100` coincide — the cap is
+    * priced at zero until duplication concentrates the buckets, exactly
+    * the dup-heavy-replica regime the SCALING probes measure; the
+    * prefix detector's 21× still stands there.)
+    *
+    * Scale (100 TB): the census is one postings aggregation (the same
+    * h-keyed exchange every detector shares); the two executed joins
+    * are the detectors' own bounded joins. All arithmetic integer
+    * (df(df−1) is even, so `// 2` is exact).
+    */
+  private def e113CandidateBudget = QueryDef.sql(
+    "e113_candidate_budget",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w),
+       |tok AS (SELECT doc_id, unnest(shs) AS h FROM sh WHERE len(shs) > 0),
+       |df AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |ord AS (SELECT t.doc_id, t.h,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.h)
+       |      AS r, s.sz
+       |  FROM tok t JOIN df d USING (h) JOIN sz s USING (doc_id)),
+       |pre AS (SELECT doc_id, h FROM ord
+       |  WHERE r <= sz - (3*sz + 4) // 5 + 1),
+       |pdf AS (SELECT h, count(*) AS df FROM pre GROUP BY h),
+       |kept AS (SELECT h, df FROM df WHERE df <= 100),
+       |cap_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM tok a JOIN kept k ON k.h = a.h
+       |  JOIN tok b ON b.h = a.h AND a.doc_id < b.doc_id),
+       |pre_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pre a JOIN pre b ON b.h = a.h AND a.doc_id < b.doc_id),
+       |rows_ AS (
+       |  SELECT 'raw' AS detector,
+       |    CAST(sum(df) AS BIGINT) AS n_postings,
+       |    CAST(sum(df * (df - 1) // 2) AS BIGINT) AS predicted_rows,
+       |    CAST(NULL AS BIGINT) AS distinct_pairs
+       |  FROM df
+       |  UNION ALL
+       |  SELECT 'dfcap100', CAST(sum(df) AS BIGINT),
+       |    CAST(sum(df * (df - 1) // 2) AS BIGINT),
+       |    (SELECT count(*) FROM cap_pairs)
+       |  FROM kept
+       |  UNION ALL
+       |  SELECT 'prefix35', CAST(sum(df) AS BIGINT),
+       |    CAST(sum(df * (df - 1) // 2) AS BIGINT),
+       |    (SELECT count(*) FROM pre_pairs)
+       |  FROM pdf)
+       |SELECT detector, n_postings, predicted_rows, distinct_pairs,
+       |  CASE WHEN distinct_pairs > 0
+       |    THEN predicted_rows * 10000 // distinct_pairs END AS overcount_bp
+       |FROM rows_ ORDER BY detector""".stripMargin) { (s, dir) =>
+    val tok = docShingleTokens(s, dir)
+    val dfc = tok.groupBy("h").agg(count(col("doc_id")).as("df"))
+    val sz = tok.groupBy("doc_id").agg(count(col("h")).as("sz"))
+    val ord = tok.join(dfc, "h").join(sz, "doc_id")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+    val pre = ord
+      .filter(col("r") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"))
+      .repartition(col("h"))
+    val pdf = pre.groupBy("h").agg(count(col("doc_id")).as("df"))
+    val kept = dfc.filter(col("df") <= 100)
+    def census(detector: String, d: DataFrame): DataFrame =
+      d.agg(sum(col("df")).cast("long").as("n_postings"),
+        sum(expr("df * (df - 1) div 2")).cast("long").as("predicted_rows"))
+        .select(lit(detector).as("detector"), col("n_postings"),
+          col("predicted_rows"))
+    def pairCount(postings: DataFrame): DataFrame =
+      postings.as("a")
+        .join(postings.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+        .agg(count(lit(1)).as("distinct_pairs"))
+    val capPost = tok.join(kept.select("h"), "h")
+    val withActual =
+      census("dfcap100", kept)
+        .crossJoin(broadcast(pairCount(capPost)))
+        .unionByName(
+          census("prefix35", pdf).crossJoin(broadcast(pairCount(pre))))
+    census("raw", dfc)
+      .withColumn("distinct_pairs", lit(null).cast("long"))
+      .unionByName(withActual)
+      .select(col("detector"), col("n_postings"), col("predicted_rows"),
+        col("distinct_pairs"),
+        when(col("distinct_pairs") > 0,
+          expr("predicted_rows * 10000 div distinct_pairs"))
+          .as("overcount_bp"))
+      .orderBy(col("detector"))
+  }
+
+  /** Exploded distinct-shingle postings, h-repartitioned so the df
+    * census, the prefix ranking, and the pair joins all reuse one
+    * exchange (the e2/e98 discipline).
+    */
+  private def docShingleTokens(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      .repartition(col("h"))
+
+  // ---- e114: per-source hapax / tail coverage -----------------------------
+
+  /** Tail-CONTEXT richness per source: a hapax here is a word-3-gram
+    * shingle whose corpus document frequency is exactly 1 — a phrase
+    * context that exists nowhere else, so every hapax belongs to one
+    * source by construction. `hapax_shingles` counts a source's
+    * exclusive tail contexts, `docs_with_hapax` how widely that tail is
+    * spread, `hapax_share_bp` its share of the source's distinct
+    * contexts. The grain is deliberately the N-GRAM, not the word: a
+    * bounded word vocabulary (this corpus's synthetic pool is ~31
+    * words; real corpora saturate at the word grain too) has no word
+    * hapax at any size, while n-gram contexts keep the tail observable
+    * (Heaps' exponent grows with n). Boilerplate/template sources have
+    * near-zero context tail (everything they say, they say repeatedly);
+    * organic text keeps a fat one. Complements e54 (vocabulary growth)
+    * and e101 (frequency-decay slope) with the WHERE-does-the-tail-live
+    * cut, and is e83's mirror image (e83 hunts over-REPEATED n-grams;
+    * this counts never-repeated ones).
+    *
+    * Scale (100 TB): one distinct-shingle explode, one h-keyed df
+    * census joined back on the same exchange, one source-grain rollup
+    * (the multi-distinct expand runs over the postings frame, not the
+    * corpus text). No text moves past the first projection.
+    */
+  private def e114HapaxCoverage = QueryDef.sql(
+    "e114_hapax_coverage",
+    s"""WITH w AS (SELECT doc_id, source, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source, ${Portable.shinglesDuck} AS shs
+       |  FROM w),
+       |wx AS (SELECT doc_id, source, unnest(shs) AS h FROM sh
+       |  WHERE len(shs) > 0),
+       |dfh AS (SELECT h, count(*) AS df FROM wx GROUP BY h),
+       |j AS (SELECT wx.doc_id, wx.source, wx.h, dfh.df
+       |  FROM wx JOIN dfh USING (h))
+       |SELECT source,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(DISTINCT CASE WHEN df = 1 THEN doc_id END)
+       |    AS docs_with_hapax,
+       |  count(DISTINCT h) AS distinct_shingles,
+       |  count(DISTINCT CASE WHEN df = 1 THEN h END) AS hapax_shingles,
+       |  count(DISTINCT CASE WHEN df = 1 THEN doc_id END) * 10000
+       |    // count(DISTINCT doc_id) AS coverage_bp,
+       |  count(DISTINCT CASE WHEN df = 1 THEN h END) * 10000
+       |    // count(DISTINCT h) AS hapax_share_bp
+       |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val wx = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        F.shingle_hashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), explode(col("shs")).as("h"))
+      .repartition(col("h"))
+    val dfh = wx.groupBy("h").agg(count(col("doc_id")).as("df"))
+    wx.join(dfh, "h")
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(when(col("df") === 1, col("doc_id")))
+          .as("docs_with_hapax"),
+        countDistinct(col("h")).as("distinct_shingles"),
+        countDistinct(when(col("df") === 1, col("h"))).as("hapax_shingles"))
+      .select(col("source"), col("n_docs"), col("docs_with_hapax"),
+        col("distinct_shingles"), col("hapax_shingles"),
+        expr("docs_with_hapax * 10000 div n_docs").as("coverage_bp"),
+        expr("hapax_shingles * 10000 div distinct_shingles")
+          .as("hapax_share_bp"))
       .orderBy(col("source"))
   }
 }
