@@ -676,9 +676,13 @@ object AnalysisQueries {
     * codebook is fine enough.
     *
     * Like e17, the codebook is a deterministic corpus sample
-    * (vec_id % 53 = 7) so the oracle replays it; production swaps in
-    * per-subspace Lloyd's ([[graft.operators.KMeans]]) without changing
-    * any plan shape. Scale design (100 TB): codes are m·log2(K) bits
+    * (vec_id % 53 = 7) so the oracle replays it — but BOUNDED:
+    * `vec_id < 53·256` caps K at 256 per subspace independent of corpus
+    * size (an unbounded %-sample grows K linearly and makes encode
+    * quadratic — the 10× probe measured exactly that before the cap).
+    * Production swaps in per-subspace Lloyd's
+    * ([[graft.operators.KMeans]]) over a bounded training sample without
+    * changing any plan shape. Scale design (100 TB): codes are m·log2(K) bits
     * per vector (here 4 longs standing in for 4 bytes — a 64×
     * compression of the scored representation), the LUT is
     * queries×m×K doubles (bounded, broadcast), encode is one
@@ -709,7 +713,7 @@ object AnalysisQueries {
          |      i -> CAST(embedding[s * $sub + i] AS DOUBLE)) AS sub
          |  FROM base CROSS JOIN dims),
          |cent AS (SELECT vec_id AS cid, s, sub AS csub FROM subs
-         |  WHERE vec_id % 53 = 7),
+         |  WHERE vec_id % 53 = 7 AND vec_id < ${53 * 256}),
          |enc AS (SELECT a.vec_id, a.s, c.cid,
          |    ${sqFoldDuck("a.sub", "c.csub", sub)} AS d
          |  FROM subs a JOIN cent c ON c.s = a.s),
@@ -768,7 +772,8 @@ object AnalysisQueries {
           slice(col("emb"), ss * sub + 1, sub).as("sub"))): _*)
       val subs = base.select(col("vec_id"), explode(subsArr).as("e"))
         .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
-      val cent = subs.filter(col("vec_id") % 53 === 7)
+      val cent = subs
+        .filter(col("vec_id") % 53 === 7 && col("vec_id") < 53 * 256)
         .select(col("vec_id").as("cid"), col("s").as("cs"),
           col("sub").as("csub"))
       // Encode: nearest subspace centroid per (vector, subspace) as ONE
@@ -1231,63 +1236,101 @@ object AnalysisQueries {
     * by cosine — the self-supervised positive when no labels exist),
     * three `hneg` hard negatives (ranks 2–4: the confusable
     * almost-matches that contrastive losses need most), and one `eneg`
-    * easy negative (the median-rank neighbor — the deterministic
-    * stand-in for a uniform random draw, reproducible across engines
-    * and runs). Roles are RANK-defined, not absolute-threshold-defined,
-    * so the miner adapts to any embedding geometry (this corpus's
-    * cosines top out ≈ 0.4 — any fixed band would go empty). Cosines
-    * are rounded to 4dp BEFORE ranking (e5's reproducible-rank rule),
-    * ties break by neighbor_id.
+    * easy negative — a HASH-ARGMIN draw (the neighbor minimizing an
+    * integer LCG hash of the pair), the deterministic, reproducible
+    * stand-in for a uniform random negative. Pos/hneg are RANK-defined,
+    * not absolute-threshold-defined, so the miner adapts to any
+    * embedding geometry (this corpus's cosines top out ≈ 0.4 — any
+    * fixed band would go empty). Cosines are rounded to 4dp BEFORE
+    * ranking (e5's reproducible-rank rule), ties break by neighbor_id.
     *
-    * Scale (100 TB): anchors broadcast against one corpus scan (e5's
-    * guarded-broadcast/chunking discipline applies past the guard), one
-    * anchor-partitioned window (WindowGroupLimit prunes map-side for
-    * the rank ≤ 4 head; the median-rank row rides the same window) —
-    * per-anchor work is linear in the corpus, the standard exact-mining
-    * cost; swap the scored CTE for e6/e17 candidates to go sublinear.
+    * Scale (100 TB): anchors broadcast against one corpus scan for the
+    * scored head (e5's guarded-broadcast/chunking discipline applies
+    * past the guard) with a CONSTANT rank bound, so WindowGroupLimit
+    * prunes to ≤ 4 rows per anchor per partition before the exchange;
+    * the easy-negative pass touches only IDs (integer hash argmin as
+    * one map-side min-struct aggregation — no embedding bytes, no
+    * window), then fetches embeddings for the nq selected rows. An
+    * earlier median-rank eneg rule forced a full un-prunable window
+    * sort (52 MB shuffled at the 10× probe vs ~1 MB now) — rank bounds
+    * must be constants for the group-limit pushdown to exist.
     */
-  private def e110HardNegatives = QueryDef.sql(
-    "e110_hard_negatives",
-    s"""WITH a AS (SELECT * FROM embeddings WHERE vec_id % 101 = 5),
-       |scored AS (
-       |  SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
-       |    round(${dotPair("a", "c")} /
-       |      (${normOf("a")} * ${normOf("c")}), 4) + 0 AS cosine
-       |  FROM a JOIN embeddings c ON a.vec_id <> c.vec_id),
-       |rk AS (SELECT anchor_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY anchor_id
-       |      ORDER BY cosine DESC, neighbor_id) AS rk,
-       |    count(*) OVER (PARTITION BY anchor_id) AS n_cand
-       |  FROM scored)
-       |SELECT anchor_id, rk,
-       |  CASE WHEN rk = 1 THEN 'pos' WHEN rk <= 4 THEN 'hneg'
-       |    ELSE 'eneg' END AS role,
-       |  neighbor_id, cosine
-       |FROM rk WHERE rk <= 4 OR rk = n_cand // 2
-       |ORDER BY anchor_id, rk""".stripMargin) { (s, dir) =>
-    val embD = col("embedding").cast("array<double>")
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), embD.as("emb"))
-      .filter(col("vec_id").isNotNull)
-      .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
-    val anchors = base.filter(col("vec_id") % 101 === 5)
-      .select(col("vec_id").as("anchor_id"), col("emb").as("ae"),
-        col("nrm").as("an"))
-    val cosine = round(
-      F.array_dot(col("ae"), col("emb")) / (col("an") * col("nrm")), 4) + 0
-    val w = Window.partitionBy(col("anchor_id"))
-    val wOrd = w.orderBy(col("cosine").desc, col("neighbor_id"))
-    base.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
-      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
-        cosine.as("cosine"))
-      .withColumn("rk", row_number().over(wOrd))
-      .withColumn("n_cand", count(lit(1)).over(w))
-      .filter(col("rk") <= 4 || col("rk") === expr("n_cand div 2"))
-      .select(col("anchor_id"), col("rk"),
-        when(col("rk") === 1, "pos").when(col("rk") <= 4, "hneg")
-          .otherwise("eneg").as("role"),
-        col("neighbor_id"), col("cosine"))
-      .orderBy(col("anchor_id"), col("rk"))
+  private def e110HardNegatives = {
+    val P = Portable.P
+    val A = 1103515245L
+    val B = 12345L
+    QueryDef.sql(
+      "e110_hard_negatives",
+      s"""WITH a AS (SELECT * FROM embeddings WHERE vec_id % 101 = 5),
+         |scored AS (
+         |  SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         |    round(${dotPair("a", "c")} /
+         |      (${normOf("a")} * ${normOf("c")}), 4) + 0 AS cosine
+         |  FROM a JOIN embeddings c ON a.vec_id <> c.vec_id),
+         |head AS (SELECT anchor_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM scored QUALIFY rk <= 4),
+         |hh AS (SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         |    ($A * ((a.vec_id * 1000003 + c.vec_id) % $P) + $B) % $P AS hh
+         |  FROM a JOIN embeddings c ON a.vec_id <> c.vec_id),
+         |mh AS (SELECT anchor_id, min(hh) AS mh FROM hh
+         |  GROUP BY anchor_id),
+         |sel AS (SELECT h.anchor_id, min(h.neighbor_id) AS neighbor_id
+         |  FROM hh h JOIN mh ON mh.anchor_id = h.anchor_id
+         |    AND h.hh = mh.mh
+         |  GROUP BY h.anchor_id),
+         |en AS (SELECT s.anchor_id, 'eneg' AS role, s.neighbor_id,
+         |    sc.cosine
+         |  FROM sel s JOIN scored sc ON sc.anchor_id = s.anchor_id
+         |    AND sc.neighbor_id = s.neighbor_id)
+         |SELECT anchor_id,
+         |  CASE WHEN rk = 1 THEN 'pos' ELSE 'hneg' END AS role,
+         |  neighbor_id, cosine
+         |FROM head
+         |UNION ALL SELECT anchor_id, role, neighbor_id, cosine FROM en
+         |ORDER BY anchor_id, role, neighbor_id""".stripMargin) { (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"))
+        .filter(col("vec_id").isNotNull)
+        .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
+      val anchors = base.filter(col("vec_id") % 101 === 5)
+        .select(col("vec_id").as("anchor_id"), col("emb").as("ae"),
+          col("nrm").as("an"))
+      val cosine = round(
+        F.array_dot(col("ae"), col("emb")) / (col("an") * col("nrm")),
+        4) + 0
+      val wOrd = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val head = base.join(broadcast(anchors),
+          col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+          cosine.as("cosine"))
+        .withColumn("rk", row_number().over(wOrd))
+        .filter(col("rk") <= 4)
+        .select(col("anchor_id"),
+          when(col("rk") === 1, "pos").otherwise("hneg").as("role"),
+          col("neighbor_id"), col("cosine"))
+      // Easy negative: ids only — no embedding bytes move until the nq
+      // selected rows fetch theirs for the cosine report.
+      val hh = (lit(A) * ((col("anchor_id") * 1000003L + col("nid")) % P)
+        + B) % P
+      val sel = base.select(col("vec_id").as("nid"))
+        .join(broadcast(anchors.select(col("anchor_id"))),
+          col("nid") =!= col("anchor_id"))
+        .groupBy("anchor_id")
+        .agg(min(struct(hh.as("hh"), col("nid").as("nid"))).as("m"))
+        .select(col("anchor_id"), col("m.nid").as("neighbor_id"))
+      val en = base
+        .select(col("vec_id").as("neighbor_id"), col("emb"), col("nrm"))
+        .join(broadcast(sel), "neighbor_id")
+        .join(broadcast(anchors), "anchor_id")
+        .select(col("anchor_id"), lit("eneg").as("role"),
+          col("neighbor_id"), cosine.as("cosine"))
+      head.unionByName(en)
+        .orderBy(col("anchor_id"), col("role"), col("neighbor_id"))
+    }
   }
 
   private def dotPair(x: String, y: String): String =
@@ -1560,10 +1603,16 @@ object AnalysisQueries {
     * cut, and is e83's mirror image (e83 hunts over-REPEATED n-grams;
     * this counts never-repeated ones).
     *
-    * Scale (100 TB): one distinct-shingle explode, one h-keyed df
-    * census joined back on the same exchange, one source-grain rollup
-    * (the multi-distinct expand runs over the postings frame, not the
-    * corpus text). No text moves past the first projection.
+    * Scale (100 TB): one distinct-shingle explode feeds an h-keyed df
+    * census that CARRIES the hapax owner along (min source/doc — exact
+    * for df = 1), so the hapax rollups read the census and the postings
+    * are never joined back or re-read; distinct-shingle and doc
+    * censuses reuse the same exchange (subset rule). A single 4-way
+    * count-distinct would expand the postings frame 4× through the
+    * source aggregation — measured 69 s / 398 MB shuffled at the 100×
+    * probe vs 15 s / 266 MB this shape, whose floor is the one
+    * unavoidable postings exchange. No text moves past the first
+    * projection.
     */
   private def e114HapaxCoverage = QueryDef.sql(
     "e114_hapax_coverage",
@@ -1594,15 +1643,33 @@ object AnalysisQueries {
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("source"), explode(col("shs")).as("h"))
       .repartition(col("h"))
-    val dfh = wx.groupBy("h").agg(count(col("doc_id")).as("df"))
-    wx.join(dfh, "h")
+    // No join-back and no multi-distinct expand: a df = 1 shingle's ONE
+    // posting row already names its owning (source, doc), so the df
+    // census carries min(source)/min(doc_id) along (exact for the df=1
+    // rows that use them) and the hapax rollups read the census, never
+    // the postings again. A 4-way count-distinct here expanded the
+    // postings frame 4x through the source aggregation (measured 69 s
+    // at the 100x probe; this shape runs 15 s, floor = the one
+    // unavoidable postings exchange the census itself needs).
+    val dfh = wx.groupBy("h").agg(count(col("doc_id")).as("df"),
+      min(col("source")).as("hsrc"), min(col("doc_id")).as("hdoc"))
+    val hapaxStats = dfh.filter(col("df") === 1)
+      .select(col("hsrc").as("source"), col("hdoc"))
       .groupBy("source")
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        countDistinct(when(col("df") === 1, col("doc_id")))
-          .as("docs_with_hapax"),
-        countDistinct(col("h")).as("distinct_shingles"),
-        countDistinct(when(col("df") === 1, col("h"))).as("hapax_shingles"))
+      .agg(count(lit(1)).as("hapax_shingles"),
+        countDistinct(col("hdoc")).as("docs_with_hapax"))
+    // Per-(source, h) collapse reuses the h exchange (subset rule).
+    val shStats = wx.groupBy("source", "h").agg(count(lit(1)).as("_c"))
+      .groupBy("source").agg(count(lit(1)).as("distinct_shingles"))
+    val nDocs = wx.select(col("source"), col("doc_id")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(shStats, "source")
+      .join(hapaxStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("docs_with_hapax"), lit(0L)).as("docs_with_hapax"),
+        col("distinct_shingles"),
+        coalesce(col("hapax_shingles"), lit(0L)).as("hapax_shingles"))
       .select(col("source"), col("n_docs"), col("docs_with_hapax"),
         col("distinct_shingles"), col("hapax_shingles"),
         expr("docs_with_hapax * 10000 div n_docs").as("coverage_bp"),
