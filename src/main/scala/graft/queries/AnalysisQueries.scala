@@ -90,6 +90,9 @@ import graft.sources.Tables
   *    artifact that prices the df cap and the prefix filter).
   *  - e114 per-source hapax/tail coverage (vocabulary-tail richness —
   *    the boilerplate-vs-organic mix signal).
+  *  - e115 week-over-week PSI drift monitor (population stability
+  *    index per event type vs the reference week, bit-deterministic
+  *    via a fixed-order 10-term fold).
   */
 object AnalysisQueries {
 
@@ -98,7 +101,7 @@ object AnalysisQueries {
       e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
-      e113CandidateBudget, e114HapaxCoverage)
+      e113CandidateBudget, e114HapaxCoverage, e115PsiDrift)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -1676,5 +1679,128 @@ object AnalysisQueries {
         expr("hapax_shingles * 10000 div distinct_shingles")
           .as("hapax_share_bp"))
       .orderBy(col("source"))
+  }
+
+  // ---- e115: week-over-week PSI drift monitor -----------------------------
+
+  /** Population-stability-index drift monitor over the events stream:
+    * per event type, each week's `value` distribution is compared to
+    * the REFERENCE week (week 0) over 10 fixed-width buckets, and
+    * PSI = Σ (q−p)·ln(q/p) is reported in truncated basis points with
+    * the standard reading (< 0.10 stable, 0.10–0.25 shifting, > 0.25
+    * drifted — `drifted` flags the 0.25 rule). Fixed-width buckets
+    * (not per-run quantiles) keep the monitor's frame of reference
+    * stable across runs — the property a drift DETECTOR needs; add-one
+    * smoothing keeps empty buckets finite. The time-axis complement of
+    * e69 (source-vs-source TV distance) with the industry-standard
+    * metric.
+    *
+    * Determinism: counts are integers; p and q derive from them with
+    * identical arithmetic on both engines, and the 10 bucket terms are
+    * summed as an EXPLICIT left-to-right 10-column fold (a sum()
+    * aggregate over doubles would be merge-order-dependent — the same
+    * trap the revenue aggregates document); trunc on both sides.
+    *
+    * Scale (100 TB): one (type, week)-keyed exchange serves both the
+    * bucket counts and the week totals (subset rule); everything after
+    * is #types × #weeks × 10 rows against broadcast spines. Streaming
+    * twin: the bucket counters are linear, so `StreamCms`-style keyed
+    * state carries them incrementally.
+    */
+  private def e115PsiDrift = QueryDef.sql(
+    "e115_psi_drift",
+    """WITH e AS (SELECT event_type,
+      |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)
+      |      AS wk,
+      |    least(9, CAST(floor(value / 50) AS BIGINT)) AS b
+      |  FROM events),
+      |cnt AS (SELECT event_type, wk, b, count(*) AS c FROM e
+      |  GROUP BY 1, 2, 3),
+      |n AS (SELECT event_type, wk, count(*) AS n FROM e GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT event_type FROM e),
+      |wks AS (SELECT DISTINCT wk FROM e WHERE wk > 0),
+      |bs AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS b),
+      |grid AS (SELECT s.event_type, w.wk, bs.b
+      |  FROM spine s CROSS JOIN wks w CROSS JOIN bs),
+      |qx AS (SELECT g.event_type, g.wk, g.b,
+      |    (coalesce(c.c, 0) + 1.0) / (n.n + 10.0) AS q
+      |  FROM grid g
+      |  JOIN n ON n.event_type = g.event_type AND n.wk = g.wk
+      |  LEFT JOIN cnt c ON c.event_type = g.event_type
+      |    AND c.wk = g.wk AND c.b = g.b),
+      |gridref AS (SELECT s.event_type, bs.b FROM spine s CROSS JOIN bs),
+      |px AS (SELECT g.event_type, g.b,
+      |    (coalesce(c.c, 0) + 1.0) / (n.n + 10.0) AS p
+      |  FROM gridref g
+      |  JOIN n ON n.event_type = g.event_type AND n.wk = 0
+      |  LEFT JOIN cnt c ON c.event_type = g.event_type
+      |    AND c.wk = 0 AND c.b = g.b),
+      |t AS (SELECT q.event_type, q.wk, q.b,
+      |    (q.q - p.p) * ln(q.q / p.p) AS term
+      |  FROM qx q JOIN px p ON p.event_type = q.event_type
+      |    AND p.b = q.b),
+      |wide AS (SELECT event_type, wk,
+      |    max(CASE WHEN b = 0 THEN term END) AS t0,
+      |    max(CASE WHEN b = 1 THEN term END) AS t1,
+      |    max(CASE WHEN b = 2 THEN term END) AS t2,
+      |    max(CASE WHEN b = 3 THEN term END) AS t3,
+      |    max(CASE WHEN b = 4 THEN term END) AS t4,
+      |    max(CASE WHEN b = 5 THEN term END) AS t5,
+      |    max(CASE WHEN b = 6 THEN term END) AS t6,
+      |    max(CASE WHEN b = 7 THEN term END) AS t7,
+      |    max(CASE WHEN b = 8 THEN term END) AS t8,
+      |    max(CASE WHEN b = 9 THEN term END) AS t9
+      |  FROM t GROUP BY event_type, wk)
+      |SELECT event_type, wk AS week,
+      |  CAST(trunc((t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 + t8 + t9)
+      |    * 10000) AS BIGINT) AS psi_bp,
+      |  CASE WHEN CAST(trunc((t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7
+      |      + t8 + t9) * 10000) AS BIGINT) > 2500
+      |    THEN 1 ELSE 0 END AS drifted
+      |FROM wide ORDER BY event_type, week""".stripMargin) { (s, dir) =>
+    val wk = expr("datediff(to_date(ts), date'2024-01-01') div 7")
+      .cast("long")
+    val b = least(lit(9L), floor(col("value") / 50).cast("long"))
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), wk.as("wk"), b.as("b"))
+      .repartition(col("event_type"), col("wk"))
+    val cnt = e.groupBy("event_type", "wk", "b").agg(count(lit(1)).as("c"))
+    val n = e.groupBy("event_type", "wk").agg(count(lit(1)).as("n"))
+    val spine = e.select("event_type").distinct()
+    val wks = e.filter(col("wk") > 0).select("wk").distinct()
+    val bs = s.range(10).select(col("id").as("b"))
+    val grid = spine.crossJoin(broadcast(wks)).crossJoin(broadcast(bs))
+    val share = (coalesce(col("c"), lit(0L)) + lit(1.0)) /
+      (col("n") + lit(10.0))
+    val qx = grid
+      .join(n, Seq("event_type", "wk"))
+      .join(cnt, Seq("event_type", "wk", "b"), "left")
+      .select(col("event_type"), col("wk"), col("b"), share.as("q"))
+    val px = spine.crossJoin(broadcast(bs))
+      .join(n.filter(col("wk") === 0).drop("wk"), Seq("event_type"))
+      .join(cnt.filter(col("wk") === 0).drop("wk"),
+        Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"), share.as("p"))
+    val t = qx.join(broadcast(px), Seq("event_type", "b"))
+      .select(col("event_type"), col("wk"),  col("b"),
+        ((col("q") - col("p")) * log(col("q") / col("p"))).as("term"))
+    val wide = t.groupBy("event_type", "wk").agg(
+      max(when(col("b") === 0, col("term"))).as("t0"),
+      max(when(col("b") === 1, col("term"))).as("t1"),
+      max(when(col("b") === 2, col("term"))).as("t2"),
+      max(when(col("b") === 3, col("term"))).as("t3"),
+      max(when(col("b") === 4, col("term"))).as("t4"),
+      max(when(col("b") === 5, col("term"))).as("t5"),
+      max(when(col("b") === 6, col("term"))).as("t6"),
+      max(when(col("b") === 7, col("term"))).as("t7"),
+      max(when(col("b") === 8, col("term"))).as("t8"),
+      max(when(col("b") === 9, col("term"))).as("t9"))
+    val psi = ((col("t0") + col("t1") + col("t2") + col("t3") + col("t4")
+      + col("t5") + col("t6") + col("t7") + col("t8") + col("t9"))
+      * 10000).cast("long")
+    wide.select(col("event_type"), col("wk").as("week"),
+      psi.as("psi_bp"),
+      when(psi > 2500, 1).otherwise(0).as("drifted"))
+      .orderBy(col("event_type"), col("week"))
   }
 }

@@ -30,7 +30,7 @@ object ReferenceQueries {
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
-    q46SessionizeChunked, q47AsofChunked)
+    q46SessionizeChunked, q47AsofChunked, q48CohortRetention)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1751,5 +1751,59 @@ object ReferenceQueries {
             .as("interp_cents"))
         .orderBy("hr")
     }
+  }
+
+  /** Cohort-retention triangle over the events stream: users are
+    * cohorted by their FIRST active week (integer week index from a
+    * fixed epoch — pure date arithmetic, no timezone-sensitive
+    * truncation), and each (cohort, week-offset) cell reports how many
+    * cohort members were active that many weeks later, with retention
+    * in integer basis points. The classic product-analytics matrix
+    * (offset 0 is 10000 bp by construction — every user is active in
+    * their own first week), and the relational pattern it pins is the
+    * self-referential two-level aggregate: a per-user min feeding a
+    * per-(min, value) rollup.
+    *
+    * Scale (100 TB): ONE user-keyed exchange serves all three passes —
+    * the (user, week) distinct collapse, the per-user min, and the
+    * cohort join-back (partitioning on user_id satisfies each
+    * clustering by the subset rule); the retention matrix itself is
+    * #cohorts × #offsets rows, joined against a broadcast cohort-size
+    * frame. Per-user state never exceeds its distinct active weeks.
+    */
+  private def q48CohortRetention = QueryDef.sql(
+    "q48_cohort_retention",
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)
+      |      AS wk
+      |  FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+      |sz AS (SELECT cohort, count(*) AS cohort_size FROM coh
+      |  GROUP BY cohort),
+      |act AS (SELECT c.cohort, u.wk - c.cohort AS week_offset,
+      |    count(*) AS n_active
+      |  FROM uw u JOIN coh c ON c.user_id = u.user_id
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort AS cohort_week, a.week_offset, a.n_active,
+      |  s.cohort_size,
+      |  a.n_active * 10000 // s.cohort_size AS retention_bp
+      |FROM act a JOIN sz s ON s.cohort = a.cohort
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    val wk = expr("datediff(to_date(ts), date'2024-01-01') div 7")
+      .cast("long")
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), wk.as("wk"))
+      .repartition(col("user_id"))
+      .distinct()
+    val coh = uw.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val sz = coh.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val act = uw.join(coh, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    act.join(broadcast(sz), "cohort")
+      .select(col("cohort").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        expr("n_active * 10000 div cohort_size").as("retention_bp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
   }
 }

@@ -60,8 +60,10 @@ class PlanLintSpec extends SparkSpecBase {
       "e109_copurchase_lift", // one-row n_orders frame, the e22 pattern
       "e110_hard_negatives", // anchor-set broadcast (~1% of corpus),
                              // the e5 pattern
-      "e113_candidate_budget") // two one-row pair-count frames crossed
+      "e113_candidate_budget", // two one-row pair-count frames crossed
                                // onto one-row censuses, the q8 pattern
+      "e115_psi_drift") // #types × #weeks × 10-bucket spine grid —
+                        // construction-bounded frames, the q8 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
