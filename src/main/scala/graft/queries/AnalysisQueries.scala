@@ -93,6 +93,9 @@ import graft.sources.Tables
   *  - e115 week-over-week PSI drift monitor (population stability
   *    index per event type vs the reference week, bit-deterministic
   *    via a fixed-order 10-term fold).
+  *  - e116 dup-graph transitivity (triangles / wedges / global
+  *    clustering coefficient — the graph-shape audit behind the
+  *    cluster-canonical dedup assumption).
   */
 object AnalysisQueries {
 
@@ -101,7 +104,8 @@ object AnalysisQueries {
       e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
-      e113CandidateBudget, e114HapaxCoverage, e115PsiDrift)
+      e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
+      e116GraphTransitivity)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -1802,5 +1806,78 @@ object AnalysisQueries {
       psi.as("psi_bp"),
       when(psi > 2500, 1).otherwise(0).as("drifted"))
       .orderBy(col("event_type"), col("week"))
+  }
+  // ---- e116: dup-graph transitivity ---------------------------------------
+
+  /** Triangle census of the near-dup graph: nodes are documents, edges
+    * the MinHash-verified pairs at J >= 0.3, and the query reports
+    * triangles, wedges (Σ d(d−1)/2 over degrees), and the global
+    * clustering coefficient 3·T/W in basis points. This is the
+    * graph-SHAPE audit behind cluster-canonical dedup (e45): true
+    * duplicate clusters are near-cliques (transitivity → 10000 bp), so
+    * a LOW coefficient on a corpus's dup graph means the detector is
+    * chaining dissimilar documents through hubs — exactly when
+    * keep-one-per-component (e32/e45) starts deleting non-duplicates
+    * and per-edge verification thresholds need raising. Triangles are
+    * counted on the canonical a < b orientation with an ordered 3-way
+    * self-join (x<y<z, all three edges present — each triangle counted
+    * once).
+    *
+    * Scale (100 TB): |E| is banding-bounded (e3's machinery, never
+    * all-pairs); the triangle join's cost is Σ_x d(x)² on the join key
+    * — the production refinement is degree-ordered orientation (point
+    * each edge from its lower-(degree, id) endpoint), which caps wedge
+    * lists at O(√m) per node and total work at O(m^{3/2}); counts are
+    * orientation-invariant, so the refinement changes no result. Wedge
+    * and degree math is one integer aggregation.
+    */
+  private def e116GraphTransitivity = QueryDef.sql(
+    "e116_graph_transitivity",
+    s"""${ExtensionQueries.minhashPairsDuck},
+       |e AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.3),
+       |deg AS (SELECT d, count(*) AS dg FROM (
+       |    SELECT doc_a AS d FROM e UNION ALL SELECT doc_b FROM e)
+       |  GROUP BY d),
+       |stats AS (SELECT count(*) AS n_nodes,
+       |    CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |ne AS (SELECT count(*) AS n_edges FROM e),
+       |tri AS (SELECT count(*) AS n_triangles
+       |  FROM e v1
+       |  JOIN e v2 ON v2.doc_a = v1.doc_a AND v2.doc_b > v1.doc_b
+       |  JOIN e v3 ON v3.doc_a = v1.doc_b AND v3.doc_b = v2.doc_b)
+       |SELECT s.n_nodes, ne.n_edges, s.n_wedges, tri.n_triangles,
+       |  CASE WHEN s.n_wedges > 0
+       |    THEN 3 * tri.n_triangles * 10000 // s.n_wedges END
+       |    AS transitivity_bp
+       |FROM stats s CROSS JOIN ne CROSS JOIN tri""".stripMargin) {
+    (s, dir) =>
+      val e = ExtensionQueries.minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        // Two wedge-join consumers + the closing-edge probe: one
+        // doc_a-keyed exchange serves v1/v2, and the degree census
+        // reuses the union branches' scans.
+        .repartition(col("doc_a"))
+      val deg = e.select(col("doc_a").as("d"))
+        .unionByName(e.select(col("doc_b").as("d")))
+        .groupBy("d").agg(count(lit(1)).as("dg"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      val tri = e.as("v1")
+        .join(e.as("v2"),
+          col("v2.doc_a") === col("v1.doc_a") &&
+            col("v2.doc_b") > col("v1.doc_b"))
+        .join(e.as("v3"),
+          col("v3.doc_a") === col("v1.doc_b") &&
+            col("v3.doc_b") === col("v2.doc_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0,
+            expr("3 * n_triangles * 10000 div n_wedges"))
+            .as("transitivity_bp"))
   }
 }

@@ -62,8 +62,10 @@ class PlanLintSpec extends SparkSpecBase {
                              // the e5 pattern
       "e113_candidate_budget", // two one-row pair-count frames crossed
                                // onto one-row censuses, the q8 pattern
-      "e115_psi_drift") // #types × #weeks × 10-bucket spine grid —
+      "e115_psi_drift", // #types × #weeks × 10-bucket spine grid —
                         // construction-bounded frames, the q8 pattern
+      "e116_graph_transitivity") // two one-row count frames crossed
+                                 // onto a one-row census, the q8 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
