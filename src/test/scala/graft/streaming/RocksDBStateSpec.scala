@@ -237,6 +237,43 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamPsi census accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ref = (0 until 10).map(b => b -> 20L).toMap
+    val ms = MemoryStream[StreamPsi.Obs]
+    val q = StreamPsi.monitor(ms.toDS(), ref, buckets = 10)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_psi").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val b1 = (0 until 10).flatMap(b => Seq.fill(2)(b))
+      ms.addData(b1.map(StreamPsi.Obs("a", _)): _*)
+      q.processAllAvailable()
+      val b2 = Seq.fill(60)(0)
+      ms.addData(b2.map(StreamPsi.Obs("a", _)): _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_psi").as[StreamPsi.Psi]
+        .collect().filter(_.key == "a").maxBy(_.n_obs)
+      assert(last.n_obs === 80L)
+      // same formula, accumulated across both batches (plain Scala twin)
+      val counts = Array.fill(10)(0L)
+      (b1 ++ b2).foreach(b => counts(b) += 1)
+      var acc = 0.0
+      for (i <- 0 until 10) {
+        val qq = (counts(i) + 1.0) / (80 + 10.0)
+        val pp = (20L + 1.0) / (200 + 10.0)
+        acc += (qq - pp) * math.log(qq / pp)
+      }
+      assert(last.psi_bp === (acc * 10000).toLong)
+      assert(last.drifted)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamDedup drops within-horizon replays on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
