@@ -96,6 +96,8 @@ import graft.sources.Tables
   *  - e116 dup-graph transitivity (triangles / wedges / global
   *    clustering coefficient — the graph-shape audit behind the
   *    cluster-canonical dedup assumption).
+  *  - e117 split-conformal selection threshold (quality cutoff with a
+  *    finite-sample ≤ α false-rejection guarantee, assumption-free).
   */
 object AnalysisQueries {
 
@@ -105,7 +107,7 @@ object AnalysisQueries {
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
-      e116GraphTransitivity)
+      e116GraphTransitivity, e117ConformalSelect)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -680,7 +682,13 @@ object AnalysisQueries {
     * Top-k by ADC (neighbor_id tie-break) is then re-scored EXACTLY in
     * full dimension, so the output carries `adc_l2` vs `exact_l2` —
     * the quantization-distortion audit that decides whether the
-    * codebook is fine enough.
+    * codebook is fine enough. (On THIS corpus the audit's verdict is
+    * "not fine": the synthetic embeddings are unclustered noise — the
+    * worst case for PQ — and measured recall@3 vs exact L2 is ~7 % at
+    * sf0.01 with the 9-centroid codebook, visible in the adc/exact gap
+    * the output reports. That is the audit doing its job; real
+    * embedding corpora cluster, and e93's int8 path covers the
+    * high-fidelity-compression regime here.)
     *
     * Like e17, the codebook is a deterministic corpus sample
     * (vec_id % 53 = 7) so the oracle replays it — but BOUNDED:
@@ -1879,5 +1887,100 @@ object AnalysisQueries {
           when(col("n_wedges") > 0,
             expr("3 * n_triangles * 10000 div n_wedges"))
             .as("transitivity_bp"))
+  }
+  // ---- e117: split-conformal selection threshold --------------------------
+
+  /** Split-conformal quality threshold (Vovk et al.; Angelopoulos/Bates
+    * survey): hash-split the corpus into a ~20 % calibration set and
+    * the serving rest, take τ = the ⌈α(n+1)⌉-th SMALLEST calibration
+    * score, and keep serving documents scoring ≥ τ. Exchangeability
+    * alone then guarantees P(reject an in-distribution document) ≤ α —
+    * a FINITE-SAMPLE, assumption-free bound, which is what a filter
+    * threshold derived from a fixed quantile of the data itself (e62's
+    * percentile rule) does not give. α = 10 % here; the output carries
+    * the realized calibration keep-share (≥ 1 − α by construction —
+    * the self-check) next to the serving keep-share.
+    *
+    * Everything is integer: scores are e105's basis-point quality
+    * signals, the split is an LCG hash of doc_id, and the order
+    * statistic comes from a cumulative rank over the score FREQUENCY
+    * table (≤ 10001 rows by the bp codomain — the e76 pattern), never
+    * a corpus-wide sort.
+    *
+    * Scale (100 TB): one score projection, one score-frequency
+    * aggregation per split, the cumulative window over the bounded
+    * frequency table, and two count aggregates — the corpus is scanned
+    * once and never sorted; τ broadcasts as a one-row frame.
+    */
+  private def e117ConformalSelect = {
+    val P = Portable.P
+    val A = 1103515245L
+    val B = 12345L
+    QueryDef.sql(
+      "e117_conformal_select",
+      s"""WITH sig AS (SELECT doc_id, len(w) AS n_words,
+         |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+         |  FROM (SELECT doc_id, ${Portable.wordsDuck} AS w FROM documents)),
+         |q0 AS (SELECT doc_id,
+         |    least(10000, n_stop * 30000 // n_words
+         |      + least(4000, n_words * 8)) AS bp,
+         |    (($A * (doc_id % $P) + $B) % $P) % 5 = 0 AS is_cal
+         |  FROM sig WHERE n_words > 0),
+         |cal AS (SELECT bp FROM q0 WHERE is_cal),
+         |nc AS (SELECT count(*) AS n_calib FROM cal),
+         |jr AS (SELECT n_calib, (n_calib + 10) // 10 AS j FROM nc),
+         |freq AS (SELECT bp, count(*) AS c FROM cal GROUP BY bp),
+         |cum AS (SELECT bp, sum(c) OVER (ORDER BY bp) AS cum FROM freq),
+         |tau AS (SELECT min(cum.bp) AS tau_bp FROM cum, jr
+         |  WHERE cum.cum >= jr.j),
+         |test AS (SELECT bp FROM q0 WHERE NOT is_cal),
+         |tn AS (SELECT count(*) AS n_test,
+         |    CAST(sum(CASE WHEN test.bp >= tau.tau_bp THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept
+         |  FROM test CROSS JOIN tau),
+         |ck AS (SELECT CAST(sum(CASE WHEN cal.bp >= tau.tau_bp
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cal_kept
+         |  FROM cal CROSS JOIN tau)
+         |SELECT jr.n_calib, jr.j AS j_rank, tau.tau_bp, tn.n_test,
+         |  tn.n_kept, tn.n_kept * 10000 // tn.n_test AS keep_share_bp,
+         |  ck.cal_kept * 10000 // jr.n_calib AS calib_keep_bp
+         |FROM jr CROSS JOIN tau CROSS JOIN tn CROSS JOIN ck""".stripMargin) {
+      (s, dir) =>
+        val words = expr(Portable.wordsSpark)
+        val q0 = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(words).cast("long").as("n_words"),
+            size(filter(words, x => x.isin("the", "a"))).cast("long")
+              .as("n_stop"))
+          .filter(col("n_words") > 0)
+          .select(col("doc_id"),
+            expr("least(10000L, n_stop * 30000 div n_words" +
+              " + least(4000L, n_words * 8))").as("bp"),
+            ((lit(A) * (col("doc_id") % P) + B) % P % 5 === 0).as("is_cal"))
+        val cal = q0.filter(col("is_cal")).select("bp")
+        val jr = cal.agg(count(lit(1)).as("n_calib"))
+          .select(col("n_calib"),
+            expr("(n_calib + 10) div 10").as("j"))
+        val freq = cal.groupBy("bp").agg(count(lit(1)).as("c"))
+        val cum = freq.withColumn("cum",
+          sum(col("c")).over(Window.orderBy(col("bp"))))
+        val tau = cum.crossJoin(broadcast(jr))
+          .filter(col("cum") >= col("j"))
+          .agg(min(col("bp")).as("tau_bp"))
+        val test = q0.filter(!col("is_cal")).select("bp")
+        val tn = test.crossJoin(broadcast(tau))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("bp") >= col("tau_bp"), 1L).otherwise(0L))
+              .as("n_kept"))
+        val ck = cal.crossJoin(broadcast(tau))
+          .agg(sum(when(col("bp") >= col("tau_bp"), 1L).otherwise(0L))
+            .as("cal_kept"))
+        jr.crossJoin(broadcast(tau)).crossJoin(broadcast(tn))
+          .crossJoin(broadcast(ck))
+          .select(col("n_calib"), col("j").as("j_rank"), col("tau_bp"),
+            col("n_test"), col("n_kept"),
+            expr("n_kept * 10000 div n_test").as("keep_share_bp"),
+            expr("cal_kept * 10000 div n_calib").as("calib_keep_bp"))
+    }
   }
 }

@@ -64,8 +64,10 @@ class PlanLintSpec extends SparkSpecBase {
                                // onto one-row censuses, the q8 pattern
       "e115_psi_drift", // #types × #weeks × 10-bucket spine grid —
                         // construction-bounded frames, the q8 pattern
-      "e116_graph_transitivity") // two one-row count frames crossed
+      "e116_graph_transitivity", // two one-row count frames crossed
                                  // onto a one-row census, the q8 pattern
+      "e117_conformal_select") // one-row τ/count frames crossed onto
+                               // corpus legs, the e22 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
@@ -77,7 +79,9 @@ class PlanLintSpec extends SparkSpecBase {
   private val spineWindowAllowed = Set("q44_interpolate",
     // e76's cumulative window runs over the score_bp FREQUENCY table —
     // bounded at 10001 rows by the basis-point codomain, never the corpus
-    "e76_curriculum_bins")
+    "e76_curriculum_bins",
+    // e117's cumulative rank rides the same bounded frequency table
+    "e117_conformal_select")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
