@@ -98,6 +98,8 @@ import graft.sources.Tables
   *    cluster-canonical dedup assumption).
   *  - e117 split-conformal selection threshold (quality cutoff with a
   *    finite-sample ≤ α false-rejection guarantee, assumption-free).
+  *  - e118 kNN label-noise audit (neighborhood-vote agreement per
+  *    class — the label-quality screen over the embedding table).
   */
 object AnalysisQueries {
 
@@ -107,7 +109,7 @@ object AnalysisQueries {
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
-      e116GraphTransitivity, e117ConformalSelect)
+      e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -1982,5 +1984,91 @@ object AnalysisQueries {
             expr("n_kept * 10000 div n_test").as("keep_share_bp"),
             expr("cal_kept * 10000 div n_calib").as("calib_keep_bp"))
     }
+  }
+  // ---- e118: kNN label-noise audit ----------------------------------------
+
+  /** Label-quality screen over the embedding table (the
+    * confident-learning-style neighborhood check): for an eval sample
+    * (vec_id % 41 = 3), take the 5 nearest neighbors by cosine, vote
+    * their labels (majority, ties by count-then-smaller-label), and
+    * report per-class how often the vote AGREES with the stored label.
+    * Classes whose agreement sits far below the others carry label
+    * noise or live off the embedding manifold — the screen a pipeline
+    * runs before trusting labels for classifier training (e90) or
+    * stratified sampling. On THIS corpus the embeddings are unclustered
+    * noise, so agreement correctly reads ≈ chance (10 class-balanced
+    * labels → ~1000 bp) — the audit reporting that labels are
+    * unlearnable from these features is the audit working.
+    *
+    * Scale (100 TB): eval sample broadcast against one corpus scan
+    * (e5's guard applies), CONSTANT-bound top-k window (map-side
+    * WindowGroupLimit), label join on the nq×5 winners only, one
+    * argmax-vote aggregation and a #classes rollup. Rounded-then-rank
+    * cosine (e5's rule) keeps neighbor sets engine-identical.
+    */
+  private def e118KnnLabelAudit = QueryDef.sql(
+    "e118_knn_label_audit",
+    s"""WITH ev AS (SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE vec_id % 41 = 3),
+       |scored AS (SELECT e.vec_id AS eval_id, e.label AS true_label,
+       |    c.vec_id AS neighbor_id, c.label AS nb_label,
+       |    round(${dotPair("e", "c")} /
+       |      (${normOf("e")} * ${normOf("c")}), 4) + 0 AS cosine
+       |  FROM ev e JOIN embeddings c ON e.vec_id <> c.vec_id),
+       |top5 AS (SELECT eval_id, true_label, nb_label,
+       |    row_number() OVER (PARTITION BY eval_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored QUALIFY rk <= 5),
+       |votes AS (SELECT eval_id, true_label, nb_label, count(*) AS c
+       |  FROM top5 GROUP BY 1, 2, 3),
+       |best AS (SELECT eval_id, max(c) AS mc FROM votes GROUP BY eval_id),
+       |pred AS (SELECT v.eval_id, v.true_label,
+       |    min(v.nb_label) AS pred_label
+       |  FROM votes v JOIN best b ON b.eval_id = v.eval_id
+       |    AND v.c = b.mc
+       |  GROUP BY 1, 2)
+       |SELECT true_label AS label, count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+       |    * 10000 // count(*) AS BIGINT) AS agree_bp
+       |FROM pred GROUP BY true_label ORDER BY label""".stripMargin) {
+    (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), embD.as("emb"), col("label"))
+        .filter(col("vec_id").isNotNull)
+        .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
+      val ev = base.filter(col("vec_id") % 41 === 3)
+        .select(col("vec_id").as("eval_id"), col("emb").as("ae"),
+          col("nrm").as("an"), col("label").as("true_label"))
+      val cosine = round(
+        F.array_dot(col("ae"), col("emb")) / (col("an") * col("nrm")),
+        4) + 0
+      val wOrd = Window.partitionBy(col("eval_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val top5 = base.join(broadcast(ev), col("vec_id") =!= col("eval_id"))
+        .select(col("eval_id"), col("true_label"),
+          col("vec_id").as("neighbor_id"), col("label").as("nb_label"),
+          cosine.as("cosine"))
+        .withColumn("rk", row_number().over(wOrd))
+        .filter(col("rk") <= 5)
+      // Majority vote as ONE conditional aggregation chain: count per
+      // (eval, nb_label), then max(count, -label) struct-argmax — the
+      // e17 idiom (the oracle keeps max-then-filter; exact integer ties
+      // make the two agree).
+      val votes = top5.groupBy("eval_id", "true_label", "nb_label")
+        .agg(count(lit(1)).as("c"))
+      val pred = votes.groupBy("eval_id", "true_label")
+        .agg(max(struct(col("c"), (-col("nb_label")).as("nl"))).as("m"))
+        .select(col("eval_id"), col("true_label"),
+          (-col("m.nl")).as("pred_label"))
+      pred.groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .select(col("label"), col("n_eval"), col("n_agree"),
+          expr("n_agree * 10000 div n_eval").as("agree_bp"))
+        .orderBy(col("label"))
   }
 }

@@ -30,7 +30,8 @@ object ReferenceQueries {
     q34SetOps, q35RankDistribution, q36DateDensify, q37Scd2History,
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
-    q46SessionizeChunked, q47AsofChunked, q48CohortRetention)
+    q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
+    q49RevenueShare)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1805,5 +1806,46 @@ object ReferenceQueries {
         col("n_active"), col("cohort_size"),
         expr("n_active * 10000 div cohort_size").as("retention_bp"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  /** Revenue-concentration screen (TPC-H-Q11-shaped HAVING-vs-total):
+    * parts whose discounted revenue exceeds 1.4× the MEAN per-part
+    * share of total revenue. The predicate is expressed scale-free —
+    * `rev·n_parts·10 ≥ 14·total` — so the same query surfaces the
+    * upper tail at any corpus size (an absolute ppm threshold would
+    * silently empty as the part count grows), and every comparison is
+    * integer ten-thousandths (the q1 revenue discipline: no float
+    * crosses a filter). `mean_x_bp` reports each survivor's multiple
+    * of the mean share in basis points (10000 = exactly mean).
+    *
+    * Scale (100 TB): one part-keyed revenue aggregation (map-side
+    * partial), a one-row total broadcast onto the #parts-sized frame,
+    * one integer filter. The relational pattern pinned is HAVING
+    * against a global aggregate — the decorrelated form of TPC-H Q11's
+    * scalar subquery.
+    */
+  private def q49RevenueShare = QueryDef.sql(
+    "q49_revenue_share",
+    s"""WITH rev AS (SELECT l_partkey,
+       |    ${revenueTDuck("l_extendedprice", "l_discount")} AS rev_t
+       |  FROM lineitem GROUP BY l_partkey),
+       |np AS (SELECT count(*) AS n_parts, CAST(sum(rev_t) AS BIGINT)
+       |    AS total_t
+       |  FROM rev)
+       |SELECT l_partkey, rev_t,
+       |  CAST(rev_t * np.n_parts * 10000 // np.total_t AS BIGINT)
+       |    AS mean_x_bp
+       |FROM rev CROSS JOIN np
+       |WHERE rev_t * np.n_parts * 10 >= 14 * np.total_t
+       |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("rev_t"))
+    val np = rev.agg(count(lit(1)).as("n_parts"),
+      sum(col("rev_t")).cast("long").as("total_t"))
+    rev.crossJoin(broadcast(np))
+      .filter(col("rev_t") * col("n_parts") * 10 >= lit(14) * col("total_t"))
+      .select(col("l_partkey"), col("rev_t"),
+        expr("rev_t * n_parts * 10000 div total_t").as("mean_x_bp"))
+      .orderBy(col("l_partkey"))
   }
 }

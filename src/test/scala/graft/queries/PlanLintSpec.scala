@@ -66,8 +66,10 @@ class PlanLintSpec extends SparkSpecBase {
                         // construction-bounded frames, the q8 pattern
       "e116_graph_transitivity", // two one-row count frames crossed
                                  // onto a one-row census, the q8 pattern
-      "e117_conformal_select") // one-row τ/count frames crossed onto
+      "e117_conformal_select", // one-row τ/count frames crossed onto
                                // corpus legs, the e22 pattern
+      "e118_knn_label_audit", // eval-sample broadcast, the e5 pattern
+      "q49_revenue_share") // one-row totals frame, the e22 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
