@@ -100,6 +100,9 @@ import graft.sources.Tables
   *    finite-sample ≤ α false-rejection guarantee, assumption-free).
   *  - e118 kNN label-noise audit (neighborhood-vote agreement per
   *    class — the label-quality screen over the embedding table).
+  *  - e119 ROC-AUC separability screen (exact Mann–Whitney U with
+  *    average-rank tie handling, all-integer — does a filter signal
+  *    actually RANK duplicated documents apart from unique ones?).
   */
 object AnalysisQueries {
 
@@ -109,7 +112,8 @@ object AnalysisQueries {
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
-      e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit)
+      e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
+      e119AucScreen)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2070,5 +2074,98 @@ object AnalysisQueries {
         .select(col("label"), col("n_eval"), col("n_agree"),
           expr("n_agree * 10000 div n_eval").as("agree_bp"))
         .orderBy(col("label"))
+  }
+  // ---- e119: ROC-AUC separability screen ----------------------------------
+
+  /** Exact ROC-AUC (Mann–Whitney U) of the heuristic quality signal
+    * (e117's stopword/length basis points) as a RANKER of exact-dup
+    * membership, per source. AUC is THE threshold-free audit for any
+    * score a pipeline wants to use as a filter or dedup prior: e96
+    * compares rejection SETS at fixed cutoffs and e62 calibrates the
+    * score's scale, but neither answers "does this signal order dup
+    * docs apart from unique ones AT ALL" — AUC ≈ 5000 bp says the
+    * signal carries no ranking information for that source and a
+    * threshold on it is noise (on this corpus dup copies share the
+    * template distribution, so ≈ chance is the expected, correct
+    * reading).
+    *
+    * All arithmetic is integer and tie-exact: from the per-(source,
+    * score) frequency table, U·2 = Σ_s pos(s)·(2·neg_below(s) +
+    * neg(s)) — the average-rank tie convention without ever forming
+    * ranks — and auc_bp = U2·10000 // (2·n_pos·n_neg). Positives are
+    * content-digest groups with ≥ 2 copies (e1's label), so the
+    * ground truth is engine-identical even though the digest functions
+    * differ (md5 vs sha2 — only group MEMBERSHIP is consumed).
+    *
+    * Scale (100 TB): one digest-keyed aggregation + join-back (e1's
+    * shuffle shape — the text never moves past the first projection),
+    * one (source × bp) aggregation, a cumulative window over the
+    * bounded per-source frequency table (≤ 10001 rows/source, the e76
+    * pattern — never a corpus sort), and a #sources rollup. U2 peaks
+    * at n_pos·n_neg·2 ≈ 10^22 at a 10^11-row corpus — past BIGINT, so
+    * the fleet-scale lever is the documented DECIMAL(38,0) accumulator
+    * swap (ANSI mode fails loud, never wraps).
+    */
+  private def e119AucScreen = QueryDef.sql(
+    "e119_auc_screen",
+    s"""WITH sig AS (SELECT doc_id, source, md5(text) AS dg,
+       |    len(w) AS n_words,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+       |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
+       |        FROM documents)),
+       |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg),
+       |q0 AS (SELECT s.source,
+       |    least(10000, n_stop * 30000 // n_words
+       |      + least(4000, n_words * 8)) AS bp,
+       |    d.n_copies >= 2 AS is_dup
+       |  FROM sig s JOIN dup d USING (dg) WHERE n_words > 0),
+       |freq AS (SELECT source, bp,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_c,
+       |    CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS neg_c
+       |  FROM q0 GROUP BY 1, 2),
+       |cum AS (SELECT source, pos_c, neg_c,
+       |    sum(neg_c) OVER (PARTITION BY source ORDER BY bp) - neg_c
+       |      AS neg_below
+       |  FROM freq)
+       |SELECT source, CAST(sum(pos_c) AS BIGINT) AS n_dup,
+       |  CAST(sum(neg_c) AS BIGINT) AS n_uniq,
+       |  CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT) AS u2,
+       |  CASE WHEN sum(pos_c) > 0 AND sum(neg_c) > 0 THEN
+       |    CAST(sum(pos_c * (2 * neg_below + neg_c)) * 10000 //
+       |      (2 * sum(pos_c) * sum(neg_c)) AS BIGINT) END AS auc_bp
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin) {
+    (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          sha2(col("text"), 256).as("dg"),
+          size(words).cast("long").as("n_words"),
+          size(filter(words, x => x.isin("the", "a"))).cast("long")
+            .as("n_stop"))
+      val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
+      val q0 = sig.filter(col("n_words") > 0)
+        .join(dup, Seq("dg"))
+        .select(col("source"),
+          expr("least(10000L, n_stop * 30000 div n_words" +
+            " + least(4000L, n_words * 8))").as("bp"),
+          (col("n_copies") >= 2).as("is_dup"))
+      val freq = q0.groupBy("source", "bp")
+        .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("pos_c"),
+          sum(when(col("is_dup"), 0L).otherwise(1L)).as("neg_c"))
+      val cum = freq.withColumn("neg_below",
+        sum(col("neg_c")).over(
+          Window.partitionBy(col("source")).orderBy(col("bp")))
+          - col("neg_c"))
+      cum.groupBy("source")
+        .agg(sum(col("pos_c")).as("n_dup"),
+          sum(col("neg_c")).as("n_uniq"),
+          sum(col("pos_c") * (col("neg_below") * 2 + col("neg_c")))
+            .as("u2"))
+        .select(col("source"), col("n_dup"), col("n_uniq"), col("u2"),
+          when(col("n_dup") > 0 && col("n_uniq") > 0,
+            expr("u2 * 10000 div (2 * n_dup * n_uniq)")).as("auc_bp"))
+        .orderBy(col("source"))
   }
 }
