@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{F, Portable}
-import graft.operators.{MadOutliers, QualityPropagate}
+import graft.operators.{MadOutliers, PageRank, QualityPropagate}
 import graft.sources.Tables
 
 /** Round-9 similarity / sketch / corpus-health additions:
@@ -103,6 +103,12 @@ import graft.sources.Tables
   *  - e119 ROC-AUC separability screen (exact Mann–Whitney U with
   *    average-rank tie handling, all-integer — does a filter signal
   *    actually RANK duplicated documents apart from unique ones?).
+  *  - e120 dup-graph PageRank centrality ([[graft.operators.PageRank]],
+  *    fixed-k integer power method — the centrality-based canonical
+  *    pick next to e45's min-id and e65's quality argmax).
+  *  - e121 Pareto-frontier selection (2-D skyline on quality × length
+  *    from the bounded per-source frequency table — the multi-objective
+  *    companion to e117's single-score threshold).
   */
 object AnalysisQueries {
 
@@ -113,7 +119,7 @@ object AnalysisQueries {
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
-      e119AucScreen)
+      e119AucScreen, e120Pagerank, e121ParetoFrontier)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2167,5 +2173,143 @@ object AnalysisQueries {
           when(col("n_dup") > 0 && col("n_uniq") > 0,
             expr("u2 * 10000 div (2 * n_dup * n_uniq)")).as("auc_bp"))
         .orderBy(col("source"))
+  }
+
+  // ---- e120: dup-graph PageRank centrality --------------------------------
+
+  /** Top-20 documents by fixed-5-round integer PageRank over the
+    * MinHash-verified near-dup graph (J ≥ 0.3, e116's edges) — the
+    * centrality-based CANONICAL pick for dedup. Min-id survivor
+    * selection (e45) keeps an arbitrary cluster member and quality
+    * argmax (e65) the best-written one; rank selects the document the
+    * duplication structure itself points AT — in template/quotation
+    * chains, the original every derivative is a near-copy of. The same
+    * ranking doubles as the crawl-prioritization signal: rank mass
+    * concentrates exactly where re-crawling is redundant.
+    *
+    * The recurrence ([[graft.operators.PageRank]]) is all-integer
+    * (ppm-scaled, d = 85/100 with per-edge floor division), so five
+    * unrolled join-aggregate CTEs in the oracle reproduce it
+    * bit-identically — no float drift, no convergence-epsilon
+    * ambiguity. The top-20 cut orders by (rank desc, doc_id), so the
+    * boundary is deterministic under ties.
+    *
+    * Scale (100 TB): edges are banding-bounded (e3's machinery); rank
+    * state is one row per edge-incident node. Each round = 2 keyed
+    * shuffles of that bounded table against the once-partitioned cached
+    * adjacency; rounds are lineage-cut per the ConnectedComponents
+    * discipline. The global top-20 is a TakeOrdered, never a full sort.
+    */
+  private def e120Pagerank = {
+    val prIters = (1 to 5).map { k =>
+      s"""c$k AS (SELECT se.dst AS dst,
+         |    CAST(sum(r${k - 1}.r * 85 // (100 * dg.dg)) AS BIGINT)
+         |      AS cin
+         |  FROM se JOIN r${k - 1} ON r${k - 1}.doc = se.src
+         |  JOIN dg ON dg.src = se.src GROUP BY se.dst),
+         |r$k AS (SELECT n.doc,
+         |    CAST(150000 + coalesce(c$k.cin, 0) AS BIGINT) AS r
+         |  FROM n LEFT JOIN c$k ON c$k.dst = n.doc)""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql(
+      "e120_pagerank",
+      s"""${ExtensionQueries.minhashPairsDuck},
+         |e AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.3),
+         |se AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |       UNION ALL SELECT doc_b, doc_a FROM e),
+         |dg AS (SELECT src, count(*) AS dg FROM se GROUP BY src),
+         |n AS (SELECT src AS doc FROM dg),
+         |r0 AS (SELECT doc, CAST(1000000 AS BIGINT) AS r FROM n),
+         |$prIters
+         |SELECT r5.doc AS doc_id, dg.dg AS degree, r5.r AS rank_ppm
+         |FROM r5 JOIN dg ON dg.src = r5.doc
+         |ORDER BY rank_ppm DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val e = ExtensionQueries.minhashVerifiedPairs(s, dir)
+          .filter(col("jaccard") >= 0.3)
+        PageRank.ranks(e, "doc_a", "doc_b", iterations = 5)
+          .select(col("node").as("doc_id"), col("degree"),
+            col("rank").as("rank_ppm"))
+          .orderBy(col("rank_ppm").desc, col("doc_id"))
+          .limit(20)
+    }
+  }
+
+  // ---- e121: Pareto-frontier (skyline) selection --------------------------
+
+  /** Per-source Pareto frontier on (quality_bp, token count): the
+    * documents no other same-source document dominates on BOTH axes —
+    * multi-objective curation where e117 is single-objective. A
+    * threshold on one score always trades the axes at one fixed rate;
+    * the frontier exposes the whole undominated trade-off curve (keep
+    * long-but-plain AND short-but-clean exemplars), which is the right
+    * selection set for instruction-tuning style "pick diverse bests".
+    *
+    * Skyline via BOUNDED tables, never a corpus sort: quality lives on
+    * the 0–10000 bp grid, so (source, bp, n_words) aggregation collapses
+    * the corpus first; per (source, bp) only the max-y row can be
+    * undominated (grid argmax, ≤ 10001 rows/source); a point survives
+    * iff its y strictly exceeds max(y) over all strictly-higher bp —
+    * one RANGE window (1 FOLLOWING → UNBOUNDED) over the bounded grid.
+    * Ties: equal points never dominate each other, so co-located docs
+    * survive together and surface as n_docs.
+    *
+    * Scale (100 TB): one corpus scan → grid aggregation (map-side
+    * partial on the ≤ 10001-value key), then windows ride the bounded
+    * grid. This IS the distributive-skyline scheme (local frontier →
+    * merge) with the grid as the partition: adding criteria = widening
+    * the grid key; the frontier join-back to fetch full documents is a
+    * semi-join on (source, bp, n_words).
+    */
+  private def e121ParetoFrontier = QueryDef.sql(
+    "e121_pareto_frontier",
+    s"""WITH sig AS (SELECT source, len(w) AS n_words,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+       |  FROM (SELECT source, ${Portable.wordsDuck} AS w
+       |        FROM documents)),
+       |q0 AS (SELECT source,
+       |    least(10000, n_stop * 30000 // n_words
+       |      + least(4000, n_words * 8)) AS bp,
+       |    CAST(n_words AS BIGINT) AS n_words
+       |  FROM sig WHERE n_words > 0),
+       |t1 AS (SELECT source, bp, n_words, count(*) AS n_docs
+       |  FROM q0 GROUP BY 1, 2, 3),
+       |t2 AS (SELECT *, max(n_words) OVER (PARTITION BY source, bp)
+       |    AS ymax FROM t1),
+       |t2f AS (SELECT source, bp, n_words, n_docs FROM t2
+       |  WHERE n_words = ymax),
+       |t3 AS (SELECT *, max(n_words) OVER (PARTITION BY source
+       |    ORDER BY bp RANGE BETWEEN 1 FOLLOWING
+       |    AND UNBOUNDED FOLLOWING) AS ahead FROM t2f)
+       |SELECT source, bp AS quality_bp, n_words AS n_tokens,
+       |  CAST(n_docs AS BIGINT) AS n_docs
+       |FROM t3 WHERE ahead IS NULL OR n_words > ahead
+       |ORDER BY source, quality_bp""".stripMargin) {
+    (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val sig = Tables.documents(s, dir)
+        .select(col("source"),
+          size(words).cast("long").as("n_words"),
+          size(filter(words, x => x.isin("the", "a"))).cast("long")
+            .as("n_stop"))
+        .filter(col("n_words") > 0)
+        .select(col("source"),
+          expr("least(10000L, n_stop * 30000 div n_words" +
+            " + least(4000L, n_words * 8))").as("bp"),
+          col("n_words"))
+      val t1 = sig.groupBy("source", "bp", "n_words")
+        .agg(count(lit(1)).as("n_docs"))
+      val t2 = t1.withColumn("ymax",
+          max(col("n_words")).over(
+            Window.partitionBy(col("source"), col("bp"))))
+        .filter(col("n_words") === col("ymax"))
+        .drop("ymax")
+      val ahead = Window.partitionBy(col("source")).orderBy(col("bp"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      t2.withColumn("ahead", max(col("n_words")).over(ahead))
+        .filter(col("ahead").isNull || col("n_words") > col("ahead"))
+        .select(col("source"), col("bp").as("quality_bp"),
+          col("n_words").as("n_tokens"), col("n_docs"))
+        .orderBy(col("source"), col("quality_bp"))
   }
 }
