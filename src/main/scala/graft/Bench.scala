@@ -77,7 +77,7 @@ object Bench {
     // shuffle/broadcast state, GC pressure all reset; JIT stays warm).
     val isolatedSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED",
       "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train," +
-        "e73_shard_manifest,e77_shard_stability")
+        "e73_shard_manifest,e77_shard_stability,e120_pagerank")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val isolated = queries.collect {
       case (name, fn) if isolatedSet(name) && !errs.contains(name) =>

@@ -119,7 +119,7 @@ object AnalysisQueries {
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
-      e119AucScreen, e120Pagerank, e121ParetoFrontier)
+      e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2311,5 +2311,104 @@ object AnalysisQueries {
         .select(col("source"), col("bp").as("quality_bp"),
           col("n_words").as("n_tokens"), col("n_docs"))
         .orderBy(col("source"), col("quality_bp"))
+  }
+
+  // ---- e122: greedy max-coverage exemplar selection -----------------------
+
+  /** Pick 5 exemplar documents by greedy maximum coverage over distinct
+    * 3-gram shingles: each round selects the document covering the most
+    * not-yet-covered shingles (ties → min doc_id) — the facility-
+    * location/max-coverage greedy whose (1 − 1/e) guarantee (Nemhauser
+    * et al. 1978) underwrites coverage-based subset selection for
+    * instruction-tuning and eval-set construction. The frontier queries
+    * rank documents INDEPENDENTLY (e117 by score, e121 by dominance);
+    * greedy coverage is the submodular complement — each pick is scored
+    * against what the previous picks already cover, so five boilerplate
+    * near-copies can never all be selected no matter how well each
+    * scores alone.
+    *
+    * Output: (round, doc_id, gain, cum_cov, cov_bp) — gain is the
+    * marginal new-shingle count (non-increasing in round, the
+    * submodularity signature the spec pins), cov_bp the cumulative
+    * share of the shingle universe in basis points.
+    *
+    * Scale (100 TB): each round = one map-side-combinable count over
+    * the remaining postings + one BROADCAST anti-join (the covered set
+    * grows by one document's shingles per round, never corpus-sized
+    * here; the general form keys the anti-join on h). The winner argmax
+    * collects exactly one row per round (the KMeans driver-bound
+    * convention) and rounds are lineage-cut. Next-100× levers are the
+    * standard submodular-scaling pair: CELF lazy evaluation (stale
+    * upper bounds skip most per-round recounts) and stochastic-greedy
+    * sampling (1 − 1/e − ε with an O(n log 1/ε) total-work bound).
+    */
+  private def e122CoverageSelect = {
+    val k = 5
+    val rounds = (1 to k).map { r =>
+      s"""g$r AS (SELECT doc_id, count(*) AS gain FROM p${r - 1}
+         |  GROUP BY doc_id),
+         |w$r AS (SELECT doc_id, gain FROM g$r
+         |  ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS (SELECT DISTINCT p.h FROM p${r - 1} p
+         |  JOIN w$r USING (doc_id)),
+         |p$r AS (SELECT p.doc_id, p.h FROM p${r - 1} p
+         |  ANTI JOIN c$r ON p.h = c$r.h)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(r =>
+      s"SELECT $r AS round, doc_id, gain FROM w$r").mkString(
+      "\nUNION ALL ")
+    QueryDef.sql(
+      "e122_coverage_select",
+      s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w),
+         |p0 AS (SELECT doc_id, unnest(shs) AS h FROM sh
+         |  WHERE len(shs) > 0),
+         |u AS (SELECT count(DISTINCT h) AS n_universe FROM p0),
+         |$rounds,
+         |sel AS ($sel)
+         |SELECT round, doc_id, gain,
+         |  CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS cum_cov,
+         |  CAST(sum(gain) OVER (ORDER BY round) * 10000
+         |    // u.n_universe AS BIGINT) AS cov_bp
+         |FROM sel CROSS JOIN u ORDER BY round""".stripMargin) {
+      (s, dir) =>
+        val post = Tables.documents(s, dir)
+          .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
+          .filter(size(col("shs")) > 0)
+          .select(col("doc_id"), explode(col("shs")).as("h"))
+          .localCheckpoint(true)
+        val universe = post.select(col("h")).distinct().count()
+        var rem = post
+        val picks = Seq.newBuilder[(Int, Long, Long)]
+        var done = false
+        for (r <- 1 to k if !done) {
+          val win = rem.groupBy("doc_id")
+            .agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id"))
+            .limit(1).collect() // 1 row/round — driver-bounded
+          if (win.isEmpty) done = true
+          else {
+            val (doc, gain) = (win(0).getLong(0), win(0).getLong(1))
+            picks += ((r, doc, gain))
+            val covered =
+              rem.filter(col("doc_id") === doc).select(col("h"))
+            rem = rem
+              .join(broadcast(covered), Seq("h"), "left_anti")
+              .localCheckpoint(true)
+          }
+        }
+        val rows = picks.result().scanLeft((0, 0L, 0L, 0L)) {
+          case ((_, _, _, cum), (r, doc, gain)) =>
+            (r, doc, gain, cum + gain)
+        }.tail.map { case (r, doc, gain, cum) =>
+          (r, doc, gain, cum, cum * 10000L / universe)
+        }
+        import s.implicits._
+        rows.toDF("round", "doc_id", "gain", "cum_cov", "cov_bp")
+          .select(col("round"), col("doc_id"),
+            col("gain"), col("cum_cov"), col("cov_bp"))
+          .orderBy(col("round"))
+    }
   }
 }

@@ -209,4 +209,39 @@ class CurationOpsSpec extends SparkSpecBase {
     }
     assert(exchanges.isEmpty, "CDC chunking must not shuffle")
   }
+
+  test("e122 greedy coverage: submodular gains, exact greedy trace") {
+    val got = AnalysisQueries.all
+      .find(_.name == "e122_coverage_select").get
+      .run(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.length === 5)
+    // submodularity signature: marginal gains never increase
+    assert(got.sliding(2).forall { case Array(a, b) => b._3 <= a._3 },
+      got.mkString(", "))
+    // picks are distinct docs; cum_cov is the running gain sum
+    assert(got.map(_._2).distinct.length === 5)
+    assert(got.scanLeft(0L)(_ + _._3).tail.toSeq === got.map(_._4).toSeq)
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 10000))
+
+    // exact greedy trace vs a driver-side set-cover reimplementation
+    // over the engine's own shingle sets
+    val shs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty).toMap
+    var covered = Set.empty[Long]
+    val expect = (1 to 5).map { r =>
+      val (doc, gain) = shs.keys.toSeq.sorted
+        .map(d => d -> (shs(d) -- covered).size.toLong)
+        .maxBy { case (d, g) => (g, -d) }
+      covered ++= shs(doc)
+      (r, doc, gain)
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expect)
+  }
 }
