@@ -119,7 +119,8 @@ object AnalysisQueries {
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
-      e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect)
+      e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
+      e123NeymanAlloc)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2410,5 +2411,108 @@ object AnalysisQueries {
             col("gain"), col("cum_cov"), col("cov_bp"))
           .orderBy(col("round"))
     }
+  }
+
+  // ---- e123: Neyman optimal sample allocation -----------------------------
+
+  /** Survey-design artifact: how to split a 1000-document audit budget
+    * across sources. Proportional allocation samples each source by
+    * volume; Neyman allocation (the variance-minimizing optimum for
+    * stratified estimation of a mean) samples ∝ N_h·σ_h — a source
+    * whose document lengths barely vary needs few probes however big it
+    * is, and a heterogeneous source needs more than its share. The
+    * query emits both (share_bp vs prop_bp); their gap per source is
+    * the measured payoff of designing the audit instead of sampling
+    * uniformly.
+    *
+    * Bit-exact across engines WITHOUT floats: N_h²σ_h² = N_h·ΣX² −
+    * (ΣX)² is an exact integer, so the allocation weight is its INTEGER
+    * square root — computed as floor(IEEE sqrt) then corrected by one
+    * ±1 clamp, which repairs both the >2⁵³ rounding of the radicand and
+    * the perfect-square boundary, making w_h = ⌊√x⌋ exactly in both
+    * engines. The budget is hit EXACTLY by largest-remainder rounding
+    * (floor shares + distribute the deficit by remainder rank, ties by
+    * source) — the Hamilton apportionment step, windowed over the
+    * per-source table.
+    *
+    * Scale (100 TB): one corpus scan → per-source moment sums
+    * (map-side combinable, the e108 kernel); everything after rides the
+    * #sources-row table, including the two unpartitioned windows
+    * (construction-bounded — PlanLintSpec carries the named allowance).
+    * Moment sums past ~10¹⁸ chars² per source take the documented
+    * DECIMAL(38,0) swap; sub-stratifying (source × lang) just widens
+    * the grouping key.
+    */
+  private def e123NeymanAlloc = QueryDef.sql(
+    "e123_neyman_alloc",
+    s"""WITH m AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS s1,
+       |    CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS s2
+       |  FROM documents GROUP BY source),
+       |w0 AS (SELECT source, n_docs, n_docs * s2 - s1 * s1 AS x FROM m),
+       |sq AS (SELECT *,
+       |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+       |  FROM w0),
+       |iw AS (SELECT source, n_docs,
+       |    s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END
+       |       - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS w
+       |  FROM sq),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+       |    CAST(sum(n_docs) AS BIGINT) AS tn FROM iw),
+       |base AS (SELECT source, n_docs, w,
+       |    w * 1000 // t.tw AS fl, (w * 1000) % t.tw AS rem,
+       |    w * 10000 // t.tw AS share_bp,
+       |    n_docs * 10000 // t.tn AS prop_bp
+       |  FROM iw CROSS JOIN t),
+       |rk AS (SELECT *,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rn,
+       |    CAST(1000 - sum(fl) OVER () AS BIGINT) AS deficit
+       |  FROM base)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  w AS sigma_n_scaled,
+       |  CAST(fl + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc,
+       |  CAST(share_bp AS BIGINT) AS share_bp,
+       |  CAST(prop_bp AS BIGINT) AS prop_bp
+       |FROM rk ORDER BY source""".stripMargin) {
+    (s, dir) =>
+      val m = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("s1"),
+          sum(col("n_chars").cast("long") * col("n_chars")).as("s2"))
+      val w0 = m.select(col("source"), col("n_docs"),
+        (col("n_docs") * col("s2") - col("s1") * col("s1")).as("x"))
+      val iw = w0
+        .withColumn("s0",
+          floor(sqrt(col("x").cast("double"))).cast("long"))
+        .select(col("source"), col("n_docs"),
+          (col("s0")
+            + when((col("s0") + 1) * (col("s0") + 1) <= col("x"), 1L)
+              .otherwise(0L)
+            - when(col("s0") * col("s0") > col("x"), 1L)
+              .otherwise(0L)).as("w"))
+      val t = iw.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+      val base = iw.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("w"),
+          expr("w * 1000 div tw").as("fl"),
+          expr("(w * 1000) % tw").as("rem"),
+          expr("w * 10000 div tw").as("share_bp"),
+          expr("n_docs * 10000 div tn").as("prop_bp"))
+      // The rank window rides the #sources-row aggregate — construction-
+      // bounded; named in PlanLintSpec's spine allowance. The floor-sum
+      // deficit is a one-row broadcast rather than a whole-table frame.
+      val fls = base.agg(sum(col("fl")).as("sfl"))
+      val rk = base
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(fls))
+        .withColumn("deficit", lit(1000L) - col("sfl"))
+      rk.select(col("source"), col("n_docs"),
+          col("w").as("sigma_n_scaled"),
+          (col("fl") + when(col("rn") <= col("deficit"), 1L)
+            .otherwise(0L)).as("alloc"),
+          col("share_bp"), col("prop_bp"))
+        .orderBy(col("source"))
   }
 }

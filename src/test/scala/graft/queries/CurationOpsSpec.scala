@@ -244,4 +244,35 @@ class CurationOpsSpec extends SparkSpecBase {
     }
     assert(got.map(t => (t._1, t._2, t._3)).toSeq === expect)
   }
+
+  test("e123 Neyman allocation: exact isqrt, exact budget, optimality") {
+    val got = AnalysisQueries.all.find(_.name == "e123_neyman_alloc").get
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // largest-remainder apportionment hits the budget EXACTLY
+    assert(got.map(_._4).sum === 1000L)
+    // w_h is the exact integer sqrt of N·ΣX² − (ΣX)², vs BigInt truth
+    val moments = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("s1"),
+        sum(col("n_chars").cast("long") * col("n_chars")).as("s2"))
+      .collect()
+      .map(r => r.getString(0) -> (BigInt(r.getLong(1)) * r.getLong(3)
+        - BigInt(r.getLong(2)) * r.getLong(2)))
+      .toMap
+    got.foreach { case (src, _, w, _, _, _) =>
+      val x = moments(src)
+      assert(BigInt(w) * w <= x && x < BigInt(w + 1) * (w + 1),
+        s"$src: w=$w not isqrt of $x")
+    }
+    // shares are the Neyman optimum: alloc_bp tracks w_h/Σw (±1 bp of
+    // floor rounding), and every share column sums to ≤ 10000
+    val tw = got.map(_._3).sum
+    got.foreach { case (src, _, w, _, shareBp, _) =>
+      assert(shareBp === w * 10000 / tw, src)
+    }
+    assert(got.map(_._5).sum <= 10000L && got.map(_._6).sum <= 10000L)
+  }
 }

@@ -69,7 +69,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e117_conformal_select", // one-row τ/count frames crossed onto
                                // corpus legs, the e22 pattern
       "e118_knn_label_audit", // eval-sample broadcast, the e5 pattern
-      "q49_revenue_share") // one-row totals frame, the e22 pattern
+      "q49_revenue_share", // one-row totals frame, the e22 pattern
+      "e123_neyman_alloc") // one-row Σw/Σn/Σfl totals, the e22 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
@@ -83,7 +84,9 @@ class PlanLintSpec extends SparkSpecBase {
     // bounded at 10001 rows by the basis-point codomain, never the corpus
     "e76_curriculum_bins",
     // e117's cumulative rank rides the same bounded frequency table
-    "e117_conformal_select")
+    "e117_conformal_select",
+    // e123's remainder rank rides the #sources-row per-source aggregate
+    "e123_neyman_alloc")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
