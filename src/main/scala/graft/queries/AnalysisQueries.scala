@@ -120,7 +120,7 @@ object AnalysisQueries {
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
-      e123NeymanAlloc)
+      e123NeymanAlloc, e124Benford)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2514,5 +2514,73 @@ object AnalysisQueries {
             .otherwise(0L)).as("alloc"),
           col("share_bp"), col("prop_bp"))
         .orderBy(col("source"))
+  }
+
+  // ---- e124: Benford first-digit audit ------------------------------------
+
+  /** First-significant-digit census of order totals against Benford's
+    * law — the classic screen for fabricated or systematically
+    * truncated numeric feeds (Nigrini's forensic-audit standard): a
+    * genuine multiplicative amount column tracks P(d) = log₁₀(1+1/d),
+    * while invented numbers, copy-paste rows, or a capped/clamped
+    * upstream show up as per-digit deviations long before any
+    * distributional test on the full values. For a training-data
+    * engine this is the numeric-column twin of e85's character-skew
+    * gibberish gate: a cheap one-scan prior over any ingested metric
+    * column, reported per digit so the FIX is visible too (e.g. digit-9
+    * excess = upstream rounding-up).
+    *
+    * All-integer and float-free: the first digit falls out of a
+    * cascaded integer-divide CASE on ⌊amount⌋ (no log₁₀ at query time —
+    * libm rounding never enters), and the Benford expectations are the
+    * EXACT ppm constants 301030 … 45757 (they sum to 1 000 000), so
+    * obs/exp/deviation are all integer ppm. On THIS corpus the
+    * generator's totals are range-uniform, not multiplicative, so the
+    * audit correctly reports large deviations (digit 1–4 plateau from
+    * the uniform range) — the e118 convention: the screen's job is to
+    * read the data honestly, and synthetic uniform amounts are exactly
+    * what a Benford screen should flag.
+    *
+    * Scale (100 TB): one scan → 9-group map-side-combinable count; the
+    * total is a 1-row broadcast (e22's pattern). Per-segment audits
+    * (digit × month × source) just widen the grouping key; the
+    * expectation column is constant math at any scale.
+    */
+  private def e124Benford = {
+    val expPpm = "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091" +
+      " WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
+      " WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153" +
+      " ELSE 45757 END"
+    val firstDigit = (1 to 8).reverse
+      .map(k => s"WHEN v >= ${"1" + "0" * k} THEN v // ${"1" + "0" * k}")
+      .mkString("CASE ", " ", " ELSE v END")
+    QueryDef.sql(
+      "e124_benford",
+      s"""WITH d AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+         |  FROM orders WHERE o_totalprice >= 1),
+         |fd AS (SELECT $firstDigit AS digit FROM d),
+         |c AS (SELECT digit, count(*) AS n_orders FROM fd
+         |  GROUP BY digit),
+         |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM c)
+         |SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+         |  n_orders * 1000000 // t.tot AS obs_ppm,
+         |  $expPpm AS exp_ppm,
+         |  n_orders * 1000000 // t.tot - ($expPpm) AS dev_ppm
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.orders(s, dir)
+          .filter(col("o_totalprice") >= 1)
+          .select(floor(col("o_totalprice")).cast("long").as("v"))
+          .select(expr(firstDigit.replace("//", "div")).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        val t = c.agg(sum(col("n_orders")).as("tot"))
+        c.crossJoin(broadcast(t))
+          .select(col("digit"), col("n_orders"),
+            expr("n_orders * 1000000 div tot").as("obs_ppm"),
+            expr(expPpm).as("exp_ppm"),
+            expr(s"n_orders * 1000000 div tot - ($expPpm)")
+              .as("dev_ppm"))
+          .orderBy(col("digit"))
+    }
   }
 }

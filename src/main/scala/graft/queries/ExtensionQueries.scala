@@ -43,7 +43,7 @@ object ExtensionQueries {
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
-    e80Winnowing, e81MrlTruncation)
+    e80Winnowing, e81MrlTruncation, e125MutualKnn)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1350,6 +1350,95 @@ object ExtensionQueries {
   /** 8-bit ANN (256 buckets) — right-sized for the test corpus. */
   private def e6AnnLsh = annLsh("e6_ann_lsh", bits = 8, k = 3,
     bucketCap = 10000L)
+
+  /** Reciprocal (mutual) k-nearest-neighbor pairs over the e6 LSH
+    * buckets: keep (a, b) only when b is in a's top-k AND a is in b's
+    * top-k. The asymmetric kNN graph is hubness-polluted — a "hub"
+    * vector lands in MANY top-k lists while its own list holds only its
+    * k nearest, so hub edges are one-directional; requiring
+    * reciprocity is the standard repair (the k-reciprocal re-ranking
+    * criterion, Zhong et al. CVPR'17; Qin et al. CVPR'11) and the
+    * stricter pairing a dedup stage should trust over raw e6 edges —
+    * e13 thresholds cosine, e125 additionally demands the relation hold
+    * from BOTH endpoints' local perspective.
+    *
+    * Scale (100 TB): inherits annLsh's whole candidate discipline
+    * (sig-bucketed self-join with the bucket cap, map-side
+    * WindowGroupLimit top-k); the reciprocity step adds exactly one
+    * keyed self-join of the k·N top-k table on the swapped pair — never
+    * a second scoring pass. Raising bits keeps buckets bounded as the
+    * corpus grows, identical to e6.
+    */
+  private def e125MutualKnn = {
+    val (bits, k, bucketCap) = (8, 3, 10000L)
+    val sigDuck = lshSigDuck(bits)
+    QueryDef.sql(
+      "e125_mutual_knn",
+      s"""WITH s0 AS (SELECT vec_id, embedding, $sigDuck AS sig
+         |  FROM embeddings),
+         |c AS (SELECT sig, count(*) AS cnt FROM s0 GROUP BY sig),
+         |s AS (SELECT s0.vec_id, s0.embedding, s0.sig,
+         |    s0.vec_id % ((c.cnt + ${bucketCap - 1}) // $bucketCap) AS sub
+         |  FROM s0 JOIN c USING (sig)),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(${dotDuck("a", "b")} /
+         |      (${normDuck("a")} * ${normDuck("b")}), 4) + 0 AS cosine
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.sub = b.sub
+         |    AND a.vec_id <> b.vec_id),
+         |topk AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) <= $k)
+         |SELECT t1.query_id AS vec_a, t1.neighbor_id AS vec_b,
+         |  t1.cosine, CAST(t1.rk AS BIGINT) AS rank_ab,
+         |  CAST(t2.rk AS BIGINT) AS rank_ba
+         |FROM topk t1 JOIN topk t2
+         |  ON t2.query_id = t1.neighbor_id
+         |  AND t2.neighbor_id = t1.query_id
+         |WHERE t1.query_id < t1.neighbor_id
+         |ORDER BY vec_a, vec_b""".stripMargin) {
+      (s, dir) =>
+        val embD = col("embedding").cast("array<double>")
+        val sig = lshSigSpark(bits, embD)
+        val s0 = Tables.embeddings(s, dir)
+          .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+          .repartition(col("sig"))
+        val cnts = s0.groupBy("sig").agg(count(lit(1)).as("cnt"))
+        val nsplits = floor(
+          (col("cnt") + lit(bucketCap - 1)) / lit(bucketCap)).cast("long")
+        val vs = s0.join(cnts, "sig")
+          .withColumn("sub", pmod(col("vec_id"), nsplits))
+          .select("vec_id", "emb", "nrm", "sig", "sub")
+        val cosine = round(
+          dot(col("a.emb"), col("b.emb")) /
+            (col("a.nrm") * col("b.nrm")), 4)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val topk = vs.as("a")
+          .join(vs.as("b"),
+            col("a.sig") === col("b.sig") &&
+              col("a.sub") === col("b.sub") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"), cosine.as("cosine"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+        topk.as("t1")
+          .join(topk.as("t2"),
+            col("t2.query_id") === col("t1.neighbor_id") &&
+              col("t2.neighbor_id") === col("t1.query_id"))
+          .filter(col("t1.query_id") < col("t1.neighbor_id"))
+          .select(col("t1.query_id").as("vec_a"),
+            col("t1.neighbor_id").as("vec_b"), col("t1.cosine"),
+            col("t1.rk").cast("long").as("rank_ab"),
+            col("t2.rk").cast("long").as("rank_ba"))
+          .orderBy(col("vec_a"), col("vec_b"))
+    }
+  }
 
   /** Second signature width (12 bits = 4096 buckets) with its own oracle —
     * proves the width is a real parameter, not a constant with a comment.
