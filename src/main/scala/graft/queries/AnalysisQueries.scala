@@ -120,7 +120,8 @@ object AnalysisQueries {
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
-      e123NeymanAlloc, e124Benford)
+      e123NeymanAlloc, e124Benford, e126DiurnalBots,
+      e127LexicalDiversity)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2582,5 +2583,131 @@ object AnalysisQueries {
               .as("dev_ppm"))
           .orderBy(col("digit"))
     }
+  }
+
+  // ---- e126: diurnal-uniformity bot screen --------------------------------
+
+  /** Per-user hour-of-day activity profile, ranked by closeness to
+    * uniform — the behavioral bot screen: human traffic is diurnal
+    * (concentrated waking-hours mass), while scripted clients spread
+    * events near-evenly over all 24 hours, so the LOWEST-deviation
+    * accounts are the ones to audit before their events enter any
+    * engagement-weighted pipeline (e36/e82 mixtures, q16 attribution).
+    * The statistic is the exact χ²-against-uniform numerator in integer
+    * form: Σ_h (24·n_h − N)² over all 24 bins — observed bins directly,
+    * the (24−k) empty bins contributing N² each — normalized by 24·N
+    * (floor). 0 = perfectly uniform; large = concentrated. Only users
+    * with N ≥ 48 (expected ≥ 2/bin) enter, so the χ² approximation
+    * regime is respected. On THIS corpus the generator draws timestamps
+    * uniformly, so low scores across the board are the expected,
+    * correct reading (the e124 convention) — on real traffic the tail
+    * of this ranking IS the bot list.
+    *
+    * Scale (100 TB): one scan → (user, hour) count (map-side
+    * combinable, ≤ 24 rows/user), then all math rides the per-user
+    * 24-row profile; the bottom-20 is a TakeOrdered. Per-cohort screens
+    * (source × user) widen the key; the same shape serves any
+    * periodicity check (day-of-week: 24→7).
+    */
+  private def e126DiurnalBots = QueryDef.sql(
+    "e126_diurnal_bots",
+    s"""WITH h AS (SELECT user_id, EXTRACT(hour FROM ts) AS hr,
+       |    count(*) AS n_h
+       |  FROM events GROUP BY 1, 2),
+       |u0 AS (SELECT user_id, CAST(sum(n_h) AS BIGINT) AS n,
+       |    count(*) AS k
+       |  FROM h GROUP BY 1),
+       |st AS (SELECT h.user_id,
+       |    CAST(sum((24 * h.n_h - u0.n) * (24 * h.n_h - u0.n))
+       |      AS BIGINT) AS s_obs,
+       |    max(u0.n) AS n, max(u0.k) AS k
+       |  FROM h JOIN u0 USING (user_id) GROUP BY h.user_id)
+       |SELECT user_id, n AS n_events,
+       |  CAST(k AS BIGINT) AS active_hours,
+       |  (s_obs + (24 - k) * n * n) // (24 * n) AS chi24
+       |FROM st WHERE n >= 48
+       |ORDER BY chi24, user_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val h = Tables.events(s, dir)
+        .groupBy(col("user_id"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_h"))
+      val u0 = h.groupBy("user_id")
+        .agg(sum(col("n_h")).as("n"), count(lit(1)).as("k"))
+      val st = h.join(u0, "user_id")
+        .groupBy(col("user_id"))
+        .agg(sum((col("n_h") * 24 - col("n"))
+            * (col("n_h") * 24 - col("n"))).as("s_obs"),
+          max(col("n")).as("n"), max(col("k")).as("k"))
+      st.filter(col("n") >= 48)
+        .select(col("user_id"), col("n").as("n_events"),
+          col("k").as("active_hours"),
+          expr("(s_obs + (24 - k) * n * n) div (24 * n)").as("chi24"))
+        .orderBy(col("chi24"), col("user_id"))
+        .limit(20)
+  }
+
+  // ---- e127: lexical diversity (Simpson concentration) --------------------
+
+  /** Per-source lexical CONCENTRATION, completing the corpus-health
+    * triple: e54 measures vocabulary OPENNESS (Heaps growth), e101 the
+    * frequency-decay EXPONENT (Zipf slope), e127 the probability mass
+    * concentration — Simpson's Σp² and its inverse, the "effective
+    * vocabulary" (how many equally-common words would produce the same
+    * repeat-collision rate). A source whose eff_vocab collapses while
+    * its raw vocab holds is boilerplate-dominated: new words keep
+    * appearing but the MASS sits on a template core, which Heaps and
+    * Zipf fits can under-read (the fit window never sees the tail).
+    * eff_vocab is also exactly the denominator a sampler cares about:
+    * it bounds the distinct-word yield of uniform token draws.
+    *
+    * Exact integers throughout, no entropy logarithm: Σp² =
+    * Σn_w²/N² in ppm via Σn_w²·10⁶ // N², eff_vocab = N² // Σn_w²
+    * (floor), repeat_bp = the exact birthday-collision rate
+    * Σn_w(n_w−1)·10⁴ // (N(N−1)) — the probability two tokens drawn
+    * without replacement are the same word. Shannon entropy would need
+    * per-word ln (order-dependent float folds); Simpson is the
+    * diversity index that happens to be EXACTLY computable in integer
+    * arithmetic, which is why it's the one registered against the
+    * oracle.
+    *
+    * Scale (100 TB): one (source, word) aggregation (map-side
+    * combinable) → per-source moment rollup — e75's vocabulary-bounded
+    * shape; nothing corpus-sized moves after the first combine. Σn_w²
+    * past ~10¹⁸ (a 10⁹-occurrence word) takes the documented
+    * DECIMAL(38,0) swap.
+    */
+  private def e127LexicalDiversity = QueryDef.sql(
+    "e127_lexical_diversity",
+    s"""WITH wx AS (SELECT source, unnest(${Portable.wordsDuck}) AS w
+       |  FROM documents),
+       |wc AS (SELECT source, w, count(*) AS n_w FROM wx GROUP BY 1, 2),
+       |m AS (SELECT source, CAST(sum(n_w) AS BIGINT) AS n,
+       |    count(*) AS vocab,
+       |    CAST(sum(n_w * n_w) AS BIGINT) AS s2,
+       |    CAST(sum(n_w * (n_w - 1)) AS BIGINT) AS coll
+       |  FROM wc GROUP BY 1)
+       |SELECT source, n AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+       |  s2 * 1000000 // (n * n) AS simpson_ppm,
+       |  n * n // s2 AS eff_vocab,
+       |  CASE WHEN n > 1 THEN coll * 10000 // (n * (n - 1)) END
+       |    AS repeat_bp
+       |FROM m WHERE n > 0 ORDER BY source""".stripMargin) {
+    (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(expr(Portable.wordsSpark)).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("n_w"))
+      wc.groupBy("source")
+        .agg(sum(col("n_w")).as("n"),
+          count(lit(1)).as("vocab"),
+          sum(col("n_w") * col("n_w")).as("s2"),
+          sum(col("n_w") * (col("n_w") - 1)).as("coll"))
+        .filter(col("n") > 0)
+        .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+          expr("s2 * 1000000 div (n * n)").as("simpson_ppm"),
+          expr("n * n div s2").as("eff_vocab"),
+          when(col("n") > 1,
+            expr("coll * 10000 div (n * (n - 1))")).as("repeat_bp"))
+        .orderBy(col("source"))
   }
 }
