@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{F, Portable}
 import graft.functions.Portable.P
-import graft.operators.Media
+import graft.operators.{Indexing, Media}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -43,7 +43,8 @@ object ExtensionQueries {
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
-    e80Winnowing, e81MrlTruncation, e125MutualKnn)
+    e80Winnowing, e81MrlTruncation, e125MutualKnn,
+    e128SortedNeighborhood)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -1437,6 +1438,98 @@ object ExtensionQueries {
             col("t1.rk").cast("long").as("rank_ab"),
             col("t2.rk").cast("long").as("rank_ba"))
           .orderBy(col("vec_a"), col("vec_b"))
+    }
+  }
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo's merge/purge,
+    * SIGMOD'95) — the THIRD classic candidate-generation scheme,
+    * completing the blocking family: e3 hashes similar docs into the
+    * same bucket (LSH banding), e98 joins rare-token prefixes
+    * (AllPairs/PPJoin), e128 SORTS on a normalized key and compares
+    * each document only to its w successors in sort order. Its niche is
+    * prefix-anchored near-misses: two template documents whose openings
+    * agree land adjacent even when no band collides and no rare token
+    * is shared. Candidates are verified with the same exact shingle
+    * Jaccard as e3 (threshold 0.3), so the three detectors' outputs are
+    * directly comparable (e103's audit pattern).
+    *
+    * The global rank comes from [[graft.operators.Indexing]]'s
+    * zipWithIndex path — the same parallel range-exchange a distributed
+    * ORDER BY uses, never a single-task `Window.orderBy` — and the
+    * w-neighborhood join is a banded interval join: the lower side
+    * emits its rank bucket and successor bucket (⌊rn/w⌋, +1), the
+    * upper side joins on its own bucket, and the 0 < gap ≤ w filter
+    * finds each pair exactly once. Fan-out is a constant 2, never
+    * all-pairs.
+    *
+    * Scale (100 TB): sort = one range exchange (the distributed-sort
+    * primitive); neighborhood join = one equi-join with constant
+    * fan-out; verification joins shingle arrays by doc_id exactly as
+    * e3. The multi-pass production variant (several sort keys, union of
+    * candidates) is the same plan repeated per key — and the
+    * window w is the recall/cost dial the SIGMOD paper defines.
+    */
+  private def e128SortedNeighborhood = {
+    val w = 4
+    QueryDef.sql(
+      "e128_sorted_neighborhood",
+      s"""WITH k AS (SELECT doc_id,
+         |    substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+         |      1, 24) AS sk
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY sk, doc_id) AS rn FROM k),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    b.rn - a.rn AS rank_gap
+         |  FROM r a JOIN r b
+         |    ON b.rn > a.rn AND b.rn <= a.rn + $w),
+         |wx AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM wx
+         |  WHERE len(wh) >= 3)
+         |SELECT doc_a, doc_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+         |  round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |    (len(sa.shs) + len(sb.shs)
+         |      - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = doc_a
+         |JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         |    / (len(sa.shs) + len(sb.shs)
+         |      - len(list_intersect(sa.shs, sb.shs))), 4) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val keyed = docs.select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z ]", ""),
+            1, 24).as("sk"))
+        // 0-based dense rank; only GAPS feed the result, so the 1-based
+        // oracle rank is equivalent (bucket boundaries may differ — the
+        // gap filter makes candidate coverage identical regardless).
+        val ranked = Indexing.withGlobalIndex(
+          keyed, struct(col("sk"), col("doc_id")), "rn")
+        val lo = ranked.select(col("doc_id").as("doc_a"),
+            col("rn").as("ra"),
+            explode(array(expr(s"rn div $w"), expr(s"rn div $w + 1")))
+              .as("jb"))
+        val hi = ranked.select(col("doc_id").as("doc_b"),
+          col("rn").as("rb"), expr(s"rn div $w").as("jb"))
+        val cand = lo.join(hi, "jb")
+          .filter(col("rb") > col("ra") && col("rb") <= col("ra") + w)
+          .select(col("doc_a"), col("doc_b"),
+            (col("rb") - col("ra")).as("rank_gap"))
+        val sh = docShingles(docs)
+        val inter = size(
+          array_intersect(col("sa.shs"), col("sb.shs")))
+        val jac = round(inter.cast("double") /
+          (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
+        cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("rank_gap"),
+            jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy(col("doc_a"), col("doc_b"))
     }
   }
 
