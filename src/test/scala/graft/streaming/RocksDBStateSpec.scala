@@ -415,4 +415,33 @@ class RocksDBStateSpec extends SparkSpecBase {
       assertRocksEngaged(q)
     } finally q.stop()
   }
+
+  test("StreamDiurnal census accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[StreamDiurnal.Obs]
+    val q = StreamDiurnal.monitor(ms.toDS())
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_diurnal").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val b1 = (0 until 24).map(h => StreamDiurnal.Obs(7L, h))
+      val b2 = (0 until 48).map(i => StreamDiurnal.Obs(7L, i % 24))
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_diurnal")
+        .as[StreamDiurnal.Screen].collect()
+        .filter(_.user == 7L).maxBy(_.n_events)
+      // uniform 72-event census: statistic exactly 0, gate open —
+      // identical to the in-memory-provider run in StreamDiurnalSpec
+      assert(last.n_events === 72L && last.active_hours === 24)
+      assert(last.chi24 === 0L && last.screened)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
 }
