@@ -121,7 +121,7 @@ object AnalysisQueries {
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
-      e127LexicalDiversity)
+      e127LexicalDiversity, e129KCore)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2709,5 +2709,82 @@ object AnalysisQueries {
           when(col("n") > 1,
             expr("coll * 10000 div (n * (n - 1))")).as("repeat_bp"))
         .orderBy(col("source"))
+  }
+
+  // ---- e129: 3-core of the dup graph --------------------------------------
+
+  /** Iterative k-core peeling (k = 3, 8 fixed rounds) of the
+    * MinHash-verified dup graph: repeatedly delete every node with
+    * fewer than 3 surviving neighbors, keeping the subgraph where EACH
+    * member still has ≥ 3 near-dup partners after all sparser
+    * structure is stripped. This is the density CLASSIFIER the
+    * cluster-level audits motivate: e116 measures whether the graph is
+    * near-clique ON AVERAGE; the 3-core splits it into the dense zone
+    * (mutually-corroborated duplicates — safe for automatic
+    * keep-one-per-cluster deletion) and the stripped periphery (docs
+    * whose dup evidence was one or two chained edges — exactly where
+    * e45-style auto-deletion over-fires and per-pair verification
+    * should run first). Output: surviving docs with their within-core
+    * degree.
+    *
+    * The round count is FIXED (not converge-tested), the e120
+    * contract: an R-round peel is a well-defined object both engines
+    * compute identically, and for k = 3 the peel terminates fast on
+    * real dup graphs — chains and trees (degree ≤ 2) vanish in round
+    * one, so surviving depth comes only from nested dense shells,
+    * which near-clique duplicate clusters don't layer beyond a few.
+    *
+    * Scale (100 TB): edges are banding-bounded; each round is one
+    * degree census (map-side combinable) + two semi-joins of the edge
+    * list against the ≤node-count keep set, lineage-cut per round
+    * (ConnectedComponents discipline). The edge set only ever SHRINKS,
+    * so round cost is monotone non-increasing — the opposite profile
+    * of e32's fixed re-join. Full coreness (every k) is the same loop
+    * peeling minimum-degree classes in order.
+    */
+  private def e129KCore = {
+    val rounds = 8
+    // MATERIALIZED: each round references its predecessor twice (census
+    // + edge filter) and its keep-set twice (two semi joins); DuckDB
+    // inlines plain CTEs per reference, which would re-evaluate the
+    // whole upstream pipeline 2^rounds times (observed as an open-file
+    // explosion). Spark's localCheckpoint per round is the same cut.
+    val peel = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT u, count(*) AS dg FROM e${r - 1} GROUP BY u),
+         |k$r AS MATERIALIZED (SELECT u FROM d$r WHERE dg >= 3),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  SEMI JOIN k$r a ON e.u = a.u
+         |  SEMI JOIN k$r b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql(
+      "e129_kcore",
+      s"""${ExtensionQueries.minhashPairsDuck},
+         |ed AS MATERIALIZED (SELECT doc_a, doc_b FROM verified
+         |  WHERE jaccard >= 0.3),
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM ed
+         |       UNION ALL SELECT doc_b, doc_a FROM ed),
+         |$peel
+         |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg_core
+         |FROM e$rounds GROUP BY u ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val ed = ExtensionQueries.minhashVerifiedPairs(s, dir)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .localCheckpoint(true)
+        var e = ed
+          .union(ed.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint(true)
+        for (_ <- 1 to rounds) {
+          val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
+            .filter(col("dg") >= 3).select(col("u").as("ku"))
+          e = e
+            .join(keep, col("u") === col("ku"), "left_semi")
+            .join(keep, col("v") === col("ku"), "left_semi")
+            .localCheckpoint(true)
+        }
+        e.groupBy(col("u").as("doc_id"))
+          .agg(count(lit(1)).as("deg_core"))
+          .orderBy(col("doc_id"))
+    }
   }
 }

@@ -275,4 +275,30 @@ class CurationOpsSpec extends SparkSpecBase {
     }
     assert(got.map(_._5).sum <= 10000L && got.map(_._6).sum <= 10000L)
   }
+
+  test("e129 3-core equals a driver-side fixpoint peel") {
+    val got = AnalysisQueries.all.find(_.name == "e129_kcore").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side truth: peel the SAME verified edge set to fixpoint
+    val pairs = ExtensionQueries.minhashVerifiedPairs(spark, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var adj = pairs.flatMap(p => Seq(p, p.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val keep = adj.collect { case (u, ns) if ns.size >= 3 => u }.toSet
+      changed = keep.size != adj.size
+      adj = adj.collect { case (u, ns) if keep(u) =>
+        u -> ns.filter(keep)
+      }.filter(_._2.nonEmpty)
+    }
+    val expect = adj.map { case (u, ns) => u -> ns.size.toLong }
+    // 8 fixed rounds reach the fixpoint on this graph, and the
+    // within-core degrees agree exactly
+    assert(got === expect)
+    assert(got.values.forall(_ >= 3L))
+  }
 }
