@@ -121,7 +121,7 @@ object AnalysisQueries {
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
-      e127LexicalDiversity, e129KCore)
+      e127LexicalDiversity, e129KCore, e130Kappa)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2785,6 +2785,106 @@ object AnalysisQueries {
         e.groupBy(col("u").as("doc_id"))
           .agg(count(lit(1)).as("deg_core"))
           .orderBy(col("doc_id"))
+    }
+  }
+
+  // ---- e130: Cohen's kappa between curation gates -------------------------
+
+  /** Chance-corrected agreement (Cohen's κ) between two INDEPENDENT
+    * curation gates, per source: gate A = the heuristic quality signal
+    * at its e117-style cutoff (bp ≥ 3000), gate B = exact-dup
+    * uniqueness (e1's digest groups, n_copies = 1). e96 reports how
+    * much two filters' rejection sets OVERLAP; κ asks the measurement-
+    * theory question behind it — do they agree MORE THAN THEIR BASE
+    * RATES FORCE? Two gates that each pass 95% of documents show 90%+
+    * raw agreement with zero shared information; κ subtracts exactly
+    * that. κ ≈ 0 (this corpus's expected reading: dup copies share the
+    * template quality distribution) means the gates are independent
+    * evidence and BOTH earn their scan; κ → 10000 means one gate is
+    * the other's shadow and the cheaper one should run alone.
+    *
+    * Exact integer, sign-safe: po·n = n_agree·n and pe·n² =
+    * r₁c₁ + r₀c₀ are exact counts, so κ_bp = (po_n·n − pe_n2)·10⁴ /
+    * (n² − pe_n2) with the division applied to |numerator| and the
+    * sign re-attached — DuckDB `//` floors while Spark `div` truncates,
+    * so negative κ must never reach a bare integer division (the one
+    * cross-engine divergence in this file's integer toolkit, handled
+    * the same way here and nowhere else needed).
+    *
+    * Scale (100 TB): the dup label rides e1's digest shuffle (text
+    * never moves past the first projection); everything else is one
+    * (source, a, b) count collapsing map-side to ≤ 4 rows/source.
+    * More gates = the same query per pair (κ matrix), or Fleiss κ over
+    * the per-doc pass-count census — same shuffle shape.
+    */
+  private def e130Kappa = {
+    def kappa(num: String, den: String) =
+      s"CASE WHEN $num >= 0 THEN $num * 10000 // $den" +
+        s" ELSE -((-($num)) * 10000 // $den) END"
+    QueryDef.sql(
+      "e130_kappa",
+      s"""WITH sig AS (SELECT doc_id, source, md5(text) AS dg,
+         |    len(w) AS n_words,
+         |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+         |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
+         |        FROM documents)),
+         |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg),
+         |q0 AS (SELECT s.source,
+         |    CASE WHEN n_words > 0 AND least(10000,
+         |        n_stop * 30000 // n_words + least(4000, n_words * 8))
+         |        >= 3000 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN d.n_copies = 1 THEN 1 ELSE 0 END AS b
+         |  FROM sig s JOIN dup d USING (dg)),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree,
+         |    CAST(sum(a) AS BIGINT) AS r1, CAST(sum(b) AS BIGINT) AS c1
+         |  FROM q0 GROUP BY source),
+         |k AS (SELECT source, n, n_agree,
+         |    n_agree * 10000 // n AS po_bp,
+         |    (r1 * c1 + (n - r1) * (n - c1)) * 10000 // (n * n)
+         |      AS pe_bp,
+         |    n_agree * n - (r1 * c1 + (n - r1) * (n - c1)) AS num,
+         |    n * n - (r1 * c1 + (n - r1) * (n - c1)) AS den
+         |  FROM m)
+         |SELECT source, n AS n_docs, po_bp, pe_bp,
+         |  CASE WHEN den > 0 THEN ${kappa("num", "den")} END AS kappa_bp
+         |FROM k ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val words = expr(Portable.wordsSpark)
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            sha2(col("text"), 256).as("dg"),
+            size(words).cast("long").as("n_words"),
+            size(filter(words, x => x.isin("the", "a"))).cast("long")
+              .as("n_stop"))
+        val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
+        val q0 = sig.join(dup, Seq("dg"))
+          .select(col("source"),
+            when(col("n_words") > 0 &&
+              expr("least(10000L, n_stop * 30000 div n_words" +
+                " + least(4000L, n_words * 8))") >= 3000, 1L)
+              .otherwise(0L).as("a"),
+            when(col("n_copies") === 1, 1L).otherwise(0L).as("b"))
+        val m = q0.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a") === col("b"), 1L).otherwise(0L))
+              .as("n_agree"),
+            sum(col("a")).as("r1"), sum(col("b")).as("c1"))
+        m.select(col("source"), col("n"), col("n_agree"),
+            expr("n_agree * 10000 div n").as("po_bp"),
+            expr("(r1 * c1 + (n - r1) * (n - c1)) * 10000 div (n * n)")
+              .as("pe_bp"),
+            expr("n_agree * n - (r1 * c1 + (n - r1) * (n - c1))")
+              .as("num"),
+            expr("n * n - (r1 * c1 + (n - r1) * (n - c1))").as("den"))
+          .select(col("source"), col("n").as("n_docs"), col("po_bp"),
+            col("pe_bp"),
+            when(col("den") > 0,
+              when(col("num") >= 0, expr("num * 10000 div den"))
+                .otherwise(-expr("(-num) * 10000 div den")))
+              .as("kappa_bp"))
+          .orderBy(col("source"))
     }
   }
 }
