@@ -121,7 +121,7 @@ object AnalysisQueries {
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
-      e127LexicalDiversity, e129KCore, e130Kappa)
+      e127LexicalDiversity, e129KCore, e130Kappa, e131Youden)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2093,9 +2093,11 @@ object AnalysisQueries {
     * score's scale, but neither answers "does this signal order dup
     * docs apart from unique ones AT ALL" — AUC ≈ 5000 bp says the
     * signal carries no ranking information for that source and a
-    * threshold on it is noise (on this corpus dup copies share the
-    * template distribution, so ≈ chance is the expected, correct
-    * reading).
+    * threshold on it is noise. (Measured at sf0.1 the per-source AUCs
+    * range 3855–9116 bp on 2–6 dups per source — exactly the
+    * small-n_pos regime where a point AUC swings wide, which is why
+    * the n_dup/n_uniq counts ride along: an AUC without its support is
+    * unreadable.)
     *
     * All arithmetic is integer and tie-exact: from the per-(source,
     * score) frequency table, U·2 = Σ_s pos(s)·(2·neg_below(s) +
@@ -2886,5 +2888,108 @@ object AnalysisQueries {
               .as("kappa_bp"))
           .orderBy(col("source"))
     }
+  }
+
+  // ---- e131: Youden-J operating point -------------------------------------
+
+  /** The OPERATING POINT companion to e119: AUC says whether the
+    * quality signal ranks duplicated documents apart from unique ones
+    * at all; Youden's J = max_t (TPR(t) − FPR(t)) names the threshold
+    * to actually RUN the flag-if-bp≥t screen at, with its achieved
+    * TPR/FPR — the number a pipeline owner needs before wiring the
+    * signal into a gate. Computed exactly on e119's bounded per-source
+    * score-frequency table: reverse-cumulative pos/neg counts give
+    * TPR/FPR at every observed threshold, J's argmax is one
+    * row_number over the ≤ 10001-row grid (ties → lowest threshold,
+    * the more permissive gate), and J rides the integer numerator
+    * pos_ge·n_neg − neg_ge·n_pos so the selection is float-free; the
+    * reported j_bp uses e130's sign-split division (J < 0 = the signal
+    * points the other way — flip the gate's direction before using
+    * it).
+    *
+    * Scale (100 TB): identical shape to e119 — digest-keyed dup label,
+    * one (source × bp) aggregation, then every window rides the
+    * bounded frequency table. The multi-signal form is a per-signal
+    * frequency grain, same as e119's matrix note.
+    */
+  private def e131Youden = QueryDef.sql(
+    "e131_youden",
+    s"""WITH sig AS (SELECT doc_id, source, md5(text) AS dg,
+       |    len(w) AS n_words,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+       |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
+       |        FROM documents)),
+       |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg),
+       |q0 AS (SELECT s.source,
+       |    least(10000, n_stop * 30000 // n_words
+       |      + least(4000, n_words * 8)) AS bp,
+       |    d.n_copies >= 2 AS is_dup
+       |  FROM sig s JOIN dup d USING (dg) WHERE n_words > 0),
+       |freq AS (SELECT source, bp,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_c,
+       |    CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS neg_c
+       |  FROM q0 GROUP BY 1, 2),
+       |cum AS (SELECT source, bp,
+       |    CAST(sum(pos_c) OVER wge AS BIGINT) AS pos_ge,
+       |    CAST(sum(neg_c) OVER wge AS BIGINT) AS neg_ge,
+       |    CAST(sum(pos_c) OVER (PARTITION BY source) AS BIGINT) AS np,
+       |    CAST(sum(neg_c) OVER (PARTITION BY source) AS BIGINT) AS nn
+       |  FROM freq
+       |  WINDOW wge AS (PARTITION BY source ORDER BY bp
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       |sc AS (SELECT *, pos_ge * nn - neg_ge * np AS num FROM cum
+       |  WHERE np > 0 AND nn > 0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY num DESC, bp) AS rn FROM sc)
+       |SELECT source, np AS n_dup, nn AS n_uniq, bp AS thr_bp,
+       |  CASE WHEN num >= 0 THEN num * 10000 // (np * nn)
+       |    ELSE -((-num) * 10000 // (np * nn)) END AS j_bp,
+       |  pos_ge * 10000 // np AS tpr_bp,
+       |  neg_ge * 10000 // nn AS fpr_bp
+       |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin) {
+    (s, dir) =>
+      val words = expr(Portable.wordsSpark)
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          sha2(col("text"), 256).as("dg"),
+          size(words).cast("long").as("n_words"),
+          size(filter(words, x => x.isin("the", "a"))).cast("long")
+            .as("n_stop"))
+      val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
+      val q0 = sig.filter(col("n_words") > 0)
+        .join(dup, Seq("dg"))
+        .select(col("source"),
+          expr("least(10000L, n_stop * 30000 div n_words" +
+            " + least(4000L, n_words * 8))").as("bp"),
+          (col("n_copies") >= 2).as("is_dup"))
+      val freq = q0.groupBy("source", "bp")
+        .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("pos_c"),
+          sum(when(col("is_dup"), 0L).otherwise(1L)).as("neg_c"))
+      val wge = Window.partitionBy(col("source")).orderBy(col("bp"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wAll = Window.partitionBy(col("source"))
+      val cum = freq
+        .withColumn("pos_ge", sum(col("pos_c")).over(wge))
+        .withColumn("neg_ge", sum(col("neg_c")).over(wge))
+        .withColumn("np", sum(col("pos_c")).over(wAll))
+        .withColumn("nn", sum(col("neg_c")).over(wAll))
+        .filter(col("np") > 0 && col("nn") > 0)
+        .withColumn("num",
+          col("pos_ge") * col("nn") - col("neg_ge") * col("np"))
+      cum
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("num").desc, col("bp"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("np").as("n_dup"),
+          col("nn").as("n_uniq"), col("bp").as("thr_bp"),
+          when(col("num") >= 0, expr("num * 10000 div (np * nn)"))
+            .otherwise(-expr("(-num) * 10000 div (np * nn)"))
+            .as("j_bp"),
+          expr("pos_ge * 10000 div np").as("tpr_bp"),
+          expr("neg_ge * 10000 div nn").as("fpr_bp"))
+        .orderBy(col("source"))
   }
 }
