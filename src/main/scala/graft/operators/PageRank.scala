@@ -67,7 +67,11 @@ object PageRank {
       .union(dir.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .select(col("u").as("src"), col("v").as("dst"))
+    // deg feeds the adjacency build, the rank init, every round's
+    // rebuild of the node list, and the final degree join — persist it
+    // so the union+distinct+groupBy pipeline runs once, not per use.
     val deg = sym.groupBy("src").agg(count(lit(1)).as("dg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Adjacency with out-degree attached, partitioned by src once:
     // every iteration's contribution join then reads this exact cached
     // layout with no further shuffle of the edge list.
@@ -91,8 +95,14 @@ object PageRank {
           (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank"))
         .localCheckpoint(true)
     }
-    adj.unpersist()
-    r.join(deg, r("node") === deg("src"))
+    // Materialize the node-bounded result BEFORE releasing the caches:
+    // the final join is lazy, and unpersisting first would force the
+    // degree pipeline to recompute from the edge checkpoint.
+    val out = r.join(deg, r("node") === deg("src"))
       .select(col("node"), col("dg").as("degree"), col("rank"))
+      .localCheckpoint(true)
+    adj.unpersist()
+    deg.unpersist()
+    out
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,7 +112,7 @@ import graft.sources.Tables
   */
 object AnalysisQueries {
 
-  val all: Seq[QueryDef] =
+  lazy val all: Seq[QueryDef] =
     Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
       e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
@@ -900,8 +900,7 @@ object AnalysisQueries {
          |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
          |  FROM (SELECT doc_id, ${Portable.wordsDuck} AS w FROM documents)),
          |q0 AS (SELECT doc_id,
-         |    least(10000, n_stop * 30000 // n_words
-         |      + least(4000, n_words * 8)) AS bp
+         |    $qualityBpDuck AS bp
          |  FROM sig WHERE n_words > 0),
          |n1 AS (SELECT e.dst AS doc_id, max(q.bp) - $decay AS nb
          |  FROM edges e JOIN q0 q ON q.doc_id = e.src GROUP BY e.dst),
@@ -930,8 +929,7 @@ object AnalysisQueries {
             .as("n_stop"))
         .filter(col("n_words") > 0)
         .select(col("doc_id"),
-          expr("least(10000L, n_stop * 30000 div n_words" +
-            " + least(4000L, n_words * 8))").as("bp"))
+          expr(qualityBpSpark).as("bp"))
       val p2 = QualityPropagate.propagate(edges, q0, rounds = 2, decay)
       q0.select(col("doc_id"), col("bp").as("base_bp"))
         .join(p2.select(col("doc_id"), col("bp").as("prop_bp")), "doc_id")
@@ -1936,8 +1934,7 @@ object AnalysisQueries {
          |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
          |  FROM (SELECT doc_id, ${Portable.wordsDuck} AS w FROM documents)),
          |q0 AS (SELECT doc_id,
-         |    least(10000, n_stop * 30000 // n_words
-         |      + least(4000, n_words * 8)) AS bp,
+         |    $qualityBpDuck AS bp,
          |    (($A * (doc_id % $P) + $B) % $P) % 5 = 0 AS is_cal
          |  FROM sig WHERE n_words > 0),
          |cal AS (SELECT bp FROM q0 WHERE is_cal),
@@ -1968,8 +1965,7 @@ object AnalysisQueries {
               .as("n_stop"))
           .filter(col("n_words") > 0)
           .select(col("doc_id"),
-            expr("least(10000L, n_stop * 30000 div n_words" +
-              " + least(4000L, n_words * 8))").as("bp"),
+            expr(qualityBpSpark).as("bp"),
             ((lit(A) * (col("doc_id") % P) + B) % P % 5 === 0).as("is_cal"))
         val cal = q0.filter(col("is_cal")).select("bp")
         val jr = cal.agg(count(lit(1)).as("n_calib"))
@@ -2083,6 +2079,82 @@ object AnalysisQueries {
           expr("n_agree * 10000 div n_eval").as("agree_bp"))
         .orderBy(col("label"))
   }
+  // ---- shared quality-signal / dup-label basis (e119/e121/e130/e131) ------
+
+  /** The heuristic quality signal in basis points (stopword share +
+    * capped length credit) — ONE definition per dialect, consumed by
+    * e119/e121/e130/e131 so the signal can never drift between the
+    * audits that all claim to measure "the same basis". Binds `n_stop`
+    * and `n_words` columns.
+    */
+  // defs, NOT vals: `all` is evaluated during object construction and
+  // the query builders interpolate these — a val declared below `all`
+  // would still be null at that point and interpolate as the SQL
+  // literal `null` (observed: every consumer's oracle silently
+  // degenerated; sf0.01 masked it because that corpus has no exact
+  // dups). `all` is additionally lazy so the whole class of
+  // init-order hazards is gone, but defs keep these safe regardless.
+  private def qualityBpDuck =
+    "least(10000, n_stop * 30000 // n_words + least(4000, n_words * 8))"
+  private def qualityBpSpark =
+    "least(10000L, n_stop * 30000 div n_words + least(4000L, n_words * 8))"
+
+  /** `sig` + `dup` CTEs: per-doc content digest, word/stopword counts,
+    * and per-digest copy count — e1's dup label riding the digest
+    * shuffle (text never moves past the first projection). The digest
+    * functions differ per dialect (md5 vs sha2) deliberately: only
+    * group MEMBERSHIP is consumed, never the digest value.
+    */
+  private def dupSigDuck: String =
+    s"""sig AS (SELECT doc_id, source, md5(text) AS dg,
+       |    len(w) AS n_words,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+       |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
+       |        FROM documents)),
+       |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg)"""
+      .stripMargin
+
+  /** Spark twin of [[dupSigDuck]]: one row per document with
+    * (doc_id, source, n_words, n_stop, n_copies). */
+  private def dupSig(s: SparkSession, dir: String): DataFrame = {
+    val words = expr(Portable.wordsSpark)
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        sha2(col("text"), 256).as("dg"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, x => x.isin("the", "a"))).cast("long")
+          .as("n_stop"))
+    val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
+    sig.join(dup, Seq("dg"))
+  }
+
+  /** The (source × quality-bp) dup/unique frequency table over
+    * n_words > 0 documents — the bounded (≤ 10001 rows/source) grid
+    * every rank-based audit (e119 AUC, e131 Youden) windows over
+    * instead of sorting the corpus.
+    */
+  private def dupFreqDuck: String =
+    s"""$dupSigDuck,
+       |q0 AS (SELECT s.source, $qualityBpDuck AS bp,
+       |    d.n_copies >= 2 AS is_dup
+       |  FROM sig s JOIN dup d USING (dg) WHERE n_words > 0),
+       |freq AS (SELECT source, bp,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_c,
+       |    CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS neg_c
+       |  FROM q0 GROUP BY 1, 2)""".stripMargin
+
+  /** Spark twin of [[dupFreqDuck]]: (source, bp, pos_c, neg_c). */
+  private def dupFreq(s: SparkSession, dir: String): DataFrame =
+    dupSig(s, dir)
+      .filter(col("n_words") > 0)
+      .select(col("source"), expr(qualityBpSpark).as("bp"),
+        (col("n_copies") >= 2).as("is_dup"))
+      .groupBy("source", "bp")
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("pos_c"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("neg_c"))
+
   // ---- e119: ROC-AUC separability screen ----------------------------------
 
   /** Exact ROC-AUC (Mann–Whitney U) of the heuristic quality signal
@@ -2118,23 +2190,7 @@ object AnalysisQueries {
     */
   private def e119AucScreen = QueryDef.sql(
     "e119_auc_screen",
-    s"""WITH sig AS (SELECT doc_id, source, md5(text) AS dg,
-       |    len(w) AS n_words,
-       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
-       |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
-       |        FROM documents)),
-       |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg),
-       |q0 AS (SELECT s.source,
-       |    least(10000, n_stop * 30000 // n_words
-       |      + least(4000, n_words * 8)) AS bp,
-       |    d.n_copies >= 2 AS is_dup
-       |  FROM sig s JOIN dup d USING (dg) WHERE n_words > 0),
-       |freq AS (SELECT source, bp,
-       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS pos_c,
-       |    CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
-       |      AS neg_c
-       |  FROM q0 GROUP BY 1, 2),
+    s"""WITH $dupFreqDuck,
        |cum AS (SELECT source, pos_c, neg_c,
        |    sum(neg_c) OVER (PARTITION BY source ORDER BY bp) - neg_c
        |      AS neg_below
@@ -2147,24 +2203,7 @@ object AnalysisQueries {
        |      (2 * sum(pos_c) * sum(neg_c)) AS BIGINT) END AS auc_bp
        |FROM cum GROUP BY source ORDER BY source""".stripMargin) {
     (s, dir) =>
-      val words = expr(Portable.wordsSpark)
-      val sig = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          sha2(col("text"), 256).as("dg"),
-          size(words).cast("long").as("n_words"),
-          size(filter(words, x => x.isin("the", "a"))).cast("long")
-            .as("n_stop"))
-      val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
-      val q0 = sig.filter(col("n_words") > 0)
-        .join(dup, Seq("dg"))
-        .select(col("source"),
-          expr("least(10000L, n_stop * 30000 div n_words" +
-            " + least(4000L, n_words * 8))").as("bp"),
-          (col("n_copies") >= 2).as("is_dup"))
-      val freq = q0.groupBy("source", "bp")
-        .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("pos_c"),
-          sum(when(col("is_dup"), 0L).otherwise(1L)).as("neg_c"))
-      val cum = freq.withColumn("neg_below",
+      val cum = dupFreq(s, dir).withColumn("neg_below",
         sum(col("neg_c")).over(
           Window.partitionBy(col("source")).orderBy(col("bp")))
           - col("neg_c"))
@@ -2272,8 +2311,7 @@ object AnalysisQueries {
        |  FROM (SELECT source, ${Portable.wordsDuck} AS w
        |        FROM documents)),
        |q0 AS (SELECT source,
-       |    least(10000, n_stop * 30000 // n_words
-       |      + least(4000, n_words * 8)) AS bp,
+       |    $qualityBpDuck AS bp,
        |    CAST(n_words AS BIGINT) AS n_words
        |  FROM sig WHERE n_words > 0),
        |t1 AS (SELECT source, bp, n_words, count(*) AS n_docs
@@ -2298,8 +2336,7 @@ object AnalysisQueries {
             .as("n_stop"))
         .filter(col("n_words") > 0)
         .select(col("source"),
-          expr("least(10000L, n_stop * 30000 div n_words" +
-            " + least(4000L, n_words * 8))").as("bp"),
+          expr(qualityBpSpark).as("bp"),
           col("n_words"))
       val t1 = sig.groupBy("source", "bp", "n_words")
         .agg(count(lit(1)).as("n_docs"))
@@ -2436,7 +2473,11 @@ object AnalysisQueries {
     * engines. The budget is hit EXACTLY by largest-remainder rounding
     * (floor shares + distribute the deficit by remainder rank, ties by
     * source) — the Hamilton apportionment step, windowed over the
-    * per-source table.
+    * per-source table. A corpus where EVERY source has zero variance
+    * (Σw = 0 — fixed-width record feeds) degrades to proportional
+    * allocation instead of dividing by zero: Neyman with equal σ IS
+    * proportional, so the fallback is the statistical limit, not just
+    * a guard.
     *
     * Scale (100 TB): one corpus scan → per-source moment sums
     * (map-side combinable, the e108 kernel); everything after rides the
@@ -2462,11 +2503,15 @@ object AnalysisQueries {
        |  FROM sq),
        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
        |    CAST(sum(n_docs) AS BIGINT) AS tn FROM iw),
-       |base AS (SELECT source, n_docs, w,
-       |    w * 1000 // t.tw AS fl, (w * 1000) % t.tw AS rem,
-       |    w * 10000 // t.tw AS share_bp,
-       |    n_docs * 10000 // t.tn AS prop_bp
+       |base0 AS (SELECT source, n_docs, w, t.tn AS tn,
+       |    CASE WHEN t.tw > 0 THEN w ELSE n_docs END AS ew,
+       |    CASE WHEN t.tw > 0 THEN t.tw ELSE t.tn END AS ed
        |  FROM iw CROSS JOIN t),
+       |base AS (SELECT source, n_docs, w,
+       |    ew * 1000 // ed AS fl, (ew * 1000) % ed AS rem,
+       |    ew * 10000 // ed AS share_bp,
+       |    n_docs * 10000 // tn AS prop_bp
+       |  FROM base0),
        |rk AS (SELECT *,
        |    row_number() OVER (ORDER BY rem DESC, source) AS rn,
        |    CAST(1000 - sum(fl) OVER () AS BIGINT) AS deficit
@@ -2496,11 +2541,19 @@ object AnalysisQueries {
             - when(col("s0") * col("s0") > col("x"), 1L)
               .otherwise(0L)).as("w"))
       val t = iw.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+      // Degenerate corpus guard: if EVERY source has zero length
+      // variance (Σw = 0 — fixed-width record feeds), Neyman is
+      // undefined; fall back to proportional weights rather than
+      // dividing by zero into an all-NULL allocation.
       val base = iw.crossJoin(broadcast(t))
+        .withColumn("ew", when(col("tw") > 0, col("w"))
+          .otherwise(col("n_docs")))
+        .withColumn("ed", when(col("tw") > 0, col("tw"))
+          .otherwise(col("tn")))
         .select(col("source"), col("n_docs"), col("w"),
-          expr("w * 1000 div tw").as("fl"),
-          expr("(w * 1000) % tw").as("rem"),
-          expr("w * 10000 div tw").as("share_bp"),
+          expr("ew * 1000 div ed").as("fl"),
+          expr("(ew * 1000) % ed").as("rem"),
+          expr("ew * 10000 div ed").as("share_bp"),
           expr("n_docs * 10000 div tn").as("prop_bp"))
       // The rank window rides the #sources-row aggregate — construction-
       // bounded; named in PlanLintSpec's spine allowance. The floor-sum
@@ -2554,7 +2607,10 @@ object AnalysisQueries {
       " WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
       " WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153" +
       " ELSE 45757 END"
-    val firstDigit = (1 to 8).reverse
+    // Cascade to 10^18: the screen is advertised for ANY ingested
+    // metric column, so the extraction must be correct over the full
+    // BIGINT range, not just this table's ~10^6 totals.
+    val firstDigit = (1 to 18).reverse
       .map(k => s"WHEN v >= ${"1" + "0" * k} THEN v // ${"1" + "0" * k}")
       .mkString("CASE ", " ", " ELSE v END")
     QueryDef.sql(
@@ -2674,9 +2730,13 @@ object AnalysisQueries {
     *
     * Scale (100 TB): one (source, word) aggregation (map-side
     * combinable) → per-source moment rollup — e75's vocabulary-bounded
-    * shape; nothing corpus-sized moves after the first combine. Σn_w²
-    * past ~10¹⁸ (a 10⁹-occurrence word) takes the documented
-    * DECIMAL(38,0) swap.
+    * shape; nothing corpus-sized moves after the first combine. The
+    * binding overflow is the `s2 * 10⁶` ppm scaling, which exceeds
+    * BIGINT once Σn_w² > ~9.2·10¹² — a single ~3M-occurrence word, hit
+    * FAR below 100 TB — so the DECIMAL(38,0) accumulator swap is the
+    * first-resort lever here, not a distant ceiling (ANSI mode fails
+    * loud at the boundary, never wraps); n·n binds later at ~3·10⁹
+    * tokens/source.
     */
   private def e127LexicalDiversity = QueryDef.sql(
     "e127_lexical_diversity",
@@ -2825,16 +2885,10 @@ object AnalysisQueries {
         s" ELSE -((-($num)) * 10000 // $den) END"
     QueryDef.sql(
       "e130_kappa",
-      s"""WITH sig AS (SELECT doc_id, source, md5(text) AS dg,
-         |    len(w) AS n_words,
-         |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
-         |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
-         |        FROM documents)),
-         |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg),
+      s"""WITH $dupSigDuck,
          |q0 AS (SELECT s.source,
-         |    CASE WHEN n_words > 0 AND least(10000,
-         |        n_stop * 30000 // n_words + least(4000, n_words * 8))
-         |        >= 3000 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN n_words > 0 AND $qualityBpDuck >= 3000
+         |      THEN 1 ELSE 0 END AS a,
          |    CASE WHEN d.n_copies = 1 THEN 1 ELSE 0 END AS b
          |  FROM sig s JOIN dup d USING (dg)),
          |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
@@ -2853,19 +2907,10 @@ object AnalysisQueries {
          |  CASE WHEN den > 0 THEN ${kappa("num", "den")} END AS kappa_bp
          |FROM k ORDER BY source""".stripMargin) {
       (s, dir) =>
-        val words = expr(Portable.wordsSpark)
-        val sig = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            sha2(col("text"), 256).as("dg"),
-            size(words).cast("long").as("n_words"),
-            size(filter(words, x => x.isin("the", "a"))).cast("long")
-              .as("n_stop"))
-        val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
-        val q0 = sig.join(dup, Seq("dg"))
+        val q0 = dupSig(s, dir)
           .select(col("source"),
             when(col("n_words") > 0 &&
-              expr("least(10000L, n_stop * 30000 div n_words" +
-                " + least(4000L, n_words * 8))") >= 3000, 1L)
+              expr(qualityBpSpark) >= 3000, 1L)
               .otherwise(0L).as("a"),
             when(col("n_copies") === 1, 1L).otherwise(0L).as("b"))
         val m = q0.groupBy("source")
@@ -2902,10 +2947,13 @@ object AnalysisQueries {
     * TPR/FPR at every observed threshold, J's argmax is one
     * row_number over the ≤ 10001-row grid (ties → lowest threshold,
     * the more permissive gate), and J rides the integer numerator
-    * pos_ge·n_neg − neg_ge·n_pos so the selection is float-free; the
-    * reported j_bp uses e130's sign-split division (J < 0 = the signal
-    * points the other way — flip the gate's direction before using
-    * it).
+    * pos_ge·n_neg − neg_ge·n_pos so the selection is float-free. The
+    * selected J is structurally ≥ 0: the minimum observed threshold
+    * flags everything (TPR = FPR = 1, num = 0) and is always in the
+    * candidate set, so the argmax can never pick a negative row — a
+    * plain floor division suffices, no sign-split needed (an
+    * anti-correlated signal reads as J = 0 at the flag-everything
+    * threshold, i.e. "this gate direction adds nothing").
     *
     * Scale (100 TB): identical shape to e119 — digest-keyed dup label,
     * one (source × bp) aggregation, then every window rides the
@@ -2914,23 +2962,7 @@ object AnalysisQueries {
     */
   private def e131Youden = QueryDef.sql(
     "e131_youden",
-    s"""WITH sig AS (SELECT doc_id, source, md5(text) AS dg,
-       |    len(w) AS n_words,
-       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
-       |  FROM (SELECT doc_id, source, text, ${Portable.wordsDuck} AS w
-       |        FROM documents)),
-       |dup AS (SELECT dg, count(*) AS n_copies FROM sig GROUP BY dg),
-       |q0 AS (SELECT s.source,
-       |    least(10000, n_stop * 30000 // n_words
-       |      + least(4000, n_words * 8)) AS bp,
-       |    d.n_copies >= 2 AS is_dup
-       |  FROM sig s JOIN dup d USING (dg) WHERE n_words > 0),
-       |freq AS (SELECT source, bp,
-       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS pos_c,
-       |    CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
-       |      AS neg_c
-       |  FROM q0 GROUP BY 1, 2),
+    s"""WITH $dupFreqDuck,
        |cum AS (SELECT source, bp,
        |    CAST(sum(pos_c) OVER wge AS BIGINT) AS pos_ge,
        |    CAST(sum(neg_c) OVER wge AS BIGINT) AS neg_ge,
@@ -2944,29 +2976,12 @@ object AnalysisQueries {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
        |    ORDER BY num DESC, bp) AS rn FROM sc)
        |SELECT source, np AS n_dup, nn AS n_uniq, bp AS thr_bp,
-       |  CASE WHEN num >= 0 THEN num * 10000 // (np * nn)
-       |    ELSE -((-num) * 10000 // (np * nn)) END AS j_bp,
+       |  num * 10000 // (np * nn) AS j_bp,
        |  pos_ge * 10000 // np AS tpr_bp,
        |  neg_ge * 10000 // nn AS fpr_bp
        |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin) {
     (s, dir) =>
-      val words = expr(Portable.wordsSpark)
-      val sig = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          sha2(col("text"), 256).as("dg"),
-          size(words).cast("long").as("n_words"),
-          size(filter(words, x => x.isin("the", "a"))).cast("long")
-            .as("n_stop"))
-      val dup = sig.groupBy("dg").agg(count(lit(1)).as("n_copies"))
-      val q0 = sig.filter(col("n_words") > 0)
-        .join(dup, Seq("dg"))
-        .select(col("source"),
-          expr("least(10000L, n_stop * 30000 div n_words" +
-            " + least(4000L, n_words * 8))").as("bp"),
-          (col("n_copies") >= 2).as("is_dup"))
-      val freq = q0.groupBy("source", "bp")
-        .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("pos_c"),
-          sum(when(col("is_dup"), 0L).otherwise(1L)).as("neg_c"))
+      val freq = dupFreq(s, dir)
       val wge = Window.partitionBy(col("source")).orderBy(col("bp"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val wAll = Window.partitionBy(col("source"))
@@ -2985,9 +3000,7 @@ object AnalysisQueries {
         .filter(col("rn") === 1)
         .select(col("source"), col("np").as("n_dup"),
           col("nn").as("n_uniq"), col("bp").as("thr_bp"),
-          when(col("num") >= 0, expr("num * 10000 div (np * nn)"))
-            .otherwise(-expr("(-num) * 10000 div (np * nn)"))
-            .as("j_bp"),
+          expr("num * 10000 div (np * nn)").as("j_bp"),
           expr("pos_ge * 10000 div np").as("tpr_bp"),
           expr("neg_ge * 10000 div nn").as("fpr_bp"))
         .orderBy(col("source"))

@@ -1290,59 +1290,82 @@ object ExtensionQueries {
       when(F.array_dot(embD, wArr) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Sig-bucketed ranked top-k CTE chain (s0 → bucket census → capped
+    * sub-buckets → scored pairs → `topk` with its rank column) — ONE
+    * definition of the LSH candidate/scoring machinery, consumed by
+    * [[annLsh]] (drops rk) and e125 (joins on it). `topk` is
+    * MATERIALIZED: e125 references it twice and DuckDB inlines plain
+    * CTEs per reference (the e129 lesson).
+    */
+  private def lshTopkDuckCtes(
+      bits: Int, k: Int, bucketCap: Long): String =
+    s"""s0 AS (SELECT vec_id, embedding, ${lshSigDuck(bits)} AS sig
+       |  FROM embeddings),
+       |c AS (SELECT sig, count(*) AS cnt FROM s0 GROUP BY sig),
+       |s AS (SELECT s0.vec_id, s0.embedding, s0.sig,
+       |    s0.vec_id % ((c.cnt + ${bucketCap - 1}) // $bucketCap) AS sub
+       |  FROM s0 JOIN c USING (sig)),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(${dotDuck("a", "b")} /
+       |      (${normDuck("a")} * ${normDuck("b")}), 4) + 0 AS cosine
+       |  FROM s a JOIN s b ON a.sig = b.sig AND a.sub = b.sub
+       |    AND a.vec_id <> b.vec_id),
+       |topk AS MATERIALIZED (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM pairs
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) <= $k)""".stripMargin
+
+  /** Spark twin of [[lshTopkDuckCtes]]: (query_id, neighbor_id,
+    * cosine, rk), rk ≤ k per query.
+    */
+  private def lshRankedTopk(
+      s: SparkSession, dir: String,
+      bits: Int, k: Int, bucketCap: Long): DataFrame = {
+    val embD = col("embedding").cast("array<double>")
+    val sig = lshSigSpark(bits, embD)
+    // Signature + norm computed once per pair-join side via a shared
+    // repartition-by-sig exchange (ReusedExchange), and
+    // HashPartitioning(sig) already satisfies the pair join's
+    // (sig, sub) clustering, so no further exchange is inserted.
+    val s0 = Tables.embeddings(s, dir)
+      .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .repartition(col("sig"))
+    // Bucket-size cap: counts are one row per distinct signature
+    // (tiny vs the corpus); the join back is an equi-join on sig.
+    val cnts = s0.groupBy("sig").agg(count(lit(1)).as("cnt"))
+    val nsplits = floor(
+      (col("cnt") + lit(bucketCap - 1)) / lit(bucketCap)).cast("long")
+    val vs = s0.join(cnts, "sig")
+      .withColumn("sub", pmod(col("vec_id"), nsplits))
+      .select("vec_id", "emb", "nrm", "sig", "sub")
+    val cosine = round(
+      dot(col("a.emb"), col("b.emb")) /
+        (col("a.nrm") * col("b.nrm")), 4)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    vs.as("a")
+      .join(vs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"), cosine.as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   def annLsh(
       name: String, bits: Int, k: Int, bucketCap: Long): QueryDef = {
-    val sigDuck = lshSigDuck(bits)
     QueryDef.sql(
       name,
-      s"""WITH s0 AS (SELECT vec_id, embedding, $sigDuck AS sig
-         |  FROM embeddings),
-         |c AS (SELECT sig, count(*) AS cnt FROM s0 GROUP BY sig),
-         |s AS (SELECT s0.vec_id, s0.embedding, s0.sig,
-         |    s0.vec_id % ((c.cnt + ${bucketCap - 1}) // $bucketCap) AS sub
-         |  FROM s0 JOIN c USING (sig)),
-         |pairs AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    round(${dotDuck("a", "b")} /
-         |      (${normDuck("a")} * ${normDuck("b")}), 4) + 0 AS cosine
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.sub = b.sub
-         |    AND a.vec_id <> b.vec_id)
-         |SELECT query_id, neighbor_id, cosine FROM pairs
-         |QUALIFY row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cosine DESC, neighbor_id) <= $k
+      s"""WITH ${lshTopkDuckCtes(bits, k, bucketCap)}
+         |SELECT query_id, neighbor_id, cosine FROM topk
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
       (s, dir) =>
-        val embD = col("embedding").cast("array<double>")
-        val sig = lshSigSpark(bits, embD)
-        // Signature + norm computed once per pair-join side via a shared
-        // repartition-by-sig exchange (ReusedExchange), and
-        // HashPartitioning(sig) already satisfies the pair join's
-        // (sig, sub) clustering, so no further exchange is inserted.
-        val s0 = Tables.embeddings(s, dir)
-          .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
-          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-          .repartition(col("sig"))
-        // Bucket-size cap: counts are one row per distinct signature
-        // (tiny vs the corpus); the join back is an equi-join on sig.
-        val cnts = s0.groupBy("sig").agg(count(lit(1)).as("cnt"))
-        val nsplits = floor(
-          (col("cnt") + lit(bucketCap - 1)) / lit(bucketCap)).cast("long")
-        val vs = s0.join(cnts, "sig")
-          .withColumn("sub", pmod(col("vec_id"), nsplits))
-          .select("vec_id", "emb", "nrm", "sig", "sub")
-        val cosine = round(
-          dot(col("a.emb"), col("b.emb")) /
-            (col("a.nrm") * col("b.nrm")), 4)
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        vs.as("a")
-          .join(vs.as("b"),
-            col("a.sig") === col("b.sig") && col("a.sub") === col("b.sub") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("query_id"),
-            col("b.vec_id").as("neighbor_id"), cosine.as("cosine"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= k)
+        lshRankedTopk(s, dir, bits, k, bucketCap)
           .drop("rk")
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }
@@ -1372,27 +1395,9 @@ object ExtensionQueries {
     */
   private def e125MutualKnn = {
     val (bits, k, bucketCap) = (8, 3, 10000L)
-    val sigDuck = lshSigDuck(bits)
     QueryDef.sql(
       "e125_mutual_knn",
-      s"""WITH s0 AS (SELECT vec_id, embedding, $sigDuck AS sig
-         |  FROM embeddings),
-         |c AS (SELECT sig, count(*) AS cnt FROM s0 GROUP BY sig),
-         |s AS (SELECT s0.vec_id, s0.embedding, s0.sig,
-         |    s0.vec_id % ((c.cnt + ${bucketCap - 1}) // $bucketCap) AS sub
-         |  FROM s0 JOIN c USING (sig)),
-         |pairs AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    round(${dotDuck("a", "b")} /
-         |      (${normDuck("a")} * ${normDuck("b")}), 4) + 0 AS cosine
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.sub = b.sub
-         |    AND a.vec_id <> b.vec_id),
-         |topk AS (SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, neighbor_id) AS rk
-         |  FROM pairs
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) <= $k)
+      s"""WITH ${lshTopkDuckCtes(bits, k, bucketCap)}
          |SELECT t1.query_id AS vec_a, t1.neighbor_id AS vec_b,
          |  t1.cosine, CAST(t1.rk AS BIGINT) AS rank_ab,
          |  CAST(t2.rk AS BIGINT) AS rank_ba
@@ -1402,32 +1407,7 @@ object ExtensionQueries {
          |WHERE t1.query_id < t1.neighbor_id
          |ORDER BY vec_a, vec_b""".stripMargin) {
       (s, dir) =>
-        val embD = col("embedding").cast("array<double>")
-        val sig = lshSigSpark(bits, embD)
-        val s0 = Tables.embeddings(s, dir)
-          .select(col("vec_id"), embD.as("emb"), sig.as("sig"))
-          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-          .repartition(col("sig"))
-        val cnts = s0.groupBy("sig").agg(count(lit(1)).as("cnt"))
-        val nsplits = floor(
-          (col("cnt") + lit(bucketCap - 1)) / lit(bucketCap)).cast("long")
-        val vs = s0.join(cnts, "sig")
-          .withColumn("sub", pmod(col("vec_id"), nsplits))
-          .select("vec_id", "emb", "nrm", "sig", "sub")
-        val cosine = round(
-          dot(col("a.emb"), col("b.emb")) /
-            (col("a.nrm") * col("b.nrm")), 4)
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        val topk = vs.as("a")
-          .join(vs.as("b"),
-            col("a.sig") === col("b.sig") &&
-              col("a.sub") === col("b.sub") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("query_id"),
-            col("b.vec_id").as("neighbor_id"), cosine.as("cosine"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= k)
+        val topk = lshRankedTopk(s, dir, bits, k, bucketCap)
         topk.as("t1")
           .join(topk.as("t2"),
             col("t2.query_id") === col("t1.neighbor_id") &&

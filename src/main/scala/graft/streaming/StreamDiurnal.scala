@@ -74,10 +74,17 @@ object StreamDiurnal {
 
   /** Per-user diurnal screen over a stream of hour observations; emits
     * one updated [[Screen]] per touched user per micro-batch.
+    * Observations with `hr` outside [0, 24) are DROPPED before the
+    * stateful stage: the hour is caller-supplied (unlike batch e126,
+    * which derives it from `hour(ts)`), and one malformed record must
+    * degrade to a lost observation, not an
+    * ArrayIndexOutOfBoundsException that kills the query and then
+    * replays from the checkpoint into the same crash forever.
     */
   def monitor(obs: Dataset[Obs]): Dataset[Screen] = {
     import obs.sparkSession.implicits._
     obs
+      .filter((o: Obs) => o.hr >= 0 && o.hr < 24)
       .groupByKey(_.user)
       .mapGroupsWithState[Census, Screen](
         GroupStateTimeout.NoTimeout)(update)
