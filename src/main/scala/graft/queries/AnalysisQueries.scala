@@ -121,7 +121,8 @@ object AnalysisQueries {
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
-      e127LexicalDiversity, e129KCore, e130Kappa, e131Youden)
+      e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
+      e132DedupSweep)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3004,5 +3005,77 @@ object AnalysisQueries {
           expr("pos_ge * 10000 div np").as("tpr_bp"),
           expr("neg_ge * 10000 div nn").as("fpr_bp"))
         .orderBy(col("source"))
+  }
+
+  // ---- e132: dedup-threshold tuning sweep ---------------------------------
+
+  /** The Jaccard-cutoff tuning curve for the near-dup pipeline: for
+    * each candidate threshold (3000…9000 bp), how many verified pairs
+    * survive and how much of the corpus (docs, chars) they touch.
+    * e61/e103 audit DETECTOR fidelity at a fixed threshold; this is
+    * the knob-setting artifact — the operator reads the elbow (pair
+    * volume collapses while coverage holds → tighten; coverage
+    * collapses too → the extra pairs were real duplication) BEFORE
+    * paying for the full e32→e45 cluster/apply run at one chosen t.
+    * Exact removable volume at the chosen t still needs components
+    * (covered − one canonical per cluster); this sweep bounds it from
+    * above at every t for the cost of one pair scan.
+    *
+    * Thresholds compare as `jaccard ≥ thr_bp / 10⁴` with the division
+    * done in DOUBLE in both engines — bit-identical to the literal
+    * 0.3/0.4/… comparisons the rest of the dedup family uses, so the
+    * sweep's t = 3000 row reconciles exactly with e116/e120/e129's
+    * J ≥ 0.3 edge sets.
+    *
+    * Scale (100 TB): the pair set is banding-bounded; the sweep is ONE
+    * scan of it against a 7-row broadcast threshold table (fan-out ≤ 7,
+    * construction-bounded — the e22 BNLJ pattern), then per-threshold
+    * counts and a doc-keyed join for the char mass. No per-threshold
+    * re-verification, no CC.
+    */
+  private def e132DedupSweep = QueryDef.sql(
+    "e132_dedup_sweep",
+    s"""${ExtensionQueries.minhashPairsDuck},
+       |vp AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM verified
+       |  WHERE jaccard >= 0.3),
+       |thr AS (SELECT unnest([3000, 4000, 5000, 6000, 7000, 8000,
+       |    9000]) AS thr_bp),
+       |pt AS MATERIALIZED (SELECT t.thr_bp, v.doc_a, v.doc_b FROM thr t
+       |  JOIN vp v ON v.jaccard >= CAST(t.thr_bp AS DOUBLE) / 10000),
+       |cov AS (SELECT thr_bp, doc FROM (
+       |    SELECT thr_bp, doc_a AS doc FROM pt
+       |    UNION ALL SELECT thr_bp, doc_b FROM pt)
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT thr_bp, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pt GROUP BY 1),
+       |cc AS (SELECT cov.thr_bp, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS chars_touched
+       |  FROM cov JOIN documents d ON d.doc_id = cov.doc GROUP BY 1)
+       |SELECT CAST(pc.thr_bp AS BIGINT) AS thr_bp, pc.n_pairs,
+       |  cc.n_docs, cc.chars_touched
+       |FROM pc JOIN cc ON cc.thr_bp = pc.thr_bp
+       |ORDER BY thr_bp""".stripMargin) {
+    (s, dir) =>
+      val vp = ExtensionQueries.minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .localCheckpoint(true) // feeds the sweep join + both cov legs
+      import s.implicits._
+      val thrDf = (3000L to 9000L by 1000L).toDF("thr_bp")
+      val pt = vp.join(broadcast(thrDf),
+        col("jaccard") >= col("thr_bp").cast("double") / 10000)
+      val cov = pt.select(col("thr_bp"), col("doc_a").as("doc"))
+        .unionByName(pt.select(col("thr_bp"), col("doc_b").as("doc")))
+        .groupBy("thr_bp", "doc").agg(count(lit(1)).as("_n"))
+      val pc = pt.groupBy("thr_bp").agg(count(lit(1)).as("n_pairs"))
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"))
+      val cc = cov.join(docs, cov("doc") === docs("doc_id"))
+        .groupBy("thr_bp")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars_touched"))
+      pc.join(cc, "thr_bp")
+        .select(col("thr_bp"), col("n_pairs"), col("n_docs"),
+          col("chars_touched"))
+        .orderBy(col("thr_bp"))
   }
 }
