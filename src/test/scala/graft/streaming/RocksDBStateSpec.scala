@@ -444,4 +444,32 @@ class RocksDBStateSpec extends SparkSpecBase {
       assertRocksEngaged(q)
     } finally q.stop()
   }
+
+  test("StreamBenford census accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[StreamBenford.Obs]
+    val q = StreamBenford.monitor(ms.toDS())
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_benford").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1 to 60).map(i =>
+        StreamBenford.Obs("k", 9000.0 + i)): _*)
+      q.processAllAvailable()
+      ms.addData((1 to 60).map(i =>
+        StreamBenford.Obs("k", 9100.0 + i)): _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_benford")
+        .as[StreamBenford.Dev].collect().maxBy(_.n_obs)
+      // 120 all-digit-9 amounts: dev = 10^6 − 45757 exactly, flagged —
+      // identical to the in-memory-provider run in StreamBenfordSpec
+      assert(last.n_obs === 120L && last.worst_digit === 9)
+      assert(last.dev_ppm === 1000000L - 45757L && last.flagged)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
 }
