@@ -79,19 +79,28 @@ object Bench {
       "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train," +
         "e73_shard_manifest,e77_shard_stability,e120_pagerank")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Each isolated pass is fully try-caught: a query that passed
+    // in-session but fails in the fresh session (different
+    // block-manager state, transient FS error on an index rebuild)
+    // must cost ONLY its sidecar entry, never the whole run's JSON.
     val isolated = queries.collect {
       case (name, fn) if isolatedSet(name) && !errs.contains(name) =>
         val s = newSession()
         try {
           try fn(s, sfDir).count() catch { case _: Throwable => () } // warmup
-          val times = (1 to passes).map { _ =>
+          val times = (1 to passes).flatMap { _ =>
             val t0 = System.nanoTime()
-            fn(s, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
+            try { fn(s, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] isolated $name FAILED: " +
+                Option(e.getMessage).getOrElse(e.getClass.getName))
+              None
+            }
           }
-          name -> times.sorted.apply((times.size - 1) / 2)
+          if (times.isEmpty) None
+          else Some(name -> times.sorted.apply((times.size - 1) / 2))
         } finally s.stop()
-    }
+    }.flatten
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -98,12 +98,21 @@ object Portable {
     * per-word hashes computed from an unnested word column match the
     * engine's `F.poly_hash` bit-for-bit.
     */
-  def polyHashDuck(s: String): String =
+  def polyHashDuck(s: String): String = polyHashDuckBase(s, 31L)
+
+  /** Base-parameterized variant — two folds with coprime bases give
+    * independent digests whose PAIR has a ~2⁻⁶⁰ collision budget where
+    * a single mod-P fold has ~2⁻³⁰ (the e92/e94 checksum upgrade).
+    */
+  def polyHashDuckBase(s: String, base: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |  (a, c) -> (a*31 + c) % $P)""".stripMargin
+       |  (a, c) -> (a*$base + c) % $P)""".stripMargin
 
   val textFingerprintDuck: String = polyHashDuck("text")
+
+  /** Second independent text fingerprint (base 37). */
+  val textFingerprint2Duck: String = polyHashDuckBase("text", 37L)
 
   // ---- Portable pseudo-random hyperplanes (sign-LSH over embeddings) ------
 

@@ -817,9 +817,12 @@ object CurationQueries {
 
   /** DATA CARD — the per-source datasheet a shipped corpus carries
     * (Gebru et al., "Datasheets for Datasets"): document and token
-    * volume, language spread, exact-duplicate rate (poly-hash digest
-    * multiplicity), and length extremes, one row per source. The
-    * integer columns make the card reproducible by any engine.
+    * volume, language spread, exact-duplicate rate (PAIRED poly-hash
+    * digest multiplicity — two coprime-base folds combined as
+    * fp31·P + fp37, a ~2⁻⁶⁰ collision budget where one mod-P fold's
+    * ~2⁻³⁰ would report phantom duplicates at 10⁹-doc sources), and
+    * length extremes, one row per source. The integer columns make
+    * the card reproducible by any engine.
     *
     * Shape at 100 TB: one corpus scan into a (source, digest) partial
     * aggregate (digest is fixed-width — the e1 discipline: text never
@@ -829,10 +832,13 @@ object CurationQueries {
     */
   private def e94DataCard = QueryDef.sql(
     "e94_data_card",
-    s"""WITH d AS (SELECT source, lang, n_chars,
+    s"""WITH d0 AS (SELECT source, lang, n_chars,
        |    len(${Portable.wordsDuck}) AS n_tok,
-       |    ${Portable.textFingerprintDuck} AS fp
+       |    ${Portable.textFingerprintDuck} AS fp1,
+       |    ${Portable.textFingerprint2Duck} AS fp2
        |  FROM documents),
+       |d AS (SELECT source, lang, n_chars, n_tok,
+       |    fp1 * ${Portable.P} + fp2 AS fp FROM d0),
        |g AS (SELECT source, lang, fp, count(*) AS n, sum(n_tok) AS toks,
        |    sum(n_chars) AS chars, min(n_chars) AS mn, max(n_chars) AS mx
        |  FROM d GROUP BY source, lang, fp)
@@ -849,7 +855,8 @@ object CurationQueries {
     Tables.documents(s, dir)
       .select(col("source"), col("lang"), col("n_chars"),
         size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
-        F.poly_hash(col("text")).as("fp"))
+        (F.poly_hash(col("text")) * Portable.P +
+          F.poly_hash(col("text"), 37L, Portable.P)).as("fp"))
       .groupBy("source", "lang", "fp")
       .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"),
         sum(col("n_chars")).as("chars"),
@@ -874,8 +881,11 @@ object CurationQueries {
     * byte-identical except the boundary shard the delta starts filling
     * — this is e77's stability argument emitted as the operational
     * artifact: the delivery system re-ships exactly the `changed` +
-    * `new` rows. Order-insensitive checksums (sum of fingerprints mod
-    * P) make the compare content-based, not layout-based.
+    * `new` rows. Order-insensitive checksums (the PAIR of
+    * independent mod-P fingerprint sums packed as ck31·P + ck37 —
+    * ~2⁻⁶⁰ masking budget, so a corrupted doc cannot plausibly hide
+    * behind an 'unchanged' status) make the compare content-based,
+    * not layout-based.
     *
     * Shape at 100 TB: two scale-safe prefix-sum runs
     * ([[graft.operators.Indexing.withRunningTotal]] — per-partition
@@ -884,20 +894,22 @@ object CurationQueries {
   private def e92ManifestDiff = {
     val budget = 2000L
     def manifestDuck(src: String, tag: String): String =
-      s"""c$tag AS (SELECT doc_id, n_tok, fp,
+      s"""c$tag AS (SELECT doc_id, n_tok, fp1, fp2,
          |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS cb
          |  FROM $src),
          |m$tag AS (SELECT CAST(cb // $budget AS BIGINT) AS shard_id,
          |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |    CAST(sum(fp) % ${Portable.P} AS BIGINT) AS checksum
+         |    CAST((sum(fp1) % ${Portable.P}) * ${Portable.P}
+         |      + (sum(fp2) % ${Portable.P}) AS BIGINT) AS checksum
          |  FROM c$tag GROUP BY 1)""".stripMargin
     QueryDef.sql(
       "e92_manifest_diff",
       s"""WITH w AS (SELECT doc_id,
          |    len(${Portable.wordsDuck}) AS n_tok,
-         |    ${Portable.textFingerprintDuck} AS fp
+         |    ${Portable.textFingerprintDuck} AS fp1,
+         |    ${Portable.textFingerprint2Duck} AS fp2
          |  FROM documents),
          |n AS (SELECT count(*) AS n FROM w),
          |b AS (SELECT w.* FROM w CROSS JOIN n WHERE doc_id * 5 < 4 * n),
@@ -917,7 +929,8 @@ object CurationQueries {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
-          F.poly_hash(col("text")).as("fp"))
+          F.poly_hash(col("text")).as("fp1"),
+          F.poly_hash(col("text"), 37L, Portable.P).as("fp2"))
       // split threshold as a driver scalar (the e33/e77 discipline)
       val n = toks.count()
       def manifest(frame: org.apache.spark.sql.DataFrame, tag: String) =
@@ -926,7 +939,8 @@ object CurationQueries {
           .groupBy(expr(s"cb div ${budget}L").as(s"shard_$tag"))
           .agg(count(lit(1)).as(s"docs_$tag"),
             sum(col("n_tok")).as(s"toks_$tag"),
-            expr(s"sum(fp) % ${Portable.P}L").as(s"ck_$tag"))
+            expr(s"(sum(fp1) % ${Portable.P}L) * ${Portable.P}L" +
+              s" + (sum(fp2) % ${Portable.P}L)").as(s"ck_$tag"))
       val mb = manifest(toks.filter(col("doc_id") * 5 < 4 * n), "b")
       val mf = manifest(toks, "f")
       mb.join(mf, col("shard_b") === col("shard_f"), "full_outer")

@@ -1170,54 +1170,63 @@ object TrainingQueries {
     * drift today?" for 1% of the cost; the exact side here is the
     * calibration harness (the e60 discipline), not the production path.
     */
+  /** Shared exact p50/p90 rank rule over the (lang, n_chars) frequency
+    * table — ONE definition per dialect, used by e63 (plain sample) and
+    * e72 (floored sample): the two estimators differ ONLY in their
+    * sampling rule, so the rank formula must be literally shared or the
+    * audits could disagree for a non-statistical reason.
+    */
+  private def p50p90RanksDuck(src: String, pfx: String) =
+    s"""${pfx}freq AS (SELECT lang, n_chars, count(*) AS cnt
+       |  FROM $src GROUP BY lang, n_chars),
+       |${pfx}cum AS (SELECT lang, n_chars,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM ${pfx}freq),
+       |${pfx}tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM ${pfx}freq GROUP BY lang),
+       |${pfx}q AS (SELECT c.lang, t.n,
+       |    min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END)
+       |      AS p50,
+       |    min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END)
+       |      AS p90
+       |  FROM ${pfx}cum c JOIN ${pfx}tot t USING (lang)
+       |  GROUP BY c.lang, t.n)""".stripMargin
+
+  /** Spark twin of [[p50p90RanksDuck]]. */
+  private def p50p90Ranks(df: DataFrame): DataFrame = {
+    val freq = df.groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = freq.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    def atRank(rank: Column) = min(when(col("cum") >= rank, col("n_chars")))
+    cum.join(tot, "lang")
+      .groupBy(col("lang"), col("n"))
+      .agg(atRank(expr("(n + 1) div 2")).as("p50"),
+        atRank(expr("(9*n + 9) div 10")).as("p90"))
+  }
+
   private def e63SampledQuantiles = {
     val seed = 7L
     val t10 = math.ceil(0.1 * P).toLong
     val drawDuck = MockData.hashLongDuck(seed, "qsample", "doc_id")
-    def ranksDuck(src: String, pfx: String) =
-      s"""${pfx}freq AS (SELECT lang, n_chars, count(*) AS cnt
-         |  FROM $src GROUP BY lang, n_chars),
-         |${pfx}cum AS (SELECT lang, n_chars,
-         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-         |  FROM ${pfx}freq),
-         |${pfx}tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM ${pfx}freq GROUP BY lang),
-         |${pfx}q AS (SELECT c.lang, t.n,
-         |    min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END)
-         |      AS p50,
-         |    min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END)
-         |      AS p90
-         |  FROM ${pfx}cum c JOIN ${pfx}tot t USING (lang)
-         |  GROUP BY c.lang, t.n)""".stripMargin
     QueryDef.sql(
       "e63_sampled_quantiles",
       s"""WITH smp AS (SELECT lang, n_chars FROM documents
          |  WHERE $drawDuck < $t10),
-         |${ranksDuck("documents", "x")},
-         |${ranksDuck("smp", "s")}
+         |${p50p90RanksDuck("documents", "x")},
+         |${p50p90RanksDuck("smp", "s")}
          |SELECT x.lang, x.n AS n_docs, s.n AS n_sample,
          |  x.p50, s.p50 AS p50_est, abs(s.p50 - x.p50) AS err50,
          |  x.p90, s.p90 AS p90_est, abs(s.p90 - x.p90) AS err90
          |FROM xq x JOIN sq s USING (lang) ORDER BY x.lang""".stripMargin) {
       (s, dir) =>
-        def ranks(df: DataFrame): DataFrame = {
-          val freq = df.groupBy("lang", "n_chars")
-            .agg(count(lit(1)).as("cnt"))
-          val cum = freq.withColumn("cum",
-            sum(col("cnt")).over(Window.partitionBy(col("lang"))
-              .orderBy(col("n_chars"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          val tot = freq.groupBy("lang").agg(sum(col("cnt")).as("n"))
-          def atRank(rank: Column) = min(when(col("cum") >= rank, col("n_chars")))
-          cum.join(tot, "lang")
-            .groupBy(col("lang"), col("n"))
-            .agg(atRank(expr("(n + 1) div 2")).as("p50"),
-              atRank(expr("(9*n + 9) div 10")).as("p90"))
-        }
         val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
-        val exact = ranks(docs)
-        val est = ranks(docs
+        val exact = p50p90Ranks(docs)
+        val est = p50p90Ranks(docs
           .filter(MockData.hashLong(seed, "qsample", col("doc_id")) < t10))
         exact.as("x").join(est.as("s"), "lang")
           .select(col("lang"), col("x.n").as("n_docs"),
@@ -1244,9 +1253,11 @@ object TrainingQueries {
     * Shape at 100 TB: e34's scale-safe running total
     * ([[graft.operators.Indexing.withRunningTotal]] — per-partition
     * offsets, no global window) plus one per-shard aggregation; the
-    * checksum is a plain int64 sum folded mod P at the end (headroom:
-    * fingerprints < P ≈ 10⁹, so 9.2×10⁹ docs per shard before the sum
-    * needs chunked folding — far past any shard size).
+    * checksum is the PAIR of independent mod-P fingerprint sums
+    * packed as ck31·P + ck37 (~2⁻⁶⁰ masking budget — one mod-P sum's
+    * ~2⁻³⁰ lets a corrupted doc hide at fleet scale; headroom:
+    * fingerprints < P ≈ 10⁹, so 9.2×10⁹ docs per shard before either
+    * sum needs chunked folding — far past any shard size).
     */
   private def e73ShardManifest = {
     val budget = 2000L
@@ -1254,9 +1265,10 @@ object TrainingQueries {
       "e73_shard_manifest",
       s"""WITH w AS (SELECT doc_id,
          |    len(${Portable.wordsDuck}) AS n_tok,
-         |    ${Portable.textFingerprintDuck} AS fp
+         |    ${Portable.textFingerprintDuck} AS fp1,
+         |    ${Portable.textFingerprint2Duck} AS fp2
          |  FROM documents),
-         |c AS (SELECT doc_id, n_tok, fp,
+         |c AS (SELECT doc_id, n_tok, fp1, fp2,
          |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS cum_before
@@ -1264,19 +1276,22 @@ object TrainingQueries {
          |SELECT CAST(cum_before // $budget AS BIGINT) AS shard_id,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-         |  CAST(sum(fp) % ${Portable.P} AS BIGINT) AS checksum
+         |  CAST((sum(fp1) % ${Portable.P}) * ${Portable.P}
+         |    + (sum(fp2) % ${Portable.P}) AS BIGINT) AS checksum
          |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
-          F.poly_hash(col("text")).as("fp"))
+          F.poly_hash(col("text")).as("fp1"),
+          F.poly_hash(col("text"), 37L, Portable.P).as("fp2"))
       graft.operators.Indexing
         .withRunningTotal(toks, col("doc_id"), col("n_tok"), "cum_before")
         .groupBy(expr(s"cum_before div ${budget}L").as("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"),
-          expr(s"sum(fp) % ${Portable.P}L").as("checksum"))
+          expr(s"(sum(fp1) % ${Portable.P}L) * ${Portable.P}L" +
+            s" + (sum(fp2) % ${Portable.P}L)").as("checksum"))
         .orderBy("shard_id")
     }
   }
@@ -1621,22 +1636,6 @@ object TrainingQueries {
     val t10 = math.ceil(0.1 * P).toLong
     val floorN = 120L
     val drawDuck = MockData.hashLongDuck(seed, "qsample", "doc_id")
-    def ranksDuck(src: String, pfx: String) =
-      s"""${pfx}freq AS (SELECT lang, n_chars, count(*) AS cnt
-         |  FROM $src GROUP BY lang, n_chars),
-         |${pfx}cum AS (SELECT lang, n_chars,
-         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-         |  FROM ${pfx}freq),
-         |${pfx}tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM ${pfx}freq GROUP BY lang),
-         |${pfx}q AS (SELECT c.lang, t.n,
-         |    min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END)
-         |      AS p50,
-         |    min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END)
-         |      AS p90
-         |  FROM ${pfx}cum c JOIN ${pfx}tot t USING (lang)
-         |  GROUP BY c.lang, t.n)""".stripMargin
     QueryDef.sql(
       "e72_floored_sample",
       s"""WITH g AS (SELECT lang, count(*) AS n_g FROM documents
@@ -1647,28 +1646,14 @@ object TrainingQueries {
          |  FROM g),
          |smp AS (SELECT d.lang, d.n_chars
          |  FROM documents d JOIN th USING (lang) WHERE $drawDuck < t_g),
-         |${ranksDuck("documents", "x")},
-         |${ranksDuck("smp", "s")}
+         |${p50p90RanksDuck("documents", "x")},
+         |${p50p90RanksDuck("smp", "s")}
          |SELECT x.lang, x.n AS n_docs, s.n AS n_sample,
          |  CAST(th.t_g * 10000 // $P AS BIGINT) AS rate_bp,
          |  x.p50, s.p50 AS p50_est, abs(s.p50 - x.p50) AS err50,
          |  x.p90, s.p90 AS p90_est, abs(s.p90 - x.p90) AS err90
          |FROM xq x JOIN sq s USING (lang) JOIN th USING (lang)
          |ORDER BY x.lang""".stripMargin) { (s, dir) =>
-      def ranks(df: DataFrame): DataFrame = {
-        val freq = df.groupBy("lang", "n_chars")
-          .agg(count(lit(1)).as("cnt"))
-        val cum = freq.withColumn("cum",
-          sum(col("cnt")).over(Window.partitionBy(col("lang"))
-            .orderBy(col("n_chars"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val tot = freq.groupBy("lang").agg(sum(col("cnt")).as("n"))
-        def atRank(rank: Column) = min(when(col("cum") >= rank, col("n_chars")))
-        cum.join(tot, "lang")
-          .groupBy(col("lang"), col("n"))
-          .agg(atRank(expr("(n + 1) div 2")).as("p50"),
-            atRank(expr("(9*n + 9) div 10")).as("p90"))
-      }
       val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
       val th = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
         .select(col("lang"), expr(
@@ -1678,8 +1663,8 @@ object TrainingQueries {
         .filter(MockData.hashLong(seed, "qsample", col("doc_id")) <
           col("t_g"))
         .select("lang", "n_chars")
-      val exact = ranks(docs)
-      val est = ranks(smp)
+      val exact = p50p90Ranks(docs)
+      val est = p50p90Ranks(smp)
       exact.as("x").join(est.as("s"), "lang").join(th, "lang")
         .select(col("lang"), col("x.n").as("n_docs"),
           col("s.n").as("n_sample"),
@@ -1865,24 +1850,22 @@ object TrainingQueries {
        |      ELSE acc || x END) AS syms
        |  FROM s${r - 1} CROSS JOIN b$r m)""".stripMargin
 
+  /** DuckDB twin of one APPLY round over the a{r} chain — the same
+    * rewrite fold as [[bpeRoundDuck]]'s s{r} leg, shared by e56/e75 so
+    * applied merges can never drift from trained ones.
+    */
+  private def bpeApplyDuck(r: Int): String =
+    s"""a$r AS (SELECT word, list_reduce(
+       |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+       |        AND x[1] = m.b
+       |      THEN acc[1:len(acc)-1] || [m.a || m.b]
+       |      ELSE acc || x END) AS syms
+       |  FROM a${r - 1} CROSS JOIN b$r m)""".stripMargin
+
   private def e50BpeTrain = {
     val R = BpeRounds
     val vocabCap = BpeVocabCap
-    // round r CTEs: best pair b{r} from s{r-1}, rewritten symbols s{r}
-    def roundDuck(r: Int): String =
-      s"""b$r AS (SELECT a, b, c FROM (
-         |    SELECT x.syms[x.i] AS a, x.syms[x.i+1] AS b, sum(x.cnt) AS c
-         |    FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
-         |          FROM s${r - 1}) x
-         |    GROUP BY 1, 2)
-         |  ORDER BY c DESC, a, b LIMIT 1),
-         |s$r AS (SELECT word, cnt, list_reduce(
-         |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
-         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
-         |        AND x[1] = m.b
-         |      THEN acc[1:len(acc)-1] || [m.a || m.b]
-         |      ELSE acc || x END) AS syms
-         |  FROM s${r - 1} CROSS JOIN b$r m)""".stripMargin
     QueryDef.sql(
       "e50_bpe_train",
       s"""WITH w AS (SELECT unnest(${Portable.wordsDuck}) AS word
@@ -1892,7 +1875,7 @@ object TrainingQueries {
          |s0 AS (SELECT word, cnt,
          |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
          |  FROM v0),
-         |${(1 to R).map(roundDuck).mkString(",\n")}
+         |${(1 to R).map(bpeRoundDuck).mkString(",\n")}
          |SELECT * FROM (
          |${(1 to R).map(r =>
            s"  SELECT $r AS round, a AS sym_a, b AS sym_b," +
@@ -1919,14 +1902,6 @@ object TrainingQueries {
     * vocabulary.
     */
   private def e56BpeTokenCount = {
-    def applyDuck(r: Int): String =
-      s"""a$r AS (SELECT word, list_reduce(
-         |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
-         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
-         |        AND x[1] = m.b
-         |      THEN acc[1:len(acc)-1] || [m.a || m.b]
-         |      ELSE acc || x END) AS syms
-         |  FROM a${r - 1} CROSS JOIN b$r m)""".stripMargin
     QueryDef.sql(
       "e56_bpe_token_count",
       s"""WITH d AS (SELECT doc_id, lang, ${Portable.wordsDuck} AS words
@@ -1941,7 +1916,7 @@ object TrainingQueries {
          |a0 AS (SELECT word,
          |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
          |  FROM (SELECT DISTINCT word FROM w)),
-         |${(1 to BpeRounds).map(applyDuck).mkString(",\n")},
+         |${(1 to BpeRounds).map(bpeApplyDuck).mkString(",\n")},
          |t AS (SELECT word, len(syms) AS n_tokens FROM a$BpeRounds),
          |dw AS (SELECT doc_id, lang, unnest(words) AS word FROM d)
          |SELECT doc_id, lang, count(*) AS n_words,
@@ -1982,14 +1957,6 @@ object TrainingQueries {
     * aggregation.
     */
   private def e75TokenFertility = {
-    def applyDuck(r: Int): String =
-      s"""a$r AS (SELECT word, list_reduce(
-         |    list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
-         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
-         |        AND x[1] = m.b
-         |      THEN acc[1:len(acc)-1] || [m.a || m.b]
-         |      ELSE acc || x END) AS syms
-         |  FROM a${r - 1} CROSS JOIN b$r m)""".stripMargin
     QueryDef.sql(
       "e75_token_fertility",
       s"""WITH d AS (SELECT source, lang, ${Portable.wordsDuck} AS words
@@ -2004,7 +1971,7 @@ object TrainingQueries {
          |a0 AS (SELECT word,
          |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
          |  FROM (SELECT DISTINCT word FROM w)),
-         |${(1 to BpeRounds).map(applyDuck).mkString(",\n")},
+         |${(1 to BpeRounds).map(bpeApplyDuck).mkString(",\n")},
          |t AS (SELECT word, len(syms) AS n_tokens FROM a$BpeRounds),
          |f AS (SELECT source, lang, word, count(*) AS cnt
          |  FROM (SELECT source, lang, unnest(words) AS word FROM d)

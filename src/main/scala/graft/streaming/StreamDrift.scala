@@ -92,7 +92,11 @@ object StreamDrift {
     val nRef = ref.sum
     require(nRef > 0, "reference census must have positive mass")
     import toks.sparkSession.implicits._
+    // Out-of-range buckets dropped before the stateful stage — the
+    // StreamDiurnal/StreamPsi rule: a malformed record degrades to a
+    // lost observation, never a checkpoint-replaying crash loop.
     toks
+      .filter((t: Tok) => t.f >= 0 && t.f < buckets)
       .groupByKey(_.source)
       .mapGroupsWithState[Census, Drift](
         GroupStateTimeout.NoTimeout)(update(buckets, ref, nRef))

@@ -44,10 +44,18 @@ object StreamPrioritySample {
       source: String,
       ids: Seq[Long], weights: Seq[Long], priorities: Seq[Long])
 
-  /** e89's priority rule (identical arithmetic, identical seed/tag). */
+  /** e89's priority rule (identical arithmetic, identical seed/tag).
+    * multiplyExact, not `*`: weights above ~9.2·10⁶ overflow the
+    * weight·P·1000 product, and the batch twins fail LOUD there
+    * (DuckDB BIGINT, Spark ANSI) while bare JVM `*` would wrap
+    * silently — turning the heaviest items into negative priorities
+    * that are never sampled, the exact opposite of the DLT rule. The
+    * streaming path matches the batch contract: out-of-range weights
+    * are a loud error, not a silent bias.
+    */
   def priority(seed: Long, docId: Long, weight: Long): Long = {
     val draw = graft.gen.MockData.hashLongJvm(seed, "prio", docId)
-    weight * Portable.P * 1000 / (draw + 1)
+    Math.multiplyExact(weight, Portable.P * 1000L) / (draw + 1)
   }
 
   private def better(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =

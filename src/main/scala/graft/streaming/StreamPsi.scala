@@ -94,7 +94,13 @@ object StreamPsi {
     val nRef = ref.sum
     require(nRef > 0, "reference census must have positive mass")
     import obs.sparkSession.implicits._
+    // Out-of-range buckets are DROPPED before the stateful stage (the
+    // StreamDiurnal rule): the bucket index is caller-supplied, and one
+    // malformed record must degrade to a lost observation, not an
+    // ArrayIndexOutOfBoundsException that kills the query and replays
+    // from the checkpoint into the same crash forever.
     obs
+      .filter((o: Obs) => o.b >= 0 && o.b < buckets)
       .groupByKey(_.key)
       .mapGroupsWithState[Census, Psi](
         GroupStateTimeout.NoTimeout)(update(buckets, ref, nRef))
