@@ -1726,6 +1726,42 @@ object ExtensionQueries {
     }
   }
 
+  /** Normalized embedding frame (vec_id, emb, nrm) with the uniform
+    * vec_id-notnull predicate, so every consumer's subtree below
+    * shared exchanges is canonically identical (the docShingles
+    * pattern).
+    */
+  private def embBase(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .filter(col("vec_id").isNotNull)
+
+  /** The ONE trained-codebook cell assignment, (vec_id, list_id):
+    * deterministic sampled centroids (vec_id % 67 == 3), broadcast
+    * cosine scoring, argmax as a single struct-max — max (cs, -cid) is
+    * the best score with min-cid tie-break (cid ≥ 0); the previous
+    * max-then-equality-join idiom consumed the scored frame twice and
+    * forced an extra float-keyed exchange. The DuckDB oracles keep
+    * max-then-filter (struct ordering is not portable); results agree
+    * because cs ties are exact-equality ties in both. Shared by the
+    * whole exact-assignment ANN family so cross-query comparisons
+    * (recall audits, index builds, dedup) ride the SAME cells.
+    */
+  private def ivfAssign(base: DataFrame): DataFrame = {
+    val cent = base.filter(col("vec_id") % 67 === 3)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+          .as("cs"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+  }
+
   /** IVF-flat ANN — the other classical scale path for similarity search
     * (complementing e6's sign-LSH): a coarse codebook partitions the
     * corpus into inverted lists, and neighbors are searched only within
@@ -1777,31 +1813,8 @@ object ExtensionQueries {
          |  ORDER BY cosine DESC, neighbor_id) <= $k
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
       (s, dir) =>
-        val embD = col("embedding").cast("array<double>")
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"), embD.as("emb"))
-          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-          // uniform join-inferred predicate (vec_id is never null) so
-          // every consumer's subtree below the shared exchanges is
-          // canonically identical — see docShingles for the pattern
-          .filter(col("vec_id").isNotNull)
-        val cent = base.filter(col("vec_id") % 67 === 3)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-            col("nrm").as("cnrm"))
-        val scored = base.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("cid"),
-            (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-              .as("cs"))
-        // Argmax as ONE struct-max aggregation: max (cs, -cid) is the
-        // highest score with min-cid tie-break (cid >= 0). The previous
-        // max-then-equality-join idiom consumed `scored` twice — i.e.
-        // re-ran the full codebook scoring pass — and its cs = mc join
-        // key forced an extra float-normalized exchange. The DuckDB
-        // oracle keeps max-then-filter (struct ordering is not portable);
-        // results agree because cs ties are exact-equality ties in both.
-        val assign = scored.groupBy("vec_id")
-          .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+        val base = embBase(s, dir)
+        val assign = ivfAssign(base)
         val vs = base.join(assign, "vec_id").repartition(col("list_id"))
         val cosine = round(
           dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
@@ -1870,21 +1883,8 @@ object ExtensionQueries {
          |  ORDER BY cosine DESC, neighbor_id) <= $k
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
       (s, dir) =>
-        val embD = col("embedding").cast("array<double>")
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"), embD.as("emb"))
-          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-          .filter(col("vec_id").isNotNull)
-        val cent = base.filter(col("vec_id") % 67 === 3)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-            col("nrm").as("cnrm"))
-        val scored = base.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("cid"),
-            (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-              .as("cs"))
-        val assign = scored.groupBy("vec_id")
-          .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+        val base = embBase(s, dir)
+        val assign = ivfAssign(base)
         // ---- build (amortized): cell-partitioned index layout --------
         val tag = java.security.MessageDigest.getInstance("SHA-256")
           .digest(dir.getBytes("UTF-8")).take(8)
@@ -1978,21 +1978,8 @@ object ExtensionQueries {
          |  CAST(coalesce(n_hits, 0) * 10000 // $k AS BIGINT) AS recall_bp
          |FROM p LEFT JOIN anns USING (qid) LEFT JOIN hits USING (qid)
          |ORDER BY query_id""".stripMargin) { (s, dir) =>
-      val embD = col("embedding").cast("array<double>")
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), embD.as("emb"))
-        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-        .filter(col("vec_id").isNotNull)
-      val cent = base.filter(col("vec_id") % 67 === 3)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-          col("nrm").as("cnrm"))
-      val scored = base.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-            .as("cs"))
-      val assign = scored.groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+      val base = embBase(s, dir)
+      val assign = ivfAssign(base)
       val vs = base.join(assign, "vec_id").repartition(col("list_id"))
       val wA = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("nid"))
@@ -2220,22 +2207,8 @@ object ExtensionQueries {
          |  CASE WHEN mn IS NOT NULL THEN 1 ELSE 0 END AS is_dup
          |FROM v LEFT JOIN dup ON dup.vid = v.vec_id
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val embD = col("embedding").cast("array<double>")
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), embD.as("emb"))
-        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-        .filter(col("vec_id").isNotNull)
-      val cent = base.filter(col("vec_id") % 67 === 3)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-          col("nrm").as("cnrm"))
-      val scored = base.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-            .as("cs"))
-      // one struct-max aggregation (the e17 argmax idiom; min-cid ties)
-      val assign = scored.groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("list_id"))
+      val base = embBase(s, dir)
+      val assign = ivfAssign(base)
       val vs = base.join(assign, "vec_id").repartition(col("list_id"))
       val cosine = round(
         dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
