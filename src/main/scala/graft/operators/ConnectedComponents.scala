@@ -41,6 +41,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Release a dead checkpoint's backing RDD. localCheckpoint persists
+    * its materialized RDD for the session; without explicit release an
+    * iterative loop accumulates one table copy PER ROUND (measured: the
+    * e129 peel on the dense-cluster replica holds 8 full-size 49M-row
+    * edge checkpoints — an executor-storage OOM, since in that regime
+    * nothing peels and nothing shrinks). Safe exactly when nothing will
+    * read the frame again: call it only after the NEXT round's frame is
+    * eagerly materialized. Shared by every iterative-checkpoint loop
+    * (CC, PageRank, the k-core peel, the greedy-coverage rounds).
+    */
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
   /** @param edges undirected edges; self-loops and NULL endpoints are
     *              ignored (NULL keys never connect anything — equi-join
     *              semantics, as in [[AsofJoin]])
@@ -84,17 +99,8 @@ object ConnectedComponents {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    // Release a dead checkpoint's backing RDD. localCheckpoint persists
-    // its materialized RDD for the session; without explicit release the
-    // loop accumulates one label-table copy PER ROUND (50 rounds x a
-    // corpus-scale near-dup table is a real executor-storage leak).
-    // Safe exactly when nothing will read the frame again: each round's
-    // `next` is eagerly materialized, so the previous round's table is
-    // dead the moment labelSum(next) returns.
     def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(false))
+      ConnectedComponents.releaseLocalCheckpoint(df)
     // try/catch/finally so a non-convergence require or a job failure
     // inside the loop doesn't leak the cached edge lists or the last
     // label table for the session's lifetime.

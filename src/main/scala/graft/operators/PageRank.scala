@@ -89,11 +89,15 @@ object PageRank {
       // Left join is belt-and-braces: on a symmetrized graph every node
       // has an in-edge, but a node whose neighbors all rank-underflow
       // to 0 still contributes rows of c = 0, never NULL groups.
-      r = deg.select(col("src").as("node"))
+      val next = deg.select(col("src").as("node"))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      // previous round's rank table is dead once `next` materializes —
+      // release it (ConnectedComponents' checkpoint-leak discipline)
+      ConnectedComponents.releaseLocalCheckpoint(r)
+      r = next
     }
     // Materialize the node-bounded result BEFORE releasing the caches:
     // the final join is lazy, and unpersisting first would force the

@@ -2435,9 +2435,14 @@ object AnalysisQueries {
             picks += ((r, doc, gain))
             val covered =
               rem.filter(col("doc_id") === doc).select(col("h"))
-            rem = rem
+            val next = rem
               .join(broadcast(covered), Seq("h"), "left_anti")
               .localCheckpoint(true)
+            // release the dead postings round (k retained corpus-scale
+            // postings checkpoints otherwise — the CC discipline)
+            graft.operators.ConnectedComponents
+              .releaseLocalCheckpoint(rem)
+            rem = next
           }
         }
         val rows = picks.result().scanLeft((0, 0L, 0L, 0L)) {
@@ -2840,10 +2845,15 @@ object AnalysisQueries {
         for (_ <- 1 to rounds) {
           val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
             .filter(col("dg") >= 3).select(col("u").as("ku"))
-          e = e
+          val next = e
             .join(keep, col("u") === col("ku"), "left_semi")
             .join(keep, col("v") === col("ku"), "left_semi")
             .localCheckpoint(true)
+          // release the dead round: in the DENSE regime nothing peels,
+          // so 8 retained full-size edge checkpoints are a measured
+          // executor-storage OOM (the CC release discipline)
+          graft.operators.ConnectedComponents.releaseLocalCheckpoint(e)
+          e = next
         }
         e.groupBy(col("u").as("doc_id"))
           .agg(count(lit(1)).as("deg_core"))

@@ -44,7 +44,7 @@ object ExtensionQueries {
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
     e80Winnowing, e81MrlTruncation, e125MutualKnn,
-    e128SortedNeighborhood)
+    e128SortedNeighborhood, e133ClusterCensus)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -437,6 +437,55 @@ object ExtensionQueries {
         .select(col("doc_id"), col("cluster"), col("cluster_size"),
           (col("doc_id") === col("cluster")).cast("int").as("canonical"))
     }
+
+  /** Cluster-SIZE census of the e32 components — the one-page reading
+    * that picks the dedup execution path: n_clusters / doc count /
+    * corpus share per component size. Dup mass concentrated in size-2/3
+    * clusters ⇒ pairwise canonical selection is enough and the
+    * iterative machinery is overhead; a giant component carrying real
+    * share ⇒ the e46 star-rewrite path and e129's core/periphery split
+    * are the tools. Same edges, same components, one extra bounded
+    * rollup (the size histogram has at most O(√E) distinct sizes —
+    * Σ m_i ≤ 2E bounds how many distinct sizes can coexist).
+    *
+    * Scale (100 TB): everything after [[ConnectedComponents]] is two
+    * aggregations of the node-bounded label table plus a 1-row total
+    * broadcast (the e22 pattern).
+    */
+  private def e133ClusterCensus = QueryDef.sql(
+    "e133_cluster_census",
+    s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+       |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+       |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+       |sz AS (SELECT cluster, count(*) AS m FROM comp GROUP BY cluster),
+       |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM sz)
+       |SELECT CAST(m AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(count(*) * m AS BIGINT) AS n_docs,
+       |  CAST(count(*) * m * 10000 // tot.n AS BIGINT) AS doc_share_bp
+       |FROM sz CROSS JOIN tot GROUP BY m, tot.n
+       |ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+    val pairs = minhashVerifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b")
+    val sz = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .groupBy(col("comp")).agg(count(lit(1)).as("m"))
+    val tot = sz.agg(sum(col("m")).as("n"))
+    sz.groupBy("m")
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("m").as("cluster_size"), col("n_clusters"),
+        (col("n_clusters") * col("m")).as("n_docs"),
+        expr("n_clusters * m * 10000 div n").as("doc_share_bp"))
+      .orderBy(col("cluster_size"))
+  }
 
   /** The e32 clustering with the edge-REWRITING components algorithm
     * ([[graft.operators.StarComponents]], Kiveris et al. SoCC'14

@@ -72,7 +72,8 @@ class PlanLintSpec extends SparkSpecBase {
       "q49_revenue_share", // one-row totals frame, the e22 pattern
       "e123_neyman_alloc", // one-row Σw/Σn/Σfl totals, the e22 pattern
       "e124_benford", // one-row digit-census total, the e22 pattern
-      "e132_dedup_sweep") // 7-row threshold-table broadcast, e22 pattern
+      "e132_dedup_sweep", // 7-row threshold-table broadcast, e22 pattern
+      "e133_cluster_census") // one-row size-total broadcast, e22 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
