@@ -31,7 +31,7 @@ object ReferenceQueries {
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
-    q49RevenueShare)
+    q49RevenueShare, q50NationVolume)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1847,5 +1847,64 @@ object ReferenceQueries {
       .select(col("l_partkey"), col("rev_t"),
         expr("rev_t * n_parts * 10000 div total_t").as("mean_x_bp"))
       .orderBy(col("l_partkey"))
+  }
+
+  /** TPC-H-Q7-shaped nation-pair volume: revenue flowing from a
+    * supplier nation to a DIFFERENT customer nation per ship year —
+    * the two-sided dimensional join (the same dimension joined twice
+    * under two roles) the q-series didn't yet exercise. Unlike Q7's
+    * two named nations, the full matrix ships: the artifact is the
+    * trade-flow table itself, bounded by #nations² × years — dimension
+    * cardinality, not fact volume. Revenue follows the house integer
+    * ten-thousandths convention (fold-order-proof cross-engine).
+    *
+    * Plan shape: the one fact-fact shuffle is lineitem ⋈ orders on
+    * orderkey; supplier, customer, and BOTH nation roles broadcast.
+    * At 100 TB the orderkey join is the bucketed-star candidate (q42's
+    * machinery); the nation-pair aggregate is map-side combinable down
+    * to the ≤ 25²·years result grain.
+    */
+  private def q50NationVolume = QueryDef.sql(
+    "q50_nation_volume",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  ${revenueTDuck("l.l_extendedprice", "l.l_discount")}
+       |    AS revenue_t
+       |FROM lineitem l
+       |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+       |JOIN nation n1 ON n1.n_nationkey = sp.s_nationkey
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) {
+    (s, dir) =>
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("sk") === col("s_nationkey"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("ck") === col("c_nationkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          revenueT(col("l_extendedprice"), col("l_discount"))
+            .as("revenue_t"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 }
