@@ -101,12 +101,18 @@ object PageRank {
     }
     // Materialize the node-bounded result BEFORE releasing the caches:
     // the final join is lazy, and unpersisting first would force the
-    // degree pipeline to recompute from the edge checkpoint.
+    // degree pipeline to recompute from the edge checkpoint. Once it
+    // is, everything upstream is dead — release the last rank round
+    // and the edge checkpoint too, or each ranks() call leaks them for
+    // the session (`out` itself stays checkpointed: the caller reads
+    // it, and it is node-bounded).
     val out = r.join(deg, r("node") === deg("src"))
       .select(col("node"), col("dg").as("degree"), col("rank"))
       .localCheckpoint(true)
     adj.unpersist()
     deg.unpersist()
+    ConnectedComponents.releaseLocalCheckpoint(r)
+    ConnectedComponents.releaseLocalCheckpoint(dir)
     out
   }
 }

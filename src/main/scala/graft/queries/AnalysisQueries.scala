@@ -2898,8 +2898,9 @@ object AnalysisQueries {
       "e130_kappa",
       s"""WITH $dupSigDuck,
          |q0 AS (SELECT s.source,
-         |    CASE WHEN n_words > 0 AND $qualityBpDuck >= 3000
-         |      THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN n_words > 0 THEN
+         |      CASE WHEN $qualityBpDuck >= 3000 THEN 1 ELSE 0 END
+         |    ELSE 0 END AS a,
          |    CASE WHEN d.n_copies = 1 THEN 1 ELSE 0 END AS b
          |  FROM sig s JOIN dup d USING (dg)),
          |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
@@ -2918,10 +2919,17 @@ object AnalysisQueries {
          |  CASE WHEN den > 0 THEN ${kappa("num", "den")} END AS kappa_bp
          |FROM k ORDER BY source""".stripMargin) {
       (s, dir) =>
+        // Nested when, NOT a conjunction: e130 is the one consumer of
+        // the quality signal that keeps n_words = 0 rows (they must
+        // count as gate-A rejections), and the bp expression divides
+        // by n_words — a flat `n_words > 0 && bp >= 3000` would hang
+        // correctness on conjunct evaluation order under ANSI. CaseWhen
+        // evaluates the inner branch only when the outer guard holds,
+        // in both engines, by contract.
         val q0 = dupSig(s, dir)
           .select(col("source"),
-            when(col("n_words") > 0 &&
-              expr(qualityBpSpark) >= 3000, 1L)
+            when(col("n_words") > 0,
+              when(expr(qualityBpSpark) >= 3000, 1L).otherwise(0L))
               .otherwise(0L).as("a"),
             when(col("n_copies") === 1, 1L).otherwise(0L).as("b"))
         val m = q0.groupBy("source")
@@ -3071,8 +3079,16 @@ object AnalysisQueries {
         .localCheckpoint(true) // feeds the sweep join + both cov legs
       import s.implicits._
       val thrDf = (3000L to 9000L by 1000L).toDF("thr_bp")
+      // Checkpoint the swept pair set: pc and BOTH cov union legs read
+      // it, and without the cut each would recompute the 7-way
+      // threshold join — three scans where the docstring promises one
+      // (the DuckDB side's pt AS MATERIALIZED is the same cut). vp is
+      // dead once pt materializes.
       val pt = vp.join(broadcast(thrDf),
-        col("jaccard") >= col("thr_bp").cast("double") / 10000)
+          col("jaccard") >= col("thr_bp").cast("double") / 10000)
+        .select(col("thr_bp"), col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(vp)
       val cov = pt.select(col("thr_bp"), col("doc_a").as("doc"))
         .unionByName(pt.select(col("thr_bp"), col("doc_b").as("doc")))
         .groupBy("thr_bp", "doc").agg(count(lit(1)).as("_n"))

@@ -44,14 +44,21 @@ object StreamPrioritySample {
       source: String,
       ids: Seq[Long], weights: Seq[Long], priorities: Seq[Long])
 
+  /** Largest weight the priority product can carry without overflow:
+    * Long.MaxValue / (P·1000). Documents are character/token-weighted,
+    * so ~9.2·10⁶ is orders of magnitude above any real document; the
+    * stream DROPS rows outside (0, MaxWeight] before the stateful
+    * stage (see [[sample]]) rather than crashing on them.
+    */
+  val MaxWeight: Long = Long.MaxValue / (Portable.P * 1000L)
+
   /** e89's priority rule (identical arithmetic, identical seed/tag).
-    * multiplyExact, not `*`: weights above ~9.2·10⁶ overflow the
-    * weight·P·1000 product, and the batch twins fail LOUD there
-    * (DuckDB BIGINT, Spark ANSI) while bare JVM `*` would wrap
-    * silently — turning the heaviest items into negative priorities
-    * that are never sampled, the exact opposite of the DLT rule. The
-    * streaming path matches the batch contract: out-of-range weights
-    * are a loud error, not a silent bias.
+    * multiplyExact, not `*`: callers must respect [[MaxWeight]] — bare
+    * JVM `*` would wrap silently, turning the heaviest items into
+    * negative priorities that are never sampled (the exact opposite of
+    * the DLT rule), where the batch twins fail loud (DuckDB BIGINT,
+    * Spark ANSI). Inside the stream the [[sample]] gate makes this
+    * unreachable; direct callers get the loud error.
     */
   def priority(seed: Long, docId: Long, weight: Long): Long = {
     val draw = graft.gen.MockData.hashLongJvm(seed, "prio", docId)
@@ -89,7 +96,13 @@ object StreamPrioritySample {
   def sample(docs: Dataset[Doc], k: Int, seed: Long = 7L): Dataset[Sample] = {
     require(k > 0, "k must be positive")
     import docs.sparkSession.implicits._
+    // Weights outside (0, MaxWeight] are DROPPED before the stateful
+    // stage — the StreamDiurnal/StreamPsi rule: a malformed record
+    // degrades to a lost observation, never a checkpoint-replaying
+    // ArithmeticException loop. (Dropping an over-limit row is visible
+    // in n_seen vs producer counts; crashing would lose the stream.)
     docs
+      .filter((d: Doc) => d.weight > 0 && d.weight <= MaxWeight)
       .groupByKey(_.source)
       .mapGroupsWithState[Held, Sample](
         GroupStateTimeout.NoTimeout)(update(k, seed))
