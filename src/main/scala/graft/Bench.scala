@@ -83,6 +83,12 @@ object Bench {
     // in-session but fails in the fresh session (different
     // block-manager state, transient FS error on an index rebuild)
     // must cost ONLY its sidecar entry, never the whole run's JSON.
+    // A query whose EVERY timed pass fails is recorded in
+    // isolated_errors (not silently dropped): a consumer diffing two
+    // bench records must be able to tell "not in the isolated set"
+    // from "was in the set and broke" — the latter is a regression.
+    val isolatedErrs = scala.collection.mutable.LinkedHashMap
+      .empty[String, String]
     val isolated = queries.collect {
       case (name, fn) if isolatedSet(name) && !errs.contains(name) =>
         val s = newSession()
@@ -94,9 +100,13 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] isolated $name FAILED: " +
                 Option(e.getMessage).getOrElse(e.getClass.getName))
+              isolatedErrs(name) =
+                Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .takeWhile(_ != '\n').take(200)
               None
             }
           }
+          if (times.nonEmpty) isolatedErrs.remove(name) // a pass succeeded
           if (times.isEmpty) None
           else Some(name -> times.sorted.apply((times.size - 1) / 2))
         } finally s.stop()
@@ -117,12 +127,16 @@ object Bench {
     val iso = isolated
       .map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
       .mkString("{", ",", "}")
+    val isoErrs = isolatedErrs
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = results.collect {
       case (n, v) if !errs.contains(n) => v
     }.sum
     val line =
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
         s""""queries":$qs,"errors":$es,"isolated":$iso,""" +
+        s""""isolated_errors":$isoErrs,""" +
         s""""n_queries":${results.size},""" +
         s""""n_failed":${errs.size},"sf":${jstr(sfDir)}}"""
     // Sidecar file first: sbt decorates stdout with "[info] " prefixes the

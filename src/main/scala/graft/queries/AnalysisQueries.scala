@@ -122,7 +122,7 @@ object AnalysisQueries {
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
-      e132DedupSweep)
+      e131bYoudenReturns, e132DedupSweep)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -2259,10 +2259,11 @@ object AnalysisQueries {
       "e120_pagerank",
       s"""${ExtensionQueries.minhashPairsDuck},
          |e AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.3),
-         |se AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |se AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e
          |       UNION ALL SELECT doc_b, doc_a FROM e),
-         |dg AS (SELECT src, count(*) AS dg FROM se GROUP BY src),
-         |n AS (SELECT src AS doc FROM dg),
+         |dg AS MATERIALIZED (SELECT src, count(*) AS dg FROM se
+         |  GROUP BY src),
+         |n AS MATERIALIZED (SELECT src AS doc FROM dg),
          |r0 AS (SELECT doc, CAST(1000000 AS BIGINT) AS r FROM n),
          |$prIters
          |SELECT r5.doc AS doc_id, dg.dg AS degree, r5.r AS rank_ppm
@@ -2476,7 +2477,11 @@ object AnalysisQueries {
     * square root — computed as floor(IEEE sqrt) then corrected by one
     * ±1 clamp, which repairs both the >2⁵³ rounding of the radicand and
     * the perfect-square boundary, making w_h = ⌊√x⌋ exactly in both
-    * engines. The budget is hit EXACTLY by largest-remainder rounding
+    * engines. The +1 branch squares s0+1, so it is guarded by
+    * s0 < 3037000499 (= isqrt(Long.MaxValue)): past that, (s0+1)²
+    * exceeds BIGINT — DuckDB would error, non-ANSI Spark would wrap
+    * negative and mis-correct upward — and the correction is provably
+    * never needed, so the guard loses nothing. The budget is hit EXACTLY by largest-remainder rounding
     * (floor shares + distribute the deficit by remainder rank, ties by
     * source) — the Hamilton apportionment step, windowed over the
     * per-source table. A corpus where EVERY source has zero variance
@@ -2504,7 +2509,8 @@ object AnalysisQueries {
        |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
        |  FROM w0),
        |iw AS (SELECT source, n_docs,
-       |    s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END
+       |    s0 + CASE WHEN s0 < 3037000499 AND (s0 + 1) * (s0 + 1) <= x
+       |           THEN 1 ELSE 0 END
        |       - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS w
        |  FROM sq),
        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
@@ -2537,12 +2543,18 @@ object AnalysisQueries {
           sum(col("n_chars").cast("long") * col("n_chars")).as("s2"))
       val w0 = m.select(col("source"), col("n_docs"),
         (col("n_docs") * col("s2") - col("s1") * col("s1")).as("x"))
+      // The +1 clamp branch squares s0+1, which wraps negative in
+      // non-ANSI Spark once x is within ~6e9 of Long.MaxValue and
+      // would mis-correct w UPWARD; isqrt(Long.MaxValue) = 3037000499,
+      // so past that s0 the +1 correction is never valid (3037000500²
+      // > Long.MaxValue ≥ x) and the guard is exact, not a clamp.
       val iw = w0
         .withColumn("s0",
           floor(sqrt(col("x").cast("double"))).cast("long"))
         .select(col("source"), col("n_docs"),
           (col("s0")
-            + when((col("s0") + 1) * (col("s0") + 1) <= col("x"), 1L)
+            + when(col("s0") < 3037000499L &&
+                (col("s0") + 1) * (col("s0") + 1) <= col("x"), 1L)
               .otherwise(0L)
             - when(col("s0") * col("s0") > col("x"), 1L)
               .otherwise(0L)).as("w"))
@@ -2979,10 +2991,14 @@ object AnalysisQueries {
     * bounded frequency table. The multi-signal form is a per-signal
     * frequency grain, same as e119's matrix note.
     */
-  private def e131Youden = QueryDef.sql(
-    "e131_youden",
-    s"""WITH $dupFreqDuck,
-       |cum AS (SELECT source, bp,
+  /** The Youden argmax over a (source, bp, pos_c, neg_c) frequency
+    * table, as the DuckDB CTE tail (expects a CTE named `freq` in
+    * scope) — ONE definition consumed by e131 (dup label) and e131b
+    * (returns label) so the selection rule can never drift between
+    * the two registrations.
+    */
+  private def youdenDuckTail: String =
+    s"""cum AS (SELECT source, bp,
        |    CAST(sum(pos_c) OVER wge AS BIGINT) AS pos_ge,
        |    CAST(sum(neg_c) OVER wge AS BIGINT) AS neg_ge,
        |    CAST(sum(pos_c) OVER (PARTITION BY source) AS BIGINT) AS np,
@@ -2998,31 +3014,97 @@ object AnalysisQueries {
        |  num * 10000 // (np * nn) AS j_bp,
        |  pos_ge * 10000 // np AS tpr_bp,
        |  neg_ge * 10000 // nn AS fpr_bp
-       |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin) {
+       |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin
+
+  /** Spark twin of [[youdenDuckTail]]: Youden-J operating-point
+    * selection over any (source, bp, pos_c, neg_c) frequency frame —
+    * per source, the threshold t maximizing TPR(flag if bp ≥ t) −
+    * FPR(flag if bp ≥ t), ties broken to the LOWEST threshold (the
+    * more permissive gate), selection float-free on the integer
+    * numerator pos_ge·nn − neg_ge·np. Sources with no positives or no
+    * negatives are dropped (J is undefined without both classes).
+    * Exposed package-private so CurationOpsSpec can pin it against a
+    * driver-side exact TPR/FPR recomputation on a synthetic table.
+    */
+  private[queries] def youdenFromFreq(freq: DataFrame): DataFrame = {
+    val wge = Window.partitionBy(col("source")).orderBy(col("bp"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(col("source"))
+    val cum = freq
+      .withColumn("pos_ge", sum(col("pos_c")).over(wge))
+      .withColumn("neg_ge", sum(col("neg_c")).over(wge))
+      .withColumn("np", sum(col("pos_c")).over(wAll))
+      .withColumn("nn", sum(col("neg_c")).over(wAll))
+      .filter(col("np") > 0 && col("nn") > 0)
+      .withColumn("num",
+        col("pos_ge") * col("nn") - col("neg_ge") * col("np"))
+    cum
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("num").desc, col("bp"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("np").as("n_dup"),
+        col("nn").as("n_uniq"), col("bp").as("thr_bp"),
+        expr("num * 10000 div (np * nn)").as("j_bp"),
+        expr("pos_ge * 10000 div np").as("tpr_bp"),
+        expr("neg_ge * 10000 div nn").as("fpr_bp"))
+      .orderBy(col("source"))
+  }
+
+  private def e131Youden = QueryDef.sql(
+    "e131_youden",
+    s"""WITH $dupFreqDuck,
+       |$youdenDuckTail""".stripMargin) {
+    (s, dir) => youdenFromFreq(dupFreq(s, dir))
+  }
+
+  // ---- e131b: Youden-J on the returns screen ------------------------------
+
+  /** The SAME Youden selection ([[youdenFromFreq]]) over a label that
+    * is populated at EVERY scale factor: per lineitem status partition
+    * (O/F), does the discount level separate RETURNED line items
+    * (l_returnflag = 'R') from the rest, and at what discount cutoff
+    * would a flag-if-discount≥t screen operate? e131's dup-label form
+    * is the production artifact but its positives (digest groups with
+    * ≥ 2 copies) are empty on a dup-free slice, making its correctness
+    * row vacuous there; this registration keeps the identical argmax /
+    * tie-break / integer-numerator machinery under a label with
+    * ~20,000 positives at sf0.01, so the oracle comparison always
+    * exercises a non-degenerate selection. Here `bp` is the discount
+    * in whole percent (0–10; exact — the generator draws discounts on
+    * the 1% grid and round() lands both engines on the same integer),
+    * so the frequency grid is ≤ 11 rows per status.
+    *
+    * The expected reading on THIS corpus is J ≈ 0 (the generator draws
+    * discount independently of returnflag) — the e118/e124 convention:
+    * the audit's job is to read the data honestly, and "this gate
+    * direction adds nothing" is the honest answer for an independent
+    * signal. Scale (100 TB): one fact scan → (status × 11)-row
+    * map-side-combinable aggregation; every window rides the bounded
+    * grid. Same shape as e131.
+    */
+  private def e131bYoudenReturns = QueryDef.sql(
+    "e131b_youden_returns",
+    s"""WITH base AS (SELECT l_linestatus AS source,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS bp,
+       |    l_returnflag = 'R' AS is_pos
+       |  FROM lineitem),
+       |freq AS (SELECT source, bp,
+       |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_c,
+       |    CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS neg_c
+       |  FROM base GROUP BY 1, 2),
+       |$youdenDuckTail""".stripMargin) {
     (s, dir) =>
-      val freq = dupFreq(s, dir)
-      val wge = Window.partitionBy(col("source")).orderBy(col("bp"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val wAll = Window.partitionBy(col("source"))
-      val cum = freq
-        .withColumn("pos_ge", sum(col("pos_c")).over(wge))
-        .withColumn("neg_ge", sum(col("neg_c")).over(wge))
-        .withColumn("np", sum(col("pos_c")).over(wAll))
-        .withColumn("nn", sum(col("neg_c")).over(wAll))
-        .filter(col("np") > 0 && col("nn") > 0)
-        .withColumn("num",
-          col("pos_ge") * col("nn") - col("neg_ge") * col("np"))
-      cum
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(col("num").desc, col("bp"))))
-        .filter(col("rn") === 1)
-        .select(col("source"), col("np").as("n_dup"),
-          col("nn").as("n_uniq"), col("bp").as("thr_bp"),
-          expr("num * 10000 div (np * nn)").as("j_bp"),
-          expr("pos_ge * 10000 div np").as("tpr_bp"),
-          expr("neg_ge * 10000 div nn").as("fpr_bp"))
-        .orderBy(col("source"))
+      val freq = Tables.lineitem(s, dir)
+        .select(col("l_linestatus").as("source"),
+          round(col("l_discount") * 100).cast("long").as("bp"),
+          (col("l_returnflag") === "R").as("is_pos"))
+        .groupBy("source", "bp")
+        .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("pos_c"),
+          sum(when(col("is_pos"), 0L).otherwise(1L)).as("neg_c"))
+      youdenFromFreq(freq)
   }
 
   // ---- e132: dedup-threshold tuning sweep ---------------------------------

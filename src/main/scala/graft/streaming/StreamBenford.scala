@@ -61,14 +61,26 @@ object StreamBenford {
   /** (worst digit, signed ppm deviation) of the census vs Benford —
     * exact integer, e124's obs−exp column maximized by |·| with the
     * lower digit winning ties (deterministic emission).
+    *
+    * The ppm numerator `counts(d) * 1000000` stays in Long only while
+    * the per-key lifetime count is ≤ ~9.2e12; past that the fast path
+    * would wrap, so the loop falls back to an exact BigInt division —
+    * identical result in the overlap regime (both compute
+    * ⌊c·10⁶/n⌋), no wraparound ever. The fallback costs 9 BigInt ops
+    * per key per batch, paid only by keys that have already observed
+    * nine trillion amounts.
     */
   private[streaming] def worstDev(
       counts: IndexedSeq[Long], n: Long): (Int, Long) = {
+    val fastMax = Long.MaxValue / 1000000L // counts ≤ n, so gate on n
     var bestD = 1
     var bestDev = 0L
     var d = 0
     while (d < 9) {
-      val dev = counts(d) * 1000000L / n - ExpPpm(d)
+      val obsPpm =
+        if (n <= fastMax) counts(d) * 1000000L / n
+        else (BigInt(counts(d)) * 1000000 / n).toLong
+      val dev = obsPpm - ExpPpm(d)
       if (math.abs(dev) > math.abs(bestDev)) { bestD = d + 1; bestDev = dev }
       d += 1
     }
@@ -94,12 +106,19 @@ object StreamBenford {
 
   /** Per-key Benford screen over a stream of amounts; emits one
     * updated [[Dev]] per touched key per micro-batch. Amounts < 1 are
-    * dropped (no first digit under e124's integer contract).
+    * dropped (no first digit under e124's integer contract), and so
+    * are amounts ≥ 9.2e18: `math.floor(amount).toLong` SATURATES past
+    * Long.MaxValue (≈9.223e18), which would silently report first
+    * digit 9 whatever the true leading digit — batch e124's BIGINT
+    * cast fails loud on the same input, and the stream twin must not
+    * silently diverge where the batch errors. Both gates follow the
+    * [[StreamDiurnal]] rule: malformed observations degrade to lost
+    * rows, never a poisoned checkpoint.
     */
   def monitor(obs: Dataset[Obs]): Dataset[Dev] = {
     import obs.sparkSession.implicits._
     obs
-      .filter((o: Obs) => o.amount >= 1)
+      .filter((o: Obs) => o.amount >= 1 && o.amount < 9.2e18)
       .groupByKey(_.key)
       .mapGroupsWithState[Census, Dev](
         GroupStateTimeout.NoTimeout)(update)

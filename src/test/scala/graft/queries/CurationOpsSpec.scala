@@ -301,4 +301,86 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(got === expect)
     assert(got.values.forall(_ >= 3L))
   }
+
+  test("e131 Youden equals a driver-side exact TPR/FPR/J recomputation") {
+    import spark.implicits._
+    // Synthetic score/label table with ties (both classes share bp 40
+    // and 60 in `good`), an anti-correlated source (`anti`: positives
+    // score LOW — the gate direction adds nothing), and a one-class
+    // source (`onlypos`) that must be dropped, not divided by zero.
+    val rows: Seq[(String, Long, Boolean)] =
+      Seq.fill(3)(("good", 80L, true)) ++ Seq.fill(2)(("good", 60L, true)) ++
+        Seq(("good", 40L, true)) ++
+        Seq.fill(4)(("good", 20L, false)) ++
+        Seq.fill(2)(("good", 40L, false)) ++ Seq(("good", 60L, false)) ++
+        Seq.fill(3)(("anti", 10L, true)) ++ Seq.fill(2)(("anti", 20L, true)) ++
+        Seq.fill(3)(("anti", 80L, false)) ++
+        Seq.fill(2)(("anti", 90L, false)) ++
+        Seq.fill(5)(("onlypos", 50L, true))
+    val freq = rows.toDF("source", "bp", "is_pos")
+      .groupBy("source", "bp")
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("pos_c"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("neg_c"))
+    val got = AnalysisQueries.youdenFromFreq(freq).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+
+    // Driver-side truth: scan every observed threshold per source,
+    // compute TPR/FPR at `flag if bp >= t` exactly, argmax the integer
+    // numerator with ties to the LOWEST threshold.
+    val bySource = rows.groupBy(_._1)
+    val expect = bySource.flatMap { case (src, rs) =>
+      val np = rs.count(_._3).toLong
+      val nn = rs.count(!_._3).toLong
+      if (np == 0 || nn == 0) None
+      else {
+        val thrs = rs.map(_._2).distinct.sorted
+        val best = thrs.map { t =>
+          val posGe = rs.count(r => r._3 && r._2 >= t).toLong
+          val negGe = rs.count(r => !r._3 && r._2 >= t).toLong
+          (t, posGe, negGe, posGe * nn - negGe * np)
+        }.maxBy { case (t, _, _, num) => (num, -t) } // num desc, thr asc
+        val (t, posGe, negGe, num) = best
+        Some(src -> (np, nn, t, num * 10000L / (np * nn),
+          posGe * 10000L / np, negGe * 10000L / nn))
+      }
+    }
+    assert(got === expect)
+    // the docstring's structural claims, asserted directly:
+    assert(!got.contains("onlypos")) // one-class source dropped
+    got.values.foreach { case (_, _, _, j, _, _) => assert(j >= 0L) }
+    // anti-correlated signal reads as "flag everything": the lowest
+    // observed threshold, J = 0, TPR = FPR = 1
+    assert(got("anti") === ((5L, 5L, 10L, 0L, 10000L, 10000L)))
+    // the correlated source finds a real operating point (J > 0) and
+    // the tie-break selected the lowest threshold among argmax rows
+    val (_, _, thrGood, jGood, _, _) = got("good")
+    assert(jGood > 0L)
+    val goodRows = rows.filter(_._1 == "good")
+    val npG = goodRows.count(_._3).toLong
+    val nnG = goodRows.count(!_._3).toLong
+    val numAt = goodRows.map(_._2).distinct.sorted.map { t =>
+      t -> (goodRows.count(r => r._3 && r._2 >= t).toLong * nnG -
+        goodRows.count(r => !r._3 && r._2 >= t).toLong * npG)
+    }
+    val maxNum = numAt.map(_._2).max
+    assert(thrGood === numAt.filter(_._2 == maxNum).map(_._1).min)
+  }
+
+  test("e131b returns-screen Youden is non-empty and reconciles support") {
+    val out = AnalysisQueries.all.find(_.name == "e131b_youden_returns").get
+      .run(spark, dir).collect()
+    assert(out.nonEmpty) // populated at EVERY sf — the point of e131b
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_linestatus"), (col("l_returnflag") === "R").as("p"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    out.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) === li.count(x => x._1 == src && x._2).toLong)
+      assert(r.getLong(2) === li.count(x => x._1 == src && !x._2).toLong)
+      assert(r.getLong(4) >= 0L) // J never negative
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10L) // thr on the 1% grid
+    }
+  }
 }
