@@ -197,13 +197,44 @@ object AnalysisQueries {
     // verification join touches any token array. Lossless: measured
     // 299,607 → 68,602 candidates at sf0.1 (4.4×), final 256 pairs
     // unchanged.
+    //
+    // SUFFIX-COUNT filter (the PPJoin+ suffix-side cut, in the form
+    // that has teeth on a hashed shingle order): let S be the cp
+    // tokens shared by BOTH prefixes, at ranks up to max_ra/max_rb.
+    // Any shared token outside S must globally succeed the LAST
+    // element of S — were it earlier, it would rank inside both
+    // prefixes and be in S — so it lives in both docs' suffixes past
+    // (max_ra, max_rb) and overlap ≤ cp + min(sz_a − max_ra,
+    // sz_b − max_rb). cp/max come from the same aggregation the
+    // positional filter already runs: zero extra passes, zero extra
+    // shuffle. (PPJoin+'s value-partition probing variant is
+    // deliberately NOT used: its power comes from distributional
+    // misalignment between the two token sets, and a shingle universe
+    // ordered by (df, h) with df ≈ 1 almost everywhere is ordered by
+    // hash — uniform for every document, so range-partition bounds
+    // degenerate to min(sz_a, sz_b) and cut nothing.) Both bounds are
+    // lossless; keep = both clear the required overlap. Measured at
+    // sf0.1 (tools.E98Cut): 68,602 → 66,214 candidates into
+    // verification (4.5× total vs the raw prefix join), final 256
+    // pairs byte-identical (E98SuffixSpec). The modest marginal cut is
+    // itself informative: cp = 1 for most surviving pairs (hash-
+    // ordered prefixes rarely share more than the one anchor token
+    // unless the docs really are near-dups), so the suffix side is
+    // already nearly exhausted by the positional bound on this token
+    // distribution — at zero added cost, every pair it kills is pure
+    // saving.
     val cand = pre.as("a")
       .join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(min(col("a.r")).as("ra"), min(col("b.r")).as("rb"),
+        max(col("a.r")).as("mra"), max(col("b.r")).as("mrb"),
+        count(lit(1)).as("cp"),
         min(col("a.sz")).as("sa"), min(col("b.sz")).as("sb"))
       .filter(lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb"))
+        >= expr("(3 * (sa + sb) + 7) div 8"))
+      .filter(col("cp")
+        + least(col("sa") - col("mra"), col("sb") - col("mrb"))
         >= expr("(3 * (sa + sb) + 7) div 8"))
       .select("doc_a", "doc_b")
     // Verification fetches token arrays for CANDIDATE docs only: the
@@ -2422,31 +2453,15 @@ object AnalysisQueries {
           .select(col("doc_id"), explode(col("shs")).as("h"))
           .localCheckpoint(true)
         val universe = post.select(col("h")).distinct().count()
-        var rem = post
-        val picks = Seq.newBuilder[(Int, Long, Long)]
-        var done = false
-        for (r <- 1 to k if !done) {
-          val win = rem.groupBy("doc_id")
-            .agg(count(lit(1)).as("gain"))
-            .orderBy(col("gain").desc, col("doc_id"))
-            .limit(1).collect() // 1 row/round — driver-bounded
-          if (win.isEmpty) done = true
-          else {
-            val (doc, gain) = (win(0).getLong(0), win(0).getLong(1))
-            picks += ((r, doc, gain))
-            val covered =
-              rem.filter(col("doc_id") === doc).select(col("h"))
-            val next = rem
-              .join(broadcast(covered), Seq("h"), "left_anti")
-              .localCheckpoint(true)
-            // release the dead postings round (k retained corpus-scale
-            // postings checkpoints otherwise — the CC discipline)
-            graft.operators.ConnectedComponents
-              .releaseLocalCheckpoint(rem)
-            rem = next
-          }
-        }
-        val rows = picks.result().scanLeft((0, 0L, 0L, 0L)) {
+        // Incremental-gain greedy (operators.CoverageGreedy): identical
+        // picks to the plain recount form (CoverageGreedySpec pins
+        // this), but the per-round postings recount + corpus-scale
+        // remainder rebuild are replaced by one broadcast decrement
+        // join against the newly covered delta — the CELF lever,
+        // batch-exact.
+        val picks = graft.operators.CoverageGreedy.incremental(post, k)
+        graft.operators.ConnectedComponents.releaseLocalCheckpoint(post)
+        val rows = picks.scanLeft((0, 0L, 0L, 0L)) {
           case ((_, _, _, cum), (r, doc, gain)) =>
             (r, doc, gain, cum + gain)
         }.tail.map { case (r, doc, gain, cum) =>
