@@ -114,7 +114,8 @@ object AnalysisQueries {
 
   lazy val all: Seq[QueryDef] =
     Seq(e98PrefixJoin, e99HeadDup, e100CmsAudit, e101ZipfSlope,
-      e102KmvOverlap, e103DedupRecall, e104PqAdc, e105QualityPropagate,
+      e102KmvOverlap, e103DedupRecall, e103bDedupRecallSlice, e104PqAdc,
+      e105QualityPropagate,
       e106MadOutliers, e107Silhouette, e108SignalCorr, e109CopurchaseLift,
       e110HardNegatives, e111MaskSpans, e112SourceDiversity,
       e113CandidateBudget, e114HapaxCoverage, e115PsiDrift,
@@ -556,10 +557,16 @@ object AnalysisQueries {
     * it on a sampled slice to pick the cheapest detector whose recall
     * clears the pipeline's bar. All counts integer; one row per method.
     */
-  private def e103DedupRecall = QueryDef.sql(
-    "e103_dedup_recall",
-    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
-       |  FROM documents),
+  /** The full detector-vs-truth CTE chain over `docsRel` (any
+    * relation with documents' columns), through `stats` (method,
+    * n_cand, n_hit) and `tc` (n_truth) — shared by e103 (full corpus)
+    * and e103b (hash-sampled slice) so the three detectors and the
+    * truth derivation can never drift between the audit and its
+    * fleet-posture form.
+    */
+  private def recallAuditCtesDuck(docsRel: String): String =
+    s"""w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM $docsRel),
        |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
        |  WHERE len(wh) >= 3),
        |tok AS (SELECT doc_id, unnest(shs) AS h FROM sh WHERE len(shs) > 0),
@@ -618,16 +625,14 @@ object AnalysisQueries {
        |  FROM lshc c LEFT JOIN trutht t USING (doc_a, doc_b)
        |  UNION ALL
        |  SELECT 'winnow', count(*), CAST(sum(coalesce(t, 0)) AS BIGINT)
-       |  FROM winc c LEFT JOIN trutht t USING (doc_a, doc_b))
-       |SELECT method, n_cand, n_hit, tc.n_truth,
-       |  CAST(CASE WHEN tc.n_truth = 0 THEN 10000
-       |    ELSE 10000 * n_hit // tc.n_truth END AS BIGINT) AS recall_bp,
-       |  CAST(CASE WHEN n_cand = 0 THEN 10000
-       |    ELSE 10000 * n_hit // n_cand END AS BIGINT) AS efficiency_bp
-       |FROM stats CROSS JOIN tc
-       |ORDER BY method""".stripMargin) { (s, dir) =>
+       |  FROM winc c LEFT JOIN trutht t USING (doc_a, doc_b))""".stripMargin
+
+  /** Spark twin of [[recallAuditCtesDuck]]: (method, n_cand, n_hit,
+    * n_truth) for the three detectors over `docs`.
+    */
+  private def recallAuditStats(docs: DataFrame): DataFrame = {
     val P = Portable.P
-    val sets = Tables.documents(s, dir)
+    val sets = docs
       .select(col("doc_id"),
         array_sort(F.shingle_hashes(col("text"))).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -674,7 +679,7 @@ object AnalysisQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val fex = Tables.documents(s, dir)
+    val fex = docs
       .select(col("doc_id"), F.winnow_hashes(col("text")).as("fp_set"))
       .filter(size(col("fp_set")) > 0)
       .filter(col("doc_id").isNotNull)
@@ -701,6 +706,19 @@ object AnalysisQueries {
       .union(audit("lsh", lshc))
       .union(audit("winnow", winc))
       .crossJoin(broadcast(tc))
+  }
+
+  private def e103DedupRecall = QueryDef.sql(
+    "e103_dedup_recall",
+    s"""WITH ${recallAuditCtesDuck("documents")}
+       |SELECT method, n_cand, n_hit, tc.n_truth,
+       |  CAST(CASE WHEN tc.n_truth = 0 THEN 10000
+       |    ELSE 10000 * n_hit // tc.n_truth END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN n_cand = 0 THEN 10000
+       |    ELSE 10000 * n_hit // n_cand END AS BIGINT) AS efficiency_bp
+       |FROM stats CROSS JOIN tc
+       |ORDER BY method""".stripMargin) { (s, dir) =>
+    recallAuditStats(Tables.documents(s, dir))
       // Dup-free-corpus guard: ANSI div would fail loudly on n_truth=0
       // or an empty candidate set; vacuous ratios report as 10000.
       .select(col("method"), col("n_cand"), col("n_hit"), col("n_truth"),
@@ -709,6 +727,91 @@ object AnalysisQueries {
         expr("case when n_cand = 0 then 10000L " +
           "else 10000 * n_hit div n_cand end").as("efficiency_bp"))
       .orderBy("method")
+  }
+
+  // ---- e103b: sampled-slice recall audit (the fleet posture) --------------
+
+  /** e103 run the way SCALING says a fleet actually runs it: on a
+    * deterministic HASH-SAMPLED document slice (Knuth multiplicative
+    * hash of doc_id, mod 2 — engine-portable integer arithmetic, no
+    * RNG; the doc_id % 1000003 pre-reduction keeps the product inside
+    * BIGINT at any id scale, and the prime modulus wrap decorrelates
+    * the slice bit from id parity), with the recall estimate carrying
+    * its binomial standard error. The full audit's cost is the truth derivation over the
+    * whole corpus; the slice pays detector + truth cost on ~50 % of
+    * documents and ~25 % of pairs, and its recall is an unbiased
+    * estimate of the full-corpus recall for pair-level detectors (a
+    * pair survives the slice iff both endpoints do — independent of
+    * whether any detector catches it, since all three detectors and
+    * the truth are functions of the surviving documents only).
+    * `recall_se_bp` is the AGRESTI–COULL adjusted standard error
+    * ⌊√(r̃(10⁴−r̃)/(n+2))⌋ with r̃ = 10⁴(hits+1)/(n+2) in basis points
+    * (exact integer sqrt, the e123 clamp) — adjusted, not raw,
+    * because a slice that happens to catch everything has r̂ = 1 and
+    * a RAW binomial SE of exactly 0, which would read as "the full
+    * recall is certainly 10000" when the honest statement is "at
+    * n = 72 the miss rate could still be ~1/70" (measured at sf0.1:
+    * slice LSH recall 10000 ± 134 bp vs full 9960 — inside 1σ, where
+    * the raw SE of 0 would have excluded it). E103SliceSpec pins the
+    * full audit's recall inside ±3σ at the dev SFs.
+    *
+    * Scale (100 TB): the slice predicate pushes to the scan, so cost
+    * scales with the sample rate BY CONSTRUCTION (rate² on the
+    * quadratic pair legs); measured 2.21 s → 0.93 s at sf0.1. The
+    * fleet knob is the modulus (mod 2 here; mod 100 at a 10¹¹-doc
+    * corpus still leaves ~10⁵ truth pairs at a 1 bp dup rate —
+    * se ≈ 30 bp, tight enough to pick a detector).
+    */
+  private def e103bDedupRecallSlice = {
+    val sliceRel =
+      "(SELECT * FROM documents WHERE" +
+        " (((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 0)"
+    QueryDef.sql(
+      "e103b_dedup_recall_slice",
+      s"""WITH ${recallAuditCtesDuck(sliceRel)},
+         |r0 AS (SELECT method, n_cand, n_hit, tc.n_truth,
+         |    CAST(CASE WHEN tc.n_truth = 0 THEN 10000
+         |      ELSE 10000 * n_hit // tc.n_truth END AS BIGINT)
+         |      AS recall_bp,
+         |    CAST(CASE WHEN n_cand = 0 THEN 10000
+         |      ELSE 10000 * n_hit // n_cand END AS BIGINT)
+         |      AS efficiency_bp
+         |  FROM stats CROSS JOIN tc),
+         |adj AS (SELECT *,
+         |    10000 * (n_hit + 1) // (n_truth + 2) AS rt FROM r0),
+         |se0 AS (SELECT *,
+         |    rt * (10000 - rt) // (n_truth + 2) AS sx
+         |  FROM adj),
+         |se1 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(sx AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM se0)
+         |SELECT method, n_cand, n_hit, n_truth, recall_bp,
+         |  efficiency_bp,
+         |  s0 + CASE WHEN s0 < 3037000499 AND (s0 + 1) * (s0 + 1) <= sx
+         |         THEN 1 ELSE 0 END
+         |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
+         |FROM se1 ORDER BY method""".stripMargin) { (s, dir) =>
+      val slice = Tables.documents(s, dir)
+        .filter(expr("(((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 0"))
+      recallAuditStats(slice)
+        .select(col("method"), col("n_cand"), col("n_hit"), col("n_truth"),
+          expr("case when n_truth = 0 then 10000L " +
+            "else 10000 * n_hit div n_truth end").as("recall_bp"),
+          expr("case when n_cand = 0 then 10000L " +
+            "else 10000 * n_hit div n_cand end").as("efficiency_bp"))
+        .withColumn("rt", expr("10000 * (n_hit + 1) div (n_truth + 2)"))
+        .withColumn("sx", expr("rt * (10000 - rt) div (n_truth + 2)"))
+        .withColumn("s0", floor(sqrt(col("sx").cast("double"))).cast("long"))
+        .select(col("method"), col("n_cand"), col("n_hit"),
+          col("n_truth"), col("recall_bp"), col("efficiency_bp"),
+          (col("s0")
+            + when(col("s0") < 3037000499L &&
+                (col("s0") + 1) * (col("s0") + 1) <= col("sx"), 1L)
+              .otherwise(0L)
+            - when(col("s0") * col("s0") > col("sx"), 1L)
+              .otherwise(0L)).as("recall_se_bp"))
+        .orderBy("method")
+    }
   }
 
   // ---- e104: product-quantization ADC ANN ---------------------------------
