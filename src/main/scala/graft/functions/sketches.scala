@@ -540,6 +540,104 @@ object sketches {
     }.reduce(least(_, _))
   }
 
+  /** HyperLogLog register vector (Flajolet et al., AofA'07) as a native
+    * TypedImperativeAggregate — the production-standard cardinality
+    * sketch: 64 one-byte-equivalent registers (stored as longs for
+    * buffer simplicity — 512 B per partial), merged by ELEMENT-WISE
+    * MAX, which is commutative/associative/idempotent, so the built
+    * sketch is partitioning-independent AND at-least-once-replay-proof
+    * (unlike counting sketches, re-inserting an element is a no-op) —
+    * the property that makes HLL the fleet choice for distributed
+    * distinct counts and cross-shard unions: union(A, B) is just
+    * max(M_A, M_B) on 64 registers, no re-scan.
+    *
+    * Portable by construction ([[Portable.HllA]] contract): affine
+    * rehash mod P, bucket = h mod 64, rank = trailing-zeros + 1 of
+    * h div 64 (capped at 25 for the zero word), so an external engine
+    * replays the registers with a generated integer CASE ladder — no
+    * bit intrinsics required. The ESTIMATE stays integer too: with
+    * S = Σ_j 2^(25 − M[j]) (an exact integer ≤ 64·2^25), the raw-HLL
+    * estimate α₆₄·m²/Σ2^(−M[j]) equals 709·2^37/(1000·S) under the
+    * DEFINED α₆₄ = 709/1000 — one integer floor division both engines
+    * compute identically; no float ever enters the hash-compared
+    * columns (the linear-counting small-range branch is the one float
+    * (ln) consumer and is emitted as a separate convention-rounded
+    * column only when it engages — see e134).
+    */
+  case class HllAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    private val P = graft.functions.Portable.P
+    private val m = graft.functions.Portable.HllM
+    private val maxRho = graft.functions.Portable.HllMaxRho
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hll_sketch"
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+    override def update(
+        buf: Array[Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = Math.floorMod(v.asInstanceOf[Long], P)
+        val h = (graft.functions.Portable.HllA * key +
+          graft.functions.Portable.HllB) % P
+        val j = (h % m).toInt
+        val w = h / m
+        val rho =
+          if (w == 0L) maxRho
+          else java.lang.Long.numberOfTrailingZeros(w) + 1
+        if (rho > buf(j)) buf(j) = rho.toLong
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < m) {
+        if (other(i) > buf(i)) buf(i) = other(i)
+        i += 1
+      }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(off: Int): HllAgg =
+      copy(mutableAggBufferOffset = off)
+    override def withNewInputAggBufferOffset(off: Int): HllAgg =
+      copy(inputAggBufferOffset = off)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): HllAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Column API: the 64-register vector as ARRAY<LONG>. */
+  def hll_sketch(values: Column): Column =
+    ColumnBridge.column(
+      HllAgg(ColumnBridge.expression(values)).toAggregateExpression())
+
   /** Membership probe against a DRIVER-HELD bitmap (mBits/64 longs —
     * e.g. 32 KiB at 2^18 bits — the bounded sketch pull, like e29's
     * candidate list): k bit tests built entirely from codegen'd builtin

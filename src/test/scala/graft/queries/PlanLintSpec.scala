@@ -56,6 +56,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e93_ann_int8", // e5's guarded query-set broadcast, same bound
       "e88b_hybrid_indexed", // the e17 codebook broadcast, same bound
       "e103_dedup_recall", // one-row truth-count frame, the e22 pattern
+      "e103b_dedup_recall_slice", // same one-row truth-count cross (the
+                                  // shared recallAuditStats tail)
       "e107_silhouette", // the e17 codebook broadcast, same bound
       "e109_copurchase_lift", // one-row n_orders frame, the e22 pattern
       "e110_hard_negatives", // anchor-set broadcast (~1% of corpus),

@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SparkSpecBase
+import graft.streaming.TopKState.Scored
+
+/** Checkpoint RECOVERY pins for the RocksDB-backed stateful twins.
+  * Every per-operator spec (and RocksDBStateSpec) runs a single query
+  * lifetime; at 100 TB the interesting failure is the restart — an
+  * executor loss or deploy rolls the query, and correctness then
+  * depends on keyed state actually surviving the checkpoint
+  * round-trip, not just on the update function. Each case here STOPS
+  * a RocksDB-backed query mid-stream, feeds more data while it is
+  * down, restarts from the same checkpoint (a foreachBatch sink
+  * collecting into a cleared buffer — the memory sink refuses
+  * checkpoint recovery, and foreachBatch is what production update-
+  * mode queries use), and asserts the post-restart output equals the
+  * batch twin over the FULL input — which can only hold if
+  * pre-restart state was recovered, since the post-restart buffer
+  * never sees the first batches again.
+  */
+class RecoverySpec extends SparkSpecBase {
+
+  private def rocksSession(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    s
+  }
+
+  private def assertRocksEngaged(q: StreamingQuery): Unit = {
+    val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(ops.nonEmpty, "no state operator in progress")
+    val keys = ops.flatMap(_.customMetrics.keySet()
+      .toArray(Array.empty[String]))
+    assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+      s"state operator custom metrics carry no rocksdb keys: $keys")
+  }
+
+  test("TopKState leaderboard survives a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-topk").toString
+    val ms = MemoryStream[Scored]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recovery-capable sink for update-mode output (same as production)
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[TopKState.Leaderboard]
+    def start() = TopKState.topK(ms.toDS(), k = 2)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          TopKState.Leaderboard], _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      ms.addData(Scored("a", 1L, 10L), Scored("a", 2L, 20L))
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.last.ids) === Seq(2L, 1L))
+    } finally q1.stop() // the "kill": leaderboard {2:20, 1:10} only in state
+    emitted.synchronized(emitted.clear()) // post-restart emissions only
+    // arrives while the query is down; must be delivered after restart
+    ms.addData(Scored("a", 3L, 15L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "a")
+      assert(rows.nonEmpty, "no post-restart emission")
+      // 15 beats the recovered 10 but not the recovered 20: the only
+      // way to emit (2, 3) is state that crossed the restart
+      assert(rows.last.ids === Seq(2L, 3L))
+      assert(rows.last.scores === Seq(20L, 15L))
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
+
+  test("StreamCms counters survive a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val p = graft.functions.Portable.P
+    def h(v: Long): Long = (v * 2654435761L) % p
+    val depth = 4
+    val width = 32
+    val pop = (1L to 30L).flatMap(g => Seq.fill(31 - g.toInt)(h(g)))
+    val probes = Seq(h(1L), h(30L))
+    val ckpt = Files.createTempDirectory("graft-rec-cms").toString
+    val ms = MemoryStream[StreamCms.Obs]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamCms.Freq]
+    def start() =
+      StreamCms.monitor(ms.toDS(), depth, width, probes)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            StreamCms.Freq], _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }; ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    val (b1, b2) = pop.splitAt(pop.size / 2)
+    val q1 = start()
+    try {
+      ms.addData(b1.map(StreamCms.Obs("a", _)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    emitted.synchronized(emitted.clear()) // post-restart emissions only
+    ms.addData(b2.map(StreamCms.Obs("a", _)): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val last =
+        emitted.synchronized(emitted.toSeq).filter(_.key == "a").last
+      // n_seen counts BOTH halves though the sink only saw the second
+      assert(last.n_seen === pop.size.toLong)
+      // and the counters equal the batch sketch over the full stream
+      val counters = pop.toDF("h")
+        .agg(graft.functions.sketches.cms_sketch(col("h"), depth, width))
+        .head().getSeq[Long](0).toArray
+      val batchEst = probes.map { pr =>
+        (0 until depth).map { i =>
+          val key = Math.floorMod(pr, p)
+          val pos = ((graft.functions.Portable.CmsA(i) * key +
+            graft.functions.Portable.CmsB(i)) % p % width).toInt
+          counters(i * width + pos)
+        }.min
+      }
+      assert(last.estimates === batchEst)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
+
+  test("Sessionize open sessions survive a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+    val ckpt = Files.createTempDirectory("graft-rec-sess").toString
+    val ms = MemoryStream[Sessionize.Event]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[Sessionize.Session]
+    def start() =
+      Sessionize.sessions(ms.toDF(), watermark = "0 seconds",
+          gapSec = 60L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            Sessionize.Session], _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }; ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    val q1 = start()
+    try {
+      // open a session: 2 events 10 s apart, nothing closes yet
+      ms.addData(Sessionize.Event(7L, 1L, ts(100)),
+        Sessionize.Event(7L, 2L, ts(110)))
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.isEmpty)) // still open — state only
+    } finally q1.stop()
+    // while down: one more event inside the gap, then one far past it
+    // (advances the watermark beyond last-seen + gap → timeout fires)
+    ms.addData(Sessionize.Event(7L, 3L, ts(130)))
+    ms.addData(Sessionize.Event(7L, 4L, ts(1000)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = emitted.synchronized(emitted.toSeq).filter(_.user_id == 7L)
+      // the closed session spans ALL THREE pre-gap events — events 1
+      // and 2 lived only in the recovered state
+      assert(got.map(g => (g.n_events, g.duration_sec,
+        g.session_start.getTime / 1000L)).contains((3L, 30L, 100L)),
+        s"got: ${got.toSeq}")
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
+}

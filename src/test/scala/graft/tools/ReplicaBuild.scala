@@ -25,15 +25,31 @@ object ReplicaBuild {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val rep = docs
-      .crossJoin(spark.range(n).select(col("id").as("__rep")))
-      .withColumn("doc_id", col("doc_id") + col("__rep") * 1000000000L)
-      .drop("__rep")
-    rep.repartition(32).write.mode("overwrite")
-      .parquet(s"$out/documents.parquet")
-    println(s"wrote ${n}x replica of $src/documents.parquet to $out " +
-      s"(${spark.read.parquet(s"$out/documents.parquet").count()} rows)")
+    def replicate(table: String, idCols: Seq[String]): Unit = {
+      val t = spark.read.parquet(s"$src/$table.parquet")
+      val rep0 = t
+        .crossJoin(spark.range(n).select(col("id").as("__rep")))
+      val rep = idCols.foldLeft(rep0) { (d, c) =>
+        d.withColumn(c, col(c) + col("__rep") * 1000000000L)
+      }.drop("__rep")
+      rep.repartition(32).write.mode("overwrite")
+        .parquet(s"$out/$table.parquet")
+      println(s"wrote ${n}x replica of $src/$table.parquet to $out " +
+        s"(${spark.read.parquet(s"$out/$table.parquet").count()} rows)")
+    }
+    replicate("documents", Seq("doc_id"))
+    // fact tables for the q-series probes: orderkeys offset per replica
+    // so the lineitem⋈orders volume scales honestly; user ids offset so
+    // the events user-keyed exchange scales its key population; dims
+    // copied verbatim (they stay broadcast at any fact scale)
+    if (sys.env.contains("REPLICA_FACTS")) {
+      replicate("events", Seq("user_id"))
+      replicate("lineitem", Seq("l_orderkey"))
+      replicate("orders", Seq("o_orderkey"))
+      for (d <- Seq("supplier", "customer", "nation", "region", "part"))
+        spark.read.parquet(s"$src/$d.parquet").repartition(4)
+          .write.mode("overwrite").parquet(s"$out/$d.parquet")
+    }
     spark.stop()
   }
 }
