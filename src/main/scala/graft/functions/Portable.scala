@@ -43,10 +43,13 @@ object Portable {
   val CmsA: Seq[Long] = Seq(233L, 239L, 241L, 251L)
   val CmsB: Seq[Long] = Seq(71L, 73L, 79L, 83L)
 
-  /** HyperLogLog mixing coefficients (one affine rehash before the
-    * bucket/rank split), a prime pair distinct from every family
-    * above. For a key v in [0, P): h = (HllA·v + HllB) mod P, bucket
-    * j = h mod 64, rank word w = h div 64 ∈ [0, P/64 ≈ 2^23.9).
+  /** HyperLogLog mixing coefficients (affine-then-cube rehash before
+    * the bucket/rank split), a prime pair distinct from every family
+    * above. For a key v in [0, P): x = (HllA·v + HllB) mod P,
+    * h = x³ mod P (the non-linear MockData.hashLong mix — an affine
+    * map alone turns sequential keys into an arithmetic progression
+    * with degenerate trailing-zero statistics), bucket j = h mod 64,
+    * rank word w = h div 64 ∈ [0, P/64 ≈ 2^23.9).
     * The rank is the TRAILING-zero form ρ(w) = tz(w) + 1 (w > 0;
     * P(ρ ≥ r) = 2^{1−r} for uniform bits, same analysis as the
     * leading form) capped at [[HllMaxRho]] = 25 for w = 0 — all

@@ -123,7 +123,8 @@ object AnalysisQueries {
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
-      e131bYoudenReturns, e132DedupSweep, e134HllDistinct)
+      e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
+      e136RollingDistinct)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3252,8 +3253,12 @@ object AnalysisQueries {
     *
     * Expected accuracy: σ ≈ 1.04/√64 = 13 % relative; the err_bp
     * column is the realized error the operator exists to surface
-    * (measured at sf0.01: mean 944 bp, max 2273 bp over 20 sources —
-    * within the model's 1σ/2σ).
+    * (measured at sf0.01: mean 640 bp, max 2779 bp over 20 sources —
+    * within the model's 1σ/2σ. An earlier affine-only mix measured
+    * mean 944 bp here but 96 % bias on SEQUENTIAL keys — the cube in
+    * the [[Portable.HllA]] contract is what makes the hash safe for
+    * structured id columns, not just pre-hashed shingles; e136
+    * exercises exactly that case).
     *
     * Scale (100 TB): one (source, h)-distinct projection → a 512 B
     * register vector per source via map-side max-combine; NOTHING
@@ -3275,8 +3280,9 @@ object AnalysisQueries {
          |sh AS (SELECT source, ${Portable.shinglesDuck} AS shs FROM w
          |  WHERE len(wh) >= 3),
          |d AS (SELECT DISTINCT source, unnest(shs) AS h FROM sh),
-         |hh AS (SELECT source,
-         |    (${Portable.HllA} * h + ${Portable.HllB}) % $P AS h2 FROM d),
+         |hx AS (SELECT source,
+         |    (${Portable.HllA} * h + ${Portable.HllB}) % $P AS x FROM d),
+         |hh AS (SELECT source, (x * x % $P) * x % $P AS h2 FROM hx),
          |rho AS (SELECT source, h2 % 64 AS j,
          |    CASE WHEN h2 // 64 = 0 THEN 25
          |      ELSE CASE (h2 // 64) & (-(h2 // 64)) $tzCase END
@@ -3325,6 +3331,116 @@ object AnalysisQueries {
             round(lit(64d) * log(lit(64d) / col("v_zero")), 4) + lit(0d)))
             .as("lc_est"))
         .orderBy(col("source"))
+    }
+  }
+
+  // ---- e136: rolling-window distinct via HLL register algebra -------------
+
+  /** Trailing-7-day distinct active users per day, exact AND via
+    * HyperLogLog register algebra — the window-function gap e134's
+    * sketch exists to close: DISTINCT does not decompose through sum,
+    * so a sliding-window distinct cannot ride an ordinary running
+    * aggregate (the exact form needs every (day, user) pair in every
+    * window it touches), but HLL registers merge by MAX — associative,
+    * commutative, idempotent — so the windowed distinct becomes a
+    * windowed register max: per-day 512 B register vectors, and any
+    * window/rollup/cross-shard union of days is one element-wise max
+    * over them, never a re-scan of users.
+    *
+    * Both sides avoid the non-equi range join: day activity fans out
+    * to the ≤ 7 windows containing it (`explode(sequence(d, d+6))` —
+    * the e24 chunk-routing pattern), then one keyed aggregation per
+    * target day; windows past the last observed day are dropped by a
+    * semi-join on the observed-day spine. Exact column = the
+    * calibration harness (what production drops); estimate = the e134
+    * integer contract (registers via [[sketches.HllAgg]] on the
+    * fanned rows, α₆₄ = 709/1000 floor division, CASE-ladder oracle).
+    * The regime column marks windows where the raw estimate sits in
+    * linear-counting territory (est ≤ 5m/2 with empty registers) — at
+    * the driver SF the ~100-150-user windows straddle that boundary,
+    * which is exactly the honest reading: m = 64 is sized for
+    * fleet-scale cardinalities and the flag says which rows a
+    * production consumer would re-estimate via LC.
+    *
+    * Scale (100 TB): the fan-out is a constant ×7 on the (day, user)
+    * distinct — linear; per-day registers are 512 B whatever the user
+    * population; the window merge touches #days × 64 longs. The same
+    * register table answers ANY trailing window (30-day = fan 30 or
+    * re-merge the 7-day vectors), per-source windows just widen the
+    * key.
+    */
+  private def e136RollingDistinct = {
+    val P = Portable.P
+    val alphaNum = 709L * (1L << 37)
+    val tzCase = (0 to 24).map(i =>
+      s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ")
+    QueryDef.sql(
+      "e136_rolling_distinct",
+      s"""WITH du AS (SELECT DISTINCT
+         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+         |    user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |days AS (SELECT DISTINCT d FROM du),
+         |fan AS (SELECT du.d + i.i AS td, du.user_id
+         |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+         |fo AS (SELECT f.td, f.user_id FROM fan f
+         |  JOIN days dy ON dy.d = f.td),
+         |exw AS (SELECT td, count(DISTINCT user_id) AS n_exact
+         |  FROM fo GROUP BY td),
+         |hx AS (SELECT DISTINCT td,
+         |    (${Portable.HllA} * (user_id % $P) + ${Portable.HllB}) % $P
+         |      AS x
+         |  FROM fo),
+         |hh AS (SELECT td, (x * x % $P) * x % $P AS h2 FROM hx),
+         |rho AS (SELECT td, h2 % 64 AS j,
+         |    CASE WHEN h2 // 64 = 0 THEN 25
+         |      ELSE CASE (h2 // 64) & (-(h2 // 64)) $tzCase END
+         |    END AS r
+         |  FROM hh),
+         |reg AS (SELECT td, j, max(r) AS mr FROM rho GROUP BY 1, 2),
+         |spine AS (SELECT dy.d AS td, b.j FROM days dy
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         |regs AS (SELECT sp.td, coalesce(reg.mr, 0) AS mr
+         |  FROM spine sp LEFT JOIN reg
+         |    ON reg.td = sp.td AND reg.j = sp.j),
+         |ssum AS (SELECT td,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v_zero
+         |  FROM regs GROUP BY td)
+         |SELECT e.td AS day_idx, CAST(e.n_exact AS BIGINT) AS n_exact,
+         |  $alphaNum // (1000 * s.s2) AS est_hll,
+         |  abs($alphaNum // (1000 * s.s2) - e.n_exact) * 10000
+         |    // e.n_exact AS err_bp,
+         |  CASE WHEN $alphaNum // (1000 * s.s2) * 2 <= 320
+         |      AND s.v_zero > 0 THEN 'lc' ELSE 'raw' END AS regime
+         |FROM exw e JOIN ssum s ON s.td = e.td
+         |ORDER BY day_idx""".stripMargin) { (s, dir) =>
+      val du = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("d"), col("user_id"))
+        .distinct()
+      val days = du.select(col("d").as("td")).distinct()
+      val fo = du
+        .select(explode(sequence(col("d"), col("d") + 6)).as("td"),
+          col("user_id"))
+        .join(days, "td")
+      val agg = fo.groupBy("td")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          graft.functions.sketches.hll_sketch(col("user_id")).as("regs"))
+      agg
+        .withColumn("s2", expr("aggregate(transform(regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("v_zero",
+          size(filter(col("regs"), r => r === 0L)).cast("long"))
+        .withColumn("est_hll", expr(s"$alphaNum div (1000 * s2)"))
+        .select(col("td").as("day_idx"), col("n_exact"), col("est_hll"),
+          expr("abs(est_hll - n_exact) * 10000 div n_exact").as("err_bp"),
+          when(col("est_hll") * 2 <= 320 && col("v_zero") > 0, lit("lc"))
+            .otherwise(lit("raw")).as("regime"))
+        .orderBy(col("day_idx"))
     }
   }
 

@@ -40,6 +40,7 @@ object ExtensionQueries {
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
+    e135ClusterSplit,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
@@ -485,6 +486,138 @@ object ExtensionQueries {
         (col("n_clusters") * col("m")).as("n_docs"),
         expr("n_clusters * m * 10000 div n").as("doc_share_bp"))
       .orderBy(col("cluster_size"))
+  }
+
+  /** Cluster-consistent train/val/test assignment — the REPAIR for the
+    * leakage e57 measures: e23's deterministic 80/10/10 hash split,
+    * keyed by each document's near-dup CLUSTER representative instead
+    * of its own doc_id, so every member of a duplicate cluster lands in
+    * the same split BY CONSTRUCTION and no verified near-dup pair can
+    * straddle a split boundary (eval contamination via duplicates
+    * becomes structurally impossible rather than merely audited).
+    * Identical draw machinery to e23 ([[graft.gen.MockData.hashLong]],
+    * same seed/tag/thresholds): a singleton document (its own cluster)
+    * gets exactly e23's assignment, so the repair CHANGES only
+    * documents whose cluster representative differs — the minimal
+    * perturbation of the existing split.
+    *
+    * Output (one row per split): docs, clusters, share, verified pairs
+    * INSIDE the split, plus two global audit columns — pairs_crossing
+    * (0 by construction; emitted so the oracle proves it rather than
+    * the docstring asserting it) and naive_crossing (the pairs that DO
+    * straddle under e23's per-doc assignment — the leakage this
+    * operator removes, e57's headline number recomputed in-query for
+    * the direct contrast).
+    *
+    * Scale (100 TB): components from the banding-bounded pair graph
+    * ([[graft.operators.ConnectedComponents]]); the assignment is one
+    * left join of the node-bounded label table onto documents (docs
+    * not in any pair — the overwhelming majority — take the
+    * doc_id-keyed draw with no join hit); the audit is two joins of
+    * the bounded pair list against the assignment. The split itself
+    * adds ZERO corpus-sized work to what e32 already pays.
+    */
+  private def e135ClusterSplit = {
+    val seed = 42L
+    val t80 = math.ceil(0.8 * P).toLong
+    val t90 = math.ceil(0.9 * P).toLong
+    def splitDuck(key: String): String =
+      s"""CASE WHEN ${graft.gen.MockData.hashLongDuck(seed, "split", key)}
+         |    < $t80 THEN 'train'
+         |  WHEN ${graft.gen.MockData.hashLongDuck(seed, "split", key)}
+         |    < $t90 THEN 'val' ELSE 'test' END""".stripMargin
+    QueryDef.sql(
+      "e135_cluster_split",
+      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |asg AS (SELECT d.doc_id,
+         |    coalesce(c.cluster, d.doc_id) AS cluster,
+         |    ${splitDuck("coalesce(c.cluster, d.doc_id)")} AS split,
+         |    ${splitDuck("d.doc_id")} AS naive_split
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asg),
+         |pj AS (SELECT sa.split AS split_a, sb.split AS split_b,
+         |    sa.naive_split AS nsplit_a, sb.naive_split AS nsplit_b
+         |  FROM pairs p JOIN asg sa ON sa.doc_id = p.doc_a
+         |  JOIN asg sb ON sb.doc_id = p.doc_b),
+         |crossc AS (SELECT
+         |    CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pairs_crossing,
+         |    CAST(sum(CASE WHEN nsplit_a <> nsplit_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS naive_crossing
+         |  FROM pj),
+         |within AS (SELECT split_a AS split,
+         |    CAST(count(*) AS BIGINT) AS pairs_within
+         |  FROM pj WHERE split_a = split_b GROUP BY 1)
+         |SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT a.cluster) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) * 10000 // tot.n AS BIGINT) AS share_bp,
+         |  coalesce(any_value(w.pairs_within), 0) AS pairs_within,
+         |  any_value(cc.pairs_crossing) AS pairs_crossing,
+         |  any_value(cc.naive_crossing) AS naive_crossing
+         |FROM asg a CROSS JOIN tot CROSS JOIN crossc cc
+         |LEFT JOIN within w ON w.split = a.split
+         |GROUP BY a.split, tot.n
+         |ORDER BY a.split""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+        // comp (CC) + the two audit joins all read the pair list; cut
+        // once so the banding pipeline runs once (the e132 discipline)
+        .localCheckpoint(true)
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      def splitOf(key: Column): Column = {
+        val draw = graft.gen.MockData.hashLong(seed, "split", key)
+        when(draw < t80, "train").when(draw < t90, "val")
+          .otherwise("test")
+      }
+      val asg = Tables.documents(s, dir).select(col("doc_id"))
+        .join(comp.select(col("node"), col("comp")),
+          col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .select(col("doc_id"), col("cluster"),
+          splitOf(col("cluster")).as("split"),
+          splitOf(col("doc_id")).as("naive_split"))
+      val pj = pairs
+        .join(asg.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(asg.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+          col("sa.naive_split").as("nsplit_a"),
+          col("sb.naive_split").as("nsplit_b"))
+      val crossc = pj.agg(
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("pairs_crossing"),
+        sum(when(col("nsplit_a") =!= col("nsplit_b"), 1L).otherwise(0L))
+          .as("naive_crossing"))
+      val within = pj.filter(col("split_a") === col("split_b"))
+        .groupBy(col("split_a").as("split"))
+        .agg(count(lit(1)).as("pairs_within"))
+      val tot = asg.agg(count(lit(1)).as("n"))
+      // pairs stays checkpointed for the final job (pj reads it lazily
+      // after CC consumed it eagerly) — the bounded-table leak e132
+      // accepts; releasing here would unpersist blocks the audit joins
+      // still need.
+      asg.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(crossc))
+        .join(broadcast(within), Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          expr("n_docs * 10000 div n").as("share_bp"),
+          coalesce(col("pairs_within"), lit(0L)).as("pairs_within"),
+          col("pairs_crossing"), col("naive_crossing"))
+        .orderBy(col("split"))
+    }
   }
 
   /** The e32 clustering with the edge-REWRITING components algorithm

@@ -20,7 +20,8 @@ class HllSpec extends SparkSpecBase {
     val regs = new Array[Long](64)
     values.foreach { v =>
       val key = Math.floorMod(v, P)
-      val h = (Portable.HllA * key + Portable.HllB) % P
+      val x = (Portable.HllA * key + Portable.HllB) % P
+      val h = (x * x % P) * x % P
       val j = (h % 64).toInt
       val w = h / 64
       val rho =

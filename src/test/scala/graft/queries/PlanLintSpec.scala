@@ -58,6 +58,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e103_dedup_recall", // one-row truth-count frame, the e22 pattern
       "e103b_dedup_recall_slice", // same one-row truth-count cross (the
                                   // shared recallAuditStats tail)
+      "e135_cluster_split", // two one-row crosses: doc total + the
+                            // (pairs_crossing, naive_crossing) audit
       "e107_silhouette", // the e17 codebook broadcast, same bound
       "e109_copurchase_lift", // one-row n_orders frame, the e22 pattern
       "e110_hard_negatives", // anchor-set broadcast (~1% of corpus),
