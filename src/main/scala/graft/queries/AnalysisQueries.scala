@@ -124,7 +124,7 @@ object AnalysisQueries {
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
-      e136RollingDistinct)
+      e136RollingDistinct, e137HllRollup)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3331,6 +3331,124 @@ object AnalysisQueries {
             round(lit(64d) * log(lit(64d) / col("v_zero")), 4) + lit(0d)))
             .as("lc_est"))
         .orderBy(col("source"))
+    }
+  }
+
+  // ---- e137: multi-grain distinct rollup from one register table ----------
+
+  /** Distinct-shingle cardinality at FOUR grains — (source × lang),
+    * source, lang, corpus — where every coarser grain is a pure
+    * register max-merge of the ONE (source, lang) register table,
+    * never a re-scan: the production property that justifies keeping
+    * HLL registers as a first-class materialized column. An exact
+    * distinct does not roll up (distinct counts are not additive
+    * across groups — Σ per-source distincts ≥ corpus distinct exactly
+    * when sources share shingles, which is the overlap e102
+    * measures), so the exact side here re-aggregates the corpus once
+    * per grain; the sketch side pays the corpus ONCE and answers all
+    * four grains — and any future grouping of the same keys — from
+    * ≤ #sources·#langs·64 longs.
+    *
+    * Output: (grain, key, n_exact, est_hll, err_bp), grains ordered
+    * source_lang → source → lang → all; same integer estimate
+    * contract as e134/e136. The rollup identity itself (registers of
+    * a union = element-wise max of register tables) is what the
+    * oracle equality proves: DuckDB builds registers ONLY at the
+    * base grain and derives every coarser grain by relational MAX
+    * over those register rows (the production rollup path), while
+    * Spark re-aggregates [[sketches.HllAgg]] directly over the fanned
+    * keys (registers-of-the-union) — the hash match IS the merge
+    * identity max(registers) = registers(union), checked key by key.
+    *
+    * Scale (100 TB): one corpus scan → base-grain registers (512 B
+    * per (source, lang)); every rollup is an aggregation of that
+    * bounded table. The exact columns are the calibration harness
+    * (four corpus-wide distinct aggregations production drops —
+    * here they share one (grain-key, h)-distinct fan-out pass).
+    */
+  private def e137HllRollup = {
+    val P = Portable.P
+    val alphaNum = 709L * (1L << 37)
+    val tzCase = (0 to 24).map(i =>
+      s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ")
+    QueryDef.sql(
+      "e137_hll_rollup",
+      s"""WITH w AS (SELECT source, lang, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT source, lang, ${Portable.shinglesDuck} AS shs
+         |  FROM w WHERE len(wh) >= 3),
+         |d AS (SELECT DISTINCT source, lang, unnest(shs) AS h FROM sh),
+         |keyed AS (
+         |  SELECT 'source_lang' AS grain, source || ':' || lang AS key, h
+         |    FROM d
+         |  UNION ALL SELECT 'source', source, h FROM d
+         |  UNION ALL SELECT 'lang', lang, h FROM d
+         |  UNION ALL SELECT 'all', 'all', h FROM d),
+         |dk AS (SELECT DISTINCT grain, key, h FROM keyed),
+         |ne AS (SELECT grain, key, count(*) AS n_exact FROM dk
+         |  GROUP BY 1, 2),
+         |hx AS (SELECT source, lang,
+         |    (${Portable.HllA} * h + ${Portable.HllB}) % $P AS x
+         |  FROM d),
+         |hh AS (SELECT source, lang, (x * x % $P) * x % $P AS h2 FROM hx),
+         |rho AS (SELECT source, lang, h2 % 64 AS j,
+         |    CASE WHEN h2 // 64 = 0 THEN 25
+         |      ELSE CASE (h2 // 64) & (-(h2 // 64)) $tzCase END
+         |    END AS r
+         |  FROM hh),
+         |breg AS (SELECT source, lang, j, max(r) AS mr FROM rho
+         |  GROUP BY 1, 2, 3),
+         |kreg AS (
+         |  SELECT 'source_lang' AS grain, source || ':' || lang AS key,
+         |      j, mr FROM breg
+         |  UNION ALL SELECT 'source', source, j, mr FROM breg
+         |  UNION ALL SELECT 'lang', lang, j, mr FROM breg
+         |  UNION ALL SELECT 'all', 'all', j, mr FROM breg),
+         |reg AS (SELECT grain, key, j, max(mr) AS mr FROM kreg
+         |  GROUP BY 1, 2, 3),
+         |spine AS (SELECT k.grain, k.key, b.j
+         |  FROM (SELECT DISTINCT grain, key FROM dk) k
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         |regs AS (SELECT sp.grain, sp.key, coalesce(reg.mr, 0) AS mr
+         |  FROM spine sp LEFT JOIN reg
+         |    ON reg.grain = sp.grain AND reg.key = sp.key
+         |      AND reg.j = sp.j),
+         |ssum AS (SELECT grain, key,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT) AS s2
+         |  FROM regs GROUP BY 1, 2)
+         |SELECT e.grain AS grain, e.key AS key,
+         |  CAST(e.n_exact AS BIGINT) AS n_exact,
+         |  $alphaNum // (1000 * s.s2) AS est_hll,
+         |  abs($alphaNum // (1000 * s.s2) - e.n_exact) * 10000
+         |    // e.n_exact AS err_bp
+         |FROM ne e JOIN ssum s ON s.grain = e.grain AND s.key = e.key
+         |ORDER BY e.grain, e.key""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          explode(F.shingle_hashes(col("text"))).as("h"))
+        .distinct()
+      val dk = d
+        .select(explode(array(
+            struct(lit("source_lang").as("grain"),
+              concat(col("source"), lit(":"), col("lang")).as("key")),
+            struct(lit("source").as("grain"), col("source").as("key")),
+            struct(lit("lang").as("grain"), col("lang").as("key")),
+            struct(lit("all").as("grain"), lit("all").as("key"))))
+            .as("gk"),
+          col("h"))
+        .select(col("gk.grain").as("grain"), col("gk.key").as("key"),
+          col("h"))
+        .distinct()
+      dk.groupBy("grain", "key")
+        .agg(count(lit(1)).as("n_exact"),
+          graft.functions.sketches.hll_sketch(col("h")).as("regs"))
+        .withColumn("s2", expr("aggregate(transform(regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("est_hll", expr(s"$alphaNum div (1000 * s2)"))
+        .select(col("grain"), col("key"), col("n_exact"), col("est_hll"),
+          expr("abs(est_hll - n_exact) * 10000 div n_exact").as("err_bp"))
+        .orderBy(col("grain"), col("key"))
     }
   }
 

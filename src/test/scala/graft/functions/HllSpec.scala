@@ -80,6 +80,27 @@ class HllSpec extends SparkSpecBase {
     assert(errs.sum / errs.size < 2600L, s"mean err: ${errs.sum / 10} bp")
   }
 
+  test("rollup identity: registers(union) = elementwise max of group registers") {
+    // the e137 contract, pinned directly: build per-source registers
+    // on real shingles, max-merge them, compare against one aggregate
+    // over the whole corpus
+    import spark.implicits._
+    val d = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"),
+        explode(graft.functions.F.shingle_hashes(col("text"))).as("h"))
+      .distinct()
+    val perSource = d.groupBy("source")
+      .agg(graft.functions.sketches.hll_sketch(col("h")).as("regs"))
+      .as[(String, Seq[Long])].collect()
+    val merged = perSource.map(_._2)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+    val direct = d
+      .agg(graft.functions.sketches.hll_sketch(col("h")))
+      .head().getSeq[Long](0)
+    assert(merged === direct)
+  }
+
   test("linear-counting regime engages and matches m*ln(m/V)") {
     // tiny cardinality: most registers stay 0 → LC regime
     val rnd = new scala.util.Random(7)
