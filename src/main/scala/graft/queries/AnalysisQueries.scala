@@ -124,7 +124,7 @@ object AnalysisQueries {
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
-      e136RollingDistinct, e137HllRollup)
+      e136RollingDistinct, e137HllRollup, e138GenerationGrowth)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3449,6 +3449,148 @@ object AnalysisQueries {
         .select(col("grain"), col("key"), col("n_exact"), col("est_hll"),
           expr("abs(est_hll - n_exact) * 10000 div n_exact").as("err_bp"))
         .orderBy(col("grain"), col("key"))
+    }
+  }
+
+  // ---- e138: incremental generation growth via register differencing ------
+
+  /** How much NEW vocabulary does a crawl generation add — answered
+    * WITHOUT re-scanning the old corpus: per source, distinct-shingle
+    * counts for generation A (the e103b hash half — doc parity would
+    * be confounded with the generator's source assignment), the union after
+    * generation B lands, and the growth, where the sketch side
+    * computes est(A) from A's persisted registers and est(A∪B) by
+    * max-merging B's registers into them — generation B's scan is the
+    * only corpus work; A contributes 512 B per source. This is e54's
+    * vocabulary-growth question in the form a 100 TB fleet can afford
+    * to re-ask per delivery (the exact form re-pays the FULL union
+    * distinct on every batch; e41 is the same incremental posture for
+    * dedup membership).
+    *
+    * The honest caveat is IN the output: differencing two estimates
+    * carries the ABSOLUTE error of the union scale, so growth error is
+    * reported against the union cardinality (`diff_err_bp` =
+    * |est_new − exact_new|·10⁴ / exact_union), not against the small
+    * difference — when growth is a thin slice of a huge corpus its
+    * RELATIVE error is unbounded (the known inclusion–exclusion
+    * limitation; KMV/e102 is the family member for intersections,
+    * register differencing is for growth that carries real mass).
+    * est_new can even be slightly negative on a no-growth source
+    * (estimator noise) — emitted as-is, never clamped.
+    *
+    * Scale (100 TB): generation A's registers come from the persisted
+    * table (here re-derived for the oracle's sake); the update is one
+    * scan of the NEW generation + a 64-long max-merge per source; the
+    * exact columns are the calibration harness production drops.
+    */
+  private def e138GenerationGrowth = {
+    val P = Portable.P
+    val alphaNum = 709L * (1L << 37)
+    val tzCase = (0 to 24).map(i =>
+      s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ")
+    QueryDef.sql(
+      "e138_generation_growth",
+      s"""WITH w AS (SELECT doc_id, source,
+         |    ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, ${Portable.shinglesDuck} AS shs
+         |  FROM w WHERE len(wh) >= 3),
+         |d AS (SELECT DISTINCT source,
+         |    (((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 0
+         |      AS gen_a,
+         |    unnest(shs) AS h
+         |  FROM sh),
+         |exa AS (SELECT source, count(DISTINCT h) AS n_exact_a FROM d
+         |  WHERE gen_a GROUP BY source),
+         |exu AS (SELECT source, count(DISTINCT h) AS n_exact_union
+         |  FROM d GROUP BY source),
+         |hx AS (SELECT source, gen_a,
+         |    (${Portable.HllA} * h + ${Portable.HllB}) % $P AS x
+         |  FROM (SELECT DISTINCT source, gen_a, h FROM d)),
+         |hh AS (SELECT source, gen_a, (x * x % $P) * x % $P AS h2
+         |  FROM hx),
+         |rho AS (SELECT source, gen_a, h2 % 64 AS j,
+         |    CASE WHEN h2 // 64 = 0 THEN 25
+         |      ELSE CASE (h2 // 64) & (-(h2 // 64)) $tzCase END
+         |    END AS r
+         |  FROM hh),
+         |breg AS (SELECT source, gen_a, j, max(r) AS mr FROM rho
+         |  GROUP BY 1, 2, 3),
+         |spine AS (SELECT s.source, b.j
+         |  FROM (SELECT DISTINCT source FROM d) s
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         |rega AS (SELECT sp.source, sp.j, coalesce(br.mr, 0) AS mr
+         |  FROM spine sp LEFT JOIN breg br
+         |    ON br.source = sp.source AND br.j = sp.j AND br.gen_a),
+         |regu AS (SELECT sp.source, sp.j, coalesce(max(br.mr), 0) AS mr
+         |  FROM spine sp LEFT JOIN breg br
+         |    ON br.source = sp.source AND br.j = sp.j
+         |  GROUP BY sp.source, sp.j),
+         |sa AS (SELECT source,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT) AS s2
+         |  FROM rega GROUP BY source),
+         |su AS (SELECT source,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT) AS s2
+         |  FROM regu GROUP BY source)
+         |SELECT exu.source AS source,
+         |  CAST(exa.n_exact_a AS BIGINT) AS n_exact_a,
+         |  CAST(exu.n_exact_union - exa.n_exact_a AS BIGINT)
+         |    AS n_exact_new,
+         |  $alphaNum // (1000 * sa.s2) AS est_a,
+         |  $alphaNum // (1000 * su.s2) - $alphaNum // (1000 * sa.s2)
+         |    AS est_new,
+         |  abs(($alphaNum // (1000 * su.s2) - $alphaNum // (1000 * sa.s2))
+         |    - (exu.n_exact_union - exa.n_exact_a)) * 10000
+         |    // exu.n_exact_union AS diff_err_bp
+         |FROM exu JOIN exa ON exa.source = exu.source
+         |JOIN sa ON sa.source = exu.source
+         |JOIN su ON su.source = exu.source
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(F.shingle_hashes(col("text"))).as("h"))
+        .select(col("source"),
+          (expr("((doc_id % 1000003) * 2654435761) % 1000000007") % 2
+            === 0).as("gen_a"),
+          col("h"))
+        .distinct()
+      val byGen = d.groupBy("source", "gen_a")
+        .agg(graft.functions.sketches.hll_sketch(col("h")).as("regs"),
+          count(lit(1)).as("n_exact_g"))
+      // max-merge B into A's registers (the production update) and
+      // carry the exact counts for calibration; arrays fold with
+      // zip_with(greatest) — the same merge HllAgg runs internally
+      val merged = byGen.groupBy("source")
+        .agg(
+          expr("aggregate(collect_list(regs), array_repeat(0L, 64), " +
+            "(a, x) -> zip_with(a, x, (p, q) -> greatest(p, q)))")
+            .as("regs_u"),
+          expr("aggregate(collect_list(CASE WHEN gen_a THEN regs END), " +
+            "array_repeat(0L, 64), " +
+            "(a, x) -> zip_with(a, x, (p, q) -> greatest(p, q)))")
+            .as("regs_a"))
+      val exa = d.filter(col("gen_a")).groupBy("source")
+        .agg(count(lit(1)).as("n_exact_a"))
+      val exu = d.select(col("source"), col("h")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_exact_union"))
+      def estOf(regsCol: String): org.apache.spark.sql.Column = {
+        val s2 = s"aggregate(transform($regsCol, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        expr(s"$alphaNum div (1000 * ($s2))")
+      }
+      merged
+        .join(exa, "source").join(exu, "source")
+        .select(col("source"), col("n_exact_a"),
+          (col("n_exact_union") - col("n_exact_a")).as("n_exact_new"),
+          estOf("regs_a").as("est_a"),
+          (estOf("regs_u") - estOf("regs_a")).as("est_new"))
+        .join(exu, "source")
+        .select(col("source"), col("n_exact_a"), col("n_exact_new"),
+          col("est_a"), col("est_new"),
+          expr("abs(est_new - n_exact_new) * 10000 div n_exact_union")
+            .as("diff_err_bp"))
+        .orderBy(col("source"))
     }
   }
 

@@ -40,7 +40,7 @@ object ExtensionQueries {
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
     e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
-    e135ClusterSplit,
+    e135ClusterSplit, e139ShotBoundaries,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
@@ -2807,6 +2807,83 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_windows"), col("n_active"),
         col("energy_total"),
         expr("(n_active * 1000) div n_windows").as("active_permille"))
+  }
+
+  /** Video-shaped multimodal op: SHOT-BOUNDARY detection — threshold
+    * the frame-to-frame feature delta, the standard cut detector every
+    * video-ingest pipeline runs before sampling training frames (one
+    * frame per shot beats uniform sampling: uniform oversamples long
+    * static shots and misses short ones entirely). Frames are e58's
+    * 32-byte windows with the stub integer energy standing in for the
+    * per-frame luma histogram; a boundary fires where the per-byte
+    * energy delta ≥ 8 (of 0–255) — all comparisons integer and
+    * length-normalized as cross products (`|e·l' − e'·l| ≥ 8·l·l'`),
+    * so ragged last windows never divide. Per asset: frames,
+    * boundaries, shots (= boundaries + 1), and the peak per-byte delta
+    * ×1000 — the tuning signal for the threshold.
+    *
+    * Scale (100 TB): the window expansion is partition-local
+    * ([[graft.operators.Media.windowEnergy]]'s batched mapPartitions,
+    * the one justified use); the lag window partitions by doc_id —
+    * bounded frames per asset, skew-free; one keyed rollup ends the
+    * plan. A real deployment swaps the energy stub for decoded frame
+    * histograms inside the same stage and keeps every plan shape.
+    */
+  private def e139ShotBoundaries = QueryDef.sql(
+    "e139_shot_boundaries",
+    s"""WITH f AS (SELECT doc_id, text, length(text) AS n,
+       |    unnest(range(0, (length(text) + 31) // 32)) AS w
+       |  FROM documents),
+       |win AS (SELECT doc_id, w,
+       |    substr(text, CAST(w * 32 AS INT) + 1, 32) AS chunk
+       |  FROM f),
+       |e AS (SELECT doc_id, w, length(chunk) AS l,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(chunk, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> a + c) AS energy
+       |  FROM win),
+       |lagd AS (SELECT doc_id, w, l, energy,
+       |    lag(energy) OVER (PARTITION BY doc_id ORDER BY w) AS pe,
+       |    lag(l) OVER (PARTITION BY doc_id ORDER BY w) AS pl
+       |  FROM e),
+       |b AS (SELECT doc_id,
+       |    CASE WHEN pe IS NOT NULL
+       |        AND abs(energy * pl - pe * l) >= 8 * l * pl
+       |      THEN 1 ELSE 0 END AS is_b,
+       |    CASE WHEN pe IS NULL THEN 0
+       |      ELSE abs(energy * pl - pe * l) * 1000 // (l * pl) END AS dx
+       |  FROM lagd)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(is_b) AS BIGINT) AS n_boundaries,
+       |  CAST(sum(is_b) + 1 AS BIGINT) AS n_shots,
+       |  CAST(max(dx) AS BIGINT) AS peak_delta_x1000
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), lit("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Media.MediaDoc]
+    val lagW = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    Media.windowEnergy(docs, winBytes = 32)
+      .select(col("doc_id"), col("win_idx").as("w"),
+        col("win_len").as("l"), col("energy"))
+      .withColumn("pe", lag(col("energy"), 1).over(lagW))
+      .withColumn("pl", lag(col("l"), 1).over(lagW))
+      .select(col("doc_id"),
+        when(col("pe").isNotNull &&
+            abs(col("energy") * col("pl") - col("pe") * col("l"))
+              >= lit(8) * col("l") * col("pl"), 1L)
+          .otherwise(0L).as("is_b"),
+        when(col("pe").isNull, 0L)
+          .otherwise(expr(
+            "abs(energy * pl - pe * l) * 1000 div (l * pl)")).as("dx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_b")).as("n_boundaries"),
+        (sum(col("is_b")) + 1L).as("n_shots"),
+        max(col("dx")).as("peak_delta_x1000"))
+      .orderBy(col("doc_id"))
   }
 
   /** Multimodal plumbing: documents as opaque binary payloads with typed
