@@ -472,4 +472,45 @@ class RocksDBStateSpec extends SparkSpecBase {
       assertRocksEngaged(q)
     } finally q.stop()
   }
+
+  test("StreamRollingDistinct windowed registers identical on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000L)
+    val ms = MemoryStream[(java.lang.Long, java.sql.Timestamp)]
+    val q = StreamRollingDistinct
+      .estimates(ms.toDF().toDF("user_id", "ts"),
+        watermark = "0 seconds", length = "2 hours", slide = "1 hour")
+      .writeStream
+      .format("memory").queryName("rocks_srd").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val evs = (1L to 50L).map(u => (Long.box(u), ts(0)))
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      ms.addData(evs: _*) // wholesale replay: registers must not move
+      q.processAllAvailable()
+      ms.addData((Long.box(999L), ts(100))) // close the early windows
+      q.processAllAvailable()
+      val got = s.table("rocks_srd")
+        .select(col("win_start"), col("est_users"))
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1))
+        .toMap
+      // same value the in-memory provider computes in
+      // StreamRollingDistinctSpec's machinery: batch truth on the
+      // distinct set
+      val batch = evs.toDF("user_id", "ts")
+        .agg(graft.functions.sketches.hll_sketch(col("user_id"))
+          .as("regs"))
+        .selectExpr("aggregate(transform(regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS s2")
+        .selectExpr(s"${709L * (1L << 37)} div (1000 * s2) AS est")
+        .head().getLong(0)
+      assert(got(ts(0).getTime) === batch)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
 }
