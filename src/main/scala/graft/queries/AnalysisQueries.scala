@@ -538,9 +538,11 @@ object AnalysisQueries {
 
   /** Candidate-generator recall matrix: the three sub-quadratic near-dup
     * detectors, each scored against the EXACT set of pairs at Jaccard
-    * ≥ 3/5 (derived via e98's prefix+positional filter, whose recall is
-    * 1 by the AllPairs theorem — the one generator allowed to define
-    * truth). Per method: candidate count, hits, recall and candidate
+    * ≥ 3/5 (derived via e98's prefix+positional+suffix-count filter
+    * stack, whose recall is 1 by the AllPairs theorem and the two
+    * bounds' losslessness — the one generator allowed to define
+    * truth; the audited 'prefix' detector tracks the SHIPPED e98
+    * stack, so its efficiency row moves when e98 gains a cut). Per method: candidate count, hits, recall and candidate
     * efficiency (pre-verification precision) in basis points —
     * the measured form of each method's design trade:
     *
@@ -579,11 +581,14 @@ object AnalysisQueries {
        |pre AS (SELECT doc_id, h, r, sz FROM ord
        |  WHERE r <= sz - (3*sz + 4) // 5 + 1),
        |cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    min(a.r) AS ra, min(b.r) AS rb, min(a.sz) AS sa, min(b.sz) AS sb
+       |    min(a.r) AS ra, min(b.r) AS rb, max(a.r) AS mra,
+       |    max(b.r) AS mrb, count(*) AS cp,
+       |    min(a.sz) AS sa, min(b.sz) AS sb
        |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |candp AS (SELECT doc_a, doc_b FROM cand0
-       |  WHERE 1 + least(sa - ra, sb - rb) >= (3*(sa + sb) + 7) // 8),
+       |  WHERE 1 + least(sa - ra, sb - rb) >= (3*(sa + sb) + 7) // 8
+       |    AND cp + least(sa - mra, sb - mrb) >= (3*(sa + sb) + 7) // 8),
        |truth AS (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b,
        |      len(list_intersect(sa.shs, sb.shs)) AS ov,
@@ -655,8 +660,16 @@ object AnalysisQueries {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(min(col("a.r")).as("ra"), min(col("b.r")).as("rb"),
+        max(col("a.r")).as("mra"), max(col("b.r")).as("mrb"),
+        count(lit(1)).as("cp"),
         min(col("a.sz")).as("sa"), min(col("b.sz")).as("sb"))
       .filter(lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb"))
+        >= expr("(3 * (sa + sb) + 7) div 8"))
+      // e98's suffix-count cut rides along (lossless, so the derived
+      // truth set is untouched) — the audited 'prefix' detector IS the
+      // shipped e98 stack, not a stale positional-only variant
+      .filter(col("cp")
+        + least(col("sa") - col("mra"), col("sb") - col("mrb"))
         >= expr("(3 * (sa + sb) + 7) div 8"))
       .select("doc_a", "doc_b")
     val ov = size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long")
