@@ -3540,22 +3540,27 @@ object AnalysisQueries {
          |    ON br.source = sp.source AND br.j = sp.j
          |  GROUP BY sp.source, sp.j),
          |sa AS (SELECT source,
-         |    CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT) AS s2
+         |    CASE WHEN CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT)
+         |        = 2147483648 THEN 0
+         |      ELSE $alphaNum //
+         |        (1000 * CAST(sum(CAST(1 AS BIGINT) << (25 - mr))
+         |          AS BIGINT)) END AS est_a
          |  FROM rega GROUP BY source),
          |su AS (SELECT source,
-         |    CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT) AS s2
+         |    $alphaNum // (1000 *
+         |      CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT))
+         |      AS est_u
          |  FROM regu GROUP BY source)
          |SELECT exu.source AS source,
-         |  CAST(exa.n_exact_a AS BIGINT) AS n_exact_a,
-         |  CAST(exu.n_exact_union - exa.n_exact_a AS BIGINT)
+         |  CAST(coalesce(exa.n_exact_a, 0) AS BIGINT) AS n_exact_a,
+         |  CAST(exu.n_exact_union - coalesce(exa.n_exact_a, 0) AS BIGINT)
          |    AS n_exact_new,
-         |  $alphaNum // (1000 * sa.s2) AS est_a,
-         |  $alphaNum // (1000 * su.s2) - $alphaNum // (1000 * sa.s2)
-         |    AS est_new,
-         |  abs(($alphaNum // (1000 * su.s2) - $alphaNum // (1000 * sa.s2))
-         |    - (exu.n_exact_union - exa.n_exact_a)) * 10000
+         |  sa.est_a AS est_a,
+         |  su.est_u - sa.est_a AS est_new,
+         |  abs((su.est_u - sa.est_a)
+         |    - (exu.n_exact_union - coalesce(exa.n_exact_a, 0))) * 10000
          |    // exu.n_exact_union AS diff_err_bp
-         |FROM exu JOIN exa ON exa.source = exu.source
+         |FROM exu LEFT JOIN exa ON exa.source = exu.source
          |JOIN sa ON sa.source = exu.source
          |JOIN su ON su.source = exu.source
          |ORDER BY source""".stripMargin) { (s, dir) =>
@@ -3586,16 +3591,23 @@ object AnalysisQueries {
         .agg(count(lit(1)).as("n_exact_a"))
       val exu = d.select(col("source"), col("h")).distinct()
         .groupBy("source").agg(count(lit(1)).as("n_exact_union"))
+      // est with the empty-set guard: all-zero registers (register sum
+      // exactly 64*2^25) mean NO generation-A rows — a source first
+      // seen in gen B, the growth case itself — and the honest empty
+      // estimate is 0, not the raw estimator's alpha*m ~ 45 floor.
       def estOf(regsCol: String): org.apache.spark.sql.Column = {
         val s2 = s"aggregate(transform($regsCol, " +
           "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
           "CAST(0 AS BIGINT), (a, x) -> a + x)"
-        expr(s"$alphaNum div (1000 * ($s2))")
+        expr(s"CASE WHEN ($s2) = 2147483648L THEN 0L " +
+          s"ELSE $alphaNum div (1000 * ($s2)) END")
       }
       merged
-        .join(exa, "source").join(exu, "source")
-        .select(col("source"), col("n_exact_a"),
-          (col("n_exact_union") - col("n_exact_a")).as("n_exact_new"),
+        .join(exa, Seq("source"), "left").join(exu, "source")
+        .select(col("source"),
+          coalesce(col("n_exact_a"), lit(0L)).as("n_exact_a"),
+          (col("n_exact_union") - coalesce(col("n_exact_a"), lit(0L)))
+            .as("n_exact_new"),
           estOf("regs_a").as("est_a"),
           (estOf("regs_u") - estOf("regs_a")).as("est_new"))
         .join(exu, "source")
