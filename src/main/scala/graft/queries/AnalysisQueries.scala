@@ -124,7 +124,8 @@ object AnalysisQueries {
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
-      e136RollingDistinct, e137HllRollup, e138GenerationGrowth)
+      e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
+      e140Pseudonymize)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3726,6 +3727,86 @@ object AnalysisQueries {
           when(col("est_hll") * 2 <= 320 && col("v_zero") > 0, lit("lc"))
             .otherwise(lit("raw")).as("regime"))
         .orderBy(col("day_idx"))
+    }
+  }
+
+  // ---- e140: keyed pseudonymization with self-proving invariants ----------
+
+  /** Deterministic keyed pseudonymization of the user id column — the
+    * privacy-prep transform a training pipeline applies BEFORE events
+    * leave the trust boundary: e19 destroys PII in text; this replaces
+    * the identifier while preserving exactly the two properties
+    * downstream processing needs, and PROVES both in its own output
+    * instead of asserting them:
+    *
+    *  - injectivity on this corpus (`n_collisions` = pseudo-ids shared
+    *    by ≥ 2 real users — must read 0, else joins silently merge
+    *    users): the cube-mix draw ([[graft.gen.MockData.hashLong]]
+    *    arithmetic, pseudonymization-tagged seed) is not formally
+    *    injective mod P, so the operator MEASURES it per run — the
+    *    honest contract for any hash-based pseudonym at fleet scale,
+    *    where the birthday bound (n²/2P) says when to widen to a
+    *    128-bit pseudonym;
+    *  - distribution invariance: the events-per-user frequency table
+    *    computed on pseudonymized ids must equal the raw one row for
+    *    row (n_users_raw = n_users_pseudo at every activity level) —
+    *    the analytics-preserving claim, checked at the finest grain
+    *    an id-free consumer can observe.
+    *
+    * Output: one row per events-per-user level with both censuses and
+    * the global collision count riding along. Scale (100 TB): two
+    * user-keyed aggregations (raw and pseudo) of the same fact scan —
+    * the pseudo one groups by a column computed IN the scan
+    * projection, so no extra pass — plus a #users-row collision
+    * census; the frequency rollup is map-side combinable to ≤
+    * #distinct-activity-levels rows.
+    */
+  private def e140Pseudonymize = {
+    val seed = 42L
+    val drawDuck = graft.gen.MockData.hashLongDuck(seed, "pseudo", "user_id")
+    QueryDef.sql(
+      "e140_pseudonymize",
+      s"""WITH ev AS (SELECT user_id, $drawDuck AS pseudo_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |coll AS (SELECT CAST(count(*) AS BIGINT) AS n_collisions FROM (
+         |    SELECT pseudo_id FROM (SELECT DISTINCT user_id, pseudo_id
+         |      FROM ev)
+         |    GROUP BY pseudo_id HAVING count(*) > 1)),
+         |raw AS (SELECT CAST(count(*) AS BIGINT) AS n_events, user_id
+         |  FROM ev GROUP BY user_id),
+         |pse AS (SELECT CAST(count(*) AS BIGINT) AS n_events, pseudo_id
+         |  FROM ev GROUP BY pseudo_id),
+         |rf AS (SELECT n_events, CAST(count(*) AS BIGINT) AS n_users_raw
+         |  FROM raw GROUP BY n_events),
+         |pf AS (SELECT n_events, CAST(count(*) AS BIGINT)
+         |    AS n_users_pseudo
+         |  FROM pse GROUP BY n_events)
+         |SELECT coalesce(rf.n_events, pf.n_events) AS events_per_user,
+         |  coalesce(rf.n_users_raw, 0) AS n_users_raw,
+         |  coalesce(pf.n_users_pseudo, 0) AS n_users_pseudo,
+         |  coll.n_collisions
+         |FROM rf FULL OUTER JOIN pf ON pf.n_events = rf.n_events
+         |CROSS JOIN coll
+         |ORDER BY events_per_user""".stripMargin) { (s, dir) =>
+      val draw = graft.gen.MockData.hashLong(seed, "pseudo", col("user_id"))
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), draw.as("pseudo_id"))
+      val coll = ev.select("user_id", "pseudo_id").distinct()
+        .groupBy("pseudo_id").agg(count(lit(1)).as("nu"))
+        .filter(col("nu") > 1)
+        .agg(count(lit(1)).as("n_collisions"))
+      val rf = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .groupBy("n_events").agg(count(lit(1)).as("n_users_raw"))
+      val pf = ev.groupBy("pseudo_id").agg(count(lit(1)).as("n_events"))
+        .groupBy("n_events").agg(count(lit(1)).as("n_users_pseudo"))
+      rf.join(pf, Seq("n_events"), "full_outer")
+        .crossJoin(broadcast(coll))
+        .select(col("n_events").as("events_per_user"),
+          coalesce(col("n_users_raw"), lit(0L)).as("n_users_raw"),
+          coalesce(col("n_users_pseudo"), lit(0L)).as("n_users_pseudo"),
+          col("n_collisions"))
+        .orderBy(col("events_per_user"))
     }
   }
 

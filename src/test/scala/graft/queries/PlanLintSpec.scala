@@ -60,6 +60,8 @@ class PlanLintSpec extends SparkSpecBase {
                                   // shared recallAuditStats tail)
       "e135_cluster_split", // two one-row crosses: doc total + the
                             // (pairs_crossing, naive_crossing) audit
+      "e140_pseudonymize", // one-row collision-count cross, the e22
+                           // pattern
       "e107_silhouette", // the e17 codebook broadcast, same bound
       "e109_copurchase_lift", // one-row n_orders frame, the e22 pattern
       "e110_hard_negatives", // anchor-set broadcast (~1% of corpus),
