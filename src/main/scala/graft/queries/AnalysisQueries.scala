@@ -3742,11 +3742,15 @@ object AnalysisQueries {
     *  - injectivity on this corpus (`n_collisions` = pseudo-ids shared
     *    by ≥ 2 real users — must read 0, else joins silently merge
     *    users): the cube-mix draw ([[graft.gen.MockData.hashLong]]
-    *    arithmetic, pseudonymization-tagged seed) is not formally
-    *    injective mod P, so the operator MEASURES it per run — the
-    *    honest contract for any hash-based pseudonym at fleet scale,
-    *    where the birthday bound (n²/2P) says when to widen to a
-    *    128-bit pseudonym;
+    *    arithmetic, pseudonymization-tagged seed) is in fact a
+    *    PERMUTATION of [0, P) — gcd(3, P−1) = 1 makes cubing bijective
+    *    mod the prime, and the affine pre-map trivially is — so
+    *    collisions can only enter through ids ≥ P reducing mod P (the
+    *    id-domain wrap) or a future swap to a truncating production
+    *    hash (xxhash64 & mask is NOT injective). The census measures
+    *    the property rather than trusting the algebra: it stays
+    *    correct under either change, and the birthday bound (n²/2P)
+    *    says when a truncating pseudonym must widen to 128 bits;
     *  - distribution invariance: the events-per-user frequency table
     *    computed on pseudonymized ids must equal the raw one row for
     *    row (n_users_raw = n_users_pseudo at every activity level) —
