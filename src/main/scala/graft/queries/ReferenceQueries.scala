@@ -31,7 +31,7 @@ object ReferenceQueries {
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
-    q49RevenueShare, q50NationVolume)
+    q49RevenueShare, q50NationVolume, q51TopSupplier)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1847,6 +1847,55 @@ object ReferenceQueries {
       .select(col("l_partkey"), col("rev_t"),
         expr("rev_t * n_parts * 10000 div total_t").as("mean_x_bp"))
       .orderBy(col("l_partkey"))
+  }
+
+  /** TPC-H-Q15-shaped top supplier(s): the supplier(s) achieving the
+    * MAXIMUM revenue over a fixed ship-date quarter, ties KEPT — the
+    * argmax-against-a-derived-aggregate pattern (Q15's
+    * `WHERE total = (SELECT max(total) ...)` scalar subquery), which
+    * is a different decorrelation from q31's per-group top-k window
+    * (no partition key: the comparison is against ONE global scalar)
+    * and from q49's HAVING-vs-mean (threshold, not argmax). Revenue
+    * follows the house integer ten-thousandths convention, so the
+    * max-equality comparison is exact — a rounded-double revenue
+    * would make "ties kept" engine-dependent at the last ulp.
+    *
+    * Plan shape: one supplier-keyed revenue aggregation over the
+    * date-pruned fact scan (predicate pushed to parquet), a 1-row max
+    * broadcast back onto the #suppliers frame (the e22 pattern —
+    * Catalyst decorrelates the scalar subquery to exactly this), and
+    * a broadcast supplier-dim join for the name. At 100 TB nothing
+    * but the pruned fact scan is corpus-sized.
+    */
+  private def q51TopSupplier = QueryDef.sql(
+    "q51_top_supplier",
+    s"""WITH rev AS (SELECT l_suppkey,
+       |    ${revenueTDuck("l_extendedprice", "l_discount")} AS rev_t
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey),
+       |mx AS (SELECT max(rev_t) AS m FROM rev)
+       |SELECT s.s_suppkey, s.s_name, r.rev_t,
+       |  ${money2Duck("r.rev_t")} AS revenue
+       |FROM rev r CROSS JOIN mx
+       |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       |WHERE r.rev_t = mx.m
+       |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("rev_t"))
+    val mx = rev.agg(max(col("rev_t")).as("m"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_t") === col("m"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_t"),
+        money2("rev_t").as("revenue"))
+      .orderBy(col("s_suppkey"))
   }
 
   /** TPC-H-Q7-shaped nation-pair volume: revenue flowing from a

@@ -45,7 +45,8 @@ object TrainingQueries {
     e72FlooredSample, e73ShardManifest, e74EpochSchedule,
     e75TokenFertility, e76CurriculumBins, e77ShardStability,
     e78PackContexts, e79LengthBuckets, e82InterleaveSchedule,
-    e83MemorizationNgrams, e84BoilerplatePrefix, e85CharSkew)
+    e83MemorizationNgrams, e84BoilerplatePrefix, e85CharSkew,
+    e141RendezvousReshard)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -2380,6 +2381,88 @@ object TrainingQueries {
         .select(col("doc_id"), col("n").as("n_letters"),
           expr("mx * 10000L div n").as("top_bp"),
           expr("sq * 10000L div (n * n)").as("simpson_bp"))
+    }
+  }
+
+  /** Shard-assignment SCHEME comparison under resharding — the design
+    * decision e73/e77 audit downstream of: when the shard count grows
+    * N → N+1, how much of the corpus MOVES under modulo hashing vs
+    * rendezvous (highest-random-weight, Thaler–Ravishankar) hashing?
+    * Mod reassigns every doc whose hash changes residue — N/(N+1) of
+    * the corpus in expectation, a near-total reshuffle of shard
+    * storage and every downstream cache; HRW assigns each doc to
+    * argmax_s weight(doc, s), so growing to N+1 moves exactly the
+    * docs the NEW shard wins — 1/(N+1) in expectation, the provable
+    * minimum for a balanced stateless scheme. The query computes both
+    * assignments at N = 8 and N = 9 and reports measured moved shares
+    * side by side — the one-table argument for rendezvous layout keys
+    * at fleet scale, where a reshard that touches 89 % of 100 TB is
+    * an outage and one that touches 11 % is a rebalance.
+    *
+    * All draws are the portable cube mix (per-shard tags), assignment
+    * ties break to the LOWEST shard id (first-position semantics in
+    * both engines), and every share is integer bp. Scale (100 TB):
+    * pure per-row projection (2·(N + N+1) draws per doc, codegen'd)
+    * plus one 2-row aggregation — no shuffle at all until the final
+    * 2-row rollup; the scan never reads `text`.
+    */
+  private def e141RendezvousReshard = {
+    val seed = 42L
+    val n0 = 8
+    def drawsDuck(n: Int): String =
+      (0 until n).map(s0 =>
+        MockData.hashLongDuck(seed, s"hrw$s0", "doc_id"))
+        .mkString("[", ", ", "]")
+    QueryDef.sql(
+      "e141_rendezvous_reshard",
+      s"""WITH a AS (SELECT doc_id,
+         |    ${MockData.hashLongDuck(seed, "shardmod", "doc_id")} AS hm,
+         |    ${drawsDuck(n0)} AS w8,
+         |    ${drawsDuck(n0 + 1)} AS w9
+         |  FROM documents),
+         |asg AS (SELECT doc_id,
+         |    hm % $n0 AS mod_a, hm % ${n0 + 1} AS mod_b,
+         |    list_position(w8, list_max(w8)) - 1 AS hrw_a,
+         |    list_position(w9, list_max(w9)) - 1 AS hrw_b
+         |  FROM a),
+         |m AS (SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN mod_a <> mod_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved
+         |  FROM asg
+         |  UNION ALL
+         |  SELECT 'rendezvous', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN hrw_a <> hrw_b THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM asg)
+         |SELECT scheme, n_docs, n_moved,
+         |  n_moved * 10000 // n_docs AS moved_bp
+         |FROM m ORDER BY scheme""".stripMargin) { (s, dir) =>
+      def draws(n: Int) = array((0 until n).map(s0 =>
+        MockData.hashLong(seed, s"hrw$s0", col("doc_id"))): _*)
+      val asg = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          MockData.hashLong(seed, "shardmod", col("doc_id")).as("hm"),
+          draws(n0).as("w8"), draws(n0 + 1).as("w9"))
+        .select(col("doc_id"),
+          (col("hm") % n0).as("mod_a"), (col("hm") % (n0 + 1)).as("mod_b"),
+          (array_position(col("w8"), array_max(col("w8"))) - 1)
+            .as("hrw_a"),
+          (array_position(col("w9"), array_max(col("w9"))) - 1)
+            .as("hrw_b"))
+      val m = asg.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mod_a") =!= col("mod_b"), 1L).otherwise(0L))
+          .as("n_moved"))
+        .select(lit("mod").as("scheme"), col("n_docs"), col("n_moved"))
+        .unionByName(asg.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("hrw_a") =!= col("hrw_b"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .select(lit("rendezvous").as("scheme"), col("n_docs"),
+            col("n_moved")))
+      m.select(col("scheme"), col("n_docs"), col("n_moved"),
+          expr("n_moved * 10000 div n_docs").as("moved_bp"))
+        .orderBy(col("scheme"))
     }
   }
 }
