@@ -125,7 +125,7 @@ object AnalysisQueries {
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
-      e140Pseudonymize)
+      e140Pseudonymize, e142SharedRun)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3728,6 +3728,111 @@ object AnalysisQueries {
             .otherwise(lit("raw")).as("regime"))
         .orderBy(col("day_idx"))
     }
+  }
+
+  // ---- e142: shared-run explanation for verified near-dup pairs -----------
+
+  /** The EXPLANATION artifact for the dedup review queue: per
+    * MinHash-verified near-dup pair (J ≥ 0.3), the LONGEST contiguous
+    * shared word run and the count of shared positional 3-grams — the
+    * evidence a human (or an appeals process) actually reads. A
+    * Jaccard score says two documents share mass; the longest run says
+    * WHERE the duplication lives: a 200-word run is a copied passage
+    * (quote/syndication — maybe legitimate), scattered 3-word runs at
+    * the same Jaccard are template boilerplate (delete with
+    * confidence). Winnowing (e80) GUARANTEES detection only of runs
+    * ≥ 7 words; this measures the actual run structure on the pairs
+    * that matter.
+    *
+    * Relational shape — the gaps-and-islands pattern over gram
+    * diagonals: shared positional grams of a pair at positions
+    * (pa, pb) lie on diagonal d = pa − pb; a contiguous shared run is
+    * a maximal streak of consecutive pa on one diagonal, found by the
+    * classic pa − row_number() island key — one window partitioned by
+    * (pair, diagonal), never a cross-gram join. A streak of g
+    * consecutive 3-grams spans g + 2 words.
+    *
+    * Scale (100 TB): pairs are banding-bounded (e3's machinery); the
+    * positional-gram fetch is semi-joined to PAIR MEMBERS only (the
+    * e98 verification discipline — the corpus-wide gram pass never
+    * runs); the diagonal join's fan-out is the true shared-gram count
+    * per pair (what the output reports — self-auditing cost); windows
+    * partition by (pair, diag), bounded by one document's grams.
+    */
+  private def e142SharedRun = QueryDef.sql(
+    "e142_shared_run",
+    s"""WITH ${ExtensionQueries.minhashPairsDuck.stripPrefix("WITH ")},
+       |vp AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM verified
+       |  WHERE jaccard >= 0.3),
+       |pd AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM vp
+       |    UNION ALL SELECT doc_b FROM vp)),
+       |pw AS (SELECT d.doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents d JOIN pd ON pd.doc_id = d.doc_id),
+       |pg AS (SELECT doc_id, unnest(${Portable.posShinglesDuck}) AS h,
+       |    unnest(range(1, len(wh) - 1)) AS pos
+       |  FROM pw WHERE len(wh) >= 3),
+       |shared AS (SELECT DISTINCT v.doc_a, v.doc_b,
+       |    ga.pos AS pa, gb.pos AS pb
+       |  FROM vp v
+       |  JOIN pg ga ON ga.doc_id = v.doc_a
+       |  JOIN pg gb ON gb.doc_id = v.doc_b AND gb.h = ga.h),
+       |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |      ORDER BY pa) AS grp
+       |  FROM shared),
+       |runs AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS g_run
+       |  FROM isl GROUP BY doc_a, doc_b, diag, grp),
+       |agg AS (SELECT doc_a, doc_b,
+       |    CAST(max(g_run) + 2 AS BIGINT) AS longest_run_words,
+       |    CAST(sum(g_run) AS BIGINT) AS n_shared_grams
+       |  FROM runs GROUP BY doc_a, doc_b)
+       |SELECT v.doc_a, v.doc_b,
+       |  CAST(round(v.jaccard * 10000) AS BIGINT) AS jaccard_bp,
+       |  coalesce(a.longest_run_words, 0) AS longest_run_words,
+       |  coalesce(a.n_shared_grams, 0) AS n_shared_grams
+       |FROM vp v LEFT JOIN agg a
+       |  ON a.doc_a = v.doc_a AND a.doc_b = v.doc_b
+       |ORDER BY v.doc_a, v.doc_b""".stripMargin) { (s, dir) =>
+    val vp = ExtensionQueries.minhashVerifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(true) // feeds pd, the diagonal join, and the
+                             // final left join — the e132 discipline
+    val pd = vp.select(explode(array(col("doc_a"), col("doc_b")))
+        .as("doc_id")).distinct()
+    val g = Tables.documents(s, dir)
+      .join(pd, "doc_id")
+      .select(col("doc_id"), F.word_hashes(col("text")).as("wh"))
+      .filter(size(col("wh")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr(Portable.posShinglesSpark))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val shared = vp
+      .join(g.as("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(g.as("gb"),
+        col("gb.doc_id") === col("doc_b") && col("gb.h") === col("ga.h"))
+      .select(col("doc_a"), col("doc_b"),
+        col("ga.pos").as("pa"), col("gb.pos").as("pb"))
+      .distinct()
+    val isl = shared
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pa"))))
+    val agg = isl.groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("g_run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("g_run")) + 2).as("longest_run_words"),
+        sum(col("g_run")).as("n_shared_grams"))
+    vp.join(agg, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 10000).cast("long").as("jaccard_bp"),
+        coalesce(col("longest_run_words"), lit(0L))
+          .as("longest_run_words"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- e140: keyed pseudonymization with self-proving invariants ----------
