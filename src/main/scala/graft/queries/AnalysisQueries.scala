@@ -3799,6 +3799,17 @@ object AnalysisQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint(true) // feeds pd, the diagonal join, and the
                              // final left join — the e132 discipline
+    sharedRunStats(s, dir, vp)
+  }
+
+  /** Core of e142 past pair generation: per `(doc_a, doc_b, jaccard)`
+    * row of `vp`, the longest contiguous shared word run and the shared
+    * positional-gram count over the documents at `dir`. Split out so
+    * E142RunSpec can drive the island arithmetic with a hand-built pair
+    * set over a synthetic corpus, independent of the banding machinery.
+    */
+  private[queries] def sharedRunStats(
+      s: SparkSession, dir: String, vp: DataFrame): DataFrame = {
     val pd = vp.select(explode(array(col("doc_a"), col("doc_b")))
         .as("doc_id")).distinct()
     val g = Tables.documents(s, dir)
