@@ -125,7 +125,7 @@ object AnalysisQueries {
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
-      e140Pseudonymize, e142SharedRun)
+      e140Pseudonymize, e142SharedRun, e143Cusum)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -3844,6 +3844,113 @@ object AnalysisQueries {
           .as("longest_run_words"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- e143: CUSUM changepoint screen on daily event volume ---------------
+
+  /** Page's CUSUM (Page 1954) over daily event counts per event type —
+    * the SEQUENTIAL-drift member of the monitoring family: e115's PSI
+    * compares whole weekly distributions against a reference window,
+    * while CUSUM accumulates small sustained deviations day by day and
+    * names the day the accumulated excess peaked — the statistic that
+    * catches a slow ramp PSI's week-grain buckets smear out. Reported
+    * per type: the max one-sided upward CUSUM statistic, its date
+    * (tie → earliest), and an alarm when the cumulative excess tops one
+    * full average day's volume (`excess_bp > 10000`).
+    *
+    * Relational shape — the prefix-sum closed form. The textbook
+    * recursion S_t = max(0, S_{t−1} + (x_t − k)) looks inherently
+    * sequential, but with P_t = Σ_{i≤t}(x_i − k) it collapses to
+    * S_t = P_t − min_{0≤j≤t} P_j (P_0 = 0 carried by the least(0, ·)):
+    * one running sum + one running min, both plain windows — no
+    * recursion, no UDAF, no driver loop. E143CusumSpec pins the
+    * identity against the recursion, day by day.
+    * The reference rate k is the type's own mean; scaling deviations by
+    * n_days (d_t = nd·x_t − tot) keeps every P_t an exact integer that
+    * sums to zero over the period, so argmax selection and the
+    * tie-break never touch a float, and both engines agree bit-for-bit
+    * (st ≥ 0 and tot > 0, so `//` floor and `div` truncate coincide).
+    *
+    * Scale (100 TB): ONE (type, day)-keyed aggregation of the fact
+    * scan; everything after runs on the #types × #days frame (checked
+    * once via localCheckpoint — three bounded consumers). Windows
+    * partition by type over ≤ #days rows. Headroom: |P_t| ≤ nd·tot, so
+    * BIGINT holds past 10^14 events/type at a year's grain. Fleet
+    * variants: per (type, region) adds a key column; two-sided CUSUM
+    * adds the mirrored max(P) window; known-rate monitoring replaces
+    * tot/nd with the contractual rate.
+    */
+  private def e143Cusum = QueryDef.sql(
+    "e143_cusum",
+    """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+      |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+      |days AS (SELECT CAST(unnest(generate_series(
+      |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, dd.d,
+      |    coalesce(c.c, CAST(0 AS BIGINT)) AS x
+      |  FROM types t CROSS JOIN days dd
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = dd.d),
+      |tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS tot,
+      |    CAST(count(*) AS BIGINT) AS nd
+      |  FROM grid GROUP BY 1),
+      |p AS (SELECT g.event_type, g.d, t.tot, t.nd,
+      |    CAST(sum(t.nd * g.x - t.tot) OVER (PARTITION BY g.event_type
+      |      ORDER BY g.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |      ROW) AS BIGINT) AS pt
+      |  FROM grid g JOIN tot t ON t.event_type = g.event_type),
+      |s AS (SELECT event_type, d, tot, nd,
+      |    pt - least(CAST(0 AS BIGINT),
+      |      min(pt) OVER (PARTITION BY event_type ORDER BY d
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS st
+      |  FROM p),
+      |pick AS (SELECT event_type, d, tot, nd, st,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY st DESC, d ASC) AS rn
+      |  FROM s)
+      |SELECT event_type, nd AS n_days, tot AS total_events,
+      |  st AS cusum_max,
+      |  CAST(st * 10000 // tot AS BIGINT) AS excess_bp,
+      |  d AS alarm_day,
+      |  CASE WHEN st * 10000 // tot > 10000 THEN 1 ELSE 0 END
+      |    AS alarmed
+      |FROM pick WHERE rn = 1
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bounded (#types × #days); feeds bounds,
+                             // types, and the grid join — one fact pass
+    val days = cnt.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val grid = cnt.select("event_type").distinct()
+      .crossJoin(days)
+      .join(cnt, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val tot = grid.groupBy("event_type")
+      .agg(sum(col("x")).as("tot"), count(lit(1)).as("nd"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val p = grid.join(tot, "event_type")
+      .withColumn("pt", sum(col("nd") * col("x") - col("tot")).over(
+        wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = p.withColumn("st",
+      col("pt") - least(lit(0L), min(col("pt")).over(
+        wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val excess = expr("st * 10000 div tot")
+    st.withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("st").desc, col("d").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("nd").as("n_days"),
+        col("tot").as("total_events"), col("st").as("cusum_max"),
+        excess.as("excess_bp"), col("d").as("alarm_day"),
+        when(excess > 10000, 1).otherwise(0).as("alarmed"))
+      .orderBy("event_type")
   }
 
   // ---- e140: keyed pseudonymization with self-proving invariants ----------
