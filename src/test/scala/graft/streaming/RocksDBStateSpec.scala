@@ -473,6 +473,34 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamCusum prefix state accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[StreamCusum.DayCount]
+    val q = StreamCusum.monitor(ms.toDS(), refNum = 10L, refDen = 1L)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_cusum").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1 to 3).map(d =>
+        StreamCusum.DayCount("k", d.toLong, 13L)): _*)
+      q.processAllAvailable()
+      ms.addData((4 to 6).map(d =>
+        StreamCusum.DayCount("k", d.toLong, 13L)): _*)
+      q.processAllAvailable()
+      val k = s.table("rocks_cusum")
+        .as[StreamCusum.Alarm].collect().maxBy(_.n_days)
+      // 6 days at +3 over reference: S_max = 18 on day 6, alarmed —
+      // identical to the in-memory-provider run in StreamCusumSpec
+      assert(k.n_days === 6L && k.s_max === 18L)
+      assert(k.alarm_day === 6L && k.alarmed)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamRollingDistinct windowed registers identical on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
