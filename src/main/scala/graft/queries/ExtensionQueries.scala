@@ -45,7 +45,7 @@ object ExtensionQueries {
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
     e80Winnowing, e81MrlTruncation, e125MutualKnn,
-    e128SortedNeighborhood, e133ClusterCensus)
+    e128SortedNeighborhood, e133ClusterCensus, e144Containment)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
     * source for e2/e3). One compiled ShingleHashes expression — see
@@ -138,6 +138,104 @@ object ExtensionQueries {
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.3)
+  }
+
+  /** CONTAINMENT screen (Broder 1997's second measure — "On the
+    * resemblance and containment of documents"): for every candidate
+    * pair, C = |A∩B| / |A| of the SMALLER pruned shingle set, reported
+    * for pairs with C ≥ 0.8 alongside their Jaccard and a `hidden` flag
+    * marking containment the symmetric detectors structurally drop
+    * (jaccard_bp < 3000 — below e2/e3's J ≥ 0.3 floor). Resemblance and
+    * containment answer different questions: a 20-word quote inside a
+    * 100-word article has J ≈ 0.18 (invisible to every Jaccard-threshold
+    * member: e2's count ratio, e3's banding recall curve is centred on
+    * J, e98's prefix bound assumes near-equal sizes) but C = 1.0 — the
+    * asymmetric member that catches quote extraction, template
+    * embedding, and doc-inside-doc syndication. E144ContainmentSpec
+    * pins exactly that regime on a constructed quote pair, including
+    * its absence from e2's output on the same corpus.
+    *
+    * Machinery is e2's verbatim (shared postings discipline): df ≤ 100
+    * prune, posting self-join, pair counts — the work bound is the same
+    * Σ df² and the prune's bias (a gram shared by > 100 docs counts for
+    * neither side) applies to numerator AND denominator, so C stays a
+    * true ratio over the pruned universe. All-integer: containment and
+    * Jaccard in floor basis points (c·10⁴ is ≤ 10⁴·|shingle set| —
+    * no overflow), smaller-set pick ties to the lower doc_id.
+    *
+    * Scale (100 TB): identical posture to e2 (the df cap bounds bucket
+    * fan-out); at production scale the same screen runs on e3's banded
+    * candidates UNIONed with a small-set-biased posting join (banding
+    * alone would miss high-C/low-J pairs — the honest caveat this
+    * query's `hidden` column measures).
+    */
+  private def e144Containment = QueryDef.sql(
+    "e144_containment",
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w),
+       |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh
+       |  WHERE len(shs) > 0),
+       |kept AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 100),
+       |pr AS (SELECT ex.doc_id, ex.sh FROM ex JOIN kept USING (sh)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM pr
+       |  GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cls AS (SELECT
+       |    CASE WHEN sb.sz < sa.sz THEN doc_b ELSE doc_a END
+       |      AS doc_small,
+       |    CASE WHEN sb.sz < sa.sz THEN doc_a ELSE doc_b END
+       |      AS doc_big,
+       |    least(sa.sz, sb.sz) AS sz_small,
+       |    greatest(sa.sz, sb.sz) AS sz_big, c,
+       |    c * 10000 // least(sa.sz, sb.sz) AS containment_bp,
+       |    c * 10000 // (sa.sz + sb.sz - c) AS jaccard_bp
+       |  FROM common
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)
+       |SELECT doc_small, doc_big, sz_small, sz_big, c AS shared,
+       |  containment_bp, jaccard_bp,
+       |  CASE WHEN jaccard_bp < 3000 THEN 1 ELSE 0 END AS hidden
+       |FROM cls WHERE containment_bp >= 8000
+       |ORDER BY doc_small, doc_big""".stripMargin) { (s, dir) =>
+    // e2's one-exchange postings discipline verbatim: the df census and
+    // the pruning join reuse the sh-keyed shuffle; the self-join needs
+    // no further exchange.
+    val ex = docShingles(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
+    val kept = ex.groupBy("sh").agg(count(col("doc_id")).as("df"))
+      .filter(col("df") <= 100).select("sh")
+    val pr = ex.join(kept, "sh")
+    val sz = pr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pr.as("a")
+      .join(pr.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val bSmaller = col("sb.sz") < col("sa.sz")
+    val szMin = least(col("sa.sz"), col("sb.sz"))
+    common
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        when(bSmaller, col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_small"),
+        when(bSmaller, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_big"),
+        szMin.as("sz_small"),
+        greatest(col("sa.sz"), col("sb.sz")).as("sz_big"),
+        col("c").as("shared"),
+        expr("c * 10000 div least(sa.sz, sb.sz)").as("containment_bp"),
+        expr("c * 10000 div (sa.sz + sb.sz - c)").as("jaccard_bp"))
+      .withColumn("hidden",
+        when(col("jaccard_bp") < 3000, 1).otherwise(0))
+      .filter(col("containment_bp") >= 8000)
+      .orderBy("doc_small", "doc_big")
   }
 
   /** WINNOWING overlap detection (Schleimer/Wilkerson/Aiken SIGMOD'03 —
