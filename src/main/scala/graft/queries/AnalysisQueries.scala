@@ -3758,6 +3758,22 @@ object AnalysisQueries {
     * runs); the diagonal join's fan-out is the true shared-gram count
     * per pair (what the output reports — self-auditing cost); windows
     * partition by (pair, diag), bounded by one document's grams.
+    *
+    * CONTENT KEYING (the measured fix for the dense-replica probe,
+    * where the id-keyed form OOMed at 100×): an explanation depends
+    * only on the two TEXTS, so all expensive work is keyed by content
+    * digest and computed once per distinct digest (pair), then joined
+    * back to the id-grain pair list. Digest-equal pairs never reach the
+    * gram join at all — on identical texts the answer is analytic
+    * (longest run = the whole document; shared grams = Σ c_h² over the
+    * doc's own gram multiset, counting each repeated gram value's
+    * self-matches — E142RunSpec pins a repeated-phrase identical pair
+    * against the brute force). Digest-distinct pairs run the island
+    * machinery once per unordered digest pair on one representative
+    * doc per digest (run structure is side-swap symmetric). On the
+    * 100× replica corpus this collapses ~24.7M id-pairs to the
+    * original content-pair population — R replicas of a near-dup pair
+    * are R² id-pairs but ONE digest pair.
     */
   private def e142SharedRun = QueryDef.sql(
     "e142_shared_run",
@@ -3767,16 +3783,27 @@ object AnalysisQueries {
        |pd AS (SELECT DISTINCT doc_id FROM (
        |    SELECT doc_a AS doc_id FROM vp
        |    UNION ALL SELECT doc_b FROM vp)),
-       |pw AS (SELECT d.doc_id, ${Portable.wordHashesDuck} AS wh
+       |dgst AS MATERIALIZED (SELECT d.doc_id, md5(d.text) AS dig
        |  FROM documents d JOIN pd ON pd.doc_id = d.doc_id),
+       |vpe AS MATERIALIZED (SELECT v.doc_a, v.doc_b, v.jaccard,
+       |    (da.dig = db.dig) AS eq
+       |  FROM vp v
+       |  JOIN dgst da ON da.doc_id = v.doc_a
+       |  JOIN dgst db ON db.doc_id = v.doc_b),
+       |pdne AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM vpe WHERE NOT eq
+       |    UNION ALL SELECT doc_b FROM vpe WHERE NOT eq)),
+       |pw AS (SELECT d.doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents d JOIN pdne ON pdne.doc_id = d.doc_id),
        |pg AS (SELECT doc_id, unnest(${Portable.posShinglesDuck}) AS h,
        |    unnest(range(1, len(wh) - 1)) AS pos
        |  FROM pw WHERE len(wh) >= 3),
        |shared AS (SELECT DISTINCT v.doc_a, v.doc_b,
        |    ga.pos AS pa, gb.pos AS pb
-       |  FROM vp v
+       |  FROM vpe v
        |  JOIN pg ga ON ga.doc_id = v.doc_a
-       |  JOIN pg gb ON gb.doc_id = v.doc_b AND gb.h = ga.h),
+       |  JOIN pg gb ON gb.doc_id = v.doc_b AND gb.h = ga.h
+       |  WHERE NOT v.eq),
        |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
        |      ORDER BY pa) AS grp
@@ -3786,14 +3813,36 @@ object AnalysisQueries {
        |agg AS (SELECT doc_a, doc_b,
        |    CAST(max(g_run) + 2 AS BIGINT) AS longest_run_words,
        |    CAST(sum(g_run) AS BIGINT) AS n_shared_grams
-       |  FROM runs GROUP BY doc_a, doc_b)
-       |SELECT v.doc_a, v.doc_b,
-       |  CAST(round(v.jaccard * 10000) AS BIGINT) AS jaccard_bp,
-       |  coalesce(a.longest_run_words, 0) AS longest_run_words,
-       |  coalesce(a.n_shared_grams, 0) AS n_shared_grams
-       |FROM vp v LEFT JOIN agg a
-       |  ON a.doc_a = v.doc_a AND a.doc_b = v.doc_b
-       |ORDER BY v.doc_a, v.doc_b""".stripMargin) { (s, dir) =>
+       |  FROM runs GROUP BY doc_a, doc_b),
+       |pdeq AS (SELECT DISTINCT doc_a AS doc_id FROM vpe WHERE eq),
+       |eqw AS (SELECT d.doc_id, ${Portable.wordHashesDuck} AS wh
+       |  FROM documents d JOIN pdeq ON pdeq.doc_id = d.doc_id),
+       |eqg AS (SELECT doc_id, unnest(${Portable.posShinglesDuck}) AS h
+       |  FROM eqw WHERE len(wh) >= 3),
+       |eqc AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c
+       |  FROM eqg GROUP BY 1, 2),
+       |eqs AS (SELECT w.doc_id, CAST(len(w.wh) AS BIGINT) AS nw,
+       |    coalesce(s.nsg, CAST(0 AS BIGINT)) AS nsg
+       |  FROM eqw w LEFT JOIN (SELECT doc_id,
+       |      CAST(sum(c * c) AS BIGINT) AS nsg
+       |    FROM eqc GROUP BY doc_id) s ON s.doc_id = w.doc_id),
+       |res AS (
+       |  SELECT v.doc_a, v.doc_b, v.jaccard,
+       |    coalesce(a.longest_run_words, 0) AS lr,
+       |    coalesce(a.n_shared_grams, 0) AS nsg
+       |  FROM vpe v LEFT JOIN agg a
+       |    ON a.doc_a = v.doc_a AND a.doc_b = v.doc_b
+       |  WHERE NOT v.eq
+       |  UNION ALL
+       |  SELECT v.doc_a, v.doc_b, v.jaccard,
+       |    CASE WHEN e.nw >= 3 THEN e.nw ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN e.nw >= 3 THEN e.nsg ELSE CAST(0 AS BIGINT) END
+       |  FROM vpe v JOIN eqs e ON e.doc_id = v.doc_a
+       |  WHERE v.eq)
+       |SELECT doc_a, doc_b,
+       |  CAST(round(jaccard * 10000) AS BIGINT) AS jaccard_bp,
+       |  lr AS longest_run_words, nsg AS n_shared_grams
+       |FROM res ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val vp = ExtensionQueries.minhashVerifiedPairs(s, dir)
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -3812,37 +3861,102 @@ object AnalysisQueries {
       s: SparkSession, dir: String, vp: DataFrame): DataFrame = {
     val pd = vp.select(explode(array(col("doc_a"), col("doc_b")))
         .as("doc_id")).distinct()
-    val g = Tables.documents(s, dir)
-      .join(pd, "doc_id")
+    val docs = Tables.documents(s, dir).join(pd, "doc_id")
+      .select(col("doc_id"), col("text"))
+    // CONTENT KEYING: an explanation depends only on the two texts, so
+    // every downstream computation is keyed by content digest, computed
+    // once per DISTINCT digest (pair), and joined back — on a
+    // dup-heavy corpus the pair population collapses quadratically
+    // (R replicas of a near-dup pair = R² id-pairs but ONE digest
+    // pair) and the gram join runs on representative docs only.
+    val dg = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+      .localCheckpoint(true) // feeds vpe + both branches' rep lookups
+    val vpe = vp
+      .join(dg.as("da"), col("da.doc_id") === col("doc_a"))
+      .join(dg.as("db"), col("db.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("da.dig").as("dig_a"), col("db.dig").as("dig_b"))
+      .localCheckpoint(true) // feeds eq/ne splits and both join-backs
+    val vpNe = vpe.filter(col("dig_a") =!= col("dig_b"))
+      .withColumn("d1", least(col("dig_a"), col("dig_b")))
+      .withColumn("d2", greatest(col("dig_a"), col("dig_b")))
+    val vpEq = vpe.filter(col("dig_a") === col("dig_b"))
+    // slow path, once per distinct unordered digest pair: run structure
+    // is symmetric under side swap (diagonals negate, streak lengths
+    // survive), so the canonical (d1 < d2) orientation loses nothing
+    val cpairs = vpNe.select(col("d1"), col("d2")).distinct()
+    val needDig = cpairs
+      .select(explode(array(col("d1"), col("d2"))).as("dig")).distinct()
+    val reps = dg.join(needDig, "dig")
+      .groupBy("dig").agg(min(col("doc_id")).as("rep_id"))
+    val rp = cpairs
+      .join(reps.as("r1"), col("r1.dig") === col("d1"))
+      .join(reps.as("r2"), col("r2.dig") === col("d2"))
+      .select(col("d1"), col("d2"), col("r1.rep_id").as("ra"),
+        col("r2.rep_id").as("rb"))
+    val repIds = rp
+      .select(explode(array(col("ra"), col("rb"))).as("doc_id"))
+      .distinct()
+    val g = docs.join(repIds, "doc_id")
       .select(col("doc_id"), F.word_hashes(col("text")).as("wh"))
       .filter(size(col("wh")) >= 3)
       .select(col("doc_id"),
         posexplode(expr(Portable.posShinglesSpark))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    val shared = vp
-      .join(g.as("ga"), col("ga.doc_id") === col("doc_a"))
+    val shared = rp
+      .join(g.as("ga"), col("ga.doc_id") === col("ra"))
       .join(g.as("gb"),
-        col("gb.doc_id") === col("doc_b") && col("gb.h") === col("ga.h"))
-      .select(col("doc_a"), col("doc_b"),
+        col("gb.doc_id") === col("rb") && col("gb.h") === col("ga.h"))
+      .select(col("d1"), col("d2"),
         col("ga.pos").as("pa"), col("gb.pos").as("pb"))
       .distinct()
     val isl = shared
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(
-        Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        Window.partitionBy(col("d1"), col("d2"), col("diag"))
           .orderBy(col("pa"))))
-    val agg = isl.groupBy("doc_a", "doc_b", "diag", "grp")
+    val agg = isl.groupBy("d1", "d2", "diag", "grp")
       .agg(count(lit(1)).as("g_run"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("d1", "d2")
       .agg((max(col("g_run")) + 2).as("longest_run_words"),
         sum(col("g_run")).as("n_shared_grams"))
-    vp.join(agg, Seq("doc_a", "doc_b"), "left")
+    val neOut = vpNe.join(agg, Seq("d1", "d2"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("longest_run_words"), lit(0L)).as("lr"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("nsg"))
+    // fast path, once per distinct digest: on identical texts the
+    // longest run is the whole doc and the shared-gram count is Σ c_h²
+    // of the doc's OWN gram multiset (each repeated gram value matches
+    // itself at every position pair)
+    val eqDig = vpEq.select(col("dig_a").as("dig")).distinct()
+    val eqReps = dg.join(eqDig, "dig")
+      .groupBy("dig").agg(min(col("doc_id")).as("rep_id"))
+    val eqw = docs
+      .join(eqReps, col("doc_id") === col("rep_id"))
+      .select(col("dig"), F.word_hashes(col("text")).as("wh"))
+    val eqSelf = eqw
+      .filter(size(col("wh")) >= 3)
+      .select(col("dig"),
+        explode(expr(Portable.posShinglesSpark)).as("h"))
+      .groupBy("dig", "h").agg(count(lit(1)).as("c"))
+      .groupBy("dig").agg(sum(col("c") * col("c")).as("nsg"))
+    val eqStats = eqw
+      .select(col("dig"), size(col("wh")).cast("long").as("nw"))
+      .join(eqSelf, Seq("dig"), "left")
+      .select(col("dig"), col("nw"),
+        coalesce(col("nsg"), lit(0L)).as("nsg"))
+    val eqOut = vpEq
+      .join(eqStats, col("dig") === col("dig_a"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        when(col("nw") >= 3, col("nw")).otherwise(lit(0L)).as("lr"),
+        when(col("nw") >= 3, col("nsg")).otherwise(lit(0L)).as("nsg"))
+    neOut.unionByName(eqOut)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard") * 10000).cast("long").as("jaccard_bp"),
-        coalesce(col("longest_run_words"), lit(0L))
-          .as("longest_run_words"),
-        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+        col("lr").as("longest_run_words"),
+        col("nsg").as("n_shared_grams"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

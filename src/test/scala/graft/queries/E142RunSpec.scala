@@ -95,13 +95,19 @@ class E142RunSpec extends SparkSpecBase {
       (4L, s"${frags(0)} sepx ${frags(1)} sepy ${frags(2)} sepz ${frags(3)}"),
       // pair (5,6): zero shared grams
       (5L, "one two three four five six seven"),
-      (6L, "eight nine ten eleven twelve thirteen fourteen"))
+      (6L, "eight nine ten eleven twelve thirteen fourteen"),
+      // pair (7,8): byte-identical WITH a repeated phrase — the digest
+      // fast path, whose Σc² must count the off-diagonal self-matches
+      // a naive n−2 shortcut would miss
+      (7L, "pa pb pc pd xx pa pb pc pd"),
+      (8L, "pa pb pc pd xx pa pb pc pd"))
     val dir = Files.createTempDirectory("e142spec").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")))
       .write.parquet(s"$dir/documents.parquet")
-    val vp = Seq((1L, 2L, 0.5), (3L, 4L, 0.5), (5L, 6L, 0.35))
+    val vp = Seq((1L, 2L, 0.5), (3L, 4L, 0.5), (5L, 6L, 0.35),
+        (7L, 8L, 1.0))
       .toDF("doc_a", "doc_b", "jaccard")
     val got = AnalysisQueries.sharedRunStats(spark, dir, vp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
@@ -112,5 +118,8 @@ class E142RunSpec extends SparkSpecBase {
     assert(got((3L, 4L)) === ((4L, 8L)))
     // disjoint vocabularies: the left-join coalesce path
     assert(got((5L, 6L)) === ((0L, 0L)))
+    // identical docs, repeated phrase: fast path — longest = all 9
+    // words; Σc² = 2² + 2² + 1 + 1 + 1 = 11, not n−2 = 7
+    assert(got((7L, 8L)) === ((9L, 11L)))
   }
 }
