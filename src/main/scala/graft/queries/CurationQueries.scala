@@ -63,7 +63,8 @@ object CurationQueries {
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
-    e95StratifiedPriority, e96FilterAblation, e97CdcChunks)
+    e95StratifiedPriority, e96FilterAblation, e97CdcChunks,
+    e145KAnonymity)
 
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
@@ -1123,5 +1124,91 @@ object CurationQueries {
       expr("(n * 10000) div (size(bnds) + 1)").as("avg_chunk_words_e4"),
       (coalesce(aggregate(col("bnds"), lit(0L), _ + _), lit(0L))
         % Portable.P).as("boundary_ck"))
+  }
+
+  // ---- e145: k-anonymity / l-diversity release audit ----------------------
+
+  /** The privacy MEASUREMENT next to e19's redaction and e140's
+    * pseudonymization (Sweeney 2002 k-anonymity; Machanavajjhala 2007
+    * l-diversity): before releasing a user-grain table, census the
+    * quasi-identifier equivalence classes — here (nation, segment,
+    * balance-in-thousands), the generalization a release would publish
+    * — and report the achieved k (min class size), the
+    * singleton-class count (directly re-identifiable rows), the row
+    * mass below the conventional k = 5 / k = 10 bars, and minimum
+    * l-diversity of the order-priority sensitive attribute across
+    * classes (a class whose members all share one sensitive value
+    * leaks it even at high k — the homogeneity attack). The reading
+    * at sf0.01 — k = 1, a third of rows in singletons — is the
+    * artifact's point: this generalization does NOT anonymize, coarsen
+    * before release.
+    *
+    * All-integer (sizes, counts, floor-bp shares); the bucket edge
+    * floor(acctbal/1000) is a true IEEE floor on both engines
+    * (negative balances included). Deterministic single-row output.
+    *
+    * Scale (100 TB): one QI-keyed aggregation of the user table + one
+    * QI-keyed distinct-count of the joined fact — both standard
+    * two-level map-side-partial shuffles; everything after is
+    * class-grain (≤ |QI lattice| rows) folded to one row. Fleet
+    * variants: the full Incognito/Mondrian generalization search runs
+    * this census per lattice node (the census IS the inner loop);
+    * t-closeness swaps the distinct count for a per-class distribution
+    * distance against the broadcast global (e69's TV machinery).
+    */
+  private def e145KAnonymity = QueryDef.sql(
+    "e145_k_anonymity",
+    """WITH cls AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+      |  FROM customer),
+      |sz AS (SELECT c_nationkey, c_mktsegment, bal_k,
+      |    CAST(count(*) AS BIGINT) AS sz
+      |  FROM cls GROUP BY 1, 2, 3),
+      |ldiv AS (SELECT c.c_nationkey, c.c_mktsegment, c.bal_k,
+      |    CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+      |  FROM cls c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(min(sz) AS BIGINT) AS k_anon,
+      |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS singleton_classes,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k5,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000
+      |    // sum(sz) AS BIGINT) AS rows_below_k5_bp,
+      |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k10,
+      |  (SELECT min(l) FROM ldiv) AS l_div_min
+      |FROM sz""".stripMargin) { (s, dir) =>
+    val cls = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+    val qi = Seq("c_nationkey", "c_mktsegment", "bal_k")
+    val sz = cls.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+    val ldiv = cls
+      .join(Tables.orders(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(qi.map(col): _*)
+      .agg(countDistinct(col("o_orderpriority")).as("l"))
+      .agg(min(col("l")).as("l_div_min"))
+    sz.agg(
+        sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).as("k_anon"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L))
+          .as("singleton_classes"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+          .as("rows_below_k5"),
+        sum(when(col("sz") < 10, col("sz")).otherwise(0L))
+          .as("rows_below_k10"))
+      .withColumn("rows_below_k5_bp",
+        expr("rows_below_k5 * 10000 div n_rows"))
+      .crossJoin(broadcast(ldiv))
+      .select(col("n_rows"), col("n_classes"), col("k_anon"),
+        col("singleton_classes"), col("rows_below_k5"),
+        col("rows_below_k5_bp"), col("rows_below_k10"),
+        col("l_div_min"))
   }
 }
