@@ -79,7 +79,12 @@ class PlanLintSpec extends SparkSpecBase {
       "e123_neyman_alloc", // one-row Σw/Σn/Σfl totals, the e22 pattern
       "e124_benford", // one-row digit-census total, the e22 pattern
       "e132_dedup_sweep", // 7-row threshold-table broadcast, e22 pattern
-      "e133_cluster_census") // one-row size-total broadcast, e22 pattern
+      "e133_cluster_census", // one-row size-total broadcast, e22 pattern
+      "e143_cusum", // 1-row (d0, d1) bounds frame exploded to the
+                    // ≤ #days spine + the #types × #days grid cross —
+                    // both construction-bounded, the e115 pattern
+      "e145_k_anonymity") // one-row l-diversity frame crossed onto the
+                          // one-row census, the q8 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
