@@ -100,14 +100,22 @@ class E142RunSpec extends SparkSpecBase {
       // fast path, whose Σc² must count the off-diagonal self-matches
       // a naive n−2 shortcut would miss
       (7L, "pa pb pc pd xx pa pb pc pd"),
-      (8L, "pa pb pc pd xx pa pb pc pd"))
+      (8L, "pa pb pc pd xx pa pb pc pd"),
+      // replicas of docs 3 and 4: four id-pairs collapse to ONE digest
+      // pair in the content-keyed form, and the join-back must hand
+      // each of them the same answer in both orientations
+      (9L, s"${frags(0)} sepa ${frags(1)} sepb ${frags(2)} sepc ${frags(3)}"),
+      (10L, s"${frags(0)} sepx ${frags(1)} sepy ${frags(2)} sepz ${frags(3)}"))
     val dir = Files.createTempDirectory("e142spec").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")))
       .write.parquet(s"$dir/documents.parquet")
     val vp = Seq((1L, 2L, 0.5), (3L, 4L, 0.5), (5L, 6L, 0.35),
-        (7L, 8L, 1.0))
+        (7L, 8L, 1.0),
+        // the replica id-pairs of the (3, 4) content pair — (3, 10)
+        // and (4, 9) reverse which side holds which digest
+        (3L, 10L, 0.5), (4L, 9L, 0.5), (9L, 10L, 0.5))
       .toDF("doc_a", "doc_b", "jaccard")
     val got = AnalysisQueries.sharedRunStats(spark, dir, vp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
@@ -121,5 +129,12 @@ class E142RunSpec extends SparkSpecBase {
     // identical docs, repeated phrase: fast path — longest = all 9
     // words; Σc² = 2² + 2² + 1 + 1 + 1 = 11, not n−2 = 7
     assert(got((7L, 8L)) === ((9L, 11L)))
+    // every replica id-pair of the (3, 4) content pair gets the same
+    // answer through the digest join-back, whichever side holds
+    // whichever digest
+    Seq((3L, 10L), (4L, 9L), (9L, 10L)).foreach { p =>
+      assert(got(p) === ((4L, 8L)), p)
+    }
+    assert(got.size === 7) // one output row per INPUT pair, no dedup
   }
 }
