@@ -189,4 +189,53 @@ class RecoverySpec extends SparkSpecBase {
       assertRocksEngaged(q2)
     } finally q2.stop()
   }
+
+  test("StreamCusum prefix survives a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-cusum").toString
+    val ms = MemoryStream[StreamCusum.DayCount]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamCusum.Alarm]
+    def start() =
+      StreamCusum.monitor(ms.toDS(), refNum = 10L, refDen = 1L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            StreamCusum.Alarm], _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }; ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    val q1 = start()
+    try {
+      // days 1-3 at +3 over reference: prefix 9, S = 9, not yet alarmed
+      ms.addData((1 to 3).map(d =>
+        StreamCusum.DayCount("k", d.toLong, 13L)): _*)
+      q1.processAllAvailable()
+      val pre = emitted.synchronized(emitted.last)
+      assert(pre.s_max === 9L && !pre.alarmed)
+    } finally q1.stop() // the "kill": prefix 9 lives only in state
+    emitted.synchronized(emitted.clear())
+    // day 4 arrives while the query is down, day 5 after restart
+    ms.addData(StreamCusum.DayCount("k", 4L, 13L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      ms.addData(StreamCusum.DayCount("k", 5L, 1L))
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "k")
+      assert(rows.nonEmpty, "no post-restart emission")
+      // S = 12 on day 4 (and the alarm) is only reachable if the
+      // pre-restart prefix of 9 was recovered — a fresh fold over day 4
+      // alone would sit at S = 3; day 5's -9 then drains S to 3 while
+      // the recorded max stays put
+      val last = rows.last
+      assert(last.n_days === 5L && last.s_cur === 3L)
+      assert(last.s_max === 12L && last.alarm_day === 4L && last.alarmed)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
 }
