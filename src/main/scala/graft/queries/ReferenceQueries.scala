@@ -31,7 +31,8 @@ object ReferenceQueries {
     q38RangeFrame, q39FunnelPattern, q40IncrementalAgg, q41Unpivot,
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
-    q49RevenueShare, q50NationVolume, q51TopSupplier)
+    q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
+    q51TopSupplier)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -1441,6 +1442,29 @@ object ReferenceQueries {
     * write-time layout decision, not per-query work.
     * Cites reference dbt_sao/models/mart/fct_order_products.sql:13-33.
     */
+  /** The bucketed lineitem/orders catalog-table pair for `dir` — q42's
+    * lazy build-and-reuse logic, shared with q50b: one table pair per
+    * source dir, rebuilt only when absent or when the marker-file
+    * fingerprint (schema + input files/sizes/mtimes) says the source
+    * changed. The tag is 64 bits of SHA-256 over the dir — a 32-bit
+    * hash left two dirs one birthday-collision away from aliasing each
+    * other's tables.
+    */
+  private def bucketedFacts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val buckets = 16
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val liT = s"graft_bkt_lineitem_$tag"
+    val oT = s"graft_bkt_orders_$tag"
+    def ensure(df: DataFrame, table: String, key: String): Unit =
+      graft.sources.Layout.writeBucketedIfStale(
+        df, table, key, buckets, graft.sources.Layout.scanFingerprint(df))
+    ensure(Tables.lineitem(s, dir), liT, "l_orderkey")
+    ensure(Tables.orders(s, dir), oT, "o_orderkey")
+    (s.table(liT), s.table(oT))
+  }
+
   private def q42BucketedStar = QueryDef.sql(
     "q42_bucketed_star",
     """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
@@ -1452,22 +1476,7 @@ object ReferenceQueries {
       |LEFT JOIN part p ON l.l_partkey = p.p_partkey
       |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
       |ORDER BY order_id, line_no""".stripMargin) { (s, dir) =>
-    val buckets = 16
-    // one table pair per source dir (Verify and Bench hit different SFs
-    // in one JVM lifetime); rebuilt only when absent or stale. The tag
-    // is 64 bits of SHA-256 over the dir — a 32-bit hash left two dirs
-    // one birthday-collision away from aliasing each other's tables.
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val liT = s"graft_bkt_lineitem_$tag"
-    val oT = s"graft_bkt_orders_$tag"
-    def ensure(df: DataFrame, table: String, key: String): Unit =
-      graft.sources.Layout.writeBucketedIfStale(
-        df, table, key, buckets, graft.sources.Layout.scanFingerprint(df))
-    ensure(Tables.lineitem(s, dir), liT, "l_orderkey")
-    ensure(Tables.orders(s, dir), oT, "o_orderkey")
-    val l = s.table(liT)
-    val o = s.table(oT)
+    val (l, o) = bucketedFacts(s, dir)
     val p = Tables.part(s, dir)
     // fact-fact edge FIRST: the bucketed l/o scans co-partition on
     // orderkey, so this join is exchange-free; joining part first would
@@ -1944,6 +1953,69 @@ object ReferenceQueries {
         .join(Tables.orders(s, dir)
             .select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("ck") === col("c_nationkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          revenueT(col("l_extendedprice"), col("l_discount"))
+            .as("revenue_t"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q50 over the BUCKETED fact layout — the lever q50's SCALING row
+    * names ("at true 100 TB this is the q42 bucketed-star candidate")
+    * made a checkable query. The orderkey fact-fact edge — measured as
+    * THE cost of q50 at the 100× probe (1.3 GB of 1.5 GB shuffled) —
+    * joins exchange-free over [[bucketedFacts]]' co-bucketed scans
+    * (paid once at write time, shared with q42); every dimension stays
+    * an explicit broadcast, so the ONLY shuffle left in the whole plan
+    * is the final (supp_nation, cust_nation, year) aggregation
+    * exchange over partial aggregates. Identical result and oracle SQL
+    * as q50; BucketedStarSpec pins the one-exchange plan, with the
+    * broadcast-disabled variant proving bucketing alone carries the
+    * fact edge.
+    *
+    * Fact-fact FIRST is load-bearing exactly as in q42: joining
+    * supplier first would reshuffle lineitem on suppkey and throw the
+    * bucketing away. Broadcast joins preserve the bucketed
+    * partitioning, so the chain stays exchange-free until the rollup.
+    */
+  private def q50bNationVolumeBucketed = QueryDef.sql(
+    "q50b_nation_volume_bucketed",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  ${revenueTDuck("l.l_extendedprice", "l.l_discount")}
+       |    AS revenue_t
+       |FROM lineitem l
+       |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+       |JOIN nation n1 ON n1.n_nationkey = sp.s_nationkey
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) {
+    (s, dir) =>
+      val (l, o) = bucketedFacts(s, dir)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))
+      l.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("sk") === col("s_nationkey"))
         .join(broadcast(Tables.customer(s, dir)
             .select(col("c_custkey"), col("c_nationkey"))),
           col("c_custkey") === col("o_custkey"))

@@ -62,6 +62,52 @@ class BucketedStarSpec extends SparkSpecBase {
       s"fact side shuffled below the bucketed join:\n${smjs.head}")
   }
 
+  test("q50b: no shuffle below the rollup's partial aggregate;" +
+    " matches q50") {
+    // the fact-fact orderkey edge (q50's measured dominant cost) must
+    // ride the bucketed layout with dims broadcast: the whole join
+    // chain under the partial aggregate is exchange-free, leaving only
+    // the rollup exchange + the 150-row output-ordering exchange above
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    val q50b = SparkEntry.queries("q50b_nation_volume_bucketed")(
+      session, dir)
+    val plan = q50b.queryExecution.executedPlan
+    val partials = plan.collect {
+      case a: HashAggregateExec
+          if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partials.nonEmpty, s"no partial aggregate:\n$plan")
+    val below = partials.last.collect { case e: ShuffleExchangeLike => e }
+    assert(below.isEmpty,
+      s"join chain shuffled below the partial aggregate:\n" +
+        s"${partials.last}")
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.length <= 2,
+      s"unexpected extra exchanges:\n$plan")
+    val q50 = SparkEntry.queries("q50_nation_volume")(session, dir)
+    assert(q50b.exceptAll(q50).isEmpty && q50.exceptAll(q50b).isEmpty,
+      "bucketed variant must return exactly q50's rows")
+  }
+
+  test("q50b fact edge is exchange-free even with broadcast disabled") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q50b = SparkEntry.queries("q50b_nation_volume_bucketed")(s, dir)
+    val smjs = q50b.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "l_orderkey")) ||
+            j.rightKeys.exists(_.references.exists(_.name == "o_orderkey")) =>
+        j
+    }
+    assert(smjs.nonEmpty,
+      s"no orderkey SortMergeJoin:\n${q50b.queryExecution.executedPlan}")
+    val factShuffles = smjs.head.collect { case e: ShuffleExchangeLike => e }
+    assert(factShuffles.isEmpty,
+      s"fact side shuffled below the bucketed join:\n${smjs.head}")
+  }
+
   test("bucketed tables are built once and reused on a second run") {
     // the marker-guard: a second construction must not rewrite the tables
     val before = session.table(
