@@ -125,7 +125,8 @@ object AnalysisQueries {
       e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
-      e140Pseudonymize, e142SharedRun, e143Cusum)
+      e140Pseudonymize, e142SharedRun, e143Cusum,
+      e146IsotonicCalibration)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -4065,6 +4066,104 @@ object AnalysisQueries {
         excess.as("excess_bp"), col("d").as("alarm_day"),
         when(excess > 10000, 1).otherwise(0).as("alarmed"))
       .orderBy("event_type")
+  }
+
+  // ---- e146: isotonic calibration via the max-min closed form -------------
+
+  /** Isotonic (PAV) calibration of an empirical rate curve — Zadrozny &
+    * Elkan 2002's score-calibration step, here fitting the monotone
+    * curve quantity → P(return) over lineitem: the map a filter
+    * pipeline applies to turn a classifier's raw score into an honest
+    * probability before thresholding (e131 then picks the threshold).
+    * The e143 pattern repeated: pool-adjacent-violators looks
+    * inherently sequential (scan, merge pools backward, repeat), but
+    * the weighted isotonic fit has Robertson's max-min closed form
+    *     fit_i = max_{j≤i} min_{k≥i} mean(y, bins j..k)
+    * — prefix sums + two bounded non-equi joins, no loop. The score
+    * grid is construction-bounded (≤ 50 distinct quantities), so the
+    * (i, j, k) triple space is ≤ 50³ rows of integer arithmetic
+    * whatever the corpus size.
+    *
+    * Exactness: the interval means are rationals; comparing them after
+    * integer floor division is safe here because floor is monotone and
+    * therefore commutes with min and max — max_j min_k ⌊a_jk⌋ =
+    * ⌊max_j min_k a_jk⌋ — so the reported ppm fit is exactly the floor
+    * of the exact isotonic fit, bit-identical across engines (both
+    * sides positive: `//` = `div` = floor). E146IsotonicSpec pins the
+    * closed form against a driver-side exact-rational PAV
+    * implementation, plus the two boundary regimes (anti-monotone
+    * input pools to one global mean; already-monotone input is a
+    * fixed point).
+    *
+    * Scale (100 TB): ONE fact aggregation to the ≤ 50-row bin table
+    * (map-side partial); everything after is grid-bounded. Headroom:
+    * cp·10⁶ holds to ~9·10^12 positives per curve — past that, the
+    * DECIMAL(38,0) lever (the revenue-accumulator note). Per-source
+    * curves add the source key to every grouping; finer score grids
+    * (e62's 10001-bin calibration) keep the same shape with the
+    * closed form priced at B² pairs — the documented crossover to the
+    * driver-side PAV fold that a 10⁴-bin grid would warrant.
+    */
+  private def e146IsotonicCalibration = QueryDef.sql(
+    "e146_isotonic_calibration",
+    """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM lineitem GROUP BY 1),
+      |p AS (SELECT q, n, pos,
+      |    CAST(sum(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+      |    CAST(sum(pos) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+      |  FROM b),
+      |pairs AS (SELECT pj.q AS j, pk.q AS k,
+      |    (pk.cp - pj.cp + pj.pos) * 1000000
+      |      // (pk.cn - pj.cn + pj.n) AS a
+      |  FROM p pj JOIN p pk ON pj.q <= pk.q),
+      |mi AS (SELECT pi.q AS i, pr.j, min(pr.a) AS m
+      |  FROM p pi JOIN pairs pr ON pr.j <= pi.q AND pr.k >= pi.q
+      |  GROUP BY 1, 2),
+      |fit AS (SELECT i AS q, max(m) AS fit_ppm FROM mi GROUP BY 1)
+      |SELECT b.q AS quantity, b.n, b.pos,
+      |  b.pos * 1000000 // b.n AS raw_ppm, f.fit_ppm
+      |FROM b JOIN fit f ON f.q = b.q ORDER BY quantity""".stripMargin) {
+    (s, dir) =>
+      val bins = Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("pos"))
+      isotonicFromBins(bins)
+  }
+
+  /** Core of e146 past binning: the max-min closed form over a
+    * `(q, n, pos)` bin table, nondecreasing in `q`. Split out so
+    * E146IsotonicSpec can drive the boundary regimes with hand-built
+    * bins. The unpartitioned prefix window and the non-equi joins all
+    * run on the construction-bounded bin grid, never on fact rows.
+    */
+  private[queries] def isotonicFromBins(bins: DataFrame): DataFrame = {
+    val b = bins.localCheckpoint(true) // grid-bounded; feeds the
+                                       // prefix, pairs, and final join
+    val w = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = b
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("pos")).over(w))
+    val pairs = p.as("pj")
+      .join(p.as("pk"), col("pj.q") <= col("pk.q"))
+      .select(col("pj.q").as("j"), col("pk.q").as("k"),
+        expr("(pk.cp - pj.cp + pj.pos) * 1000000" +
+          " div (pk.cn - pj.cn + pj.n)").as("a"))
+    val mi = p.select(col("q").as("i"))
+      .join(pairs, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min(col("a")).as("m"))
+    val fit = mi.groupBy("i").agg(max(col("m")).as("fit_ppm"))
+    b.join(fit, col("q") === col("i"))
+      .select(col("q").as("quantity"), col("n"), col("pos"),
+        expr("pos * 1000000 div n").as("raw_ppm"), col("fit_ppm"))
+      .orderBy("quantity")
   }
 
   // ---- e140: keyed pseudonymization with self-proving invariants ----------

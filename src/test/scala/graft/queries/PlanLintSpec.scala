@@ -83,8 +83,11 @@ class PlanLintSpec extends SparkSpecBase {
       "e143_cusum", // 1-row (d0, d1) bounds frame exploded to the
                     // ≤ #days spine + the #types × #days grid cross —
                     // both construction-bounded, the e115 pattern
-      "e145_k_anonymity") // one-row l-diversity frame crossed onto the
+      "e145_k_anonymity", // one-row l-diversity frame crossed onto the
                           // one-row census, the q8 pattern
+      "e146_isotonic_calibration") // the non-equi (j ≤ i ≤ k) joins
+                                   // ride the ≤ 50-row bin grid —
+                                   // construction-bounded, e115 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
@@ -100,7 +103,9 @@ class PlanLintSpec extends SparkSpecBase {
     // e117's cumulative rank rides the same bounded frequency table
     "e117_conformal_select",
     // e123's remainder rank rides the #sources-row per-source aggregate
-    "e123_neyman_alloc")
+    "e123_neyman_alloc",
+    // e146's prefix sums ride the ≤ 50-row quantity-bin grid
+    "e146_isotonic_calibration")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
