@@ -77,7 +77,10 @@ object Bench {
     // shuffle/broadcast state, GC pressure all reset; JIT stays warm).
     val isolatedSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED",
       "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train," +
-        "e73_shard_manifest,e77_shard_stability,e120_pagerank")
+        "e73_shard_manifest,e77_shard_stability,e120_pagerank," +
+        "e122_coverage_select") // e122: iterative-localCheckpoint-shaped
+        // like e32/e45 — r10 measured its in-session number inflated the
+        // same way (5.7 s in-session vs 11.9 s at the 100x probe's scale)
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
     // in-session but fails in the fresh session (different
@@ -133,10 +136,18 @@ object Bench {
     val total = results.collect {
       case (n, v) if !errs.contains(n) => v
     }.sum
+    // Field ORDER is load-bearing: the driver's BENCH_rN.json capture
+    // keeps only the TAIL of this line (r8-r10 all lost the leading
+    // "value" field to the 2000-char cut), so the big per-query maps go
+    // FIRST and every scalar the judge reads (value, n_queries,
+    // n_failed, sf) goes LAST — JSON objects are unordered, so a full
+    // parse is unaffected while a tail capture now always carries the
+    // totals.
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
-        s""""queries":$qs,"errors":$es,"isolated":$iso,""" +
+      s"""{"queries":$qs,"errors":$es,"isolated":$iso,""" +
         s""""isolated_errors":$isoErrs,""" +
+        s""""metric":"total","unit":"sec",""" +
+        s""""value":${"%.4f".format(total)},""" +
         s""""n_queries":${results.size},""" +
         s""""n_failed":${errs.size},"sf":${jstr(sfDir)}}"""
     // Sidecar file first: sbt decorates stdout with "[info] " prefixes the

@@ -1148,13 +1148,21 @@ object ReferenceQueries {
     * Rounds out the set-op family beyond q9's UNION ALL; both compile
     * to aggregate/anti-join shapes on the shuffled key, no special
     * operator needed at scale.
+    *
+    * The split date sits MID-RANGE (testdata orders span 1995-01-01..
+    * 2001-08-01): VERDICT r10 found the original 1995-01-01 cut made
+    * the "early" set empty at sf0.01 — both branches returned 0 rows
+    * and the hash match proved nothing about set-op semantics. With
+    * the 1998-07-01 cut both the INTERSECT and the EXCEPT branch are
+    * non-empty at every shipped SF, so the oracle row exercises the
+    * distinct-set machinery it claims to.
     */
   private def q34SetOps = QueryDef.sql(
     "q34_set_ops",
     """WITH a AS (SELECT DISTINCT o_custkey FROM orders
-      |  WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+      |  WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'),
       |b AS (SELECT DISTINCT o_custkey FROM orders
-      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+      |  WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00')
       |SELECT 'retained' AS status, o_custkey
       |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
       |UNION ALL
@@ -1162,7 +1170,7 @@ object ReferenceQueries {
       |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
       |ORDER BY status, o_custkey""".stripMargin) { (s, dir) =>
     val orders = Tables.orders(s, dir)
-    val cut = lit("1995-01-01 00:00:00").cast("timestamp")
+    val cut = lit("1998-07-01 00:00:00").cast("timestamp")
     val early = orders.filter(col("o_orderdate") < cut)
       .select("o_custkey").distinct()
     val late = orders.filter(col("o_orderdate") >= cut)
@@ -1917,10 +1925,15 @@ object ReferenceQueries {
     * ten-thousandths convention (fold-order-proof cross-engine).
     *
     * Plan shape: the one fact-fact shuffle is lineitem ⋈ orders on
-    * orderkey; supplier, customer, and BOTH nation roles broadcast.
-    * At 100 TB the orderkey join is the bucketed-star candidate (q42's
-    * machinery); the nation-pair aggregate is map-side combinable down
-    * to the ≤ 25²·years result grain.
+    * orderkey; both NATION roles broadcast explicitly (25 rows by
+    * construction — never scales). Supplier and customer carry NO
+    * hint: they are fact-proportional dimensions (they scale with SF),
+    * and per the q2 rule above a forced broadcast of a scaling side is
+    * exactly the plan that dies at 100× — threshold/AQE picks
+    * broadcast while they fit and shuffled-hash beyond, as q19/q20/q22
+    * do. At 100 TB the orderkey join is the bucketed-star candidate
+    * (q42's machinery); the nation-pair aggregate is map-side
+    * combinable down to the ≤ 25²·years result grain.
     */
   private def q50NationVolume = QueryDef.sql(
     "q50_nation_volume",
@@ -1946,15 +1959,15 @@ object ReferenceQueries {
         .select(col("n_nationkey").as("ck"),
           col("n_name").as("cust_nation"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.supplier(s, dir)
-            .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey")),
           col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(n1), col("sk") === col("s_nationkey"))
         .join(Tables.orders(s, dir)
             .select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)
-            .select(col("c_custkey"), col("c_nationkey"))),
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey")),
           col("c_custkey") === col("o_custkey"))
         .join(broadcast(n2), col("ck") === col("c_nationkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
@@ -1971,13 +1984,23 @@ object ReferenceQueries {
     * made a checkable query. The orderkey fact-fact edge — measured as
     * THE cost of q50 at the 100× probe (1.3 GB of 1.5 GB shuffled) —
     * joins exchange-free over [[bucketedFacts]]' co-bucketed scans
-    * (paid once at write time, shared with q42); every dimension stays
-    * an explicit broadcast, so the ONLY shuffle left in the whole plan
-    * is the final (supp_nation, cust_nation, year) aggregation
-    * exchange over partial aggregates. Identical result and oracle SQL
-    * as q50; BucketedStarSpec pins the one-exchange plan, with the
-    * broadcast-disabled variant proving bucketing alone carries the
-    * fact edge.
+    * (paid once at write time, shared with q42); the two nation roles
+    * broadcast explicitly (25 rows by construction), and supplier/
+    * customer carry NO hint per the q2 rule — they are fact-
+    * proportional, so threshold/AQE broadcasts them while they fit and
+    * falls back to a shuffle join beyond. While the dims fit (every
+    * benched SF) the ONLY shuffle in the plan is the final
+    * (supp_nation, cust_nation, year) aggregation exchange over
+    * partial aggregates — BucketedStarSpec pins that one-exchange
+    * shape, with the broadcast-disabled variant proving bucketing
+    * alone carries the fact edge. At true fleet scale customer
+    * EVENTUALLY outgrows any broadcast and its join honestly costs a
+    * custkey exchange (a custkey-bucketed customer table would not
+    * help here: the stream side is partitioned by orderkey buckets, so
+    * the stream, not the dim, would need the reshuffle) — the
+    * exchange-free posture covers the fact edge, which is the measured
+    * dominant cost (1.3 GB of 1.5 GB shuffled at the 100× probe), not
+    * the dim edges.
     *
     * Fact-fact FIRST is load-bearing exactly as in q42: joining
     * supplier first would reshuffle lineitem on suppkey and throw the
@@ -2012,12 +2035,12 @@ object ReferenceQueries {
           col("l_extendedprice"), col("l_discount"))
         .join(o.select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)
-            .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey")),
           col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(n1), col("sk") === col("s_nationkey"))
-        .join(broadcast(Tables.customer(s, dir)
-            .select(col("c_custkey"), col("c_nationkey"))),
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey")),
           col("c_custkey") === col("o_custkey"))
         .join(broadcast(n2), col("ck") === col("c_nationkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
