@@ -27,22 +27,38 @@ object Verify {
       java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
         val th = new Thread(r, "graft-verify"); th.setDaemon(true); th
       }))
+    // Row counts are observed INSIDE the dump job (no second pass) and
+    // surfaced as row_counts.json — the degeneracy gate's raw material:
+    // a 0-row result hash-matches a 0-row oracle no matter how wrong
+    // the query is, so emptiness outside SparkEntry.emptyAllowed is
+    // loudly warned here and FAILED by DegeneracySpec in sbt.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       Future {
-        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name"); None }
+        try {
+          import org.apache.spark.sql.functions.{count, lit}
+          val obs = new org.apache.spark.sql.Observation(s"verify_$name")
+          fn(spark, sfDir)
+            .observe(obs, count(lit(1)).as("rows"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          Right(name -> obs.get("rows").asInstanceOf[Long])
+        }
         catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[verify] $name FAILED: $msg")
-          Some(name -> msg)
+          Left(name -> msg)
         }
       }
     }
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     Await.result(Future.sequence(results), Duration.Inf)
-      .flatten.foreach { case (k, v) => failures(k) = v }
+      .foreach {
+        case Left((k, v)) => failures(k) = v
+        case Right((k, n)) => rowCounts(k) = n
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -63,6 +79,16 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    val countsJson = rowCounts.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/row_counts.json"), countsJson)
+    val degenerate = rowCounts.collect {
+      case (k, 0L) if !SparkEntry.emptyAllowed(k) => k
+    }.toSeq.sorted
+    if (degenerate.nonEmpty)
+      System.err.println("[verify] DEGENERATE (0 rows, not in " +
+        s"emptyAllowed): ${degenerate.mkString(", ")} — a 0-row hash " +
+        "match proves nothing; fix the query or justify an allowance")
     spark.stop()
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED " +

@@ -122,7 +122,8 @@ object AnalysisQueries {
       e116GraphTransitivity, e117ConformalSelect, e118KnnLabelAudit,
       e119AucScreen, e120Pagerank, e121ParetoFrontier, e122CoverageSelect,
       e123NeymanAlloc, e124Benford, e126DiurnalBots,
-      e127LexicalDiversity, e129KCore, e130Kappa, e131Youden,
+      e127LexicalDiversity, e129KCore, e129bKCoreFixture, e130Kappa,
+      e131Youden,
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
@@ -2956,20 +2957,49 @@ object AnalysisQueries {
     * of e32's fixed re-join. Full coreness (every k) is the same loop
     * peeling minimum-degree classes in order.
     */
-  private def e129KCore = {
-    val rounds = 8
-    // MATERIALIZED: each round references its predecessor twice (census
-    // + edge filter) and its keep-set twice (two semi joins); DuckDB
-    // inlines plain CTEs per reference, which would re-evaluate the
-    // whole upstream pipeline 2^rounds times (observed as an open-file
-    // explosion). Spark's localCheckpoint per round is the same cut.
-    val peel = (1 to rounds).map { r =>
+  /** Duck-side k=3 peel CTE chain d1/k1/e1 .. e<rounds> over an `e0`
+    * edge CTE — ONE text shared by e129 (the real dup graph) and e129b
+    * (the constructed fixture), so both oracles run literally the same
+    * peel machinery. MATERIALIZED: each round references its
+    * predecessor twice (census + edge filter) and its keep-set twice
+    * (two semi joins); DuckDB inlines plain CTEs per reference, which
+    * would re-evaluate the whole upstream pipeline 2^rounds times
+    * (observed as an open-file explosion). Spark's localCheckpoint per
+    * round is the same cut.
+    */
+  private def kcorePeelDuck(rounds: Int): String =
+    (1 to rounds).map { r =>
       s"""d$r AS (SELECT u, count(*) AS dg FROM e${r - 1} GROUP BY u),
          |k$r AS MATERIALIZED (SELECT u FROM d$r WHERE dg >= 3),
          |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
          |  SEMI JOIN k$r a ON e.u = a.u
          |  SEMI JOIN k$r b ON e.v = b.u)""".stripMargin
     }.mkString(",\n")
+
+  /** Spark-side fixed-round k=3 peel over a SYMMETRIZED edge frame
+    * (u, v): per round one degree census + two semi-joins against the
+    * keep set, localCheckpoint per round with the CC release
+    * discipline (in the dense regime nothing peels, so 8 retained
+    * full-size edge checkpoints are a measured executor-storage OOM).
+    * Returns the surviving directed edge set.
+    */
+  private def kcorePeelSpark(e0: DataFrame, rounds: Int): DataFrame = {
+    var e = e0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 3).select(col("u").as("ku"))
+      val next = e
+        .join(keep, col("u") === col("ku"), "left_semi")
+        .join(keep, col("v") === col("ku"), "left_semi")
+        .localCheckpoint(true)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(e)
+      e = next
+    }
+    e
+  }
+
+  private def e129KCore = {
+    val rounds = 8
     QueryDef.sql(
       "e129_kcore",
       s"""${ExtensionQueries.minhashPairsDuck},
@@ -2977,7 +3007,7 @@ object AnalysisQueries {
          |  WHERE jaccard >= 0.3),
          |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM ed
          |       UNION ALL SELECT doc_b, doc_a FROM ed),
-         |$peel
+         |${kcorePeelDuck(rounds)}
          |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg_core
          |FROM e$rounds GROUP BY u ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
@@ -2985,25 +3015,75 @@ object AnalysisQueries {
           .filter(col("jaccard") >= 0.3)
           .select(col("doc_a").as("u"), col("doc_b").as("v"))
           .localCheckpoint(true)
-        var e = ed
-          .union(ed.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint(true)
-        for (_ <- 1 to rounds) {
-          val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
-            .filter(col("dg") >= 3).select(col("u").as("ku"))
-          val next = e
-            .join(keep, col("u") === col("ku"), "left_semi")
-            .join(keep, col("v") === col("ku"), "left_semi")
-            .localCheckpoint(true)
-          // release the dead round: in the DENSE regime nothing peels,
-          // so 8 retained full-size edge checkpoints are a measured
-          // executor-storage OOM (the CC release discipline)
-          graft.operators.ConnectedComponents.releaseLocalCheckpoint(e)
-          e = next
-        }
-        e.groupBy(col("u").as("doc_id"))
+        val e0 = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+        kcorePeelSpark(e0, rounds)
+          .groupBy(col("u").as("doc_id"))
           .agg(count(lit(1)).as("deg_core"))
           .orderBy(col("doc_id"))
+    }
+  }
+
+  // ---- e129b: the 3-core peel on a constructed fixture graph --------------
+
+  /** The e129 peel on a CONSTRUCTED graph that is non-degenerate at
+    * EVERY scale factor (the e131b pattern): VERDICT r10 found e129's
+    * oracle row matches on 0 rows at sf0.01 — no 3-core exists in the
+    * small corpus's dup graph, so the oracle compared two empty sets
+    * and proved nothing about peel semantics (the driver-side fixpoint
+    * spec in CurationOpsSpec pins the operator, but the cross-engine
+    * row should too). The fixture derives deterministically from the
+    * fixed 25-row nation table: same-region pairs form five disjoint
+    * K5 cliques (degree 4 — the 3-core that must survive), and each
+    * nation hangs a 3-leaf star off a hub node (hub = 100+key, leaves
+    * 200/300/400+key), making the peel genuinely ITERATIVE — the
+    * leaves (degree 1) strip in round 1, which drops the hubs from
+    * degree 4 to 1 so they strip in round 2, and only then do the
+    * clique nodes settle at their final within-core degree. A
+    * one-round census would wrongly report the hubs as core members;
+    * a 0-row oracle could never tell. Exactly the same peel text on
+    * both engines ([[kcorePeelDuck]]/[[kcorePeelSpark]] shared with
+    * e129). Expected at every SF: 25 rows, deg_core = 4.
+    */
+  private def e129bKCoreFixture = {
+    val rounds = 8
+    QueryDef.sql(
+      "e129b_kcore_fixture",
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT CAST(a.n_nationkey AS BIGINT) AS u,
+         |         CAST(b.n_nationkey AS BIGINT) AS v
+         |  FROM nation a JOIN nation b
+         |    ON a.n_regionkey = b.n_regionkey
+         |   AND a.n_nationkey < b.n_nationkey
+         |  UNION ALL SELECT CAST(n_nationkey AS BIGINT),
+         |    CAST(100 + n_nationkey AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT),
+         |    CAST(200 + n_nationkey AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT),
+         |    CAST(300 + n_nationkey AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT),
+         |    CAST(400 + n_nationkey AS BIGINT) FROM nation),
+         |e0 AS MATERIALIZED (SELECT u, v FROM ed
+         |  UNION ALL SELECT v, u FROM ed),
+         |${kcorePeelDuck(rounds)}
+         |SELECT u AS node_id, CAST(count(*) AS BIGINT) AS deg_core
+         |FROM e$rounds GROUP BY u ORDER BY node_id""".stripMargin) {
+      (s, dir) =>
+        val n = Tables.nation(s, dir)
+          .select(col("n_nationkey").cast("long").as("k"),
+            col("n_regionkey").as("r"))
+        val clique = n.as("a").join(n.as("b"),
+            col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("u"), col("b.k").as("v"))
+        val pendant = n.select(col("k").as("u"), (col("k") + 100).as("v"))
+        val leaves = Seq(200, 300, 400).map(off =>
+            n.select((col("k") + 100).as("u"), (col("k") + off).as("v")))
+          .reduce(_ unionByName _)
+        val ed = clique.unionByName(pendant).unionByName(leaves)
+        val e0 = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+        kcorePeelSpark(e0, rounds)
+          .groupBy(col("u").as("node_id"))
+          .agg(count(lit(1)).as("deg_core"))
+          .orderBy(col("node_id"))
     }
   }
 
