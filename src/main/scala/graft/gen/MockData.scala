@@ -245,9 +245,11 @@ object MockData {
   val domainPool: Seq[String] = Domains
 
   // ---- Product seed (S1 twin) ---------------------------------------------
-  private val SeedSeries = Seq(
+  // private[graft]: the p1 pipeline oracle re-derives the 96 seed models
+  // from the same (series, tier) grid in pure DuckDB SQL.
+  private[graft] val SeedSeries = Seq(
     "Vela", "Corsa", "Strata", "Nimbus", "Kite", "Pacer", "Ridge", "Torrent")
-  private val SeedTiers = Seq(
+  private[graft] val SeedTiers = Seq(
     "Sport", "Comp", "Team", "Elite", "Pro", "Apex",
     "Base", "Core", "Plus", "Max", "LT", "SL")
   private val SeedCats = Seq(

@@ -15,10 +15,11 @@ import graft.sources.Tables
 /** Driver-visible queries over the ENGINE itself (generator, ingest
   * pipeline, staging/mart models, data-quality suite). The generator
   * queries (g1/g2) carry DuckDB twins built from the same affine-modular
-  * coefficients, so they are oracle-proven; only p1 (a full scratch-db
-  * pipeline run) is structurally Spark-only (rows check), its value
-  * semantics pinned by the ScalaTest suite (IngestSpec, ModelsSpec,
-  * DataTestsSpec).
+  * coefficients, and since r11 p1 (the full scratch-db pipeline run) is
+  * oracle-proven too — its DuckDB twin replays both batches' generators,
+  * the 20 declared dbt tests, and the mart counts end to end (see
+  * [[p1OracleSql]]); the ScalaTest suite (IngestSpec, ModelsSpec,
+  * DataTestsSpec) pins the same semantics engine-side.
   *
   * Each invocation builds a FRESH raw/mart database (unique suffix) so
   * output is deterministic per run (seed + fixed batch timestamps), then
@@ -29,10 +30,11 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(g1MockBatch, g2GenBatch, g3DocsSource, g4SchemaUnion, p1PipelineE2e)
 
-  private val T0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
-  // def, not val: `all` above initializes FIRST during object init, so a
-  // val here would still be 0 while the g1 SQL string is being built
-  // (DuckDB `x % 0` is NULL — every draw silently hits the CASE's ELSE).
+  // defs, not vals: `all` above initializes FIRST during object init, so
+  // a val here would still be null/0 while the g1/p1 SQL strings are
+  // being built (DuckDB `x % 0` is NULL — every draw silently hits the
+  // CASE's ELSE; a null T0 NPEs the p1 seed derivation).
+  private def T0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
   private def P: Long = graft.functions.Portable.P
 
   // ---- DuckDB dialect helpers shared by the g1/g2 generator twins ---------
@@ -253,12 +255,200 @@ object PipelineQueries {
     }
   }
 
+  // ---- p1: the full-pipeline DuckDB replay oracle -------------------------
+
+  /** Per-batch generator replay chain (batch `b`, its derived seed):
+    * customers and orders over the shared `idx` range with that batch's
+    * uuid/gender draws (the g2-proven primitives), then the
+    * order_products chain — items-per-order from the poly-hashed order
+    * uuid (g1's re-derivation), the composite-key order_product uuid
+    * (q21's primitive), and the product-pick uniform `r` for the
+    * cumulative-weight range join.
+    */
+  private def p1BatchSql(b: Int, seed: Long): String =
+    s"""cust$b AS (SELECT gen_idx,
+       |    ${uuidSql(MockData.uuidDuckDigits(seed, "customer", "gen_idx"))}
+       |      AS id,
+       |    ${choiceStrSql(MockData.hashUnitDuck(seed, "g", "gen_idx"),
+             Schemas.genders, Seq(48, 48, 4))} AS gender
+       |  FROM idx),
+       |ord$b AS (SELECT gen_idx,
+       |    ${uuidSql(MockData.uuidDuckDigits(seed, "order", "gen_idx"))}
+       |      AS id,
+       |    ${uuidSql(MockData.uuidDuckDigits(seed, "customer", "gen_idx"))}
+       |      AS customer_id
+       |  FROM idx),
+       |ni$b AS (SELECT order_id, okey,
+       |    ${choiceIntSql(MockData.hashUnitDuck(seed, "ni", "okey"),
+             Schemas.itemsPerOrder, Schemas.itemsPerOrderWeights)}
+       |      AS n_items
+       |  FROM (SELECT id AS order_id, ${polyHashSql("id")} AS okey
+       |        FROM ord$b)),
+       |it$b AS (SELECT order_id, okey,
+       |    CAST(unnest(generate_series(1, n_items)) AS BIGINT) AS item_idx
+       |  FROM ni$b),
+       |op$b AS (SELECT
+       |    ${uuidSql(MockData.uuidPartsDuckDigits(seed, "order_product",
+             Seq("order_id", "CAST(item_idx AS VARCHAR)")))} AS id,
+       |    order_id,
+       |    ${MockData.hashUnitDuck(seed, "pp",
+             s"((okey * 131 + item_idx) % $P)")} AS r
+       |  FROM it$b)""".stripMargin
+
+  // dbt-test replays over the rebuilt tables (cust/ord/opp/products):
+  // each expression is the test's failing-row COUNT recomputed from
+  // scratch in DuckDB — not a hard-coded zero.
+  private def notNullSql(t: String, c: String) =
+    s"(SELECT count(*) FROM $t WHERE $c IS NULL)"
+  private def uniqueSql(t: String, c: String) =
+    s"(SELECT count(*) FROM (SELECT 1 AS one FROM $t GROUP BY $c" +
+      s" HAVING count(*) > 1))"
+  private def relSql(ct: String, fk: String, pt: String, pk: String) =
+    s"(SELECT count(*) FROM $ct c WHERE c.$fk IS NOT NULL AND NOT EXISTS" +
+      s" (SELECT 1 FROM $pt p WHERE p.$pk = c.$fk))"
+
+  /** Failing-count replay per declared test name; p1's oracle builder
+    * iterates [[DataTests.allDeclared]] against this map, so ADDING a
+    * declared test without a replay fails loudly at SQL-build time
+    * instead of silently shipping an unverified row.
+    */
+  private def p1TestExprs: Map[String, String] = Map(
+    "not_null_customers_id" -> notNullSql("cust", "id"),
+    "unique_customers_id" -> uniqueSql("cust", "id"),
+    "not_null_orders_id" -> notNullSql("ord", "id"),
+    "unique_orders_id" -> uniqueSql("ord", "id"),
+    "not_null_orders_customer_id" -> notNullSql("ord", "customer_id"),
+    "unique_orders_customer_id" -> uniqueSql("ord", "customer_id"),
+    "relationships_orders_customer_id__customers_id" ->
+      relSql("ord", "customer_id", "cust", "id"),
+    "not_null_order_products_id" -> notNullSql("opp", "id"),
+    "unique_order_products_id" -> uniqueSql("opp", "id"),
+    "not_null_order_products_product_id" -> notNullSql("opp", "product_id"),
+    "relationships_order_products_product_id__products_id" ->
+      relSql("opp", "product_id", "products", "id"),
+    "not_null_order_products_order_id" -> notNullSql("opp", "order_id"),
+    "relationships_order_products_order_id__orders_id" ->
+      relSql("opp", "order_id", "ord", "id"),
+    "not_null_products_id" -> notNullSql("products", "id"),
+    "unique_products_id" -> uniqueSql("products", "id"),
+    // F1 DECODE (no default => non-match NULL) then dbt's NULLs-pass rule
+    "accepted_values_stg_bike_shop__customers_customer_gender" ->
+      ("(SELECT count(*) FROM (SELECT CASE WHEN gender = 'F' THEN 'Female'" +
+        " WHEN gender = 'M' THEN 'Male' WHEN gender = 'X' THEN 'Non-binary'" +
+        " END AS g FROM cust) WHERE g IS NOT NULL AND" +
+        " g NOT IN ('Male', 'Female', 'Non-binary'))"),
+    // fct keys are the op keys carried through two left joins against
+    // unique-keyed dims (no fan-out), so the fct tests replay over opp
+    "not_null_fct_order_products_order_product_id" -> notNullSql("opp", "id"),
+    "unique_fct_order_products_order_product_id" -> uniqueSql("opp", "id"),
+    "not_null_fct_order_products_order_id" -> notNullSql("opp", "order_id"),
+    // customer_id enters fct via the op->orders LEFT join
+    "not_null_fct_order_products_customer_id" ->
+      ("(SELECT count(*) FROM opp LEFT JOIN ord ON opp.order_id = ord.id" +
+        " WHERE ord.customer_id IS NULL)"))
+
+  /** The full two-batch pipeline replayed in DuckDB. Every
+    * data-dependent number in p1's output is RE-DERIVED: both batches'
+    * customers/orders/order_products from the (seed, key) draw chains
+    * (seeds: 42 for bootstrap, 42 + hash(T0+10min) for refresh —
+    * Ingest.refresh's own derivation), the 96-product seed from the
+    * (series, tier) grid arithmetic, the Gaussian product-pick
+    * cumulative table from DuckDB's own median/stddev/exp (the
+    * normalizing total and each boundary folded LEFT-SEQUENTIALLY via
+    * list_reduce, mirroring the driver-side scanLeft), all 20 declared
+    * dbt tests as real failing-row counts over the replayed tables, and
+    * the four mart row counts. The returning-customer sample (Spark's
+    * Bernoulli sampler — not portable) is provably INERT here: J4's
+    * index alignment with numOrders == numNewCustomers means returning
+    * pool indices (>= 1000) are never referenced, so no loaded table
+    * depends on it.
+    *
+    * Float caveat (accepted): DuckDB's exp/median/stddev may differ
+    * from the JVM's at the last ulp, so a pick boundary can shift by
+    * ~1e-16 — but draw values are k/P <= 1 - 9e-10 while the final
+    * boundary error is ~96 ulps, so no row can fall off the table's
+    * end, and WHICH product a knife-edge row picks never changes any
+    * output count (every pick is a valid FK).
+    */
+  private def p1OracleSql: String = {
+    val seed1 = 42L
+    val seed2 = 42L + T0.plusMinutes(10).hashCode()
+    val testRows = graft.quality.DataTests.allDeclared.map { tc =>
+      val expr = p1TestExprs.getOrElse(tc.name,
+        sys.error(s"p1 oracle: no replay for declared test ${tc.name}"))
+      s"""SELECT '${tc.name}' AS "check",
+         |  CAST(CASE WHEN $expr = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed,
+         |  CAST($expr AS BIGINT) AS n""".stripMargin
+    }
+    val martRows = Seq(
+      "dim_customer" -> "(SELECT count(*) FROM cust)",
+      "dim_order" -> "(SELECT count(*) FROM ord)",
+      "dim_product" -> "(SELECT count(*) FROM products)",
+      "fct_order_products" -> "(SELECT count(*) FROM opp)").map {
+      case (m, e) =>
+        s"""SELECT 'rows_$m' AS "check", CAST(1 AS BIGINT) AS passed,""" +
+          s" CAST($e AS BIGINT) AS n"
+    }
+    s"""WITH idx AS (SELECT CAST(range AS BIGINT) AS gen_idx
+       |  FROM range(1000)),
+       |sp AS (SELECT CAST(range AS BIGINT) AS i FROM range(96)),
+       |prodseed AS (SELECT i,
+       |    ${poolSql(MockData.SeedSeries)}[CAST(i // 12 AS INT) + 1]
+       |      || ' ' || ${poolSql(MockData.SeedTiers)}[CAST(i % 12 AS INT) + 1]
+       |      || ' ' || CAST(i + 1 AS VARCHAR) AS model,
+       |    450.0 + CAST((i * 2654435761) % 97 AS DOUBLE) * 130.0 AS price
+       |  FROM sp),
+       |products AS MATERIALIZED (SELECT i, price,
+       |    ${uuidSql(MockData.uuidPartsDuckDigits(42L, "product", Seq("model")))}
+       |      AS id
+       |  FROM prodseed),
+       |pstats AS (SELECT median(price) AS med, stddev_samp(price) AS std
+       |  FROM products),
+       |pw AS (SELECT i, id,
+       |    exp(-pow(price - med, 2) / ((2 * std) * std))
+       |      / (std * sqrt(2 * pi())) AS w
+       |  FROM products, pstats),
+       |plist AS (SELECT list(w ORDER BY i) AS ws, list(id ORDER BY i) AS ids
+       |  FROM pw),
+       |pcum AS MATERIALIZED (
+       |  SELECT ids[CAST(k AS INT)] AS product_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_slice(ws, 1, CAST(k AS INT) - 1),
+       |        w -> w / total)), (a, b) -> a + b) AS lo,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_slice(ws, 1, CAST(k AS INT)),
+       |        w -> w / total)), (a, b) -> a + b) AS hi
+       |  FROM (SELECT ws, ids,
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), ws),
+       |        (a, b) -> a + b) AS total
+       |    FROM plist),
+       |    (SELECT CAST(range AS BIGINT) + 1 AS k FROM range(96))),
+       |${p1BatchSql(1, seed1)},
+       |${p1BatchSql(2, seed2)},
+       |cust AS MATERIALIZED (SELECT * FROM cust1
+       |  UNION ALL SELECT * FROM cust2),
+       |ord AS MATERIALIZED (SELECT * FROM ord1
+       |  UNION ALL SELECT * FROM ord2),
+       |opr AS MATERIALIZED (SELECT * FROM op1
+       |  UNION ALL SELECT * FROM op2),
+       |opp AS MATERIALIZED (SELECT o.id, o.order_id, pc.product_id
+       |  FROM opr o JOIN pcum pc ON o.r >= pc.lo AND o.r < pc.hi),
+       |summary AS (${(testRows ++ martRows).mkString("\n  UNION ALL\n")})
+       |SELECT "check", passed, n FROM summary ORDER BY "check"""".stripMargin
+  }
+
   /** Bootstrap + refresh + dbt-run + dbt-test end to end
     * (refresh_source_data DAG ↦ dbt run ↦ dbt test, SURVEY §3): returns
     * one row per declared data test plus mart row counts. Materialized
-    * eagerly so the scratch database can be dropped.
+    * eagerly so the scratch database can be dropped. Oracle-proven
+    * since r11 (VERDICT r10 item 5): [[p1OracleSql]] replays the whole
+    * two-batch pipeline — generators, staging semantics, tests — in
+    * DuckDB, upgrading p1 from rows-only to hash-matched and leaving
+    * q12 (the impl-specific Bernoulli sampler) the only spark-only
+    * entry.
     */
-  private def p1PipelineE2e = QueryDef.sparkOnly("p1_pipeline_e2e") { (s, _) =>
+  private def p1PipelineE2e = QueryDef.sql(
+    "p1_pipeline_e2e", p1OracleSql) { (s, _) =>
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val rawDb = s"graft_raw_$suffix"
     val martDb = s"graft_mart_$suffix"
