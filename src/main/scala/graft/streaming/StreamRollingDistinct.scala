@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   * [[StreamDedup]] admission gate, unlike every counting twin).
   *
   * Emission carries the integer e134 estimate contract (α₆₄ floor
-  * division over the exact register sum) plus n_exact is NOT carried —
-  * a stream cannot afford the exact side; the batch e136 is the
-  * calibration harness. Append mode: a window's row is final once the
-  * watermark passes its end (the register state for that window is
-  * then dropped — state is #open-windows × 512 B per grouping).
+  * division over the exact register sum) plus the SMALL-RANGE columns
+  * the batch twin ships (ADVICE r10): with m = 64 the raw estimator
+  * floors near α·m ≈ 45 on sparse windows, and without `v_zero` a
+  * consumer cannot tell which windows sit in that biased regime — so
+  * each row carries the empty-register count and the e134-style
+  * `lc_est` linear-counting re-estimate (m·ln(m/v_zero), 4-dp, NULL
+  * outside its regime est ≤ 5m/2 ∧ v_zero > 0), exactly the batch
+  * contract. n_exact is NOT carried — a stream cannot afford the
+  * exact side; the batch e136 is the calibration harness. Append
+  * mode: a window's row is final once the watermark passes its end
+  * (the register state for that window is then dropped — state is
+  * #open-windows × 512 B per grouping).
   */
 object StreamRollingDistinct {
 
@@ -41,8 +48,14 @@ object StreamRollingDistinct {
       .withColumn("s2", expr("aggregate(transform(regs, " +
         "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
         "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("v_zero",
+        size(Fn.filter(col("regs"), r => r === 0L)).cast("long"))
+      .withColumn("est_users", expr(s"$alphaNum div (1000 * s2)"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),
-        expr(s"$alphaNum div (1000 * s2)").as("est_users"))
+        col("est_users"), col("v_zero"),
+        when(col("est_users") * 2 <= 320 && col("v_zero") > 0,
+          round(lit(64d) * log(lit(64d) / col("v_zero")), 4) + lit(0d))
+          .as("lc_est"))
   }
 }

@@ -190,6 +190,69 @@ class RecoverySpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("StreamRollingDistinct registers survive a stop/restart " +
+    "from checkpoint") {
+    // The newest custom-aggregate-inside-window-state path (HllAgg's
+    // serialized registers under RocksDB) is the most likely
+    // checkpoint-format casualty (VERDICT r10 item 7): the register
+    // BLOB must round-trip the state store across a restart, not just
+    // within one query lifetime.
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(h: Long) = new Timestamp(h * 3600 * 1000L)
+    val ckpt = Files.createTempDirectory("graft-rec-srd").toString
+    val ms = MemoryStream[(java.lang.Long, Timestamp)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (win_start ms, est_users, v_zero)
+    def start() = StreamRollingDistinct
+      .estimates(ms.toDF().toDF("user_id", "ts"),
+        watermark = "0 seconds", length = "2 hours", slide = "1 hour")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.synchronized {
+          emitted ++= df.collect().map(r =>
+            (r.getTimestamp(0).getTime, r.getLong(2), r.getLong(3)))
+        }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      // hour 0: users 1-40 — registers live only in window state
+      ms.addData((1L to 40L).map(u => (Long.box(u), ts(0))): _*)
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.isEmpty)) // windows still open
+    } finally q1.stop()
+    // while down: users 21-60 at hour 1 extend the SAME [0,2) window
+    ms.addData((21L to 60L).map(u => (Long.box(u), ts(1))): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      ms.addData((Long.box(999L), ts(100))) // advance watermark: close all
+      q2.processAllAvailable()
+      val got = emitted.synchronized(emitted.toSeq)
+        .map { case (st, est, vz) => st -> (est, vz) }.toMap
+      // batch truth over users 1-60 for window [0,2): reachable only if
+      // the pre-restart registers (users 1-40) were recovered — a fresh
+      // fold over the post-restart rows alone would sketch 21-60
+      val batch = (1L to 60L).toDF("user_id")
+        .agg(graft.functions.sketches.hll_sketch(col("user_id"))
+          .as("regs"))
+        .selectExpr("aggregate(transform(regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS s2",
+          "CAST(size(filter(regs, r -> r = 0)) AS BIGINT) AS v_zero")
+        .selectExpr(s"${709L * (1L << 37)} div (1000 * s2) AS est",
+          "v_zero")
+        .head()
+      assert(got(ts(0).getTime) === ((batch.getLong(0), batch.getLong(1))))
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
+
   test("StreamCusum prefix survives a stop/restart from checkpoint") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

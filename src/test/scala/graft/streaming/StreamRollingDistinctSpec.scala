@@ -46,10 +46,23 @@ class StreamRollingDistinctSpec extends SparkSpecBase {
       // late far-future row closes every earlier window (watermark 0s)
       ms.addData((Long.box(999L), ts(100)))
       q.processAllAvailable()
-      val got = s.table("srd")
-        .select(col("win_start"), col("est_users"))
-        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1))
+      val rows = s.table("srd")
+        .select(col("win_start"), col("est_users"), col("v_zero"),
+          col("lc_est"))
+        .collect()
+      val got = rows.map(r => r.getTimestamp(0).getTime -> r.getLong(1))
         .toMap
+      // small-range contract (ADVICE r10): every row carries v_zero,
+      // and lc_est is present exactly in its regime (est <= 5m/2 and
+      // empty registers exist) with the e134 formula
+      rows.foreach { r =>
+        val (est, vz) = (r.getLong(1), r.getLong(2))
+        assert(vz >= 0L && vz <= 64L)
+        val inRegime = est * 2 <= 320 && vz > 0
+        assert(!r.isNullAt(3) === inRegime, s"lc regime for est=$est vz=$vz")
+        if (inRegime)
+          assert(math.abs(r.getDouble(3) - 64d * math.log(64d / vz)) < 1e-4)
+      }
       // batch truth over the DISTINCT event set (duplicates removed by
       // construction — equality proves the stream treated them as
       // no-ops too)
