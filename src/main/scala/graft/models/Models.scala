@@ -19,12 +19,32 @@ object Models {
   /** One dbt-model twin: name, upstream refs, materialization, and the
     * SELECT body as a function of resolved upstream DataFrames (the
     * `ref()`/`source()` lineage becomes an explicit dependency list).
+    * `bucket` (column, count) writes an AsTable model through
+    * [[graft.sources.Layout.writeBucketed]] instead of a plain
+    * saveAsTable — the SCALING.md "bucketed mart tables" lever applied
+    * to the reference path itself: tables sharing a (column, count)
+    * spec join exchange-free.
     */
   final case class Model(
       name: String,
       deps: Seq[String],
-      materialization: Materialization)(
+      materialization: Materialization,
+      bucket: Option[(String, Int)] = None)(
       val build: Map[String, DataFrame] => DataFrame)
+
+  /** One shared mart bucket count: fct_order_products and dim_order
+    * both bucket on order_id INTO this many buckets, so the one mart
+    * join whose dimension SCALES WITH THE FACT (dim_order ~ 0.67x fct
+    * rows — the join that must eventually stop broadcasting) is
+    * exchange-free on both sides forever, paid once at write time.
+    * dim_customer/dim_product stay unbucketed: bounded-or-slow-growing
+    * dims are broadcast material, and a bucket spec on the wrong key
+    * would buy nothing. 8 buckets suits the demo scale; at fleet scale
+    * the count rises with data volume (bucket count is a layout
+    * constant both writers must share — the contract, not the number,
+    * is what ModelsSpec pins).
+    */
+  val MartBuckets = 8
 
   /** Snowflake DECODE twin (F1): NULL-safe equality, no default ⇒
     * non-match → NULL.
@@ -91,7 +111,8 @@ object Models {
   }
 
   val dimOrder: Model = Model(
-    "dim_order", Seq("stg_bike_shop__orders"), AsTable) { up =>
+    "dim_order", Seq("stg_bike_shop__orders"), AsTable,
+    bucket = Some("order_id" -> MartBuckets)) { up =>
     up("stg_bike_shop__orders").drop("customer_id", "loaded_at")
   }
 
@@ -111,7 +132,8 @@ object Models {
   val fctOrderProducts: Model = Model(
     "fct_order_products",
     Seq("stg_bike_shop__order_products", "stg_bike_shop__products",
-      "stg_bike_shop__orders"), AsTable) { up =>
+      "stg_bike_shop__orders"), AsTable,
+    bucket = Some("order_id" -> MartBuckets)) { up =>
     val op = up("stg_bike_shop__order_products")
     val p = up("stg_bike_shop__products")
     val o = up("stg_bike_shop__orders")
@@ -156,8 +178,13 @@ object Models {
         spark.table(s"$rawDb.${ref.stripPrefix("raw.")}")
       else done(ref)
 
-    def writeTable(m: Model, df: DataFrame): Unit =
-      df.write.mode(SaveMode.Overwrite).saveAsTable(s"$martDb.${m.name}")
+    def writeTable(m: Model, df: DataFrame): Unit = m.bucket match {
+      case Some((bucketCol, buckets)) =>
+        graft.sources.Layout.writeBucketed(
+          df, s"$martDb.${m.name}", bucketCol, buckets)
+      case None =>
+        df.write.mode(SaveMode.Overwrite).saveAsTable(s"$martDb.${m.name}")
+    }
 
     val (views, tables) = all.partition(_.materialization == AsView)
     views.foreach { m =>

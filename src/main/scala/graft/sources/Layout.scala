@@ -53,22 +53,29 @@ object Layout {
       df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
-    // The stale-location cleanup below derives the managed path as
-    // <warehouse>/<table> — only valid for unqualified default-database
-    // names (db.tbl lives under <db>.db/<tbl>). Reject qualified names
-    // rather than aim a recursive delete at the wrong directory.
-    require(!table.contains(".") && table.nonEmpty,
-      s"writeBucketed: table name '$table' must be a simple unqualified " +
-        "(default-database) identifier — the stale-location cleanup " +
-        "resolves <warehouse>/<name> and would mis-aim for db.tbl")
+    // The stale-location cleanup below derives the managed path from the
+    // DEFAULT database layout: <warehouse>/<tbl> for unqualified names,
+    // <warehouse>/<db>.db/<tbl> for a one-level `db.tbl` (the location
+    // CREATE DATABASE assigns when no LOCATION clause overrides it —
+    // every database in this engine is created that way). Deeper
+    // qualification (catalog.db.tbl) is rejected rather than aiming a
+    // recursive delete at a guessed directory.
+    val parts = table.split('.')
+    require(table.nonEmpty && parts.length <= 2 && parts.forall(_.nonEmpty),
+      s"writeBucketed: table name '$table' must be <tbl> or <db>.<tbl>")
     // A managed table's LOCATION outlives a JVM whose in-memory catalog
     // did not: the warehouse dir persists on disk while the default
     // catalog is per-session, so Overwrite-saveAsTable in a fresh
     // session fails LOCATION_ALREADY_EXISTS on the stale dir. Drop any
     // catalog entry AND clear the orphaned location before writing.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS ${parts.map(p => s"`$p`").mkString(".")}")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val loc = parts match {
+      case Array(db, tbl) => new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(wh, s"${db.toLowerCase}.db"),
+        tbl.toLowerCase)
+      case _ => new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    }
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc) && !fs.delete(loc, true))
       throw new java.io.IOException(

@@ -185,12 +185,27 @@ class LayoutSpec extends SparkSpecBase {
     assert(plan.contains("dynamicpruning"), plan.take(4000))
   }
 
-  test("writeBucketed rejects database-qualified names (cleanup would " +
-    "mis-aim)") {
+  test("writeBucketed handles db.tbl names (stale-location cleanup aims " +
+    "at <db>.db/<tbl>); rejects deeper qualification") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    val db = "graft_bkt_qdb"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      // twice: the second write exercises the stale-location cleanup on
+      // the database-scoped managed path (the bug the old unqualified-
+      // only guard existed to prevent)
+      Layout.writeBucketed(df, s"$db.graft_bkt_q", "k", 4)
+      Layout.writeBucketed(df, s"$db.graft_bkt_q", "k", 4)
+      assert(spark.table(s"$db.graft_bkt_q").count() === 10)
+      val loc = spark.sql(s"DESCRIBE EXTENDED $db.graft_bkt_q")
+        .where(col("col_name") === "Location")
+        .head().getString(1)
+      assert(loc.contains(s"$db.db/graft_bkt_q"),
+        s"managed location not database-scoped: $loc")
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     intercept[IllegalArgumentException] {
-      Layout.writeBucketed(df, "somedb.graft_bkt_q", "k", 4)
+      Layout.writeBucketed(df, "cat.somedb.graft_bkt_q", "k", 4)
     }
   }
 
