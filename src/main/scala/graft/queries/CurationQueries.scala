@@ -1136,10 +1136,17 @@ object CurationQueries {
     * — and report the achieved k (min class size), the
     * singleton-class count (directly re-identifiable rows), the row
     * mass below the conventional k = 5 / k = 10 bars, and minimum
-    * l-diversity of the order-priority sensitive attribute across
-    * classes (a class whose members all share one sensitive value
-    * leaks it even at high k — the homogeneity attack). The reading
-    * at sf0.01 — k = 1, a third of rows in singletons — is the
+    * l-diversity of the order-priority sensitive attribute (a class
+    * whose members all share one sensitive value leaks it even at
+    * high k — the homogeneity attack). l-diversity convention
+    * (ADVICE r10): the class census LEFT-joins orders, so classes of
+    * zero-order customers are counted explicitly in
+    * `classes_no_sensitive` — for them there is no sensitive value to
+    * leak, so they are EXCLUDED from `l_div_min` (which is therefore
+    * the minimum over classes with ≥ 1 sensitive row) rather than
+    * dragging it to a vacuous 0; a consumer who wants the
+    * strict-worst-case reading has both numbers. The reading at
+    * sf0.01 — k = 1, a third of rows in singletons — is the
     * artifact's point: this generalization does NOT anonymize, coarsen
     * before release.
     *
@@ -1166,7 +1173,7 @@ object CurationQueries {
       |  FROM cls GROUP BY 1, 2, 3),
       |ldiv AS (SELECT c.c_nationkey, c.c_mktsegment, c.bal_k,
       |    CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l
-      |  FROM cls c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  FROM cls c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
       |  GROUP BY 1, 2, 3)
       |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
       |  CAST(count(*) AS BIGINT) AS n_classes,
@@ -1179,7 +1186,9 @@ object CurationQueries {
       |    // sum(sz) AS BIGINT) AS rows_below_k5_bp,
       |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
       |    AS rows_below_k10,
-      |  (SELECT min(l) FROM ldiv) AS l_div_min
+      |  (SELECT min(CASE WHEN l > 0 THEN l END) FROM ldiv) AS l_div_min,
+      |  (SELECT CAST(sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    FROM ldiv) AS classes_no_sensitive
       |FROM sz""".stripMargin) { (s, dir) =>
     val cls = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
@@ -1187,12 +1196,18 @@ object CurationQueries {
     val qi = Seq("c_nationkey", "c_mktsegment", "bal_k")
     val sz = cls.groupBy(qi.map(col): _*)
       .agg(count(lit(1)).as("sz"))
+    // LEFT join: countDistinct ignores the null priorities of orderless
+    // customers, so a class with no orders reads l = 0 — counted in
+    // classes_no_sensitive, excluded from the l_div_min argmin (the
+    // documented convention; see scaladoc)
     val ldiv = cls
       .join(Tables.orders(s, dir),
-        col("o_custkey") === col("c_custkey"))
+        col("o_custkey") === col("c_custkey"), "left")
       .groupBy(qi.map(col): _*)
       .agg(countDistinct(col("o_orderpriority")).as("l"))
-      .agg(min(col("l")).as("l_div_min"))
+      .agg(min(when(col("l") > 0, col("l"))).as("l_div_min"),
+        sum(when(col("l") === 0, 1L).otherwise(0L))
+          .as("classes_no_sensitive"))
     sz.agg(
         sum(col("sz")).as("n_rows"),
         count(lit(1)).as("n_classes"),
@@ -1209,6 +1224,6 @@ object CurationQueries {
       .select(col("n_rows"), col("n_classes"), col("k_anon"),
         col("singleton_classes"), col("rows_below_k5"),
         col("rows_below_k5_bp"), col("rows_below_k10"),
-        col("l_div_min"))
+        col("l_div_min"), col("classes_no_sensitive"))
   }
 }
