@@ -32,7 +32,7 @@ object ReferenceQueries {
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
-    q51TopSupplier)
+    q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2050,5 +2050,133 @@ object ReferenceQueries {
           revenueT(col("l_extendedprice"), col("l_discount"))
             .as("revenue_t"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H-Q17-shaped small-quantity revenue: per brand, the revenue
+    * carried by lineitems whose quantity is below 20 % of that PART's
+    * average quantity — the correlated-AVG-subquery pattern
+    * (Q17's `l_quantity < (SELECT 0.2*avg(l_quantity) ... same part)`),
+    * decorrelated the way Catalyst rewrites it: one per-part aggregate
+    * joined back onto the fact. This is the remaining classic
+    * decorrelation the q-series lacked — q51 is compare-vs-ONE-global-
+    * scalar, q31 is per-group top-k; this one compares every fact row
+    * against ITS OWN group's aggregate, so the derived aggregate is
+    * fact-keyed (#parts rows), never a broadcastable scalar.
+    *
+    * The 0.2·avg comparison is exact integer cross-multiplication:
+    * quantities are integral by construction (cast asserted by the
+    * stored data), so `qty < 0.2·(sq/c)` becomes `5·qty·c < sq` — no
+    * division, no float, no engine disagreement at the boundary.
+    * Revenue is undiscounted gross (Q17's convention) in exact integer
+    * cents; `avg_yearly_c` is Q17's `sum/7.0` kept in integer floor
+    * cents.
+    *
+    * Plan shape at 100 TB: the per-part aggregate and the join-back
+    * BOTH key on l_partkey, so the fact shuffles once — the aggregate
+    * side is a partial-agg (#parts rows) reusing the same exchange,
+    * and Catalyst's SMJ output partitioning on l_partkey then
+    * satisfies the part-dim join (p_partkey) with only the dim side
+    * shuffling (part is fact-proportional — UNHINTED per the q2 rule;
+    * threshold/AQE broadcasts it while it fits). The final 25-row
+    * brand rollup is map-side combinable. Nothing corpus-sized moves
+    * twice.
+    */
+  private def q52SmallQtyRevenue = QueryDef.sql(
+    "q52_small_qty_revenue",
+    s"""WITH li AS (SELECT l_partkey,
+       |    CAST(l_quantity AS BIGINT) AS qty,
+       |    ${centsDuck("l_extendedprice")} AS price_c
+       |  FROM lineitem),
+       |pq AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM li GROUP BY l_partkey),
+       |sm AS (SELECT li.l_partkey, li.price_c
+       |  FROM li JOIN pq ON pq.l_partkey = li.l_partkey
+       |  WHERE 5 * li.qty * pq.c < pq.sq)
+       |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+       |  CAST(sum(sm.price_c) AS BIGINT) AS total_c,
+       |  CAST(sum(sm.price_c) // 7 AS BIGINT) AS avg_yearly_c
+       |FROM sm JOIN part p ON p.p_partkey = sm.l_partkey
+       |GROUP BY p.p_brand
+       |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val pq = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("c"))
+    li.join(pq, "l_partkey")
+      .filter(lit(5) * col("qty") * col("c") < col("sq"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("price_c")).cast("long").as("total_c"))
+      .select(col("p_brand"), col("n_small"), col("total_c"),
+        expr("total_c div 7").as("avg_yearly_c"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H-Q21-shaped sole-blame audit, re-cast on the columns this
+    * schema carries: per supplier, the returned lineitems
+    * (l_returnflag = 'R') in MULTI-supplier orders where NO other
+    * supplier's item in the same order was returned — Q21's
+    * EXISTS (another supplier in the order) +
+    * NOT EXISTS (another supplier who ALSO failed) correlated pair,
+    * the one existential-chain shape the q-series lacked (q24 is a
+    * single NOT EXISTS).
+    *
+    * The Spark side deliberately does NOT run the textbook plan (two
+    * correlated self-joins of the full fact): both existentials are
+    * functions of the ORDER's composition, so one pass computes the
+    * per-(order, supplier) returned-line census, a second rollup on
+    * the already-shrunk grain counts suppliers and R-suppliers per
+    * order, and the existential pair collapses to
+    * `n_supp > 1 AND n_supp_r = 1` on the census join-back. The oracle
+    * keeps the EXISTS/NOT EXISTS text — result equality IS the
+    * decorrelation-correctness proof.
+    *
+    * Plan shape at 100 TB: one fact-keyed exchange on
+    * (l_orderkey, l_suppkey) with map-side partial aggregation, then
+    * every later stage operates on the order grain or smaller — the
+    * order rollup and the census join-back both key on l_orderkey
+    * (exchange reused; the composite-keyed census is re-keyed on its
+    * prefix, a shuffle of the CENSUS, never the fact). The textbook
+    * self-join plan shuffles the full fact three times; this shuffles
+    * it once. Supplier (fact-proportional) joins UNHINTED per the q2
+    * rule; the final per-supplier rollup is dim-bounded.
+    */
+  private def q53SoleBlameSupplier = QueryDef.sql(
+    "q53_sole_blame_supplier",
+    s"""SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_blamed
+       |FROM lineitem l1
+       |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+       |WHERE l1.l_returnflag = 'R'
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY s.s_suppkey, s.s_name
+       |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val census = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("r_lines"))
+    val perOrder = census.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("r_lines") > 0, 1L).otherwise(0L)).as("n_supp_r"))
+    census
+      .join(perOrder, "l_orderkey")
+      .filter(col("r_lines") > 0 && col("n_supp") > 1 &&
+        col("n_supp_r") === 1)
+      .groupBy("l_suppkey")
+      .agg(sum(col("r_lines")).as("n_blamed"))
+      .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_blamed"))
+      .orderBy(col("s_suppkey"))
   }
 }
