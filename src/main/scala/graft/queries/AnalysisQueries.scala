@@ -127,7 +127,7 @@ object AnalysisQueries {
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
-      e146IsotonicCalibration)
+      e146IsotonicCalibration, e147NnDescent, e148HllIntersection)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -4408,5 +4408,349 @@ object AnalysisQueries {
         .select(col("thr_bp"), col("n_pairs"), col("n_docs"),
           col("chars_touched"))
         .orderBy(col("thr_bp"))
+  }
+
+  // ---- e147: NN-Descent kNN-graph construction with recall audit ----------
+
+  /** NN-Descent (Dong, Moses Charikar, Li, WWW'11): build the
+    * all-vectors k-nearest-neighbor graph by ITERATIVE REFINEMENT —
+    * start from an arbitrary graph, and each round propose every pair
+    * of vertices that share a graph neighbor (in either direction),
+    * keeping each vertex's best K by cosine. "A neighbor of a neighbor
+    * is likely a neighbor" is the only assumption, so unlike the
+    * one-shot bucketing families — e6 sign-LSH (random hyperplanes),
+    * e17/e64 IVF (a TRAINED codebook) — NN-Descent needs no hash
+    * design and no training pass, and it targets the GRAPH itself
+    * (what e125's mutual-kNN and e105's propagation consume), not a
+    * per-query index. Init is a deterministic ring over the dense
+    * vec_id rank (the worst case for a locality argument — every
+    * measured recall gain is the algorithm's own work, none is
+    * smuggled in by a warm start).
+    *
+    * Output: one row per round (0 = init) — pairs scored that round,
+    * the graph's mean edge cosine in integer ten-thousandths, and
+    * recall@10 against the exact top-K truth on the vec_id%50 anchor
+    * slice (the e103b sampled-audit posture: truth over ALL vectors is
+    * a full N² scan production never runs). Measured at sf0.01
+    * (N=500, K=10, ring init, 8 rounds): recall 400 → 1200 → … → 7700
+    * bp, mean edge cosine 0 → 2819 tenths-of-bp, 20k–57k pairs/round.
+    * The SLOW climb is itself the finding: this corpus's embeddings
+    * are isotropic random (true-top-10 label agreement 10.3 % = chance
+    * over 10 labels; true-neighbor cosine 0.30 vs global 0.0004), the
+    * paper's worst case — intrinsic dimension = full 64, so
+    * "neighbor-of-neighbor" carries little signal and the graph earns
+    * recall linearly instead of the 2–3-round convergence clustered
+    * real-world embeddings show. At this toy N the 8 rounds even score
+    * MORE pairs (Σ 348k) than one brute-force build (250k) — the
+    * crossover is where N ≫ K²·rounds, i.e. real corpus sizes, where
+    * brute force is N²-impossible and this is the standard build.
+    *
+    * Determinism: the e93 contract — cosines rounded to 4 dp (+0
+    * normalizes −0.0) BEFORE ranking, ties broken by ascending
+    * candidate id; both engines fold the 64-dim dot sequentially, so
+    * the doubles are bit-identical. The mean edge cosine is an integer
+    * floor division of the rounded ten-thousandths sum.
+    *
+    * Scale (100 TB of vectors): every stage is a keyed equi-join —
+    * candidate generation is und ⋈ und on the WITNESS vertex, cost
+    * Σ_v deg(v)², bounded by N·(2K)² when degrees are balanced; the
+    * top-K is a per-vertex WindowGroupLimit (partial top-k map-side).
+    * The graph (N·K edges) and the vector table are the only shuffled
+    * relations; nothing is ever all-pairs. The production knobs this
+    * audit prices: reverse-degree CAPS (hub vertices make deg(v)²
+    * skew — e125 measures exactly that hubness) and the new/old
+    * incremental flags of the paper (halve candidate regeneration;
+    * here each round rescores its pool — the bound is unchanged).
+    * The driver-side loop is ROUNDS = 8 eager checkpoints, the e132
+    * discipline; NN-Descent's own convergence rule (stop when updates
+    * dry up) is a count per round in production. The oracle's
+    * round CTEs are AS MATERIALIZED — each is referenced 2–4×, and
+    * DuckDB inlines plain CTEs (the e125 note), which re-evaluates the
+    * whole prefix 4^rounds times.
+    */
+  private def e147NnDescent = {
+    val K = 10
+    val rounds = 8
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    val roundCtes = (0 until rounds).map { i =>
+      s"""und$i AS MATERIALIZED (SELECT src, dst FROM knn$i
+         |  UNION SELECT dst, src FROM knn$i),
+         |cand$i AS (SELECT DISTINCT j1.dst AS src, j2.dst AS dst
+         |  FROM und$i j1 JOIN und$i j2
+         |    ON j1.src = j2.src AND j1.dst <> j2.dst),
+         |pool$i AS MATERIALIZED (SELECT src, dst FROM cand$i
+         |  UNION SELECT src, dst FROM knn$i),
+         |sc$i AS (SELECT p.src, p.dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM pool$i p JOIN r a ON a.vec_id = p.src
+         |  JOIN r c ON c.vec_id = p.dst),
+         |knn${i + 1} AS MATERIALIZED (SELECT src, dst, cos FROM sc$i
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= $K),""".stripMargin
+    }.mkString("\n")
+    val metricSelects = (0 to rounds).map { i =>
+      val scoredRel = if (i == 0) "sc_init" else s"knn$i"
+      val nScored = if (i == 0) "0" else s"(SELECT count(*) FROM pool${i - 1})"
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  CAST($nScored AS BIGINT) AS n_scored,
+         |  (SELECT CAST(sum(CAST(round(cos * 10000) AS BIGINT))
+         |      // count(*) AS BIGINT) FROM $scoredRel) AS avg_cos_t,
+         |  CAST((SELECT count(*) FROM knn$i k JOIN truth t
+         |      ON t.src = k.src AND t.dst = k.dst) * 10000
+         |    // (na.n_anchors * $K) AS BIGINT) AS recall_bp
+         |FROM na""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "e147_nn_descent",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm FROM b),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |r AS MATERIALIZED (SELECT vec_id, uv,
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS rid FROM u),
+         |nn AS (SELECT count(*) AS n FROM r),
+         |knn0 AS MATERIALIZED (SELECT a.vec_id AS src, c.vec_id AS dst
+         |  FROM r a CROSS JOIN nn
+         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+         |  JOIN r c ON c.rid = (a.rid + os.o) % nn.n),
+         |sc_init AS (SELECT k.src, k.dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM knn0 k JOIN r a ON a.vec_id = k.src
+         |  JOIN r c ON c.vec_id = k.dst),
+         |$roundCtes
+         |tr0 AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM r a JOIN r c
+         |    ON a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id),
+         |truth AS MATERIALIZED (SELECT src, dst FROM tr0
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= $K),
+         |na AS (SELECT count(DISTINCT src) AS n_anchors FROM truth)
+         |$metricSelects
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      import graft.operators.Indexing
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+        .select(col("vec_id"), col("uv"))
+      // reused by every round's score join and the truth side; eager
+      // checkpoint so the zipWithIndex rank runs once (bounded: N rows)
+      val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
+        .localCheckpoint(true)
+      def scoreEdges(edges: DataFrame): DataFrame =
+        edges
+          .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
+            "src")
+          .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
+            "dst")
+          .select(col("src"), col("dst"),
+            (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+              .as("cos"))
+      val nn = r.agg(count(lit(1)).as("n"))
+      val knn0 = r.select(col("vec_id").as("src"), col("rid"))
+        .crossJoin(broadcast(nn))
+        .select(col("src"), col("rid"), col("n"),
+          explode(sequence(lit(1), lit(K))).as("o"))
+        .withColumn("nbr", (col("rid") + col("o")) % col("n"))
+        .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+          col("rid2") === col("nbr"))
+        .select("src", "dst")
+      val knns = scala.collection.mutable.ArrayBuffer(
+        scoreEdges(knn0).localCheckpoint(true))
+      val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to rounds) {
+        val knn = knns.last
+        val und = knn.select("src", "dst").unionByName(
+          knn.select(col("dst").as("src"), col("src").as("dst")))
+        val cand = und.select(col("src").as("w"), col("dst").as("a"))
+          .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
+          .filter(col("a") =!= col("c"))
+          .select(col("a").as("src"), col("c").as("dst")).distinct()
+        val pool = cand.unionByName(knn.select("src", "dst")).distinct()
+        pools += pool
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        knns += scoreEdges(pool)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+          .select("src", "dst", "cos").localCheckpoint(true)
+      }
+      val anchors = r.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("uv").as("ua"))
+      val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
+        .join(broadcast(anchors), col("dst") =!= col("src"))
+        .select(col("src"), col("dst"),
+          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+            .as("cos"))
+      val truth = tr
+        .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rk") <= K).select("src", "dst")
+        .localCheckpoint(true)
+      val na = truth.select("src").distinct()
+        .agg(count(lit(1)).as("n_anchors"))
+      val rows = (0 to rounds).map { i =>
+        val g = knns(i)
+        val avg = g.agg(
+            sum(round(col("cos") * 10000).cast("long")).as("sc"),
+            count(lit(1)).as("ne"))
+          .select(expr("sc div ne").as("avg_cos_t"))
+        val nscored =
+          if (i == 0) s.range(1).select(lit(0L).as("n_scored"))
+          else pools(i - 1).agg(count(lit(1)).cast("long").as("n_scored"))
+        val hits = g.join(truth, Seq("src", "dst"))
+          .agg(count(lit(1)).as("hits"))
+        nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
+          .select(lit(i.toLong).as("round"), col("n_scored"),
+            col("avg_cos_t"),
+            expr(s"hits * 10000 div (n_anchors * $K)").as("recall_bp"))
+      }
+      rows.reduce(_ unionByName _).orderBy("round")
+    }
+  }
+
+  // ---- e148: HLL pairwise intersection via inclusion–exclusion ------------
+
+  /** Pairwise source-overlap matrix from PER-SOURCE HLL registers
+    * alone — |A∩B| estimated as est(A) + est(B) − est(A∪B), where
+    * est(A∪B) needs NO data: union registers are the element-wise max
+    * of the two 64-register vectors. This makes quantitative what
+    * e138's docstring only caveats: inclusion–exclusion inherits HLL's
+    * error at the UNION's scale (σ ≈ 1.04/√64 of |A∪B|), so a small
+    * intersection of two large sets drowns in it — est_inter can even
+    * go NEGATIVE (reported raw, not clamped: a clamp would hide
+    * exactly the failure the audit exists to surface; measured at
+    * sf0.01: min inter_est −826 on a near-disjoint pair, mean
+    * err_union_bp 746, max 3751 over 190 pairs — right at the
+    * 1.04/√64·√2-ish scale the model predicts for a difference of
+    * three correlated estimates). The errors
+    * answer the production question "which overlap sketch do I
+    * materialize": KMV (e102) answers intersections at the
+    * INTERSECTION's scale, HLL answers union-algebra rollups (e137)
+    * and replay-idempotent streams (StreamRollingDistinct) — a fleet
+    * wanting both keeps both, and this matrix is the measured cost of
+    * pretending one suffices.
+    *
+    * Everything hash-compared is integer: the same affine+cube
+    * register pipeline and α₆₄ floor division as e134, err_union_bp =
+    * |est−exact| relative to the EXACT union in floor basis points —
+    * the honest denominator (relative-to-intersection explodes on the
+    * near-disjoint pairs that dominate this corpus).
+    *
+    * Scale (100 TB): the corpus contributes ONE (source, h)-distinct
+    * scan → 512 B of registers per source; all #sources² pair algebra
+    * happens on that bounded table (here 20 sources → 190 pairs). The
+    * exact-intersection side is the calibration harness (one h-keyed
+    * self-join production drops). The pair spine comes from the
+    * REGISTER table so zero-overlap pairs still report (exact side
+    * LEFT-joined, coalesced to 0).
+    */
+  private def e148HllIntersection = {
+    val P = Portable.P
+    val alphaNum = 709L * (1L << 37)
+    val tzCase = (0 to 24).map(i =>
+      s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ")
+    QueryDef.sql(
+      "e148_hll_intersection",
+      s"""WITH w AS (SELECT source, ${Portable.wordHashesDuck} AS wh
+         |  FROM documents),
+         |sh AS (SELECT source, ${Portable.shinglesDuck} AS shs FROM w
+         |  WHERE len(wh) >= 3),
+         |d AS (SELECT DISTINCT source, unnest(shs) AS h FROM sh),
+         |hx AS (SELECT source,
+         |    (${Portable.HllA} * h + ${Portable.HllB}) % $P AS x FROM d),
+         |hh AS (SELECT source, (x * x % $P) * x % $P AS h2 FROM hx),
+         |rho AS (SELECT source, h2 % 64 AS j,
+         |    CASE WHEN h2 // 64 = 0 THEN 25
+         |      ELSE CASE (h2 // 64) & (-(h2 // 64)) $tzCase END
+         |    END AS r
+         |  FROM hh),
+         |reg AS (SELECT source, j, max(r) AS mr FROM rho GROUP BY 1, 2),
+         |spine AS (SELECT s.source, b.j
+         |  FROM (SELECT DISTINCT source FROM d) s
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         |regs AS (SELECT sp.source, sp.j, coalesce(reg.mr, 0) AS mr
+         |  FROM spine sp LEFT JOIN reg
+         |    ON reg.source = sp.source AND reg.j = sp.j),
+         |pair_s AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - a.mr)) AS BIGINT) AS sa,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - b.mr)) AS BIGINT) AS sb,
+         |    CAST(sum(CAST(1 AS BIGINT) << (25 - greatest(a.mr, b.mr)))
+         |      AS BIGINT) AS su
+         |  FROM regs a JOIN regs b
+         |    ON a.j = b.j AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |ne AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+         |xi AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS inter_exact
+         |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |est AS (SELECT src_a, src_b,
+         |    $alphaNum // (1000 * sa) AS est_a,
+         |    $alphaNum // (1000 * sb) AS est_b,
+         |    $alphaNum // (1000 * su) AS est_union
+         |  FROM pair_s)
+         |SELECT e.src_a, e.src_b,
+         |  CAST(coalesce(x.inter_exact, 0) AS BIGINT) AS inter_exact,
+         |  e.est_a + e.est_b - e.est_union AS inter_est,
+         |  CAST(na.n + nb.n - coalesce(x.inter_exact, 0) AS BIGINT)
+         |    AS union_exact,
+         |  e.est_union AS union_est,
+         |  abs(e.est_a + e.est_b - e.est_union
+         |      - coalesce(x.inter_exact, 0)) * 10000
+         |    // (na.n + nb.n - coalesce(x.inter_exact, 0)) AS err_union_bp
+         |FROM est e
+         |JOIN ne na ON na.source = e.src_a
+         |JOIN ne nb ON nb.source = e.src_b
+         |LEFT JOIN xi x ON x.src_a = e.src_a AND x.src_b = e.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(F.shingle_hashes(col("text"))).as("h"))
+        .distinct()
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.sketches.hll_sketch(col("h")).as("regs"))
+      def estOf(regs: String): org.apache.spark.sql.Column = {
+        val s2 = s"aggregate(transform($regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        expr(s"$alphaNum div (1000 * $s2)")
+      }
+      val a = per.select(col("source").as("src_a"), col("n").as("na"),
+        col("regs").as("ra"))
+      val b = per.select(col("source").as("src_b"), col("n").as("nb"),
+        col("regs").as("rb"))
+      // per-source register table is #sources rows — broadcast pair join
+      val pairs = a.join(broadcast(b), col("src_a") < col("src_b"))
+        .withColumn("ru",
+          zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y)))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          estOf("ra").as("est_a"), estOf("rb").as("est_b"),
+          estOf("ru").as("union_est"))
+      val xi = d.select(col("source").as("src_a"), col("h"))
+        .join(d.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("inter_exact"))
+      pairs.join(xi, Seq("src_a", "src_b"), "left")
+        .withColumn("inter_exact",
+          coalesce(col("inter_exact"), lit(0L)).cast("long"))
+        .select(col("src_a"), col("src_b"), col("inter_exact"),
+          (col("est_a") + col("est_b") - col("union_est")).as("inter_est"),
+          (col("na") + col("nb") - col("inter_exact")).cast("long")
+            .as("union_exact"),
+          col("union_est"),
+          expr("abs(est_a + est_b - union_est - inter_exact) * 10000 " +
+            "div (na + nb - inter_exact)").as("err_union_bp"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
   }
 }
