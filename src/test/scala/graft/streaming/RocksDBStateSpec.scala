@@ -209,6 +209,44 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamSpaceSaving keeps its guarantees on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val k = 4
+    val pop = (1L to 20L).flatMap(g => Seq.fill((40 / g).toInt max 1)(g))
+    val exact = pop.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = pop.size.toLong
+    val ms = MemoryStream[StreamSpaceSaving.Obs]
+    val q = StreamSpaceSaving.monitor(ms.toDS(), k)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_ss").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val (b1, b2) = pop.splitAt(pop.size / 2)
+      ms.addData(b1.map(StreamSpaceSaving.Obs("a", _)): _*)
+      q.processAllAvailable()
+      ms.addData(b2.map(StreamSpaceSaving.Obs("a", _)): _*)
+      q.processAllAvailable()
+      val last = s.table("rocks_ss")
+        .as[StreamSpaceSaving.Summary].collect()
+        .filter(_.key == "a").maxBy(_.n_seen)
+      assert(last.n_seen === n)
+      assert(last.items.size <= k)
+      assert(last.counts.sum === n) // conservation across RocksDB state
+      last.items.indices.foreach { i =>
+        val t = exact.getOrElse(last.items(i), 0L)
+        assert(t <= last.counts(i) && last.counts(i) - last.errs(i) <= t)
+      }
+      val tracked = last.items.toSet
+      exact.collect { case (it, c) if c > n / k => it }
+        .foreach(it => assert(tracked(it)))
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamDrift census accumulates identically on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
