@@ -127,7 +127,8 @@ object AnalysisQueries {
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
-      e146IsotonicCalibration, e147NnDescent, e148HllIntersection)
+      e146IsotonicCalibration, e147NnDescent, e148HllIntersection,
+      e149KCenter)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -4751,6 +4752,91 @@ object AnalysisQueries {
           expr("abs(est_a + est_b - union_est - inter_exact) * 10000 " +
             "div (na + nb - inter_exact)").as("err_union_bp"))
         .orderBy(col("src_a"), col("src_b"))
+    }
+  }
+
+  // ---- e149: Gonzalez k-center exemplar selection --------------------------
+
+  /** k-CENTER exemplars via farthest-point traversal
+    * ([[graft.operators.KCenter]], Gonzalez 1985 — a 2-approximation of
+    * the optimal covering radius): pick 8 vectors such that NO vector
+    * is far from every pick. The metric-diversity objective next to
+    * e122's submodular coverage ("represent the most shingles") and
+    * e89/e95's weighted sampling ("match a score distribution"):
+    * coverage maximizes overlap mass and will happily pick 8 near-
+    * duplicates of the dominant mode; k-center is the anti-mode-
+    * collapse pick — each new exemplar is by construction the vector
+    * WORST served by the current set. The output radius column is the
+    * quantity the objective minimizes (max over vectors of min
+    * distance to the picks, integer ten-thousandths of 1−cos),
+    * non-increasing by construction — read it to choose k: the knee
+    * where radius stops dropping is the corpus's intrinsic mode count.
+    * Also the principled seeding for the e17/e64 IVF codebook.
+    *
+    * Determinism: the e93 contract (4-dp-rounded cosine before any
+    * comparison, lowest-vec_id tie-break, first center = lowest
+    * vec_id). Scale (100 TB): k rounds × (one broadcast join against
+    * the ≤ k chosen centers + a per-vector min + a global top-1 —
+    * TakeOrderedAndProject, never a full sort), one collected row per
+    * round (the e122 discipline); k·N distances total, no all-pairs
+    * stage. The oracle replays the traversal as a k-round
+    * MATERIALIZED-CTE chain.
+    */
+  private def e149KCenter = {
+    val k = 8
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    val dT = s"10000 - CAST(round((round(${dotD("p.uv", "c.uv")}, 4) + 0)" +
+      " * 10000) AS BIGINT)"
+    val roundCtes = (1 to k).map { r =>
+      s"""md$r AS (SELECT p.vec_id, min($dT) AS mind
+         |  FROM r p CROSS JOIN (SELECT r.uv FROM cents$r
+         |    JOIN r ON r.vec_id = cents$r.cid) c
+         |  GROUP BY p.vec_id),
+         |w$r AS MATERIALIZED (SELECT vec_id, mind FROM md$r
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |cents${r + 1} AS MATERIALIZED (SELECT cid FROM cents$r
+         |  UNION ALL SELECT vec_id FROM w$r),""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to k).map { r =>
+      val center =
+        if (r == 1) "(SELECT cid FROM c1)"
+        else s"(SELECT vec_id FROM w${r - 1})"
+      s"""SELECT CAST($r AS BIGINT) AS pick,
+         |  CAST($center AS BIGINT) AS center_id,
+         |  CAST((SELECT mind FROM w$r) AS BIGINT) AS radius_t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "e149_kcenter",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm FROM b),
+         |r AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |c1 AS (SELECT min(vec_id) AS cid FROM r),
+         |cents1 AS MATERIALIZED (SELECT cid FROM c1),
+         |$roundCtes
+         |sel AS ($sel)
+         |SELECT pick, center_id, radius_t FROM sel
+         |ORDER BY pick""".stripMargin) { (s, dir) =>
+      val pts = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+        .select(col("vec_id"), col("uv"))
+        .localCheckpoint(true)
+      val picks = graft.operators.KCenter.gonzalez(pts, k)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(pts)
+      import s.implicits._
+      picks.map { case (p, c, rad) => (p.toLong, c, rad) }
+        .toDF("pick", "center_id", "radius_t")
+        .orderBy(col("pick"))
     }
   }
 }

@@ -38,6 +38,10 @@ object ReplicaBuild {
         s"(${spark.read.parquet(s"$out/$table.parquet").count()} rows)")
     }
     replicate("documents", Seq("doc_id"))
+    // embeddings for the similarity-family probes: vec_ids offset per
+    // replica, vectors byte-identical — the dense-duplicate worst case
+    // (every true neighbor list is the clone set)
+    replicate("embeddings", Seq("vec_id"))
     // fact tables for the q-series probes: orderkeys offset per replica
     // so the lineitem⋈orders volume scales honestly; user ids offset so
     // the events user-keyed exchange scales its key population; dims
