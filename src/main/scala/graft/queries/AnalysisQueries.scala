@@ -4433,8 +4433,10 @@ object AnalysisQueries {
     * recall@10 against the exact top-K truth on the vec_id%50 anchor
     * slice (the e103b sampled-audit posture: truth over ALL vectors is
     * a full N² scan production never runs). Measured at sf0.01
-    * (N=500, K=10, ring init, 8 rounds): recall 400 → 1200 → … → 7700
-    * bp, mean edge cosine 0 → 2819 tenths-of-bp, 20k–57k pairs/round.
+    * (N=500, K=10, ring init, 8 rounds): recall 400 → 1200 → … → 7500
+    * bp, mean edge cosine 0 → 2767 tenths-of-bp, 20k–52k pairs/round
+    * (the reverse-cap costs 200 bp of round-8 recall vs uncapped —
+    * the price of the hub bound on this corpus).
     * The SLOW climb is itself the finding: this corpus's embeddings
     * are isotropic random (true-top-10 label agreement 10.3 % = chance
     * over 10 labels; true-neighbor cosine 0.30 vs global 0.0004), the
@@ -4442,7 +4444,7 @@ object AnalysisQueries {
     * "neighbor-of-neighbor" carries little signal and the graph earns
     * recall linearly instead of the 2–3-round convergence clustered
     * real-world embeddings show. At this toy N the 8 rounds even score
-    * MORE pairs (Σ 348k) than one brute-force build (250k) — the
+    * MORE pairs (Σ 324k) than one brute-force build (250k) — the
     * crossover is where N ≫ K²·rounds, i.e. real corpus sizes, where
     * brute force is N²-impossible and this is the standard build.
     *
@@ -4454,14 +4456,20 @@ object AnalysisQueries {
     *
     * Scale (100 TB of vectors): every stage is a keyed equi-join —
     * candidate generation is und ⋈ und on the WITNESS vertex, cost
-    * Σ_v deg(v)², bounded by N·(2K)² when degrees are balanced; the
-    * top-K is a per-vertex WindowGroupLimit (partial top-k map-side).
-    * The graph (N·K edges) and the vector table are the only shuffled
-    * relations; nothing is ever all-pairs. The production knobs this
-    * audit prices: reverse-degree CAPS (hub vertices make deg(v)²
-    * skew — e125 measures exactly that hubness) and the new/old
-    * incremental flags of the paper (halve candidate regeneration;
-    * here each round rescores its pool — the bound is unchanged).
+    * Σ_v deg(v)², and reverse lists are CAPPED at K (the paper's
+    * reverse-sample knob, deterministic lowest-id rule) so every
+    * degree is ≤ 2K and the bound N·(2K)² holds REGARDLESS of hubs —
+    * uncapped, the 100× dense-clone probe OOMed: every clone set
+    * funnels its reverse edges onto its 10 lowest-id clones (reverse
+    * degree ≈ clone count, candidates ≈ clones² per witness), the
+    * hubness e125 measures. The top-K is a per-vertex
+    * WindowGroupLimit (partial top-k map-side). The graph (N·K edges)
+    * and the vector table are the only shuffled relations; nothing is
+    * ever all-pairs. The remaining production knobs: int8 scoring
+    * (e93's lever — 8× smaller vector payload on the score joins, the
+    * measured shuffle dominator) and the new/old incremental flags of
+    * the paper (halve candidate regeneration; here each round rescores
+    * its pool — the bound is unchanged).
     * The driver-side loop is ROUNDS = 8 eager checkpoints, the e132
     * discipline; NN-Descent's own convergence rule (stop when updates
     * dry up) is a count per round in production. The oracle's
@@ -4477,8 +4485,12 @@ object AnalysisQueries {
          |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
          |      (s, v) -> s + v)""".stripMargin
     val roundCtes = (0 until rounds).map { i =>
-      s"""und$i AS MATERIALIZED (SELECT src, dst FROM knn$i
-         |  UNION SELECT dst, src FROM knn$i),
+      s"""rev$i AS (SELECT dst AS src, src AS dst
+         |  FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst
+         |      ORDER BY src) AS rr FROM knn$i) t
+         |  WHERE rr <= $K),
+         |und$i AS MATERIALIZED (SELECT src, dst FROM knn$i
+         |  UNION SELECT src, dst FROM rev$i),
          |cand$i AS (SELECT DISTINCT j1.dst AS src, j2.dst AS dst
          |  FROM und$i j1 JOIN und$i j2
          |    ON j1.src = j2.src AND j1.dst <> j2.dst),
@@ -4569,8 +4581,18 @@ object AnalysisQueries {
       val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 1 to rounds) {
         val knn = knns.last
-        val und = knn.select("src", "dst").unionByName(
-          knn.select(col("dst").as("src"), col("src").as("dst")))
+        // reverse lists capped at K (lowest-id — deterministic): the
+        // paper's reverse-sample knob. Bounds every und degree at 2K,
+        // so candidate generation is <= N·(2K)² REGARDLESS of hubs —
+        // without it the 100× dense-clone probe OOMed (every clone
+        // set funnels its reverse edges onto the 10 lowest-id clones,
+        // reverse degree ~N_clones, candidates ~N_clones² per witness)
+        val rev = knn
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("dst")).orderBy(col("src"))))
+          .filter(col("rr") <= K)
+          .select(col("dst").as("src"), col("src").as("dst"))
+        val und = knn.select("src", "dst").unionByName(rev)
         val cand = und.select(col("src").as("w"), col("dst").as("a"))
           .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
           .filter(col("a") =!= col("c"))

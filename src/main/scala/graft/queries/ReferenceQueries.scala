@@ -32,7 +32,8 @@ object ReferenceQueries {
     q42BucketedStar, q43Cube, q44Interpolate, q45AsofForward,
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
-    q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier)
+    q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
+    q54CustDist, q55EventTransitions)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2178,5 +2179,101 @@ object ReferenceQueries {
         col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_blamed"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H-Q13-shaped customer order-count distribution: how many
+    * customers placed exactly k orders, INCLUDING k = 0 — the
+    * count-of-counts (two-level aggregation) over an OUTER join, the
+    * one aggregate shape the q-series lacked. The zero bucket is the
+    * whole point: an inner join silently drops order-less customers,
+    * and Q13 exists to catch exactly that class of silent-loss bug —
+    * so the left join is load-bearing and `count(o_orderkey)` (not
+    * `count(*)`) is what makes an unmatched customer count as 0.
+    * Q13's comment-filter is kept in spirit by excluding one order
+    * priority class — a predicate on the ORDER side of the outer join,
+    * which must live in the JOIN condition (in WHERE it would turn the
+    * outer join back into an inner one — the classic outer-join
+    * predicate-placement trap, pinned here by the zero bucket's
+    * survival).
+    *
+    * Plan shape at 100 TB: one custkey-keyed exchange joins the
+    * order-priority-filtered fact to customer (both sides shuffle —
+    * customer is fact-proportional, no broadcast per the q2 rule),
+    * the per-customer count partially aggregates map-side AFTER the
+    * join, and the second aggregation runs on the #distinct-counts
+    * grain (tens of rows). Nothing is row-expanded; the heavy side is
+    * pruned by the pushed priority filter before the exchange.
+    */
+  private def q54CustDist = QueryDef.sql(
+    "q54_cust_dist",
+    s"""WITH pc AS (SELECT c.c_custkey,
+       |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+       |  FROM customer c LEFT JOIN orders o
+       |    ON o.o_custkey = c.c_custkey
+       |      AND o.o_orderpriority <> '1-URGENT'
+       |  GROUP BY c.c_custkey)
+       |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       |FROM pc GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    val pc = Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    pc.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Event-type transition matrix — the first-order Markov census over
+    * per-user event sequences: for every (from, to) pair, how many
+    * adjacent-event transitions occurred and the row-conditional
+    * probability in integer basis points. The SEQUENCE-bigram shape
+    * the q-series lacked: q39's funnel matches one fixed pattern,
+    * q17/q46 cut sessions on gaps; this reads the whole behavioral
+    * grammar at once (which states feed `purchase`, whether `error`
+    * self-loops) — the artifact behind bot screens (a user whose
+    * transition rows are near-deterministic is a script; e126 reads
+    * the same signal from the clock) and behavioral drift monitors.
+    *
+    * Determinism: adjacency is lag() per user ordered by (ts,
+    * event_id) — the id tiebreak makes the order total even if a user
+    * ever carries equal timestamps; counts and floor-bp are integers.
+    *
+    * Plan shape at 100 TB: one user-keyed exchange feeds the lag
+    * window (bounded frames — every partition is one user's events),
+    * transitions partially aggregate map-side into the ≤ #types² grid,
+    * and the row totals ride a window over that bounded grid, not the
+    * corpus. The events fact shuffles once.
+    */
+  private def q55EventTransitions = QueryDef.sql(
+    "q55_event_transitions",
+    s"""WITH seq AS (SELECT user_id, event_type AS to_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS from_type
+       |  FROM events),
+       |tr AS (SELECT from_type, to_type,
+       |    CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM seq WHERE from_type IS NOT NULL
+       |  GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n_trans,
+       |  n_trans * 10000 // CAST(sum(n_trans) OVER
+       |    (PARTITION BY from_type) AS BIGINT) AS p_bp
+       |FROM tr ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(byUser).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    tr.withColumn("row_total",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("n_trans * 10000 div row_total").as("p_bp"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 }

@@ -85,9 +85,17 @@ class PlanLintSpec extends SparkSpecBase {
                     // both construction-bounded, the e115 pattern
       "e145_k_anonymity", // one-row l-diversity frame crossed onto the
                           // one-row census, the q8 pattern
-      "e146_isotonic_calibration") // the non-equi (j ≤ i ≤ k) joins
+      "e146_isotonic_calibration", // the non-equi (j ≤ i ≤ k) joins
                                    // ride the ≤ 50-row bin grid —
                                    // construction-bounded, e115 pattern
+      "e147_nn_descent", // 1-row metric frames crossed per round (the
+                         // q8 pattern), the 1-row count broadcast under
+                         // the ring init, and the vec_id%50 anchor-slice
+                         // truth join — the e5/e110 anchor-set pattern
+      "e148_hll_intersection") // the src_a < src_b pair join rides the
+                               // #sources-row register table (512 B per
+                               // source) — construction-bounded, the
+                               // e132 pattern
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
