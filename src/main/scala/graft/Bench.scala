@@ -78,9 +78,11 @@ object Bench {
     val isolatedSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED",
       "e32_dedup_clusters,e45_dedup_apply,e46_cc_star,e50_bpe_train," +
         "e73_shard_manifest,e77_shard_stability,e120_pagerank," +
-        "e122_coverage_select") // e122: iterative-localCheckpoint-shaped
+        "e122_coverage_select," + // e122: iterative-localCheckpoint-shaped
         // like e32/e45 — r10 measured its in-session number inflated the
         // same way (5.7 s in-session vs 11.9 s at the 100x probe's scale)
+        "e147_nn_descent") // r11's slowest in-session query (11.2 s):
+        // 8 eager-checkpoint rounds, the same iterative shape
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
     // in-session but fails in the fresh session (different
