@@ -301,4 +301,90 @@ class RecoverySpec extends SparkSpecBase {
       assertRocksEngaged(q2)
     } finally q2.stop()
   }
+
+  test("StreamSpaceSaving counters survive a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-ss").toString
+    val ms = MemoryStream[StreamSpaceSaving.Obs]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamSpaceSaving.Summary]
+    def start() = StreamSpaceSaving.monitor(ms.toDS(), k = 4)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          StreamSpaceSaving.Summary], _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      ms.addData(Seq.fill(30)(StreamSpaceSaving.Obs("k", 1L)): _*)
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.last.n_seen) === 30L)
+    } finally q1.stop() // the "kill": {1 -> 30} lives only in state
+    emitted.synchronized(emitted.clear())
+    // arrives while the query is down
+    ms.addData(Seq.fill(5)(StreamSpaceSaving.Obs("k", 2L)) :+
+      StreamSpaceSaving.Obs("k", 3L): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "k")
+      assert(rows.nonEmpty, "no post-restart emission")
+      val last = rows.last
+      // conservation over the FULL stream (30 + 6) only holds if the
+      // pre-restart counters were recovered — a fresh table reads 6
+      assert(last.n_seen === 36L && last.counts.sum === 36L)
+      // item 1 was slot-resident throughout: exact count, zero err
+      val i1 = last.items.indexOf(1L)
+      assert(i1 >= 0 && last.counts(i1) === 30L && last.errs(i1) === 0L)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
+
+  test("StreamLogHist buckets survive a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-lh").toString
+    val ms = MemoryStream[StreamLogHist.Obs]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamLogHist.Quantiles]
+    def start() = StreamLogHist.monitor(ms.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          StreamLogHist.Quantiles], _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      ms.addData(Seq.fill(40)(StreamLogHist.Obs("k", 10L)): _*)
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.last.p50_est) === 15L)
+    } finally q1.stop() // the "kill": bucket-4 mass lives only in state
+    emitted.synchronized(emitted.clear())
+    ms.addData(Seq.fill(10)(StreamLogHist.Obs("k", 1000L)): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "k")
+      assert(rows.nonEmpty, "no post-restart emission")
+      val last = rows.last
+      // p50 stays in bucket 4 only if the 40 recovered observations
+      // outweigh the 10 post-restart ones — a fresh histogram of the
+      // 10 large values alone would read p50 = 1023
+      assert(last.n_seen === 50L)
+      assert(last.p50_est === 15L && last.p99_est === 1023L)
+      assert(last.n_buckets === 2L)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
 }
