@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("avg_hash64"), info("avg_hash64", classOf[AvgHash64]),
       (args: Seq[Expression]) => AvgHash64(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("int8_scale"), info("int8_scale", classOf[Int8Scale]),
+      (args: Seq[Expression]) => Int8Scale(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("int8_pack"), info("int8_pack", classOf[Int8Pack]),
+      (args: Seq[Expression]) => Int8Pack(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot"), info("int8_dot", classOf[Int8Dot]),
+      (args: Seq[Expression]) => Int8Dot(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries", classOf[graft.functions.sketches.MisraGriesAgg]),
       (args: Seq[Expression]) => {

@@ -251,4 +251,54 @@ object TextHash {
     }
     h
   }
+
+  /** Symmetric int8 quantization scale of a double vector: max|x|/127
+    * (e26/e93's rule). The max is order-independent, so the value is
+    * bit-identical to the engines' list_reduce(greatest) formulation.
+    */
+  def int8Scale(a: ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i))
+      if (v > m) m = v
+      i += 1
+    }
+    m / 127.0
+  }
+
+  /** Pack a double vector into signed int8 codes (one byte per
+    * element): q_i = floor(x_i / scale + 0.5) with scale = max|x|/127,
+    * so |q_i| ≤ 127 by construction — 8× smaller than the ARRAY<DOUBLE>
+    * it replaces as a shuffle payload. A zero vector (scale 0) packs to
+    * all-zero codes. The arithmetic is plain IEEE double ops in element
+    * order, so an engine replaying the same formula on lists produces
+    * the same integers.
+    */
+  def int8Pack(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    val s = int8Scale(a)
+    if (s == 0.0) return out
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getDouble(i) / s + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Integer dot product of two int8 code vectors (signed bytes) —
+    * the inner loop int8 retrieval runs: 1-byte multiply-accumulates,
+    * the form SIMD executes 4–8× wider than float32. Exact in a Long
+    * for any realistic dimension (|Σ| ≤ 127²·n).
+    */
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
 }

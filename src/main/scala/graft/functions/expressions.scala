@@ -133,6 +133,59 @@ object expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Symmetric int8 quantization scale (max|x|/127) of an
+    * ARRAY<DOUBLE> — the companion of [[Int8Pack]]; stored next to the
+    * codes so the integer dot corrects back to cosine with one
+    * multiply per candidate (`qdot·scale_a·scale_b`, the e93 scheme).
+    */
+  case class Int8Scale(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "int8_scale"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.int8Scale(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.int8Scale($c)")
+    override protected def withNewChildInternal(newChild: Expression): Int8Scale =
+      copy(child = newChild)
+  }
+
+  /** Pack an ARRAY<DOUBLE> into signed int8 codes as ONE BINARY value —
+    * 8× smaller than the double array as a shuffle payload, which the
+    * e147 probe measured as the dominant cost of pair-scoring joins.
+    * Codegen'd byte loop, never a UDF.
+    */
+  case class Int8Pack(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "int8_pack"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.int8Pack(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.int8Pack($c)")
+    override protected def withNewChildInternal(newChild: Expression): Int8Pack =
+      copy(child = newChild)
+  }
+
+  /** Exact integer dot of two int8 code BLOBs ([[Int8Pack]] outputs) —
+    * the 1-byte multiply-accumulate loop int8 retrieval runs.
+    */
+  case class Int8Dot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "int8_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextHash.int8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.int8Dot($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Int8Dot =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Morton (Z-order) bit interleave of two LONG coordinates — the
     * clustering key for multi-dimensional data layout (sort by z-value
     * → files carry tight min/max on BOTH dimensions → 2-D skipping from
@@ -194,6 +247,9 @@ object F {
   def sim_hash60(text: Column): Column = c(SimHash60(e(text)))
   def min_hashes(shingles: Column): Column = c(MinHashes(e(shingles)))
   def array_dot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
+  def int8_scale(a: Column): Column = c(Int8Scale(e(a)))
+  def int8_pack(a: Column): Column = c(Int8Pack(e(a)))
+  def int8_dot(a: Column, b: Column): Column = c(Int8Dot(e(a), e(b)))
   def morton2(x: Column, y: Column, bits: Int = 16): Column =
     c(Morton2(e(x), e(y), bits))
   def avg_hash64(payload: Column): Column = c(AvgHash64(e(payload)))

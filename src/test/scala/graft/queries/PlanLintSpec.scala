@@ -88,7 +88,7 @@ class PlanLintSpec extends SparkSpecBase {
       "e146_isotonic_calibration", // the non-equi (j ≤ i ≤ k) joins
                                    // ride the ≤ 50-row bin grid —
                                    // construction-bounded, e115 pattern
-      "e147_nn_descent", // 1-row metric frames crossed per round (the
+      "e147_nn_descent", "e147b_nn_descent_int8", // 1-row metric frames (the
                          // q8 pattern), the 1-row count broadcast under
                          // the ring init, and the vec_id%50 anchor-slice
                          // truth join — the e5/e110 anchor-set pattern
