@@ -128,7 +128,7 @@ object AnalysisQueries {
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
-      e148HllIntersection, e149KCenter)
+      e148HllIntersection, e149KCenter, e151GridDensity)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5063,6 +5063,171 @@ object AnalysisQueries {
       picks.map { case (p, c, rad) => (p.toLong, c, rad) }
         .toDF("pick", "center_id", "radius_t")
         .orderBy(col("pick"))
+    }
+  }
+
+  // ---- e151: grid-density clustering (cell-graph DBSCAN) ------------------
+
+  /** Density-based cluster census over the embedding corpus — DBSCAN's
+    * reading (dense cores, reachable borders, noise) made LINEAR by the
+    * classic grid coarsening (the GriDBSCAN/"grid DBSCAN" family):
+    * project each vector to 2-D with a deterministic JL block
+    * ([[Portable.hyperplaneWeight]] planes 48–49, an independent block
+    * from e6's 0–11 and e47's 32–47), bucket into ε-cells, call a cell
+    * CORE when it holds ≥ minPts points, and connect core cells through
+    * 8-neighborhood adjacency — [[graft.operators.ConnectedComponents]]
+    * over the CELL graph, never the point graph. Points in non-core
+    * cells adjacent to a core cell are that cluster's BORDER mass
+    * (min-label across adjacent cores, deterministic); the rest is
+    * noise. This is density clustering at CELL resolution, stated as
+    * such: same-cell points sit within √2·ε, adjacent-cell points
+    * within 2√2·ε — the coarsening sandwiches ε-reachability, it does
+    * not equal it.
+    *
+    * On THIS corpus the honest reading is one dense core + sparse halo:
+    * the embeddings are isotropic-random unit vectors (e118/e147
+    * measured label agreement at chance), so a density detector SHOULD
+    * report a single central blob and perimeter noise — the output
+    * proves the detector reads unclustered data as unclustered.
+    *
+    * Scale (100 TB): per-point work is two 64-term dot products and a
+    * grid key — one keyed aggregation to the CELL grain, and everything
+    * after (core filter, 8-neighbor equi-join via precomputed neighbor
+    * coordinates, CC, census) rides the occupied-cell table, bounded by
+    * min(N, grid area) and typically ≪ N. The point-pair ε-join classic
+    * DBSCAN needs never happens; CC runs on ≤ N/minPts core cells. The
+    * one knob pair (ε, minPts) is corpus-tuned like e3's threshold —
+    * the census itself is the tuning artifact.
+    */
+  private def e151GridDensity = {
+    val eps = 0.4
+    val minPts = 5
+    val planeX = 48
+    val planeY = 49
+    val scale = math.sqrt(3.0 / 2)
+    val scaleSql = java.lang.Double.toString(scale)
+    val OFF = 1048576L // cell-key packing: (cx+OFF)*MUL + (cy+OFF)
+    val MUL = 4194304L
+    def projDuck(j: Int): String =
+      "(list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+        " list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * " +
+        Portable.hyperplaneWeightDuck(j) +
+        s")), (s, v) -> s + v) * $scaleSql)"
+    QueryDef.sql(
+      "e151_grid_density",
+      s"""WITH RECURSIVE p AS (SELECT vec_id, ${projDuck(planeX)} AS px,
+         |    ${projDuck(planeY)} AS py
+         |  FROM embeddings),
+         |cells AS (SELECT CAST(floor(px / $eps) AS BIGINT) AS cx,
+         |    CAST(floor(py / $eps) AS BIGINT) AS cy,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |keyed AS (SELECT (cx + $OFF) * $MUL + (cy + $OFF) AS ck,
+         |    cx, cy, n FROM cells),
+         |core AS MATERIALIZED (SELECT * FROM keyed WHERE n >= $minPts),
+         |offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+         |  (0,1),(1,-1),(1,0),(1,1)),
+         |edges AS (SELECT a.ck AS u, b.ck AS v
+         |  FROM core a CROSS JOIN offs o
+         |  JOIN core b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |compe AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |comp AS MATERIALIZED (SELECT c.ck, c.cx, c.cy,
+         |    coalesce(ce.cluster, c.ck) AS cluster, c.n
+         |  FROM core c LEFT JOIN compe ce ON ce.node = c.ck),
+         |border AS MATERIALIZED (SELECT k.ck, k.n,
+         |    min(cm.cluster) AS cluster
+         |  FROM keyed k CROSS JOIN offs o
+         |  JOIN comp cm ON cm.cx = k.cx + o.dx AND cm.cy = k.cy + o.dy
+         |  WHERE k.n < $minPts
+         |  GROUP BY k.ck, k.n),
+         |noise AS (SELECT k.ck, k.n FROM keyed k
+         |  LEFT JOIN border b ON b.ck = k.ck
+         |  WHERE k.n < $minPts AND b.ck IS NULL),
+         |clusters AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(n) AS BIGINT) AS n_core_pts
+         |  FROM comp GROUP BY cluster),
+         |bstats AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_border_pts
+         |  FROM border GROUP BY cluster),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
+         |u AS (SELECT c.cluster, c.n_cells, c.n_core_pts,
+         |    coalesce(b.n_border_pts, 0) AS n_border_pts
+         |  FROM clusters c LEFT JOIN bstats b USING (cluster)
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(coalesce(sum(n), 0) AS BIGINT)
+         |  FROM noise)
+         |SELECT cluster, n_cells, n_core_pts, n_border_pts,
+         |  (n_core_pts + n_border_pts) * 10000 // tot.np AS share_bp
+         |FROM u CROSS JOIN tot
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val embD = col("embedding").cast("array<double>")
+      def proj(plane: Int): org.apache.spark.sql.Column = {
+        val w = array((0 until 64).map(d =>
+          lit(Portable.hyperplaneWeight(plane, d))): _*)
+        F.array_dot(embD, w) * lit(scale)
+      }
+      val p = Tables.embeddings(s, dir)
+        .select(col("vec_id"), proj(planeX).as("px"), proj(planeY).as("py"))
+      val keyed = p
+        .select(floor(col("px") / eps).as("cx"),
+          floor(col("py") / eps).as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .withColumn("ck", (col("cx") + OFF) * MUL + (col("cy") + OFF))
+        .localCheckpoint(true) // cell grain: bounded by occupied cells
+      // 8-neighborhood probes as an EQUI-join: neighbor coordinates are
+      // precomputed on the probing side (explode of the 8 literal
+      // offsets — no BNLJ), so both cell joins below hash on (cx, cy).
+      val offs = expr(
+        "explode(array(" + Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1))
+          .map { case (dx, dy) => s"struct($dx AS dx, $dy AS dy)" }
+          .mkString(",") + "))")
+      val core = keyed.filter(col("n") >= minPts)
+      def withNbr(cellsDf: DataFrame): DataFrame = cellsDf
+        .select(col("*"), offs.as("o"))
+        .select(col("ck"), col("n"),
+          (col("cx") + col("o.dx")).as("ncx"),
+          (col("cy") + col("o.dy")).as("ncy"))
+      val edges = withNbr(core)
+        .join(core.select(col("cx").as("ncx"), col("cy").as("ncy"),
+          col("ck").as("v")), Seq("ncx", "ncy"))
+        .select(col("ck").as("u"), col("v"))
+      val compe = graft.operators.ConnectedComponents
+        .components(edges, "u", "v")
+        .withColumnRenamed("node", "ck")
+      // isolated core cells (no core neighbor) are their own cluster
+      val comp = core.join(compe, Seq("ck"), "left")
+        .select(col("ck"), col("cx"), col("cy"),
+          coalesce(col("comp"), col("ck")).as("cluster"), col("n"))
+        .localCheckpoint(true)
+      val nonCore = keyed.filter(col("n") < minPts)
+      val border = withNbr(nonCore)
+        .join(comp.select(col("cx").as("ncx"), col("cy").as("ncy"),
+          col("cluster")), Seq("ncx", "ncy"))
+        .groupBy("ck", "n").agg(min(col("cluster")).as("cluster"))
+      val noise = nonCore.join(border.select("ck"), Seq("ck"), "left_anti")
+      val clusters = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_core_pts"))
+      val bstats = border.groupBy("cluster")
+        .agg(sum(col("n")).as("n_border_pts"))
+      val tot = p.agg(count(lit(1)).as("np"))
+      val out = clusters.join(bstats, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_cells"), col("n_core_pts"),
+          coalesce(col("n_border_pts"), lit(0L)).as("n_border_pts"))
+        .unionByName(noise
+          .agg(count(lit(1)).as("n_cells"),
+            coalesce(sum(col("n")), lit(0L)).as("n_border_pts"))
+          .select(lit(-1L).as("cluster"), col("n_cells"),
+            lit(0L).as("n_core_pts"), col("n_border_pts")))
+      out.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_cells"), col("n_core_pts"),
+          col("n_border_pts"),
+          expr("(n_core_pts + n_border_pts) * 10000 div np").as("share_bp"))
+        .orderBy("cluster")
     }
   }
 }

@@ -33,7 +33,7 @@ object ReferenceQueries {
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
-    q54CustDist, q55EventTransitions)
+    q54CustDist, q55EventTransitions, q56DisjunctRevenue)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2275,5 +2275,66 @@ object ReferenceQueries {
       .select(col("from_type"), col("to_type"), col("n_trans"),
         expr("n_trans * 10000 div row_total").as("p_bp"))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** TPC-H-Q19-shaped disjunctive-predicate join — revenue from three
+    * OR'd (brand, size-range, quantity-range) conjunct groups, reported
+    * per disjunct. The shape exists to pin the SCAN-side treatment of
+    * OR-of-ANDs: a naive translation evaluates the whole disjunction
+    * after the join, reading both tables in full. Here the disjunction's
+    * IMPLIED prefilters are pulled up explicitly — `p_brand IN (b1,b2,
+    * b3)` (with `p_size ≤ 50` implied free) reaches the part scan and
+    * `l_quantity BETWEEN 1 AND 30` reaches the lineitem scan as
+    * PushedFilters, so the join sees ~3/25 of part and ~3/5 of lineitem
+    * before the residual CASE evaluates the exact per-disjunct
+    * conjunctions. The three disjuncts are mutually exclusive by brand
+    * (one brand per part), so the CASE tag is exactly the disjunction
+    * split and Σ per-disjunct = the Q19 scalar. Revenue in exact integer
+    * ten-thousandths ([[revenueT]]) — no float sum order dependence.
+    *
+    * Scale (100 TB): one partkey-keyed equi-join between two pruned
+    * scans; part is fact-proportional so the join side stays UNHINTED
+    * (threshold/AQE pick broadcast while it fits — the q2/q50 rule);
+    * the aggregate is 3 groups, fully map-side partial. The pull-up is
+    * the lever: without it the lineitem scan reads 100 TB, with it the
+    * quantity band prunes ~2/5 at the source.
+    * Ref: reference models join+filter surface (live_data models/marts;
+    * SURVEY §2.2/§2.4) — this is the disjunctive-predicate member.
+    */
+  private def q56DisjunctRevenue = {
+    val disjunctSql =
+      """CASE
+        |  WHEN p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15
+        |    AND l_quantity BETWEEN 1  AND 11 THEN 1
+        |  WHEN p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 20 THEN 2
+        |  WHEN p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 30 THEN 3
+        |END""".stripMargin
+    QueryDef.sql(
+      "q56_disjunct_revenue",
+      s"""SELECT CAST($disjunctSql AS BIGINT) AS disjunct,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  ${revenueTDuck("l_extendedprice", "l_discount")} AS revenue_t
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE $disjunctSql IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // The implied prefilters, stated on the scans so they push down;
+      // the residual CASE below is the exact disjunction.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#3", "Brand#12", "Brand#21"))
+        .select("p_partkey", "p_brand", "p_size")
+      li.join(pt, col("p_partkey") === col("l_partkey"))
+        .withColumn("disjunct", expr(disjunctSql).cast("long"))
+        .filter(col("disjunct").isNotNull)
+        .groupBy("disjunct")
+        .agg(count(lit(1)).as("n_items"),
+          revenueT(col("l_extendedprice"), col("l_discount"))
+            .as("revenue_t"))
+        .orderBy("disjunct")
+    }
   }
 }

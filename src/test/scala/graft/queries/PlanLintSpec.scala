@@ -92,6 +92,9 @@ class PlanLintSpec extends SparkSpecBase {
                          // q8 pattern), the 1-row count broadcast under
                          // the ring init, and the vec_id%50 anchor-slice
                          // truth join — the e5/e110 anchor-set pattern
+      "e151_grid_density", // one-row point-total broadcast under the
+                           // census, the e133 pattern (the 8-offset
+                           // neighbor probes are equi-joins by design)
       "e148_hll_intersection") // the src_a < src_b pair join rides the
                                // #sources-row register table (512 B per
                                // source) — construction-bounded, the
