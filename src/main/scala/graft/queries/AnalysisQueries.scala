@@ -128,7 +128,7 @@ object AnalysisQueries {
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
-      e148HllIntersection, e149KCenter, e151GridDensity)
+      e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5228,6 +5228,100 @@ object AnalysisQueries {
           col("n_border_pts"),
           expr("(n_core_pts + n_border_pts) * 10000 div np").as("share_bp"))
         .orderBy("cluster")
+    }
+  }
+
+  // ---- e152: MMR diversified top-k selection -------------------------------
+
+  /** Maximal-Marginal-Relevance top-k for the corpus's lowest-id query
+    * vector — see [[graft.operators.MmrSelect]] for the objective, the
+    * integer determinism contract (4-dp cosine ten-thousandths, exact
+    * rational λ = 7/10, lowest-id ties, round-1 empty-max = 0), and the
+    * k·N linear scale posture (one ≤ k-row broadcast + one global top-1
+    * per round, ONE collected row per round — the e122/e149 discipline).
+    * The oracle unrolls the same k greedy rounds as MATERIALIZED CTEs
+    * (the e149 pattern) so every pick, relevance, and MMR score is
+    * replayed integer-for-integer.
+    *
+    * Output: pick order, picked vec_id, its query relevance rel_t, and
+    * its MMR score mmr_t10 = 7·rel_t − 3·max-sim-to-prior-picks (units:
+    * 10 × ten-thousandths). On this isotropic corpus relevance is flat
+    * (cos ≈ 0 ± 0.12), so the diversity term visibly reorders the tail
+    * — exactly the regime where pure-relevance top-k returns redundant
+    * near-ties and MMR's penalty earns its cost.
+    */
+  private def e152MmrSelect = {
+    val k = 10
+    val lamN = 7
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    def simTDuck(x: String, y: String): String =
+      s"CAST(round((round(${dotD(x, y)}, 4) + 0) * 10000) AS BIGINT)"
+    val roundCtes = (2 to k).map { r =>
+      s"""ms$r AS (SELECT p.vec_id, p.rel_t,
+         |    max(${simTDuck("p.uv", "c.uv")}) AS maxsim
+         |  FROM r p CROSS JOIN (SELECT rr.uv FROM s${r - 1} sl
+         |    JOIN r rr ON rr.vec_id = sl.vec_id) c
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+         |  GROUP BY p.vec_id, p.rel_t),
+         |w$r AS MATERIALIZED (SELECT vec_id, rel_t,
+         |    $lamN * rel_t - ${10 - lamN} * maxsim AS mmr
+         |  FROM ms$r ORDER BY mmr DESC, vec_id LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT vec_id FROM s${r - 1}
+         |  UNION ALL SELECT vec_id FROM w$r),""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS pick, vec_id, rel_t, mmr FROM w$r")
+      .mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "e152_mmr_select",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm FROM b),
+         |r0 AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |mn AS (SELECT min(vec_id) AS qid FROM r0),
+         |q AS (SELECT uv AS qu FROM r0 CROSS JOIN mn WHERE vec_id = qid),
+         |r AS MATERIALIZED (SELECT vec_id, uv,
+         |    ${simTDuck("uv", "qu")} AS rel_t
+         |  FROM r0 CROSS JOIN q CROSS JOIN mn WHERE vec_id <> qid),
+         |w1 AS MATERIALIZED (SELECT vec_id, rel_t,
+         |    $lamN * rel_t AS mmr
+         |  FROM r ORDER BY $lamN * rel_t DESC, vec_id LIMIT 1),
+         |s1 AS MATERIALIZED (SELECT vec_id FROM w1),
+         |$roundCtes
+         |sel AS ($sel)
+         |SELECT pick, vec_id, rel_t, CAST(mmr AS BIGINT) AS mmr_t10
+         |FROM sel ORDER BY pick""".stripMargin) { (s, dir) =>
+      def simT(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round((round(F.array_dot(a, b), 4) + lit(0d)) * 10000).cast("long")
+      val pts = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+        .select(col("vec_id"), col("uv"))
+        .localCheckpoint(true)
+      val qid = pts.select(min(col("vec_id"))).head().getLong(0)
+      val q = pts.filter(col("vec_id") === qid).select(col("uv").as("qu"))
+      val cands = pts.filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("uv"),
+          simT(col("uv"), col("qu")).as("rel_t"))
+        .localCheckpoint(true)
+      val picks = graft.operators.MmrSelect.select(cands, k, lamN)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(pts)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(cands)
+      import s.implicits._
+      picks.map { case (p, id, rel, mmr) => (p.toLong, id, rel, mmr) }
+        .toDF("pick", "vec_id", "rel_t", "mmr_t10")
+        .orderBy(col("pick"))
     }
   }
 }
