@@ -128,7 +128,8 @@ object AnalysisQueries {
       e136RollingDistinct, e137HllRollup, e138GenerationGrowth,
       e140Pseudonymize, e142SharedRun, e143Cusum,
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
-      e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect)
+      e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
+      e153EmbeddingDrift)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5322,6 +5323,125 @@ object AnalysisQueries {
       picks.map { case (p, id, rel, mmr) => (p.toLong, id, rel, mmr) }
         .toDF("pick", "vec_id", "rel_t", "mmr_t10")
         .orderBy(col("pick"))
+    }
+  }
+
+  // ---- e153: embedding generation-drift audit ------------------------------
+
+  /** Per-class centroid shift between two corpus GENERATIONS of the
+    * embedding table — the VECTOR-SPACE member of the drift family
+    * (e69's TV distance and e115's PSI read categorical censuses; this
+    * reads the embedding distribution itself, the signal that moves
+    * when the upstream encoder or corpus mix changes). Generations are
+    * e138's deterministic id split. Per (label, generation) the
+    * centroid is held as 64 EXACT integer sums of fixed-point (1e-6)
+    * coordinates — addition is order-free, so the quantity is
+    * bit-identical in both engines AND additive: a persisted gen-A sum
+    * table absorbs gen B with one scan (the e41/e138 incremental
+    * posture), and per-shard sums merge by addition at any fan-in.
+    *
+    * Two columns per class, because drift alone can lie: `drift_t`
+    * (ten-thousandths of 1 − cos between the two centroid sums —
+    * cosine is scale-invariant, so sums need no division) and the
+    * mean-resultant-length coherence `coher_{a,b}_bp` (‖Σuv‖/n). For
+    * isotropic random unit vectors coherence sits at the 1/√n noise
+    * floor — and when BOTH generations are at that floor their
+    * centroid angle is meaningless noise, which is exactly what this
+    * corpus shows (coher ≈ 1–2% ≈ 1/√25): the audit names the regime
+    * instead of reporting a spurious drift number. A real encoder
+    * change moves coherence off the floor first.
+    *
+    * Scale (100 TB): posexplode ×64, then the (label, gen, dim)
+    * partial aggregation collapses map-side to ≤ #labels·2·64 rows —
+    * ONE bounded exchange carries ~1280 longs regardless of corpus
+    * size; the quadratic terms run as exact DECIMAL products on that
+    * bounded table (Long would overflow at fleet-scale n·1e6 sums) and
+    * only the final per-class scalars touch floating point.
+    */
+  private def e153EmbeddingDrift = {
+    val genA = "(((vec_id % 1000003) * 2654435761) % 1000000007) % 2 = 0"
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e153_embedding_drift",
+      s"""WITH b AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, label, v, sqrt(${dotD("v", "v")}) AS nrm
+         |  FROM b),
+         |r AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(v, x -> x / nrm) AS uv, $genA AS gen_a
+         |  FROM n0 WHERE nrm > 0),
+         |d AS (SELECT label, gen_a, t.dim,
+         |    CAST(round(uv[t.dim] * 1000000) AS BIGINT) AS q
+         |  FROM r CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) t),
+         |sums AS (SELECT label, gen_a, dim,
+         |    CAST(sum(q) AS BIGINT) AS sq
+         |  FROM d GROUP BY label, gen_a, dim),
+         |cnt AS (SELECT label, gen_a, CAST(count(*) AS BIGINT) AS n
+         |  FROM r GROUP BY label, gen_a),
+         |j AS (SELECT a.label,
+         |    CAST(sum(CAST(a.sq AS HUGEINT) * b.sq) AS DOUBLE) AS dab,
+         |    CAST(sum(CAST(a.sq AS HUGEINT) * a.sq) AS DOUBLE) AS daa,
+         |    CAST(sum(CAST(b.sq AS HUGEINT) * b.sq) AS DOUBLE) AS dbb
+         |  FROM sums a JOIN sums b
+         |    ON b.label = a.label AND b.dim = a.dim
+         |  WHERE a.gen_a AND NOT b.gen_a
+         |  GROUP BY a.label)
+         |SELECT j.label, ca.n AS n_a, cb.n AS n_b,
+         |  10000 - CAST(round((round(dab / sqrt(daa * dbb), 4) + 0)
+         |    * 10000) AS BIGINT) AS drift_t,
+         |  CAST(round(sqrt(daa) / (10000.0 * ca.n) * 100) AS BIGINT)
+         |    AS coher_a_bp,
+         |  CAST(round(sqrt(dbb) / (10000.0 * cb.n) * 100) AS BIGINT)
+         |    AS coher_b_bp
+         |FROM j
+         |JOIN cnt ca ON ca.label = j.label AND ca.gen_a
+         |JOIN cnt cb ON cb.label = j.label AND NOT cb.gen_a
+         |ORDER BY j.label""".stripMargin) { (s, dir) =>
+      val r = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), col("label"),
+          transform(col("v"), x => x / col("nrm")).as("uv"),
+          expr(genA).as("gen_a"))
+      val sums = r
+        .select(col("label"), col("gen_a"), posexplode(col("uv")))
+        .select(col("label"), col("gen_a"), col("pos").as("dim"),
+          round(col("col") * 1000000).cast("long").as("q"))
+        .groupBy("label", "gen_a", "dim").agg(sum(col("q")).as("sq"))
+        .localCheckpoint(true) // ≤ #labels·2·64 rows by construction
+      val cnt = r.groupBy("label", "gen_a").agg(count(lit(1)).as("n"))
+      val a = sums.filter(col("gen_a"))
+        .select(col("label"), col("dim"), col("sq").as("sa"))
+      val bb = sums.filter(!col("gen_a"))
+        .select(col("label"), col("dim"), col("sq").as("sb"))
+      val dec = "decimal(38,0)"
+      val j = a.join(bb, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(
+          sum(col("sa").cast(dec) * col("sb").cast(dec)).cast("double")
+            .as("dab"),
+          sum(col("sa").cast(dec) * col("sa").cast(dec)).cast("double")
+            .as("daa"),
+          sum(col("sb").cast(dec) * col("sb").cast(dec)).cast("double")
+            .as("dbb"))
+      val ca = cnt.filter(col("gen_a")).select(col("label"), col("n").as("n_a"))
+      val cb = cnt.filter(!col("gen_a")).select(col("label"), col("n").as("n_b"))
+      j.join(ca, "label").join(cb, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          (lit(10000L) - round((round(col("dab")
+            / sqrt(col("daa") * col("dbb")), 4) + lit(0d)) * 10000)
+            .cast("long")).as("drift_t"),
+          round(sqrt(col("daa")) / (lit(10000.0) * col("n_a")) * 100)
+            .cast("long").as("coher_a_bp"),
+          round(sqrt(col("dbb")) / (lit(10000.0) * col("n_b")) * 100)
+            .cast("long").as("coher_b_bp"))
+        .orderBy("label")
     }
   }
 }

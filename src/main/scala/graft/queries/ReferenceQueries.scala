@@ -33,7 +33,8 @@ object ReferenceQueries {
     q46SessionizeChunked, q47AsofChunked, q48CohortRetention,
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
-    q54CustDist, q55EventTransitions, q56DisjunctRevenue)
+    q54CustDist, q55EventTransitions, q56DisjunctRevenue,
+    q57SupplierCensus)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2336,5 +2337,49 @@ object ReferenceQueries {
             .as("revenue_t"))
         .orderBy("disjunct")
     }
+  }
+
+  /** TPC-H-Q16-shaped supplier-diversity census — distinct suppliers
+    * shipping each (brand, size) slice, EXCLUDING an unwanted brand and
+    * a "complaint list" of suppliers (negative account balance — the
+    * NOT-IN side Q16 sources from comment scans). Two shapes pinned at
+    * once: the ANTI-join exclusion (`l_suppkey NOT IN (...)` — exact
+    * here because s_suppkey is never NULL; Spark runs LEFT ANTI, the
+    * oracle keeps the textbook NOT IN) and COUNT(DISTINCT) per group.
+    *
+    * Scale (100 TB): count-distinct is the trap — Spark's two-phase
+    * plan first collapses the fact to DISTINCT (brand, size, suppkey)
+    * triples map-side (partial aggregation on the expand), so the one
+    * exchange carries the distinct-triple set — bounded by
+    * #parts·#suppliers-per-part, a small multiple of the part
+    * dimension, NOT the fact. The exclusion list is fact-proportional
+    * (supplier scales with SF) so it stays UNHINTED — threshold/AQE
+    * broadcast it while it fits, per the q2/q50 rule. The final
+    * order-by rides the ≤ #brands·#sizes group grain.
+    */
+  private def q57SupplierCensus = QueryDef.sql(
+    "q57_supplier_census",
+    """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin) {
+    (s, dir) =>
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey")
+        .join(bad, Seq("l_suppkey"), "left_anti")
+        .join(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#5")
+            .select("p_partkey", "p_brand", "p_size"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 }
