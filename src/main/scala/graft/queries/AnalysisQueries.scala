@@ -129,7 +129,7 @@ object AnalysisQueries {
       e140Pseudonymize, e142SharedRun, e143Cusum,
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
-      e153EmbeddingDrift)
+      e153EmbeddingDrift, e154WassersteinDrift)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5443,5 +5443,96 @@ object AnalysisQueries {
             .cast("long").as("coher_b_bp"))
         .orderBy("label")
     }
+  }
+
+  // ---- e154: exact 1-D Wasserstein (earth-mover) drift ---------------------
+
+  /** Per-source W₁ (earth-mover) distance between each source's
+    * document-length distribution and the corpus-wide reference — the
+    * MAGNITUDE-AWARE drift member: e69's TV and e115's PSI see only
+    * how much mass differs per bucket, W₁ also prices how FAR it
+    * moved (a source whose docs grew by 5 chars and one whose docs
+    * grew by 500 have similar TV but 100× different W₁ — the number a
+    * token-budget planner actually needs). On an ordered 1-D support
+    * the transport integral has the closed form
+    * W₁ = Σᵢ |CDF_s(vᵢ) − CDF_g(vᵢ)| · (vᵢ₊₁ − vᵢ), and with counts
+    * instead of densities it is EXACT INTEGER arithmetic:
+    * |cum_s·N − cum_g·n_s| · gap summed as DECIMAL (fleet-scale sums
+    * overflow Long), divided once at the end — no binning error, no
+    * quantile sketch, bit-identical in both engines. Output in
+    * milli-characters.
+    *
+    * Scale (100 TB): per-doc work collapses map-side to the
+    * (source, n_chars) count table; the spine is #sources × support
+    * where support is bounded by the length CODOMAIN (≤ ~10⁵ distinct
+    * values no matter how many documents), so the cumulative windows
+    * and the transport sum all ride construction-bounded frames. The
+    * global-support window is unpartitioned BY DESIGN (bounded rows,
+    * the e76 pattern); per-source cumsums partition by source.
+    */
+  private def e154WassersteinDrift = QueryDef.sql(
+    "e154_wasserstein_drift",
+    """WITH counts AS (SELECT source, n_chars AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM counts GROUP BY v),
+      |support AS (SELECT v, gc,
+      |    CAST(sum(gc) OVER (ORDER BY v) AS BIGINT) AS cumg,
+      |    lead(v) OVER (ORDER BY v) AS nxt
+      |  FROM g),
+      |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM counts
+      |  GROUP BY source),
+      |ntot AS (SELECT CAST(sum(gc) AS BIGINT) AS nt FROM g),
+      |spine AS (SELECT s.source, sup.v, sup.cumg, sup.nxt,
+      |    coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM counts) s
+      |  CROSS JOIN support sup
+      |  LEFT JOIN counts c ON c.source = s.source AND c.v = sup.v),
+      |cums AS (SELECT source, v, cumg, nxt,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+      |      AS cum_s
+      |  FROM spine),
+      |terms AS (SELECT cu.source, ns.ns, nt.nt,
+      |    CAST(abs(cu.cum_s * nt.nt - cu.cumg * ns.ns) AS HUGEINT)
+      |      * (cu.nxt - cu.v) AS num
+      |  FROM cums cu JOIN nsrc ns ON ns.source = cu.source
+      |  CROSS JOIN ntot nt
+      |  WHERE cu.nxt IS NOT NULL)
+      |SELECT source, ns AS n_docs,
+      |  CAST(round(1000.0 * CAST(sum(num) AS DOUBLE)
+      |    / (CAST(ns AS DOUBLE) * nt)) AS BIGINT) AS w1_milli
+      |FROM terms GROUP BY source, ns, nt
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // (source, length) grain: bounded table
+    val g = counts.groupBy("v").agg(sum(col("c")).as("gc"))
+    val wg = Window.orderBy(col("v")) // support grain: codomain-bounded
+    val support = g.select(col("v"), col("gc"),
+      sum(col("gc")).over(wg).as("cumg"),
+      lead(col("v"), 1).over(wg).as("nxt"))
+    val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
+    val ntot = g.agg(sum(col("gc")).as("nt"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"))
+    val spine = counts.select("source").distinct()
+      .crossJoin(broadcast(support))
+      .join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("cumg"), col("nxt"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val terms = spine
+      .withColumn("cum_s", sum(col("c")).over(ws))
+      .filter(col("nxt").isNotNull)
+      .join(nsrc, "source")
+      .crossJoin(broadcast(ntot))
+      .select(col("source"), col("ns"), col("nt"),
+        (abs(col("cum_s") * col("nt") - col("cumg") * col("ns"))
+          .cast("decimal(38,0)") * (col("nxt") - col("v"))).as("num"))
+    terms.groupBy("source", "ns", "nt").agg(sum(col("num")).as("sn"))
+      .select(col("source"), col("ns").as("n_docs"),
+        round(lit(1000.0) * col("sn").cast("double")
+          / (col("ns").cast("double") * col("nt"))).cast("long")
+          .as("w1_milli"))
+      .orderBy("source")
   }
 }

@@ -95,6 +95,9 @@ class PlanLintSpec extends SparkSpecBase {
       "e151_grid_density", // one-row point-total broadcast under the
                            // census, the e133 pattern (the 8-offset
                            // neighbor probes are equi-joins by design)
+      "e154_wasserstein_drift", // support-spine broadcast (bounded by
+                                // the length codomain) + the one-row
+                                // corpus total, the e115/e22 patterns
       "e148_hll_intersection") // the src_a < src_b pair join rides the
                                // #sources-row register table (512 B per
                                // source) — construction-bounded, the
@@ -116,7 +119,10 @@ class PlanLintSpec extends SparkSpecBase {
     // e123's remainder rank rides the #sources-row per-source aggregate
     "e123_neyman_alloc",
     // e146's prefix sums ride the ≤ 50-row quantity-bin grid
-    "e146_isotonic_calibration")
+    "e146_isotonic_calibration",
+    // e154's global-CDF cumsum rides the distinct-length support table,
+    // bounded by the length codomain — never the corpus
+    "e154_wasserstein_drift")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
