@@ -387,4 +387,48 @@ class RecoverySpec extends SparkSpecBase {
       assertRocksEngaged(q2)
     } finally q2.stop()
   }
+
+  test("StreamW1 value census survives a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-w1").toString
+    val ref = (100 to 109).map(v => v -> 2L).toMap
+    val ms = MemoryStream[StreamW1.Obs]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamW1.W1]
+    def start() = StreamW1.monitor(ms.toDS(), ref)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamW1.W1],
+          _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      // batch 1 matches the reference exactly — W1 is exactly 0
+      ms.addData((100 to 109).flatMap(v =>
+        Seq.fill(2)(StreamW1.Obs("k", v))): _*)
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.last.w1_milli) === 0L)
+    } finally q1.stop() // the "kill": the matching census lives in state
+    emitted.synchronized(emitted.clear())
+    ms.addData(Seq.fill(20)(StreamW1.Obs("k", 130)): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "k")
+      assert(rows.nonEmpty, "no post-restart emission")
+      val last = rows.last
+      // 12750 = half the mass moved 104.5 -> 130 over the RECOVERED
+      // 40-observation census; a fresh census of only the 20 post-
+      // restart values would read the full 25500 shift instead
+      assert(last.n_obs === 40L)
+      assert(last.w1_milli === 12750L)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
 }
