@@ -113,6 +113,29 @@ class StreamW1Spec extends SparkSpecBase {
     assert(oneShot === batchW1(obs, ref))
   }
 
+  test("w1Milli metric identities on seeded random censuses: " +
+    "self-distance 0, translation invariance, exact shift pricing") {
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 25) {
+      val vals = Seq.fill(30)(rnd.nextInt(400) + 20)
+      val counts = vals.groupBy(identity)
+        .map { case (v, o) => v -> o.size.toLong }
+      val n = vals.size.toLong
+      val shift = rnd.nextInt(80) + 1
+      val shifted = counts.map { case (v, c) => (v + shift) -> c }
+      // identity: a census is at distance 0 from itself
+      assert(StreamW1.w1Milli(counts, n, counts, n) === 0L)
+      // translation invariance: moving BOTH sides changes nothing
+      assert(StreamW1.w1Milli(shifted, n,
+        counts.map { case (v, c) => (v + shift) -> c }, n) === 0L)
+      // pure shift: W1 between a census and its +s translate is
+      // exactly s (in milli-units) — the property that separates W1
+      // from TV/PSI, which both read a disjoint-support shift as
+      // total drift no matter how far the mass moved
+      assert(StreamW1.w1Milli(counts, n, shifted, n) === shift * 1000L)
+    }
+  }
+
   test("support backstop drops unseen values once full and reports " +
     "them, instead of growing state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
