@@ -60,7 +60,8 @@ import graft.sources.Tables
 object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
-    e86LineDedup, e87MediaPhash, e87bMediaPhash16, e88HybridRrf,
+    e86LineDedup, e87MediaPhash, e87bMediaPhash16, e155MediaDedupApply,
+    e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
     e95StratifiedPriority, e96FilterAblation, e97CdcChunks,
@@ -148,58 +149,172 @@ object CurationQueries {
     * replica: 22.1 s / 1231 MB shuffle at 8×8 vs the 4×16 run recorded
     * in SCALING.md.
     */
-  private def mediaPhash(name: String, bandBits: Int, nBands: Int) = {
+  /** Shared banded-pHash candidate machinery: SQL CTE chain ending in
+    * `cand(doc_a, doc_b, ha, hb)` — the avg-hash, the band explode, and
+    * the band-bucket self-join (e87/e87b/e155 all build on exactly
+    * this fragment, so the detector and its apply stage can never
+    * disagree on the candidate set).
+    */
+  private def phashCandDuck(bandBits: Int, nBands: Int): String = {
     require(bandBits * nBands <= 64)
     val minLong = "CAST(-9223372036854775807 - 1 AS BIGINT)"
     val mask = (1L << bandBits) - 1
+    s"""chs AS (SELECT doc_id,
+       |    list_transform(string_split(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)) AS cs,
+       |    len(text) AS L FROM documents WHERE len(text) > 0),
+       |ph AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 64), j -> CASE
+       |      WHEN coalesce(list_sum(
+       |          cs[((j*L+63)//64)+1 : ((j+1)*L+63)//64]), 0) * L
+       |        > list_sum(cs) * (((j+1)*L+63)//64 - ((j*L+63)//64))
+       |      THEN CASE WHEN j = 63 THEN $minLong
+       |           ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+       |      -- list_sum widens to HUGEINT; xor/bit_count must run on
+       |      -- 64-bit two's complement, so force the hash back to BIGINT
+       |      ELSE 0 END)) AS BIGINT) AS h
+       |  FROM chs),
+       |bd AS (SELECT doc_id, h, unnest(range(0, $nBands)) AS k FROM ph),
+       |b2 AS (SELECT doc_id, h, k,
+       |    (h >> CAST($bandBits*k AS INT)) & $mask AS bv FROM bd),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.h AS ha, b.h AS hb
+       |  FROM b2 a JOIN b2 b
+       |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+      .stripMargin
+  }
+
+  /** Spark twin of [[phashCandDuck]]: banded candidate pairs with both
+    * hashes, via the codegen'd `avg_hash64`.
+    */
+  private def phashCands(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      bandBits: Int, nBands: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val d = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        F.avg_hash64(col("text").cast("binary")).as("h"))
+    val bands = d.select(col("doc_id"), col("h"),
+      posexplode(array((0 until nBands).map(k =>
+        shiftright(col("h"), bandBits * k).bitwiseAND(lit(mask))): _*))
+        .as(Seq("k", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+  }
+
+  private def mediaPhash(name: String, bandBits: Int, nBands: Int) = {
     QueryDef.sql(
       name,
-      s"""WITH chs AS (SELECT doc_id,
-         |    list_transform(string_split(text, ''),
-         |      c -> CAST(ascii(c) AS BIGINT)) AS cs,
-         |    len(text) AS L FROM documents WHERE len(text) > 0),
-         |ph AS (SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 64), j -> CASE
-         |      WHEN coalesce(list_sum(
-         |          cs[((j*L+63)//64)+1 : ((j+1)*L+63)//64]), 0) * L
-         |        > list_sum(cs) * (((j+1)*L+63)//64 - ((j*L+63)//64))
-         |      THEN CASE WHEN j = 63 THEN $minLong
-         |           ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
-         |      -- list_sum widens to HUGEINT; xor/bit_count must run on
-         |      -- 64-bit two's complement, so force the hash back to BIGINT
-         |      ELSE 0 END)) AS BIGINT) AS h
-         |  FROM chs),
-         |bd AS (SELECT doc_id, h, unnest(range(0, $nBands)) AS k FROM ph),
-         |b2 AS (SELECT doc_id, h, k,
-         |    (h >> CAST($bandBits*k AS INT)) & $mask AS bv FROM bd),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.h AS ha, b.h AS hb
-         |  FROM b2 a JOIN b2 b
-         |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      s"""WITH ${phashCandDuck(bandBits, nBands)}
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) {
       (s, dir) =>
-        val d = Tables.documents(s, dir)
-          .filter(length(col("text")) > 0)
-          .select(col("doc_id"),
-            F.avg_hash64(col("text").cast("binary")).as("h"))
-        val bands = d.select(col("doc_id"), col("h"),
-          posexplode(array((0 until nBands).map(k =>
-            shiftright(col("h"), bandBits * k).bitwiseAND(lit(mask))): _*))
-            .as(Seq("k", "bv")))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.h").as("ha"), col("b.h").as("hb"))
-          .distinct()
-        cand.select(col("doc_a"), col("doc_b"),
+        phashCands(s, dir, bandBits, nBands)
+          .select(col("doc_a"), col("doc_b"),
             bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
               .as("hamming"))
           .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
           .limit(20)
     }
+  }
+
+  /** Media dedup APPLY — the e45 cluster-canonical rule run on the e87
+    * detector, completing the multimodal dedup PATH end-to-end (e87
+    * reports the closest pairs; this stage actually deduplicates):
+    * candidates from the SAME banded-pHash machinery, kept when
+    * Hamming ≤ 12, connected components over the kept edges
+    * ([[graft.operators.ConnectedComponents]] — keep-one-per-PAIR
+    * over-deletes on chains, the e32 lesson), min-id canonical
+    * survives, and the per-SOURCE yield report is the operational
+    * artifact. The 12/64 cutoff is corpus-tuned exactly like e3's 0.2
+    * threshold: this synthetic payload corpus has no true perceptual
+    * dups at sf0.01 (minimum observed Hamming is 10), so the loose
+    * cutoff is what exercises the clustering non-degenerately — stated
+    * honestly; production tightens it and the e87 hamming census is
+    * the dial. At sf0.1 the corpus's exact-duplicate assets land at
+    * Hamming 0 and survive any cutoff.
+    *
+    * Scale (100 TB): the e142 content-keying lesson applied UP FRONT —
+    * exact-hash duplicates collapse to one representative (min doc_id
+    * per distinct 64-bit hash, a map-side-partial groupBy) BEFORE the
+    * band join, so banding and CC run on DISTINCT hashes only and the
+    * clone sets that made the naive form shuffle 16.7 GB at the 100×
+    * dense-replica probe (every clone pair re-banded: ~N·clones pairs)
+    * never reach an exchange; cluster labels lift back to assets
+    * through one hash-keyed join. Equivalence is structural: same-hash
+    * assets are Hamming-0 pairs in the naive graph, so collapsing them
+    * to their representative preserves the components and the min-id
+    * canonical exactly — the ORACLE keeps the naive formulation as the
+    * semantic definition and the hash match proves the rewrite.
+    * Measured 10.2 s / 44 MB → 5.1 s / 1.4 MB at 10× and 99 s /
+    * 16.7 GB → 5.1 s / 8.1 MB at 100× — FLAT across the replica
+    * factors, because the clone mass dies in the map-side partial of
+    * the hash groupBy.
+    */
+  private def e155MediaDedupApply = QueryDef.sql(
+    "e155_media_dedup_apply",
+    s"""WITH RECURSIVE ${phashCandDuck(8, 8)},
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= 12),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+       |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+       |losers AS (SELECT node AS doc_id FROM comp WHERE node <> cluster)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_assets,
+       |  CAST(count(CASE WHEN l.doc_id IS NULL THEN 1 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(count(l.doc_id) AS BIGINT) AS n_dropped
+       |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+       |WHERE len(d.text) > 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val bandBits = 8
+    val nBands = 8
+    val mask = (1L << bandBits) - 1
+    val d = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        F.avg_hash64(col("text").cast("binary")).as("h"))
+    // exact-hash collapse FIRST: reps carry min doc_id per distinct
+    // hash; the band join and CC below never see a clone set
+    val reps = d.groupBy("h").agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(true) // distinct-hash grain; feeds bands + lift
+    val bands = reps.select(col("rep"), col("h"),
+      posexplode(array((0 until nBands).map(k =>
+        shiftright(col("h"), bandBits * k).bitwiseAND(lit(mask))): _*))
+        .as(Seq("k", "bv")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 12)
+      .select("rep_a", "rep_b")
+    // cluster label per rep (isolated reps are their own cluster);
+    // rep = min member per hash and comp = min rep, so the label IS
+    // the cluster's min doc_id — the naive canonical, exactly
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "rep_a", "rep_b")
+      .withColumnRenamed("node", "rep")
+    val repC = reps.join(comp, Seq("rep"), "left")
+      .select(col("h"), coalesce(col("comp"), col("rep")).as("cluster"))
+    d.join(repC, "h")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_assets"),
+        count(when(col("doc_id") === col("cluster"), 1)).as("n_kept"),
+        count(when(col("doc_id") =!= col("cluster"), 1)).as("n_dropped"))
+      .orderBy("source")
   }
 
   private def e87MediaPhash = mediaPhash("e87_media_phash", 8, 8)
