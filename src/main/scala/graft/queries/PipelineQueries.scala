@@ -28,7 +28,8 @@ import graft.sources.Tables
 object PipelineQueries {
 
   val all: Seq[QueryDef] =
-    Seq(g1MockBatch, g2GenBatch, g3DocsSource, g4SchemaUnion, p1PipelineE2e)
+    Seq(g1MockBatch, g2GenBatch, g3DocsSource, g4SchemaUnion,
+      g5OrcRoundtrip, p1PipelineE2e)
 
   // defs, not vals: `all` above initializes FIRST during object init, so
   // a val here would still be null/0 while the g1/p1 SQL strings are
@@ -531,5 +532,44 @@ object PipelineQueries {
         countDistinct(col("lang")).as("n_langs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("gen")
+  }
+
+  // ---- g5: ORC sink/source roundtrip -------------------------------------
+
+  /** ORC interchange roundtrip — the remaining columnar format the
+    * runtime ships a native reader for (parquet, CSV/TSV, JSONL, and
+    * the DSV2 connector are covered by S1–S4/g3/`sources.JsonLines`;
+    * Hive-ecosystem consumers hand over ORC). The documents table is
+    * written as ORC and read back through the native vectorized ORC
+    * scan with a pushed length predicate; the oracle computes the same
+    * census straight from the parquet table, so the hash match proves
+    * BOTH roundtrip fidelity (nullable strings + longs survive the
+    * format boundary bit-for-bit) and that the filtered aggregate over
+    * the ORC scan equals the source of truth.
+    *
+    * Scale shape: one format-conversion pass (write), then a pruned
+    * columnar scan — the n_chars predicate and the 4-column projection
+    * both reach the ORC reader (PushedFilters / vectorized batch
+    * read), and the census is one map-side-combined aggregation. At
+    * 100 TB the conversion is the cost and it is embarrassingly
+    * parallel; nothing here shuffles the corpus.
+    */
+  private def g5OrcRoundtrip = QueryDef.sql(
+    "g5_orc_roundtrip",
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents WHERE n_chars >= 100
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    Tables.documents(s, dir)
+      .write.mode("overwrite").orc(s"$tmp/documents.orc")
+    s.read.orc(s"$tmp/documents.orc")
+      .filter(col("n_chars") >= 100)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
   }
 }
