@@ -1379,10 +1379,12 @@ object AnalysisQueries {
       |ORDER BY brand_a, brand_b""".stripMargin) { (s, dir) =>
     // One fact exchange: the order-keyed repartition satisfies the
     // (orderkey, brand) rollup (subset rule) AND both pair-join sides.
+    // part is fact-proportional, so it stays UNHINTED (threshold/AQE
+    // broadcast it while it fits — the q2/q50 rule; r11: de-hinted).
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_brand"))),
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "p_brand").agg(count(lit(1)).as("_c"))

@@ -1907,11 +1907,14 @@ object ReferenceQueries {
       .groupBy("l_suppkey")
       .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("rev_t"))
     val mx = rev.agg(max(col("rev_t")).as("m"))
-    rev.crossJoin(broadcast(mx))
+    // The argmax survivors (≤ #ties rows by construction) are the side
+    // to broadcast — supplier is fact-proportional, so hinting IT is
+    // the q2/q50 scale mistake (r11: flipped).
+    val winners = rev.crossJoin(broadcast(mx))
       .filter(col("rev_t") === col("m"))
-      .join(broadcast(Tables.supplier(s, dir)
-          .select(col("s_suppkey"), col("s_name"))),
-        col("s_suppkey") === col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"))
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("rev_t"),
         money2("rev_t").as("revenue"))
       .orderBy(col("s_suppkey"))
