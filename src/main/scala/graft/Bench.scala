@@ -83,8 +83,10 @@ object Bench {
         // same way (5.7 s in-session vs 11.9 s at the 100x probe's scale)
         "e147_nn_descent," + // r11's slowest in-session query (11.2 s):
         // 8 eager-checkpoint rounds, the same iterative shape
-        "e147b_nn_descent_int8") // e147's int8-scored twin — identical
+        "e147b_nn_descent_int8," + // e147's int8-scored twin — identical
         // 8-round eager-checkpoint shape, same in-session inflation
+        "e156_incremental_cc") // three pointer-jumping CC legs (base,
+        // contracted, full) — the e32/e45 iterative shape, thrice
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
     // in-session but fails in the fresh session (different

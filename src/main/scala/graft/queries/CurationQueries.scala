@@ -61,7 +61,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e155MediaDedupApply,
-    e88HybridRrf,
+    e156IncrementalCc, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
     e95StratifiedPriority, e96FilterAblation, e97CdcChunks,
@@ -155,10 +155,11 @@ object CurationQueries {
     * this fragment, so the detector and its apply stage can never
     * disagree on the candidate set).
     */
-  private def phashCandDuck(bandBits: Int, nBands: Int): String = {
-    require(bandBits * nBands <= 64)
+  /** SQL fragment computing the 64-bit avg-hash per non-empty asset:
+    * CTEs `chs` and `ph(doc_id, h)`.
+    */
+  private def phashHashDuck: String = {
     val minLong = "CAST(-9223372036854775807 - 1 AS BIGINT)"
-    val mask = (1L << bandBits) - 1
     s"""chs AS (SELECT doc_id,
        |    list_transform(string_split(text, ''),
        |      c -> CAST(ascii(c) AS BIGINT)) AS cs,
@@ -173,8 +174,17 @@ object CurationQueries {
        |      -- list_sum widens to HUGEINT; xor/bit_count must run on
        |      -- 64-bit two's complement, so force the hash back to BIGINT
        |      ELSE 0 END)) AS BIGINT) AS h
-       |  FROM chs),
-       |bd AS (SELECT doc_id, h, unnest(range(0, $nBands)) AS k FROM ph),
+       |  FROM chs)""".stripMargin
+  }
+
+  /** SQL fragment banding a `(doc_id, h)` relation `rel` into candidate
+    * pairs: CTEs `bd`, `b2`, `cand(doc_a, doc_b, ha, hb)`.
+    */
+  private def phashBandDuck(rel: String, bandBits: Int, nBands: Int)
+      : String = {
+    require(bandBits * nBands <= 64)
+    val mask = (1L << bandBits) - 1
+    s"""bd AS (SELECT doc_id, h, unnest(range(0, $nBands)) AS k FROM $rel),
        |b2 AS (SELECT doc_id, h, k,
        |    (h >> CAST($bandBits*k AS INT)) & $mask AS bv FROM bd),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -184,19 +194,31 @@ object CurationQueries {
       .stripMargin
   }
 
+  private def phashCandDuck(bandBits: Int, nBands: Int): String =
+    phashHashDuck + ",\n" + phashBandDuck("ph", bandBits, nBands)
+
   /** Spark twin of [[phashCandDuck]]: banded candidate pairs with both
     * hashes, via the codegen'd `avg_hash64`.
     */
-  private def phashCands(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      bandBits: Int, nBands: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val mask = (1L << bandBits) - 1
-    val d = Tables.documents(s, dir)
+  /** Per-asset avg-hash table `(doc_id, h)` — the Spark twin of
+    * [[phashHashDuck]].
+    */
+  private def phashHashes(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         F.avg_hash64(col("text").cast("binary")).as("h"))
-    val bands = d.select(col("doc_id"), col("h"),
+
+  /** Band a `(doc_id, h)` frame into candidate pairs — the Spark twin
+    * of [[phashBandDuck]].
+    */
+  private def phashBandPairs(
+      hashed: org.apache.spark.sql.DataFrame, bandBits: Int, nBands: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bands = hashed.select(col("doc_id"), col("h"),
       posexplode(array((0 until nBands).map(k =>
         shiftright(col("h"), bandBits * k).bitwiseAND(lit(mask))): _*))
         .as(Seq("k", "bv")))
@@ -207,6 +229,12 @@ object CurationQueries {
         col("a.h").as("ha"), col("b.h").as("hb"))
       .distinct()
   }
+
+  private def phashCands(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      bandBits: Int, nBands: Int)
+      : org.apache.spark.sql.DataFrame =
+    phashBandPairs(phashHashes(s, dir), bandBits, nBands)
 
   private def mediaPhash(name: String, bandBits: Int, nBands: Int) = {
     QueryDef.sql(
@@ -324,6 +352,177 @@ object CurationQueries {
     * oracle-checked (exact-duplicate recall unaffected by width).
     */
   private def e87bMediaPhash16 = mediaPhash("e87b_media_phash16", 16, 4)
+
+  // ---- e156: incremental connected-components maintenance ------------------
+
+  /** Incremental CLUSTER maintenance — the missing half of the e41
+    * incremental-dedup posture: e41 discovers the DELTA's near-dup
+    * pairs without re-pairing the base, but a production dedup stage
+    * also has to fold those pairs into the existing cluster labels
+    * without recomputing components over the whole historical graph.
+    * The classic contraction argument makes that exact: each base
+    * component collapses to its LABEL (base labels are min-ids, so the
+    * contraction is one projection of the persisted label table), the
+    * second CC runs on the contracted delta edges only — label and
+    * new-node endpoints, a graph bounded by the DELTA, not history —
+    * and the composition relabels affected components. Quotient-graph
+    * connectivity equals original connectivity, and since every label
+    * is its component's min-id, min-composition preserves the min-id
+    * canonical exactly.
+    *
+    * The output IS the proof, in the e140 in-output-evidence style:
+    * `n_mismatch` compares the composed incremental labels node-by-node
+    * against a from-scratch CC over base ∪ delta and must be 0, next
+    * to the work-bound columns that justify the path (contracted
+    * stage-2 nodes vs total nodes). The node universe is the
+    * exact-hash-collapsed REPRESENTATIVE graph (min doc_id per distinct
+    * avg-hash — the e155 invariant, and the collapse that kept the
+    * naive doc-grain band join from OOMing the 100× dense-clone probe
+    * exactly as e155's naive form did); edges are the banded-pHash rep
+    * pairs at Hamming ≤ 14, and the base/delta split is e138's
+    * deterministic id generation of the representative (old↔old edges
+    * are history, anything touching a new rep is the delta).
+    *
+    * Scale (100 TB): the base pair corpus never recomputes — stage 2's
+    * graph is bounded by delta edges + touched labels; the persisted
+    * label table joins once for contraction and once for relabel, both
+    * label-keyed equi-joins. The full-recompute leg exists ONLY as the
+    * audit's truth side, and production drops it (e103b's harness
+    * rule). The DuckDB oracle's three reach closures are the audit's
+    * dominant cost away from sf0.01 (the ≤ 14 cutoff keeps the sf0.1
+    * sweep's giant component small enough for the transitive-closure
+    * formulation; Spark runs pointer-jumping CC and does not care).
+    */
+  private def e156IncrementalCc = QueryDef.sql(
+    "e156_incremental_cc",
+    s"""WITH RECURSIVE $phashHashDuck,
+       |reps AS MATERIALIZED (SELECT min(doc_id) AS doc_id, h FROM ph
+       |  GROUP BY h),
+       |${phashBandDuck("reps", 8, 8)},
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= 14),
+       |newf AS MATERIALIZED (SELECT doc_id,
+       |    (((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 1
+       |      AS is_new
+       |  FROM reps),
+       |pe AS MATERIALIZED (SELECT p.doc_a, p.doc_b, na.is_new OR nb.is_new AS delta
+       |  FROM pairs p
+       |  JOIN newf na ON na.doc_id = p.doc_a
+       |  JOIN newf nb ON nb.doc_id = p.doc_b),
+       |be AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pe WHERE NOT delta
+       |       UNION SELECT doc_b, doc_a FROM pe WHERE NOT delta),
+       |reachb(node, r) AS (
+       |  SELECT u, u FROM be
+       |  UNION
+       |  SELECT reachb.node, e.v FROM reachb JOIN be e ON e.u = reachb.r),
+       |compb AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reachb GROUP BY node),
+       |ce AS (SELECT coalesce(ca.lbl, p.doc_a) AS u,
+       |    coalesce(cb.lbl, p.doc_b) AS v
+       |  FROM pe p
+       |  LEFT JOIN compb ca ON ca.node = p.doc_a
+       |  LEFT JOIN compb cb ON cb.node = p.doc_b
+       |  WHERE p.delta),
+       |ce2 AS MATERIALIZED (SELECT u, v FROM ce WHERE u <> v
+       |        UNION SELECT v, u FROM ce WHERE u <> v),
+       |reach2(node, r) AS (
+       |  SELECT u, u FROM ce2
+       |  UNION
+       |  SELECT reach2.node, e.v FROM reach2 JOIN ce2 e ON e.u = reach2.r),
+       |comp2 AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reach2 GROUP BY node),
+       |incr AS MATERIALIZED (SELECT n.doc_id,
+       |    coalesce(c2.lbl, coalesce(cb.lbl, n.doc_id)) AS lbl
+       |  FROM newf n
+       |  LEFT JOIN compb cb ON cb.node = n.doc_id
+       |  LEFT JOIN comp2 c2 ON c2.node = coalesce(cb.lbl, n.doc_id)),
+       |fe AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pe
+       |       UNION SELECT doc_b, doc_a FROM pe),
+       |reachf(node, r) AS (
+       |  SELECT u, u FROM fe
+       |  UNION
+       |  SELECT reachf.node, e.v FROM reachf JOIN fe e ON e.u = reachf.r),
+       |compf AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reachf GROUP BY node),
+       |fullc AS MATERIALIZED (SELECT n.doc_id, coalesce(cf.lbl, n.doc_id) AS lbl
+       |  FROM newf n LEFT JOIN compf cf ON cf.node = n.doc_id)
+       |SELECT CAST((SELECT count(*) FROM newf) AS BIGINT) AS n_nodes,
+       |  CAST((SELECT count(*) FROM pe WHERE NOT delta) AS BIGINT)
+       |    AS n_edges_base,
+       |  CAST((SELECT count(*) FROM pe WHERE delta) AS BIGINT)
+       |    AS n_edges_delta,
+       |  CAST((SELECT count(DISTINCT node) FROM (
+       |    SELECT u AS node FROM ce2 UNION SELECT v FROM ce2))
+       |    AS BIGINT) AS n_stage2_nodes,
+       |  CAST((SELECT count(DISTINCT lbl) FROM incr) AS BIGINT)
+       |    AS n_comp_incr,
+       |  CAST((SELECT count(DISTINCT lbl) FROM fullc) AS BIGINT)
+       |    AS n_comp_full,
+       |  CAST((SELECT count(*) FROM incr i JOIN fullc f
+       |    ON f.doc_id = i.doc_id AND f.lbl <> i.lbl) AS BIGINT)
+       |    AS n_mismatch""".stripMargin) { (s, dir) =>
+    val reps = phashHashes(s, dir)
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "h")
+      .localCheckpoint(true) // distinct-hash grain (the e155 collapse)
+    val newf = reps
+      .select(col("doc_id"),
+        expr("(((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 1")
+          .as("is_new"))
+      .localCheckpoint(true) // node universe; reused by both legs
+    val pe = phashBandPairs(reps, 8, 8)
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 14)
+      .select("doc_a", "doc_b")
+      .join(newf.select(col("doc_id").as("doc_a"),
+        col("is_new").as("new_a")), "doc_a")
+      .join(newf.select(col("doc_id").as("doc_b"),
+        col("is_new").as("new_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("new_a") || col("new_b")).as("delta"))
+      .localCheckpoint(true) // pair grain; feeds all three legs
+    val compb = graft.operators.ConnectedComponents
+      .components(pe.filter(!col("delta")), "doc_a", "doc_b")
+    // contraction: delta-edge endpoints map to their persisted base
+    // label (old, clustered), else to themselves (new or isolated)
+    val ce = pe.filter(col("delta"))
+      .join(compb.select(col("node").as("doc_a"), col("comp").as("la")),
+        Seq("doc_a"), "left")
+      .join(compb.select(col("node").as("doc_b"), col("comp").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("u"),
+        coalesce(col("lb"), col("doc_b")).as("v"))
+    val comp2 = graft.operators.ConnectedComponents
+      .components(ce, "u", "v")
+    val incr = newf
+      .join(compb.withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("comp", "lb"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lb"), col("doc_id")).as("l1"))
+      .join(comp2.select(col("node").as("l1"), col("comp").as("l2")),
+        Seq("l1"), "left")
+      .select(col("doc_id"), coalesce(col("l2"), col("l1")).as("lbl"))
+    val compf = graft.operators.ConnectedComponents
+      .components(pe.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val full = newf
+      .join(compf.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("lbl"))
+    val stage2Nodes = ce.select(col("u").as("node"))
+      .unionByName(ce.select(col("v").as("node")))
+      .distinct().agg(count(lit(1)).as("n_stage2_nodes"))
+    val mism = incr.as("i").join(full.as("f"), Seq("doc_id"))
+      .filter(col("i.lbl") =!= col("f.lbl"))
+      .agg(count(lit(1)).as("n_mismatch"))
+    val counts = pe.agg(
+      sum(when(!col("delta"), 1L).otherwise(0L)).as("n_edges_base"),
+      sum(when(col("delta"), 1L).otherwise(0L)).as("n_edges_delta"))
+    newf.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(counts))
+      .crossJoin(broadcast(stage2Nodes))
+      .crossJoin(broadcast(
+        incr.agg(countDistinct(col("lbl")).as("n_comp_incr"))))
+      .crossJoin(broadcast(
+        full.agg(countDistinct(col("lbl")).as("n_comp_full"))))
+      .crossJoin(broadcast(mism))
+      .select(col("n_nodes"), col("n_edges_base"), col("n_edges_delta"),
+        col("n_stage2_nodes"), col("n_comp_incr"), col("n_comp_full"),
+        col("n_mismatch"))
+  }
 
   // ---- e88: hybrid retrieval with Reciprocal Rank Fusion -------------------
 

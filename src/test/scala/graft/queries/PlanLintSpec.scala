@@ -98,6 +98,10 @@ class PlanLintSpec extends SparkSpecBase {
       "e154_wasserstein_drift", // support-spine broadcast (bounded by
                                 // the length codomain) + the one-row
                                 // corpus total, the e115/e22 patterns
+      "e156_incremental_cc", // five one-row audit frames (edge counts,
+                             // stage-2 node count, component counts,
+                             // mismatch) crossed onto the one-row
+                             // census — the q8/e113 pattern
       "e148_hll_intersection") // the src_a < src_b pair join rides the
                                // #sources-row register table (512 B per
                                // source) — construction-bounded, the
