@@ -129,7 +129,7 @@ object AnalysisQueries {
       e140Pseudonymize, e142SharedRun, e143Cusum,
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
-      e153EmbeddingDrift, e154WassersteinDrift)
+      e153EmbeddingDrift, e154WassersteinDrift, e157W1Matrix)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5536,5 +5536,95 @@ object AnalysisQueries {
           / (col("ns").cast("double") * col("nt"))).cast("long")
           .as("w1_milli"))
       .orderBy("source")
+  }
+
+  // ---- e157: pairwise-source Wasserstein interchangeability matrix --------
+
+  /** Pairwise W₁ between every two sources' length distributions — the
+    * INTERCHANGEABILITY matrix a mixture designer (e36/e51/e74) reads
+    * before swapping one source for another: e154 prices each source
+    * against the corpus reference, e69's TV matrix prices pairwise mass
+    * disagreement, this prices pairwise mass MOVEMENT (two sources can
+    * be near-disjoint in TV yet 5 characters apart in W₁ — freely
+    * interchangeable for a token-budget plan). Same exact-integer
+    * transport algebra as e154 on the same global support spine; the
+    * cross-multiplied CDFs go through DECIMAL BEFORE multiplying (the
+    * cum·n products themselves overflow Long at fleet scale, not just
+    * their sum).
+    *
+    * Scale (100 TB): per-doc work is e154's one map-side collapse to
+    * (source, n_chars) counts; the pair stage is #sources²/2 × support
+    * rows — bounded by the length CODOMAIN and the source fan, never
+    * the corpus (20 sources × 313 support here = 59k pair-terms). For
+    * very wide source fans the honest posture is a prefilter (e69's TV
+    * matrix or e154's vs-corpus screen) before the full quadratic
+    * matrix; the machinery is unchanged.
+    */
+  private def e157W1Matrix = QueryDef.sql(
+    "e157_w1_matrix",
+    """WITH counts AS (SELECT source, n_chars AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT v FROM counts GROUP BY v),
+      |support AS (SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM g),
+      |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM counts
+      |  GROUP BY source),
+      |spine AS (SELECT s.source, sup.v, sup.nxt, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM counts) s
+      |  CROSS JOIN support sup
+      |  LEFT JOIN counts c ON c.source = s.source AND c.v = sup.v),
+      |cums AS MATERIALIZED (SELECT source, v, nxt,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+      |      AS cum
+      |  FROM spine),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    na.ns AS n_a, nb.ns AS n_b,
+      |    abs(CAST(a.cum AS HUGEINT) * nb.ns
+      |      - CAST(b.cum AS HUGEINT) * na.ns) * (a.nxt - a.v) AS num
+      |  FROM cums a JOIN cums b
+      |    ON b.v = a.v AND a.source < b.source
+      |  JOIN nsrc na ON na.source = a.source
+      |  JOIN nsrc nb ON nb.source = b.source
+      |  WHERE a.nxt IS NOT NULL)
+      |SELECT src_a, src_b, n_a, n_b,
+      |  CAST(round(1000.0 * CAST(sum(num) AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT) AS w1_milli
+      |FROM pairs GROUP BY src_a, src_b, n_a, n_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // (source, length) grain: bounded table
+    val wg = Window.orderBy(col("v")) // support grain: codomain-bounded
+    val support = counts.groupBy("v").agg(count(lit(1)).as("_g"))
+      .select(col("v"), lead(col("v"), 1).over(wg).as("nxt"))
+    val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"))
+    val cums = counts.select("source").distinct()
+      .crossJoin(broadcast(support))
+      .join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("nxt"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(ws))
+      .filter(col("nxt").isNotNull)
+      .join(nsrc, "source")
+      .localCheckpoint(true) // one cum table feeds both pair sides
+    val dec = "decimal(38,0)"
+    val a = cums.select(col("source").as("src_a"), col("v"), col("nxt"),
+      col("cum").as("ca"), col("ns").as("n_a"))
+    val b = cums.select(col("source").as("src_b"), col("v").as("vb"),
+      col("cum").as("cb"), col("ns").as("n_b"))
+    a.join(b, col("vb") === col("v") && col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (abs(col("ca").cast(dec) * col("n_b")
+          - col("cb").cast(dec) * col("n_a"))
+          * (col("nxt") - col("v"))).as("num"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(sum(col("num")).as("sn"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(lit(1000.0) * col("sn").cast("double")
+          / (col("n_a").cast("double") * col("n_b"))).cast("long")
+          .as("w1_milli"))
+      .orderBy("src_a", "src_b")
   }
 }

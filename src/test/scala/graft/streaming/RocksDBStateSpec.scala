@@ -275,6 +275,36 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamW1 value census accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ref = (100 to 109).map(v => v -> 2L).toMap
+    val ms = MemoryStream[StreamW1.Obs]
+    val q = StreamW1.monitor(ms.toDS(), ref)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_w1").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1 matches the reference exactly (W1 = 0); batch 2 moves
+      // half the lifetime mass to 130 → W1 = 12750 milli over the
+      // ACCUMULATED census (a fresh census would read 25500)
+      ms.addData((100 to 109).flatMap(v =>
+        Seq.fill(2)(StreamW1.Obs("a", v))): _*)
+      q.processAllAvailable()
+      ms.addData(Seq.fill(20)(StreamW1.Obs("a", 130)): _*)
+      q.processAllAvailable()
+      val rows = s.table("rocks_w1").as[StreamW1.W1]
+        .collect().filter(_.key == "a").sortBy(_.n_obs)
+      assert(rows.head.w1_milli === 0L)
+      assert(rows.last.n_obs === 40L)
+      assert(rows.last.w1_milli === 12750L)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamPsi census accumulates identically on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
