@@ -34,7 +34,7 @@ object ReferenceQueries {
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
     q54CustDist, q55EventTransitions, q56DisjunctRevenue,
-    q57SupplierCensus)
+    q57SupplierCensus, q58ReturnPriority)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2384,5 +2384,39 @@ object ReferenceQueries {
         .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H-Q4-shaped EXISTS census — orders with at least one returned
+    * lineitem, counted per order priority. q53 decorrelates its
+    * existential CHAIN into a composition census; this pins the plain
+    * single-EXISTS member as what it should be physically: a LEFT SEMI
+    * join (the oracle keeps the textbook `WHERE EXISTS` correlated
+    * form). Semi-join semantics — at most one match per order, no
+    * duplicate inflation — is exactly what a naive inner-join + count
+    * translation gets wrong when an order has several returned items.
+    *
+    * Scale (100 TB): the returned-items side is pre-filtered at the
+    * scan (PushedFilters on l_returnflag) and collapses to DISTINCT
+    * orderkeys inside the semi join; one orderkey-keyed exchange pair,
+    * then the census partially aggregates map-side to the 5-priority
+    * grain. No distinct-inflation risk, no second pass.
+    */
+  private def q58ReturnPriority = QueryDef.sql(
+    "q58_return_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority")
+      .join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
   }
 }
