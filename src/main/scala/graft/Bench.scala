@@ -156,6 +156,22 @@ object Bench {
         s""""value":${"%.4f".format(total)},""" +
         s""""n_queries":${results.size},""" +
         s""""n_failed":${errs.size},"sf":${jstr(sfDir)}}"""
+    // A second, SHORT summary line carrying only the scalars. Every
+    // round since r06 recorded parsed:null in BENCH_rN.json: the full
+    // line grew past what the driver's line capture survives (terminal
+    // wrap / truncation breaks json.loads), and only r05's ~90-query
+    // line ever parsed. This line is ~150 chars — immune to wrapping
+    // and fully inside any tail window — and it is the ONLY printed
+    // line matching `{"metric"` at position 0 (the full line starts
+    // with `{"queries"`), so a first-match or last-match extraction
+    // both land here. Printed LAST so a tail-of-output capture always
+    // ends with it.
+    val shortLine =
+      s"""{"metric":"total","unit":"sec",""" +
+        s""""value":${"%.4f".format(total)},""" +
+        s""""n_queries":${results.size},""" +
+        s""""n_failed":${errs.size},""" +
+        s""""n_isolated":${isolated.size},"sf":${jstr(sfDir)}}"""
     // Sidecar file first: sbt decorates stdout with "[info] " prefixes the
     // driver's line-parse can trip on (BENCH_r02 had parsed:null), so the
     // JSON is also written somewhere log decoration can't reach.

@@ -41,7 +41,11 @@ object KCenter {
     */
   def gonzalez(points: DataFrame, k: Int): Seq[(Int, Long, Long)] = {
     require(k > 0, "k must be positive")
-    val first = points.select(min(col("vec_id"))).head().getLong(0)
+    // min() over an empty table yields one NULL row — fail with the
+    // contract, not an opaque NPE/NoSuchElementException
+    val firstRow = points.select(min(col("vec_id"))).head()
+    require(!firstRow.isNullAt(0), "k-center needs a non-empty points table")
+    val first = firstRow.getLong(0)
     def distT(a: Column, b: Column): Column =
       lit(10000L) - round((round(F.array_dot(a, b), 4) + lit(0d))
         * 10000).cast("long")
@@ -53,10 +57,26 @@ object KCenter {
       val far = points.crossJoin(broadcast(chosen))
         .select(col("vec_id"), distT(col("uv"), col("cu")).as("d_t"))
         .groupBy("vec_id").agg(min(col("d_t")).as("mind"))
+        // Chosen points carry mind = 0 and can never raise the max, so
+        // excluding them changes neither the covering radius nor any
+        // non-degenerate argmax — it only stops an all-zero tie (k >
+        // #points, or a fully duplicated tail) from silently re-picking
+        // an existing center.
+        .filter(!col("vec_id").isin(centers: _*))
         .orderBy(col("mind").desc, col("vec_id"))
-        .limit(1).head()
-      out += ((r, centers(r - 1), far.getLong(1)))
-      if (r < k) centers :+= far.getLong(0)
+        .limit(1).take(1).headOption
+      far match {
+        case Some(row) =>
+          out += ((r, centers(r - 1), row.getLong(1)))
+          if (r < k) centers :+= row.getLong(0)
+        case None =>
+          // every point is already a center: the covering radius is 0
+          // by construction, and any FURTHER round would have to
+          // duplicate a pick — a contract violation, not a row
+          require(r == k, s"k=$k exceeds the number of distinct points" +
+            s" (${centers.size})")
+          out += ((r, centers(r - 1), 0L))
+      }
     }
     out.result()
   }

@@ -53,7 +53,9 @@ object MmrSelect {
       .select(col("vec_id"), col("rel_t"),
         (lit(lamN.toLong) * col("rel_t")).as("mmr"))
       .orderBy(col("mmr").desc, col("vec_id"))
-      .limit(1).head()
+      .limit(1).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "MMR needs a non-empty candidate table"))
     var selected = Vector(first.getLong(0))
     val out = Vector.newBuilder[(Int, Long, Long, Long)]
     out += ((1, first.getLong(0), first.getLong(1), first.getLong(2)))
@@ -69,7 +71,10 @@ object MmrSelect {
           (lit(lamN.toLong) * col("rel_t") -
             lit((10 - lamN).toLong) * col("maxsim")).as("mmr"))
         .orderBy(col("mmr").desc, col("vec_id"))
-        .limit(1).head()
+        .limit(1).take(1).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"k=$k exceeds the candidate count: round $r found no " +
+            s"unselected candidate (${selected.size} selected)"))
       selected :+= best.getLong(0)
       out += ((r, best.getLong(0), best.getLong(1), best.getLong(2)))
     }

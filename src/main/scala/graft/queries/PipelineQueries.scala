@@ -561,7 +561,13 @@ object PipelineQueries {
       |  count(DISTINCT lang) AS n_langs
       |FROM documents WHERE n_chars >= 100
       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    val tmp = Files.createTempDirectory("graft-orc").toString
+    // Fixed scratch path, not a fresh createTempDirectory: the returned
+    // DataFrame reads the ORC copy LAZILY (Bench counts it later, and
+    // 3 timed passes re-invoke this builder), so an eager delete would
+    // race the read — instead every invocation overwrites the SAME
+    // path and repeated Bench/Verify runs hold exactly one corpus copy.
+    val tmp = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft-scratch", "g5-orc").toString
     Tables.documents(s, dir)
       .write.mode("overwrite").orc(s"$tmp/documents.orc")
     s.read.orc(s"$tmp/documents.orc")

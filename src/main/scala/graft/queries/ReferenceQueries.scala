@@ -53,11 +53,29 @@ object ReferenceQueries {
   private def centsDuck(e: String): String =
     s"CAST(round(($e) * 100) AS BIGINT)"
 
-  /** Σ price·(1−disc) in exact integer ten-thousandths (LongType). */
-  private def revenueT(price: Column, disc: Column): Column =
-    sum(cents(price) * (lit(100L) - cents(disc)))
+  /** Σ price·(1−disc) in exact integer ten-thousandths.
+    *
+    * `acc` is the ACCUMULATOR type (SCALING.md's integer-headroom rule
+    * mechanized): the per-row term is ≈10⁹, so a BIGINT accumulator
+    * holds ~10⁹ rows — comfortable wherever a GROUP BY bounds the rows
+    * per accumulator (every keyed use below), but an UNGROUPED global
+    * sum at the ~600B-row 100 TB lineitem would overflow loudly under
+    * ANSI mode. Global/ungrouped callers pass `"decimal(38,0)"` (the
+    * e38 discipline; DuckDB's sum(BIGINT) is already HUGEINT-
+    * accumulated, so the oracle mirrors it by NOT down-casting). The
+    * type swap happens at the aggregate input — no plan change. */
+  private def revenueT(price: Column, disc: Column,
+      acc: String = "bigint"): Column = {
+    val term = cents(price) * (lit(100L) - cents(disc))
+    if (acc == "bigint") sum(term) else sum(term.cast(acc))
+  }
   private def revenueTDuck(price: String, disc: String): String =
     s"CAST(sum(${centsDuck(price)} * (100 - ${centsDuck(disc)})) AS BIGINT)"
+  /** The DECIMAL-accumulated twin: DuckDB sums BIGINT into HUGEINT
+    * natively, so the only difference from [[revenueTDuck]] is keeping
+    * the HUGEINT instead of the down-cast. */
+  private def revenueTDuckDec(price: String, disc: String): String =
+    s"sum(CAST(${centsDuck(price)} AS HUGEINT) * (100 - ${centsDuck(disc)}))"
 
   /** Ten-thousandths → half-up 2-dp money, rounded with integer ops.
     * `t` must name a LongType column in scope (expr-based: Column has
@@ -957,8 +975,16 @@ object ReferenceQueries {
           .select(col("r_regionkey"), col("r_name"))),
         col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
+      // The rollup's () cell is an UNGROUPED global revenue sum — the
+      // q49 accumulator class — so the sum rides DECIMAL(38,0) and
+      // down-casts the 30-row result to BIGINT, which is exactly
+      // DuckDB's native semantics (HUGEINT accumulation, BIGINT cast
+      // in revenueTDuck). At test scale the cast is lossless; at the
+      // 100 TB grand total the OUTPUT type graduates with the same
+      // one-line swap.
       .agg(count(lit(1)).as("n_rows"),
-        revenueT(col("l_extendedprice"), col("l_discount")).as("revenue_t"))
+        revenueT(col("l_extendedprice"), col("l_discount"),
+          "decimal(38,0)").cast("long").as("revenue_t"))
   }
 
   /** PIVOT (long → wide) with an explicit value list: order counts per
@@ -1693,7 +1719,10 @@ object ReferenceQueries {
           grouping(col("r_name")).cast("int").as("g_region"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           count(lit(1)).as("n_rows"),
-          revenueT(col("l_extendedprice"), col("l_discount")).as("revenue_t"))
+          // cube's (,) cell = ungrouped global sum → the q28/q49
+          // DECIMAL(38,0) accumulator, BIGINT cast on the tiny result
+          revenueT(col("l_extendedprice"), col("l_discount"),
+            "decimal(38,0)").cast("long").as("revenue_t"))
         .select("r_name", "o_orderstatus", "g_region", "g_status",
           "n_rows", "revenue_t")
         .orderBy("g_region", "g_status", "r_name", "o_orderstatus")
@@ -1847,24 +1876,34 @@ object ReferenceQueries {
     s"""WITH rev AS (SELECT l_partkey,
        |    ${revenueTDuck("l_extendedprice", "l_discount")} AS rev_t
        |  FROM lineitem GROUP BY l_partkey),
-       |np AS (SELECT count(*) AS n_parts, CAST(sum(rev_t) AS BIGINT)
+       |np AS (SELECT count(*) AS n_parts, sum(CAST(rev_t AS HUGEINT))
        |    AS total_t
        |  FROM rev)
        |SELECT l_partkey, rev_t,
-       |  CAST(rev_t * np.n_parts * 10000 // np.total_t AS BIGINT)
-       |    AS mean_x_bp
+       |  CAST(CAST(rev_t AS HUGEINT) * np.n_parts * 10000 // np.total_t
+       |    AS BIGINT) AS mean_x_bp
        |FROM rev CROSS JOIN np
-       |WHERE rev_t * np.n_parts * 10 >= 14 * np.total_t
+       |WHERE CAST(rev_t AS HUGEINT) * np.n_parts * 10 >= 14 * np.total_t
        |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
     val rev = Tables.lineitem(s, dir)
       .groupBy("l_partkey")
       .agg(revenueT(col("l_extendedprice"), col("l_discount")).as("rev_t"))
+    // total_t is the GLOBAL revenue sum — the one accumulator in this
+    // query with no group bounding its row count, so it takes the
+    // DECIMAL(38,0) lever (SCALING.md's integer-headroom rule: BIGINT
+    // overflows at the ~600B-row 100 TB fact; DuckDB mirrors with its
+    // native HUGEINT sum). rev_t stays BIGINT — per-part rows are
+    // bounded. The comparison/ratio products ride the decimal too
+    // (rev_t·n_parts·10⁴ alone exceeds BIGINT at fleet part counts);
+    // `div` (IntegralDivide) returns BIGINT on both engines' surfaces.
     val np = rev.agg(count(lit(1)).as("n_parts"),
-      sum(col("rev_t")).cast("long").as("total_t"))
+      sum(col("rev_t").cast("decimal(38,0)")).as("total_t"))
     rev.crossJoin(broadcast(np))
-      .filter(col("rev_t") * col("n_parts") * 10 >= lit(14) * col("total_t"))
+      .filter(col("rev_t").cast("decimal(38,0)") * col("n_parts") * 10
+        >= lit(14) * col("total_t"))
       .select(col("l_partkey"), col("rev_t"),
-        expr("rev_t * n_parts * 10000 div total_t").as("mean_x_bp"))
+        expr("cast(rev_t as decimal(38,0)) * n_parts * 10000 div total_t")
+          .as("mean_x_bp"))
       .orderBy(col("l_partkey"))
   }
 
@@ -1885,6 +1924,12 @@ object ReferenceQueries {
     * Catalyst decorrelates the scalar subquery to exactly this), and
     * a broadcast supplier-dim join for the name. At 100 TB nothing
     * but the pruned fact scan is corpus-sized.
+    *
+    * Accumulator-type note (the q49 lever deliberately NOT applied):
+    * the global scalar here is a MAX, not a sum — it never exceeds the
+    * magnitude of its inputs, and each input rev_t is a per-supplier
+    * GROUPED sum whose row count is bounded, so BIGINT headroom holds
+    * end-to-end and the DECIMAL swap would buy nothing.
     */
   private def q51TopSupplier = QueryDef.sql(
     "q51_top_supplier",

@@ -2470,8 +2470,9 @@ object TrainingQueries {
     * quantile family: e35 is exact (right for one grouping, but exact
     * quantiles do not compose — per-shard p99s cannot be combined into
     * a corpus p99), e63 is hash-sampled (bounded rows, still a corpus
-    * re-scan per grouping); a log-bucket histogram is 41 longs per
-    * group that merge by vector ADDITION, so per-shard histograms roll
+    * re-scan per grouping); a log-bucket histogram is 42 longs per
+    * group (bucket 0 for x ≤ 0 plus bit lengths 1..41) that merge by
+    * vector ADDITION, so per-shard histograms roll
     * up to ANY grouping with no re-scan — the quantile twin of e137's
     * register rollup, and the γ=2 case of the relative-error sketch
     * family (DDSketch, Masson et al. VLDB'19; HdrHistogram): the

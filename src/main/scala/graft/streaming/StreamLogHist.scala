@@ -4,7 +4,8 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming per-key log₂-histogram quantiles — the stateful twin of
-  * e150: maintain 41 additive bucket counters per key over an
+  * e150: maintain 42 additive bucket counters per key (bucket 0 for
+  * x ≤ 0 plus bit lengths 1..41) over an
   * unbounded stream of nonnegative measures (doc lengths, latencies,
   * token counts) and emit the current p50/p90/p99 ESTIMATES every
   * micro-batch the key is touched (outputMode=update). The estimate is
@@ -22,7 +23,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * INFLATED distribution, not the true one; put a dedup gate upstream
   * when the source replays.
   *
-  * State: 41 longs + 1 count per key. An exact streaming quantile
+  * State: 42 longs + 1 count per key. An exact streaming quantile
   * would need the full value multiset per key (unbounded); this is the
   * production trade the e150 docstring prices.
   */
@@ -38,7 +39,7 @@ object StreamLogHist {
       key: String, n_seen: Long, n_buckets: Long,
       p50_est: Long, p90_est: Long, p99_est: Long)
 
-  /** State row: 41 additive bucket counters (public: the state
+  /** State row: the 42 additive bucket counters (public: the state
     * encoder's generated code constructs it).
     */
   final case class Hist(buckets: Seq[Long], nSeen: Long)
