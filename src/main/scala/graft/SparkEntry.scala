@@ -35,6 +35,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 
+  /** PRODUCTION plans of queries whose oracle-checked form carries an
+    * exact-truth audit leg (QueryDef.withBuildOnly): same build, audit
+    * dropped. Not part of the driver contract — ProbeMain's
+    * PROBE_BUILD_ONLY mode times these so SCALING.md rows can report a
+    * measured "production drops the audit" number instead of prose.
+    */
+  def buildOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.flatMap(d => d.buildOnly.map(d.name -> _)).toMap
+
   /** Queries whose sf0.01 result is legitimately EMPTY. A 0-row result
     * hash-matches a 0-row oracle no matter how wrong the query is
     * (VERDICT r10: q34's mis-set split date shipped green for rounds

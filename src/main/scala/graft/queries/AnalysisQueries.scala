@@ -4416,6 +4416,77 @@ object AnalysisQueries {
 
   // ---- e147: NN-Descent kNN-graph construction with recall audit ----------
 
+  /** e147's PRODUCTION build, shared by the oracle-checked query and
+    * its buildOnly probe plan: ring-init NN-Descent over the float
+    * vectors — K best per vertex by 4-dp-rounded cosine, `rounds`
+    * refinement rounds with the reverse-cap hub bound. Returns the
+    * checkpointed normalized-vector table `r`, the per-round scored
+    * graphs knns(0..rounds), and the per-round candidate pools.
+    */
+  private def e147BuildGraph(s: SparkSession, dir: String, K: Int,
+      rounds: Int): (DataFrame, Vector[DataFrame], Vector[DataFrame]) = {
+    import graft.operators.Indexing
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v"))
+      .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("uv"))
+    // reused by every round's score join and the truth side; eager
+    // checkpoint so the zipWithIndex rank runs once (bounded: N rows)
+    val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
+      .localCheckpoint(true)
+    def scoreEdges(edges: DataFrame): DataFrame =
+      edges
+        .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
+          "src")
+        .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
+          "dst")
+        .select(col("src"), col("dst"),
+          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+            .as("cos"))
+    val nn = r.agg(count(lit(1)).as("n"))
+    val knn0 = r.select(col("vec_id").as("src"), col("rid"))
+      .crossJoin(broadcast(nn))
+      .select(col("src"), col("rid"), col("n"),
+        explode(sequence(lit(1), lit(K))).as("o"))
+      .withColumn("nbr", (col("rid") + col("o")) % col("n"))
+      .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+        col("rid2") === col("nbr"))
+      .select("src", "dst")
+    val knns = scala.collection.mutable.ArrayBuffer(
+      scoreEdges(knn0).localCheckpoint(true))
+    val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val knn = knns.last
+      // reverse lists capped at K (lowest-id — deterministic): the
+      // paper's reverse-sample knob. Bounds every und degree at 2K,
+      // so candidate generation is <= N·(2K)² REGARDLESS of hubs —
+      // without it the 100× dense-clone probe OOMed (every clone
+      // set funnels its reverse edges onto the 10 lowest-id clones,
+      // reverse degree ~N_clones, candidates ~N_clones² per witness)
+      val rev = knn
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("src"))))
+        .filter(col("rr") <= K)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val und = knn.select("src", "dst").unionByName(rev)
+      val cand = und.select(col("src").as("w"), col("dst").as("a"))
+        .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
+        .filter(col("a") =!= col("c"))
+        .select(col("a").as("src"), col("c").as("dst")).distinct()
+      val pool = cand.unionByName(knn.select("src", "dst")).distinct()
+      pools += pool
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      knns += scoreEdges(pool)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        .select("src", "dst", "cos").localCheckpoint(true)
+    }
+    (r, knns.toVector, pools.toVector)
+  }
+
   /** NN-Descent (Dong, Moses Charikar, Li, WWW'11): build the
     * all-vectors k-nearest-neighbor graph by ITERATIVE REFINEMENT —
     * start from an arbitrary graph, and each round propose every pair
@@ -4433,9 +4504,16 @@ object AnalysisQueries {
     *
     * Output: one row per round (0 = init) — pairs scored that round,
     * the graph's mean edge cosine in integer ten-thousandths, and
-    * recall@10 against the exact top-K truth on the vec_id%50 anchor
-    * slice (the e103b sampled-audit posture: truth over ALL vectors is
-    * a full N² scan production never runs). Measured at sf0.01
+    * recall@10 against the exact top-K truth on a CONSTANT-BUDGET
+    * anchor slice: the 64 lowest multiplicative-hash vec_ids (the
+    * e103b deterministic-slice posture, plus its Agresti–Coull
+    * adjusted-SE column `recall_se_bp`). Constant, not proportional:
+    * r11 shipped a vec_id % 50 slice whose truth leg was N²/50 — the
+    * measured scale-killer that forced a 48 GiB heap at the 100× probe
+    * (an ~800M-row ranking window) while the BUILD stayed bounded.
+    * 64 anchors cost B·N at ANY corpus size and estimate the same
+    * recall unbiasedly; the SE column (±~60 bp at 640 truth edges)
+    * prices the budget honestly. Measured at sf0.01
     * (N=500, K=10, ring init, 8 rounds): recall 400 → 1200 → … → 7500
     * bp, mean edge cosine 0 → 2767 tenths-of-bp, 20k–52k pairs/round
     * (the reverse-cap costs 200 bp of round-8 recall vs uncapped —
@@ -4507,6 +4585,7 @@ object AnalysisQueries {
          |  QUALIFY row_number() OVER (PARTITION BY src
          |    ORDER BY cos DESC, dst) <= $K),""".stripMargin
     }.mkString("\n")
+    val anchorBudget = 64
     val metricSelects = (0 to rounds).map { i =>
       val scoredRel = if (i == 0) "sc_init" else s"knn$i"
       val nScored = if (i == 0) "0" else s"(SELECT count(*) FROM pool${i - 1})"
@@ -4515,8 +4594,8 @@ object AnalysisQueries {
          |  (SELECT CAST(sum(CAST(round(cos * 10000) AS BIGINT))
          |      // count(*) AS BIGINT) FROM $scoredRel) AS avg_cos_t,
          |  CAST((SELECT count(*) FROM knn$i k JOIN truth t
-         |      ON t.src = k.src AND t.dst = k.dst) * 10000
-         |    // (na.n_anchors * $K) AS BIGINT) AS recall_bp
+         |      ON t.src = k.src AND t.dst = k.dst) AS BIGINT) AS hits,
+         |  na.n_anchors AS n_anchors
          |FROM na""".stripMargin
     }.mkString("\nUNION ALL\n")
     QueryDef.sql(
@@ -4539,76 +4618,47 @@ object AnalysisQueries {
          |  FROM knn0 k JOIN r a ON a.vec_id = k.src
          |  JOIN r c ON c.vec_id = k.dst),
          |$roundCtes
+         |anch AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ((vec_id % 1000003) * 2654435761) % 1000000007 AS ah
+         |    FROM r) t
+         |  QUALIFY row_number() OVER (ORDER BY ah, vec_id)
+         |    <= $anchorBudget),
          |tr0 AS (SELECT a.vec_id AS src, c.vec_id AS dst,
          |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
-         |  FROM r a JOIN r c
-         |    ON a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id),
+         |  FROM anch an JOIN r a ON a.vec_id = an.vec_id
+         |  JOIN r c ON c.vec_id <> a.vec_id),
          |truth AS MATERIALIZED (SELECT src, dst FROM tr0
          |  QUALIFY row_number() OVER (PARTITION BY src
          |    ORDER BY cos DESC, dst) <= $K),
-         |na AS (SELECT count(DISTINCT src) AS n_anchors FROM truth)
-         |$metricSelects
-         |ORDER BY round""".stripMargin) { (s, dir) =>
-      import graft.operators.Indexing
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("v"))
-        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
-        .filter(col("nrm") > 0)
-        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
-        .select(col("vec_id"), col("uv"))
-      // reused by every round's score join and the truth side; eager
-      // checkpoint so the zipWithIndex rank runs once (bounded: N rows)
-      val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
-        .localCheckpoint(true)
-      def scoreEdges(edges: DataFrame): DataFrame =
-        edges
-          .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
-            "src")
-          .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
-            "dst")
-          .select(col("src"), col("dst"),
-            (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
-              .as("cos"))
-      val nn = r.agg(count(lit(1)).as("n"))
-      val knn0 = r.select(col("vec_id").as("src"), col("rid"))
-        .crossJoin(broadcast(nn))
-        .select(col("src"), col("rid"), col("n"),
-          explode(sequence(lit(1), lit(K))).as("o"))
-        .withColumn("nbr", (col("rid") + col("o")) % col("n"))
-        .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
-          col("rid2") === col("nbr"))
-        .select("src", "dst")
-      val knns = scala.collection.mutable.ArrayBuffer(
-        scoreEdges(knn0).localCheckpoint(true))
-      val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (_ <- 1 to rounds) {
-        val knn = knns.last
-        // reverse lists capped at K (lowest-id — deterministic): the
-        // paper's reverse-sample knob. Bounds every und degree at 2K,
-        // so candidate generation is <= N·(2K)² REGARDLESS of hubs —
-        // without it the 100× dense-clone probe OOMed (every clone
-        // set funnels its reverse edges onto the 10 lowest-id clones,
-        // reverse degree ~N_clones, candidates ~N_clones² per witness)
-        val rev = knn
-          .withColumn("rr", row_number().over(
-            Window.partitionBy(col("dst")).orderBy(col("src"))))
-          .filter(col("rr") <= K)
-          .select(col("dst").as("src"), col("src").as("dst"))
-        val und = knn.select("src", "dst").unionByName(rev)
-        val cand = und.select(col("src").as("w"), col("dst").as("a"))
-          .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
-          .filter(col("a") =!= col("c"))
-          .select(col("a").as("src"), col("c").as("dst")).distinct()
-        val pool = cand.unionByName(knn.select("src", "dst")).distinct()
-        pools += pool
-        val w = Window.partitionBy(col("src"))
-          .orderBy(col("cos").desc, col("dst"))
-        knns += scoreEdges(pool)
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
-          .select("src", "dst", "cos").localCheckpoint(true)
-      }
-      val anchors = r.filter(col("vec_id") % 50 === 0)
+         |na AS (SELECT count(DISTINCT src) AS n_anchors FROM truth),
+         |mraw AS ($metricSelects),
+         |m1 AS (SELECT *,
+         |    CAST(hits * 10000 // (n_anchors * $K) AS BIGINT)
+         |      AS recall_bp,
+         |    10000 * (hits + 1) // (n_anchors * $K + 2) AS rt FROM mraw),
+         |m2 AS (SELECT *,
+         |    rt * (10000 - rt) // (n_anchors * $K + 2) AS sx FROM m1),
+         |m3 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(sx AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM m2)
+         |SELECT round, n_scored, avg_cos_t, recall_bp,
+         |  s0 + CASE WHEN s0 < 3037000499 AND (s0 + 1) * (s0 + 1) <= sx
+         |         THEN 1 ELSE 0 END
+         |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
+         |FROM m3 ORDER BY round""".stripMargin) { (s, dir) =>
+      val (r, knns, pools) = e147BuildGraph(s, dir, K, rounds)
+      // Constant anchor budget (the e103b posture applied to the truth
+      // harness): 64 anchors = the lowest multiplicative-hash values,
+      // via a distributed top-k (TakeOrderedAndProject — never a full
+      // sort), so the exact-truth leg costs B·N REGARDLESS of corpus
+      // size. r11's proportional vec_id % 50 slice made the audit
+      // N²/50 — the measured scale-killer that forced a 48 GiB heap at
+      // the 100× probe while the BUILD itself stayed bounded.
+      val anchors = r
+        .withColumn("ah",
+          expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
+        .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
         .select(col("vec_id").as("src"), col("uv").as("ua"))
       val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
         .join(broadcast(anchors), col("dst") =!= col("src"))
@@ -4635,14 +4685,102 @@ object AnalysisQueries {
           .agg(count(lit(1)).as("hits"))
         nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
           .select(lit(i.toLong).as("round"), col("n_scored"),
-            col("avg_cos_t"),
-            expr(s"hits * 10000 div (n_anchors * $K)").as("recall_bp"))
+            col("avg_cos_t"), col("hits"), col("n_anchors"))
       }
-      rows.reduce(_ unionByName _).orderBy("round")
-    }
+      // Agresti–Coull adjusted SE on the sampled recall (the e103b
+      // columns): the 64-anchor estimate is unbiased for the full-graph
+      // recall, and the SE prices the sampling honestly — a slice that
+      // happens to hit everything must not read as "certainly 10000".
+      rows.reduce(_ unionByName _)
+        .withColumn("recall_bp",
+          expr(s"hits * 10000 div (n_anchors * $K)"))
+        .withColumn("rt",
+          expr(s"10000 * (hits + 1) div (n_anchors * $K + 2)"))
+        .withColumn("sx",
+          expr(s"rt * (10000 - rt) div (n_anchors * $K + 2)"))
+        .withColumn("s0",
+          floor(sqrt(col("sx").cast("double"))).cast("long"))
+        .select(col("round"), col("n_scored"), col("avg_cos_t"),
+          col("recall_bp"),
+          (col("s0")
+            + when(col("s0") < 3037000499L &&
+                (col("s0") + 1) * (col("s0") + 1) <= col("sx"), 1L)
+              .otherwise(0L)
+            - when(col("s0") * col("s0") > col("sx"), 1L)
+              .otherwise(0L)).as("recall_se_bp"))
+        .orderBy("round")
+    }.withBuildOnly((s, dir) =>
+      // production plan: the kNN graph itself, no anchor-truth leg
+      e147BuildGraph(s, dir, K, rounds)._2.last)
   }
 
   // ---- e147b: NN-Descent in the int8 domain --------------------------------
+
+  /** e147b's PRODUCTION build (the e147BuildGraph twin): identical
+    * round/candidate structure, but every score join ships the 64-byte
+    * Int8Pack code + scale instead of the 512 B double array, and
+    * scoring is the codegen'd Int8Dot corrected by the two scales.
+    */
+  private def e147bBuildGraph(s: SparkSession, dir: String, K: Int,
+      rounds: Int): (DataFrame, Vector[DataFrame], Vector[DataFrame]) = {
+    import graft.operators.Indexing
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v"))
+      .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+      .withColumn("scale", F.int8_scale(col("uv")))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("uv"), col("scale"),
+        F.int8_pack(col("uv")).as("code"))
+    val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
+      .localCheckpoint(true)
+    // the pair-scale joins ship ONLY (code, scale) — 72 B per vector
+    // side instead of e147's 512 B double array
+    def scoreEdges(edges: DataFrame): DataFrame =
+      edges
+        .join(r.select(col("vec_id").as("src"), col("code").as("ca"),
+          col("scale").as("sa")), "src")
+        .join(r.select(col("vec_id").as("dst"), col("code").as("cc"),
+          col("scale").as("sc")), "dst")
+        .select(col("src"), col("dst"),
+          (round(F.int8_dot(col("ca"), col("cc")).cast("double")
+            * col("sa") * col("sc"), 4) + lit(0d)).as("qcos"))
+    val nn = r.agg(count(lit(1)).as("n"))
+    val knn0 = r.select(col("vec_id").as("src"), col("rid"))
+      .crossJoin(broadcast(nn))
+      .select(col("src"), col("rid"), col("n"),
+        explode(sequence(lit(1), lit(K))).as("o"))
+      .withColumn("nbr", (col("rid") + col("o")) % col("n"))
+      .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+        col("rid2") === col("nbr"))
+      .select("src", "dst")
+    val knns = scala.collection.mutable.ArrayBuffer(
+      scoreEdges(knn0).localCheckpoint(true))
+    val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val knn = knns.last
+      val rev = knn
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("src"))))
+        .filter(col("rr") <= K)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val und = knn.select("src", "dst").unionByName(rev)
+      val cand = und.select(col("src").as("w"), col("dst").as("a"))
+        .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
+        .filter(col("a") =!= col("c"))
+        .select(col("a").as("src"), col("c").as("dst")).distinct()
+      val pool = cand.unionByName(knn.select("src", "dst")).distinct()
+      pools += pool
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("qcos").desc, col("dst"))
+      knns += scoreEdges(pool)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        .select("src", "dst", "qcos").localCheckpoint(true)
+    }
+    (r, knns.toVector, pools.toVector)
+  }
 
   /** e147's graph build with the SCORING PAYLOAD quantized — the
     * measured remedy for the measured bottleneck: the e147 probe put
@@ -4705,6 +4843,7 @@ object AnalysisQueries {
          |  QUALIFY row_number() OVER (PARTITION BY src
          |    ORDER BY qcos DESC, dst) <= $K),""".stripMargin
     }.mkString("\n")
+    val anchorBudget = 64
     val metricSelects = (0 to rounds).map { i =>
       val scoredRel = if (i == 0) "sc_init" else s"knn$i"
       val nScored = if (i == 0) "0" else s"(SELECT count(*) FROM pool${i - 1})"
@@ -4713,8 +4852,8 @@ object AnalysisQueries {
          |  (SELECT CAST(sum(CAST(round(qcos * 10000) AS BIGINT))
          |      // count(*) AS BIGINT) FROM $scoredRel) AS avg_qcos_t,
          |  CAST((SELECT count(*) FROM knn$i k JOIN truth t
-         |      ON t.src = k.src AND t.dst = k.dst) * 10000
-         |    // (na.n_anchors * $K) AS BIGINT) AS recall_bp
+         |      ON t.src = k.src AND t.dst = k.dst) AS BIGINT) AS hits,
+         |  na.n_anchors AS n_anchors
          |FROM na""".stripMargin
     }.mkString("\nUNION ALL\n")
     QueryDef.sql(
@@ -4746,73 +4885,43 @@ object AnalysisQueries {
          |  FROM knn0 k JOIN r a ON a.vec_id = k.src
          |  JOIN r c ON c.vec_id = k.dst),
          |$roundCtes
+         |anch AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ((vec_id % 1000003) * 2654435761) % 1000000007 AS ah
+         |    FROM r) t
+         |  QUALIFY row_number() OVER (ORDER BY ah, vec_id)
+         |    <= $anchorBudget),
          |tr0 AS (SELECT a.vec_id AS src, c.vec_id AS dst,
          |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
-         |  FROM r a JOIN r c
-         |    ON a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id),
+         |  FROM anch an JOIN r a ON a.vec_id = an.vec_id
+         |  JOIN r c ON c.vec_id <> a.vec_id),
          |truth AS MATERIALIZED (SELECT src, dst FROM tr0
          |  QUALIFY row_number() OVER (PARTITION BY src
          |    ORDER BY cos DESC, dst) <= $K),
-         |na AS (SELECT count(DISTINCT src) AS n_anchors FROM truth)
-         |$metricSelects
-         |ORDER BY round""".stripMargin) { (s, dir) =>
-      import graft.operators.Indexing
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("v"))
-        .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
-        .filter(col("nrm") > 0)
-        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
-        .withColumn("scale", F.int8_scale(col("uv")))
-        .filter(col("scale") > 0)
-        .select(col("vec_id"), col("uv"), col("scale"),
-          F.int8_pack(col("uv")).as("code"))
-      val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
-        .localCheckpoint(true)
-      // the pair-scale joins ship ONLY (code, scale) — 72 B per vector
-      // side instead of e147's 512 B double array
-      def scoreEdges(edges: DataFrame): DataFrame =
-        edges
-          .join(r.select(col("vec_id").as("src"), col("code").as("ca"),
-            col("scale").as("sa")), "src")
-          .join(r.select(col("vec_id").as("dst"), col("code").as("cc"),
-            col("scale").as("sc")), "dst")
-          .select(col("src"), col("dst"),
-            (round(F.int8_dot(col("ca"), col("cc")).cast("double")
-              * col("sa") * col("sc"), 4) + lit(0d)).as("qcos"))
-      val nn = r.agg(count(lit(1)).as("n"))
-      val knn0 = r.select(col("vec_id").as("src"), col("rid"))
-        .crossJoin(broadcast(nn))
-        .select(col("src"), col("rid"), col("n"),
-          explode(sequence(lit(1), lit(K))).as("o"))
-        .withColumn("nbr", (col("rid") + col("o")) % col("n"))
-        .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
-          col("rid2") === col("nbr"))
-        .select("src", "dst")
-      val knns = scala.collection.mutable.ArrayBuffer(
-        scoreEdges(knn0).localCheckpoint(true))
-      val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (_ <- 1 to rounds) {
-        val knn = knns.last
-        val rev = knn
-          .withColumn("rr", row_number().over(
-            Window.partitionBy(col("dst")).orderBy(col("src"))))
-          .filter(col("rr") <= K)
-          .select(col("dst").as("src"), col("src").as("dst"))
-        val und = knn.select("src", "dst").unionByName(rev)
-        val cand = und.select(col("src").as("w"), col("dst").as("a"))
-          .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
-          .filter(col("a") =!= col("c"))
-          .select(col("a").as("src"), col("c").as("dst")).distinct()
-        val pool = cand.unionByName(knn.select("src", "dst")).distinct()
-        pools += pool
-        val w = Window.partitionBy(col("src"))
-          .orderBy(col("qcos").desc, col("dst"))
-        knns += scoreEdges(pool)
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
-          .select("src", "dst", "qcos").localCheckpoint(true)
-      }
-      val anchors = r.filter(col("vec_id") % 50 === 0)
+         |na AS (SELECT count(DISTINCT src) AS n_anchors FROM truth),
+         |mraw AS ($metricSelects),
+         |m1 AS (SELECT *,
+         |    CAST(hits * 10000 // (n_anchors * $K) AS BIGINT)
+         |      AS recall_bp,
+         |    10000 * (hits + 1) // (n_anchors * $K + 2) AS rt FROM mraw),
+         |m2 AS (SELECT *,
+         |    rt * (10000 - rt) // (n_anchors * $K + 2) AS sx FROM m1),
+         |m3 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(sx AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM m2)
+         |SELECT round, n_scored, avg_qcos_t, recall_bp,
+         |  s0 + CASE WHEN s0 < 3037000499 AND (s0 + 1) * (s0 + 1) <= sx
+         |         THEN 1 ELSE 0 END
+         |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
+         |FROM m3 ORDER BY round""".stripMargin) { (s, dir) =>
+      val (r, knns, pools) = e147bBuildGraph(s, dir, K, rounds)
+      // Constant 64-anchor budget + AC SE — see e147's comment; the
+      // float-exact truth side is the ONLY place uv rides a join, and
+      // it is B·N bounded by construction.
+      val anchors = r
+        .withColumn("ah",
+          expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
+        .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
         .select(col("vec_id").as("src"), col("uv").as("ua"))
       val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
         .join(broadcast(anchors), col("dst") =!= col("src"))
@@ -4839,11 +4948,29 @@ object AnalysisQueries {
           .agg(count(lit(1)).as("hits"))
         nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
           .select(lit(i.toLong).as("round"), col("n_scored"),
-            col("avg_qcos_t"),
-            expr(s"hits * 10000 div (n_anchors * $K)").as("recall_bp"))
+            col("avg_qcos_t"), col("hits"), col("n_anchors"))
       }
-      rows.reduce(_ unionByName _).orderBy("round")
-    }
+      rows.reduce(_ unionByName _)
+        .withColumn("recall_bp",
+          expr(s"hits * 10000 div (n_anchors * $K)"))
+        .withColumn("rt",
+          expr(s"10000 * (hits + 1) div (n_anchors * $K + 2)"))
+        .withColumn("sx",
+          expr(s"rt * (10000 - rt) div (n_anchors * $K + 2)"))
+        .withColumn("s0",
+          floor(sqrt(col("sx").cast("double"))).cast("long"))
+        .select(col("round"), col("n_scored"), col("avg_qcos_t"),
+          col("recall_bp"),
+          (col("s0")
+            + when(col("s0") < 3037000499L &&
+                (col("s0") + 1) * (col("s0") + 1) <= col("sx"), 1L)
+              .otherwise(0L)
+            - when(col("s0") * col("s0") > col("sx"), 1L)
+              .otherwise(0L)).as("recall_se_bp"))
+        .orderBy("round")
+    }.withBuildOnly((s, dir) =>
+      // production plan: the int8-scored kNN graph, no float truth leg
+      e147bBuildGraph(s, dir, K, rounds)._2.last)
   }
 
   // ---- e148: HLL pairwise intersection via inclusion–exclusion ------------

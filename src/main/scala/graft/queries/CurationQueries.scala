@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,7 +62,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e155MediaDedupApply,
-    e156IncrementalCc, e88HybridRrf,
+    e156IncrementalCc, e156bIncrementalCcPersist, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
     e95StratifiedPriority, e96FilterAblation, e97CdcChunks,
@@ -393,6 +394,58 @@ object CurationQueries {
     * sweep's giant component small enough for the transitive-closure
     * formulation; Spark runs pointer-jumping CC and does not care).
     */
+  /** e156's PRODUCTION maintenance path, shared by the oracle-checked
+    * query and its buildOnly probe plan: rep-grain collapse, base/delta
+    * split, base CC, contraction, stage-2 CC on the delta-bounded
+    * quotient graph, and label composition. Returns (newf node
+    * universe, pe tagged pair table, ce contracted delta edges, incr
+    * composed labels). The from-scratch recompute and the n_mismatch
+    * audit live ONLY in the oracle-checked form.
+    */
+  private def e156Build(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val reps = phashHashes(s, dir)
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "h")
+      .localCheckpoint(true) // distinct-hash grain (the e155 collapse)
+    val newf = reps
+      .select(col("doc_id"),
+        expr("(((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 1")
+          .as("is_new"))
+      .localCheckpoint(true) // node universe; reused by both legs
+    val pe = phashBandPairs(reps, 8, 8)
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 14)
+      .select("doc_a", "doc_b")
+      .join(newf.select(col("doc_id").as("doc_a"),
+        col("is_new").as("new_a")), "doc_a")
+      .join(newf.select(col("doc_id").as("doc_b"),
+        col("is_new").as("new_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("new_a") || col("new_b")).as("delta"))
+      .localCheckpoint(true) // pair grain; feeds all three legs
+    val compb = graft.operators.ConnectedComponents
+      .components(pe.filter(!col("delta")), "doc_a", "doc_b")
+    // contraction: delta-edge endpoints map to their persisted base
+    // label (old, clustered), else to themselves (new or isolated)
+    val ce = pe.filter(col("delta"))
+      .join(compb.select(col("node").as("doc_a"), col("comp").as("la")),
+        Seq("doc_a"), "left")
+      .join(compb.select(col("node").as("doc_b"), col("comp").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("u"),
+        coalesce(col("lb"), col("doc_b")).as("v"))
+    val comp2 = graft.operators.ConnectedComponents
+      .components(ce, "u", "v")
+    val incr = newf
+      .join(compb.withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("comp", "lb"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lb"), col("doc_id")).as("l1"))
+      .join(comp2.select(col("node").as("l1"), col("comp").as("l2")),
+        Seq("l1"), "left")
+      .select(col("doc_id"), coalesce(col("l2"), col("l1")).as("lbl"))
+    (newf, pe, ce, incr)
+  }
+
   private def e156IncrementalCc = QueryDef.sql(
     "e156_incremental_cc",
     s"""WITH RECURSIVE $phashHashDuck,
@@ -458,45 +511,7 @@ object CurationQueries {
        |  CAST((SELECT count(*) FROM incr i JOIN fullc f
        |    ON f.doc_id = i.doc_id AND f.lbl <> i.lbl) AS BIGINT)
        |    AS n_mismatch""".stripMargin) { (s, dir) =>
-    val reps = phashHashes(s, dir)
-      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id", "h")
-      .localCheckpoint(true) // distinct-hash grain (the e155 collapse)
-    val newf = reps
-      .select(col("doc_id"),
-        expr("(((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 1")
-          .as("is_new"))
-      .localCheckpoint(true) // node universe; reused by both legs
-    val pe = phashBandPairs(reps, 8, 8)
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 14)
-      .select("doc_a", "doc_b")
-      .join(newf.select(col("doc_id").as("doc_a"),
-        col("is_new").as("new_a")), "doc_a")
-      .join(newf.select(col("doc_id").as("doc_b"),
-        col("is_new").as("new_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("new_a") || col("new_b")).as("delta"))
-      .localCheckpoint(true) // pair grain; feeds all three legs
-    val compb = graft.operators.ConnectedComponents
-      .components(pe.filter(!col("delta")), "doc_a", "doc_b")
-    // contraction: delta-edge endpoints map to their persisted base
-    // label (old, clustered), else to themselves (new or isolated)
-    val ce = pe.filter(col("delta"))
-      .join(compb.select(col("node").as("doc_a"), col("comp").as("la")),
-        Seq("doc_a"), "left")
-      .join(compb.select(col("node").as("doc_b"), col("comp").as("lb")),
-        Seq("doc_b"), "left")
-      .select(coalesce(col("la"), col("doc_a")).as("u"),
-        coalesce(col("lb"), col("doc_b")).as("v"))
-    val comp2 = graft.operators.ConnectedComponents
-      .components(ce, "u", "v")
-    val incr = newf
-      .join(compb.withColumnRenamed("node", "doc_id")
-        .withColumnRenamed("comp", "lb"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lb"), col("doc_id")).as("l1"))
-      .join(comp2.select(col("node").as("l1"), col("comp").as("l2")),
-        Seq("l1"), "left")
-      .select(col("doc_id"), coalesce(col("l2"), col("l1")).as("lbl"))
+    val (newf, pe, ce, incr) = e156Build(s, dir)
     val compf = graft.operators.ConnectedComponents
       .components(pe.select("doc_a", "doc_b"), "doc_a", "doc_b")
     val full = newf
@@ -522,6 +537,237 @@ object CurationQueries {
       .select(col("n_nodes"), col("n_edges_base"), col("n_edges_delta"),
         col("n_stage2_nodes"), col("n_comp_incr"), col("n_comp_full"),
         col("n_mismatch"))
+  }.withBuildOnly((s, dir) =>
+    // production plan: the composed label table — no from-scratch CC,
+    // no mismatch audit
+    e156Build(s, dir)._4)
+
+  // ---- e156b: incremental CC across PERSISTED label generations -----------
+
+  /** e156's maintenance path proven ACROSS STORAGE BOUNDARIES, not just
+    * within one plan (VERDICT r11 item 5): the rep universe splits into
+    * three deterministic GENERATIONS (multiplicative hash mod 3 — the
+    * e138/e156 id-generation stand-in), and the label table is WRITTEN
+    * TO PARQUET and READ BACK between folds — twice. Generation-0 edges
+    * build the base labels → persisted; generation-1 edges fold onto
+    * the READ-BACK labels (contraction → CC → compose) → persisted
+    * again; generation-2 edges fold onto THAT read-back table. The
+    * lineage is cut at each boundary — the second fold's stage-1 labels
+    * are parquet bytes any earlier process could have written, which is
+    * exactly the nightly-maintenance contract (yesterday's label table
+    * is a file, not a cached plan). `n_mismatch` compares the final
+    * composed labels node-by-node against a from-scratch CC over ALL
+    * edges and must be 0 — the quotient-contraction argument
+    * (components contract to min-id labels; min-composition preserves
+    * the min-id canonical) applies inductively per generation, and the
+    * audit checks the implementation delivers it through the
+    * write/read roundtrips.
+    *
+    * Scale (100 TB): each fold's stage-2 graph is bounded by ITS
+    * generation's edges plus touched labels (never history); the
+    * persisted label table joins are label-keyed equi-joins against a
+    * table whose size is the node universe, exactly how a production
+    * run would join yesterday's labels. The from-scratch leg is the
+    * audit ONLY (e156's buildOnly discipline). The oracle unrolls the
+    * same three closures plus the full one — four recursive CTEs, all
+    * MATERIALIZED (the e156 DuckDB lesson).
+    */
+  private def e156bIncrementalCcPersist = QueryDef.sql(
+    "e156b_incremental_cc_persist",
+    s"""WITH RECURSIVE $phashHashDuck,
+       |reps AS MATERIALIZED (SELECT min(doc_id) AS doc_id, h FROM ph
+       |  GROUP BY h),
+       |${phashBandDuck("reps", 8, 8)},
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= 14),
+       |gens AS MATERIALIZED (SELECT doc_id,
+       |    (((doc_id % 1000003) * 2654435761) % 1000000007) % 3 AS g
+       |  FROM reps),
+       |pe AS MATERIALIZED (SELECT p.doc_a, p.doc_b,
+       |    greatest(ga.g, gb.g) AS eg
+       |  FROM pairs p
+       |  JOIN gens ga ON ga.doc_id = p.doc_a
+       |  JOIN gens gb ON gb.doc_id = p.doc_b),
+       |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pe
+       |    WHERE eg = 0
+       |  UNION SELECT doc_b, doc_a FROM pe WHERE eg = 0),
+       |reach0(node, r) AS (
+       |  SELECT u, u FROM e0
+       |  UNION
+       |  SELECT reach0.node, e.v FROM reach0 JOIN e0 e
+       |    ON e.u = reach0.r),
+       |comp0 AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reach0
+       |  GROUP BY node),
+       |c1e AS (SELECT coalesce(ca.lbl, p.doc_a) AS u,
+       |    coalesce(cb.lbl, p.doc_b) AS v
+       |  FROM pe p
+       |  LEFT JOIN comp0 ca ON ca.node = p.doc_a
+       |  LEFT JOIN comp0 cb ON cb.node = p.doc_b
+       |  WHERE p.eg = 1),
+       |e1 AS MATERIALIZED (SELECT u, v FROM c1e WHERE u <> v
+       |  UNION SELECT v, u FROM c1e WHERE u <> v),
+       |reach1(node, r) AS (
+       |  SELECT u, u FROM e1
+       |  UNION
+       |  SELECT reach1.node, e.v FROM reach1 JOIN e1 e
+       |    ON e.u = reach1.r),
+       |comp1 AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reach1
+       |  GROUP BY node),
+       |l1 AS MATERIALIZED (SELECT b.doc_id, coalesce(c1.lbl, b.l0) AS lbl
+       |  FROM (SELECT g.doc_id, coalesce(c0.lbl, g.doc_id) AS l0
+       |    FROM gens g LEFT JOIN comp0 c0 ON c0.node = g.doc_id
+       |    WHERE g.g <= 1) b
+       |  LEFT JOIN comp1 c1 ON c1.node = b.l0),
+       |c2e AS (SELECT coalesce(la.lbl, p.doc_a) AS u,
+       |    coalesce(lb.lbl, p.doc_b) AS v
+       |  FROM pe p
+       |  LEFT JOIN l1 la ON la.doc_id = p.doc_a
+       |  LEFT JOIN l1 lb ON lb.doc_id = p.doc_b
+       |  WHERE p.eg = 2),
+       |e2 AS MATERIALIZED (SELECT u, v FROM c2e WHERE u <> v
+       |  UNION SELECT v, u FROM c2e WHERE u <> v),
+       |reach2(node, r) AS (
+       |  SELECT u, u FROM e2
+       |  UNION
+       |  SELECT reach2.node, e.v FROM reach2 JOIN e2 e
+       |    ON e.u = reach2.r),
+       |comp2 AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reach2
+       |  GROUP BY node),
+       |l2 AS MATERIALIZED (SELECT b.doc_id, coalesce(c2.lbl, b.base) AS lbl
+       |  FROM (SELECT g.doc_id,
+       |      CASE WHEN g.g <= 1 THEN l1.lbl ELSE g.doc_id END AS base
+       |    FROM gens g LEFT JOIN l1 ON l1.doc_id = g.doc_id) b
+       |  LEFT JOIN comp2 c2 ON c2.node = b.base),
+       |fe AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pe
+       |  UNION SELECT doc_b, doc_a FROM pe),
+       |reachf(node, r) AS (
+       |  SELECT u, u FROM fe
+       |  UNION
+       |  SELECT reachf.node, e.v FROM reachf JOIN fe e
+       |    ON e.u = reachf.r),
+       |compf AS MATERIALIZED (SELECT node, min(r) AS lbl FROM reachf
+       |  GROUP BY node),
+       |fullc AS MATERIALIZED (SELECT g.doc_id,
+       |    coalesce(cf.lbl, g.doc_id) AS lbl
+       |  FROM gens g LEFT JOIN compf cf ON cf.node = g.doc_id)
+       |SELECT CAST((SELECT count(*) FROM gens) AS BIGINT) AS n_nodes,
+       |  CAST((SELECT count(*) FROM pe WHERE eg = 0) AS BIGINT)
+       |    AS n_edges_g0,
+       |  CAST((SELECT count(*) FROM pe WHERE eg = 1) AS BIGINT)
+       |    AS n_edges_g1,
+       |  CAST((SELECT count(*) FROM pe WHERE eg = 2) AS BIGINT)
+       |    AS n_edges_g2,
+       |  CAST((SELECT count(DISTINCT node) FROM (
+       |    SELECT u AS node FROM e1 UNION SELECT v FROM e1))
+       |    AS BIGINT) AS n_stage1_nodes,
+       |  CAST((SELECT count(DISTINCT node) FROM (
+       |    SELECT u AS node FROM e2 UNION SELECT v FROM e2))
+       |    AS BIGINT) AS n_stage2_nodes,
+       |  CAST((SELECT count(DISTINCT lbl) FROM l2) AS BIGINT)
+       |    AS n_comp_incr,
+       |  CAST((SELECT count(DISTINCT lbl) FROM fullc) AS BIGINT)
+       |    AS n_comp_full,
+       |  CAST((SELECT count(*) FROM l2 i JOIN fullc f
+       |    ON f.doc_id = i.doc_id AND f.lbl <> i.lbl) AS BIGINT)
+       |    AS n_mismatch""".stripMargin) { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    val reps = phashHashes(s, dir)
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "h")
+      .localCheckpoint(true)
+    val gens = reps.select(col("doc_id"),
+        expr("(((doc_id % 1000003) * 2654435761) % 1000000007) % 3")
+          .as("g"))
+      .localCheckpoint(true)
+    val pe = phashBandPairs(reps, 8, 8)
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 14)
+      .select("doc_a", "doc_b")
+      .join(gens.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+        "doc_a")
+      .join(gens.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        greatest(col("ga"), col("gb")).as("eg"))
+      .localCheckpoint(true)
+    // the storage boundary: labels leave the plan as parquet and come
+    // back as a fresh scan — the fold below cannot see their lineage
+    val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-scratch", "e156b").toString
+    def persistLabels(df: org.apache.spark.sql.DataFrame,
+        name: String): org.apache.spark.sql.DataFrame = {
+      val p = s"$scratch/$name"
+      df.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+    val comp0 = persistLabels(ConnectedComponents.components(
+      pe.filter(col("eg") === 0).select("doc_a", "doc_b"),
+      "doc_a", "doc_b"), "labels_g0")
+    val c1e = pe.filter(col("eg") === 1)
+      .join(comp0.select(col("node").as("doc_a"), col("comp").as("la")),
+        Seq("doc_a"), "left")
+      .join(comp0.select(col("node").as("doc_b"), col("comp").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("u"),
+        coalesce(col("lb"), col("doc_b")).as("v"))
+    val comp1 = ConnectedComponents.components(c1e, "u", "v")
+    val l1 = persistLabels(gens.filter(col("g") <= 1)
+      .join(comp0.select(col("node").as("doc_id"), col("comp").as("c0")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c0"), col("doc_id")).as("l0"))
+      .join(comp1.select(col("node").as("l0"), col("comp").as("c1")),
+        Seq("l0"), "left")
+      .select(col("doc_id"), coalesce(col("c1"), col("l0")).as("lbl")),
+      "labels_g1")
+    val c2e = pe.filter(col("eg") === 2)
+      .join(l1.select(col("doc_id").as("doc_a"), col("lbl").as("la")),
+        Seq("doc_a"), "left")
+      .join(l1.select(col("doc_id").as("doc_b"), col("lbl").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("u"),
+        coalesce(col("lb"), col("doc_b")).as("v"))
+    val comp2 = ConnectedComponents.components(c2e, "u", "v")
+    val l2 = gens
+      .join(l1.select(col("doc_id"), col("lbl").as("p1")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("g") <= 1, col("p1")).otherwise(col("doc_id"))
+          .as("base"))
+      .join(comp2.select(col("node").as("base"), col("comp").as("c2")),
+        Seq("base"), "left")
+      .select(col("doc_id"), coalesce(col("c2"), col("base")).as("lbl"))
+    val compf = ConnectedComponents.components(
+      pe.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val full = gens
+      .join(compf.withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id"))
+        .as("lbl"))
+    def stageNodes(edges: org.apache.spark.sql.DataFrame,
+        alias: String): org.apache.spark.sql.DataFrame = {
+      val live = edges.filter(col("u") =!= col("v"))
+      live.select(col("u").as("node"))
+        .unionByName(live.select(col("v").as("node")))
+        .distinct().agg(count(lit(1)).as(alias))
+    }
+    val counts = pe.agg(
+      sum(when(col("eg") === 0, 1L).otherwise(0L)).as("n_edges_g0"),
+      sum(when(col("eg") === 1, 1L).otherwise(0L)).as("n_edges_g1"),
+      sum(when(col("eg") === 2, 1L).otherwise(0L)).as("n_edges_g2"))
+    val mism = l2.as("i").join(full.as("f"), Seq("doc_id"))
+      .filter(col("i.lbl") =!= col("f.lbl"))
+      .agg(count(lit(1)).as("n_mismatch"))
+    gens.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(counts))
+      .crossJoin(broadcast(stageNodes(c1e, "n_stage1_nodes")))
+      .crossJoin(broadcast(stageNodes(c2e, "n_stage2_nodes")))
+      .crossJoin(broadcast(
+        l2.agg(countDistinct(col("lbl")).as("n_comp_incr"))))
+      .crossJoin(broadcast(
+        full.agg(countDistinct(col("lbl")).as("n_comp_full"))))
+      .crossJoin(broadcast(mism))
+      .select(col("n_nodes"), col("n_edges_g0"), col("n_edges_g1"),
+        col("n_edges_g2"), col("n_stage1_nodes"), col("n_stage2_nodes"),
+        col("n_comp_incr"), col("n_comp_full"), col("n_mismatch"))
   }
 
   // ---- e88: hybrid retrieval with Reciprocal Rank Fusion -------------------

@@ -32,7 +32,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    buildOnly: Option[(SparkSession, String) => DataFrame] = None) {
+
+  /** Registers the PRODUCTION plan of a query whose oracle-checked
+    * form carries an exact-truth AUDIT leg (e147's anchor recall,
+    * e156's from-scratch CC recompute): the same build with the audit
+    * dropped. "Production drops the audit" was prose in SCALING.md
+    * until r11's verdict asked for it mechanized — ProbeMain's
+    * PROBE_BUILD_ONLY mode times these, so SCALING.md rows carry a
+    * measured build-only number instead of a claim. Not registered in
+    * SparkEntry.queries (no oracle — the audit leg IS the check).
+    */
+  def withBuildOnly(fn: (SparkSession, String) => DataFrame): QueryDef =
+    copy(buildOnly = Some(fn))
+}
 
 object QueryDef {
   def sql(name: String, oracle: String)(

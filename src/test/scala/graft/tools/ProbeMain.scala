@@ -24,8 +24,16 @@ object ProbeMain {
           if (m != null) shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       })
+    // PROBE_BUILD_ONLY=1: time the PRODUCTION plan (audit leg dropped)
+    // of queries that register one via QueryDef.withBuildOnly — the
+    // mechanized form of SCALING.md's "production drops the audit".
+    val buildOnly = sys.env.get("PROBE_BUILD_ONLY").contains("1")
     for (n <- names) {
-      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val fn =
+        if (buildOnly) graft.SparkEntry.buildOnlyQueries.getOrElse(n,
+          sys.error(s"$n has no buildOnly plan (QueryDef.withBuildOnly)"))
+        else graft.SparkEntry.queries(n)
+      val df = fn(spark, dir)
       // Warmup must run df's OWN QueryExecution so the adaptive plan
       // finalizes for the dump below (count() AND Dataset.foreach both
       // clone the plan, leaving isFinalPlan=false); executing toRdd
@@ -38,7 +46,7 @@ object ProbeMain {
       Thread.sleep(500) // let the warmup's stage events drain
       val sw0 = shuffleW.get()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir).count()
+      fn(spark, dir).count()
       val dt = (System.nanoTime()-t0)/1e9
       Thread.sleep(500) // listener events are async; settle before reading
       val swMb = (shuffleW.get() - sw0) / 1e6
@@ -46,7 +54,8 @@ object ProbeMain {
       val fin = plan.linesIterator.takeWhile(!_.contains("Initial Plan")).toSeq
       val stages = fin.count(_.contains("ShuffleQueryStage"))
       val reused = fin.count(l => l.contains("ReusedExchange"))
-      println(f"== $n%-20s $dt%6.2f s  shuffleStages=$stages " +
+      val tag = if (buildOnly) " [build-only]" else ""
+      println(f"== $n%-20s$tag $dt%6.2f s  shuffleStages=$stages " +
         f"reused=$reused shuffleWrite=$swMb%.1f MB")
       if (sys.env.contains("PROBE_PLAN")) println(fin.mkString("\n").take(12000))
     }
