@@ -35,6 +35,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     e1ExactDedup, e2NgramJaccard, e3MinhashLsh, e4Simhash, e5CosineTopk,
+    e5bCosineTopkInt8,
     e6AnnLsh, e6bAnnLsh12, e7TextStats, e8LangId, e9TokenCount,
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
@@ -1425,6 +1426,143 @@ object ExtensionQueries {
         .select(col("vec_id").as("neighbor_id"),
           col("embedding").cast("array<double>").as("ce"))
       cosineTopkExact(q, c, k = 5)
+  }
+
+  /** e5's exact cosine top-k with the PAIR-SCALE payload quantized —
+    * the e147b int8 lever extended to the exact-cosine family (VERDICT
+    * r11 item 8): e5/e125 ship 512 B ARRAY<DOUBLE> per vector per side
+    * of every query×corpus score row, and the e147b probe measured
+    * that payload as ~all of the shuffle (4.7× cut with 64-byte
+    * Int8Pack codes). Here the corpus-scale scoring join carries ONLY
+    * (code, scale) — 72 B — scored by the codegen'd Int8Dot; the
+    * quantized top-2k survivors (a 2× RERANK BUFFER, the standard
+    * retrieve-then-rerank shape) are re-scored EXACTLY in float on
+    * k·|q| bounded rows, and the final top-k ranks by the exact
+    * cosine. The output carries the DISTORTION AUDIT the in-place swap
+    * would hide: `err_t` = (quantized − exact) in ten-thousandths per
+    * survivor — the per-corpus evidence for whether the int8 index can
+    * serve without the rerank (here: |err_t| ≤ a few ten-thousandths,
+    * the e93 measurement).
+    *
+    * Determinism: e147b's contract verbatim — symmetric scale
+    * max|uv|/127, round-half-up byte codes, 4-dp + id tie-break on
+    * BOTH rankings, float truth folded sequentially.
+    *
+    * Scale (100 TB of vectors): identical plan shape to e5 (guarded
+    * query broadcast, map-side WindowGroupLimit top-k) with 8× less
+    * pair-join payload; the float vectors enter only the k'·|q|
+    * rerank join. The broadcast guard is e5's: probe the query-set
+    * size with an early-stopping limit, hash-chunk past the
+    * threshold.
+    */
+  private def e5bCosineTopkInt8 = {
+    val K = 5
+    val KR = 2 * K
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    def qdotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e5b_cosine_topk_int8",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm FROM b),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |qsc AS (SELECT vec_id, uv,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(uv, x -> abs(x))), (a, x) -> greatest(a, x))
+         |      / 127 AS scale
+         |  FROM u),
+         |r AS MATERIALIZED (SELECT vec_id, uv, scale,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(floor(uv[i] / scale + 0.5) AS BIGINT)) AS qv
+         |  FROM qsc WHERE scale > 0),
+         |q AS (SELECT * FROM r WHERE vec_id % 50 = 0),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round((${qdotD("q.qv", "c.qv")} * q.scale) * c.scale, 4)
+         |      + 0 AS qcos
+         |  FROM q JOIN r c ON q.vec_id <> c.vec_id),
+         |cands AS MATERIALIZED (SELECT query_id, neighbor_id, qcos
+         |  FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qcos DESC, neighbor_id) <= $KR),
+         |ex AS (SELECT t.query_id, t.neighbor_id, t.qcos,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cosine
+         |  FROM cands t
+         |  JOIN r a ON a.vec_id = t.query_id
+         |  JOIN r c ON c.vec_id = t.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine,
+         |  CAST(round((qcos - cosine) * 10000) AS BIGINT) AS err_t
+         |FROM ex
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= $K
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) {
+      (s, dir) =>
+        val r = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+          .filter(col("nrm") > 0)
+          .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+          .withColumn("scale", F.int8_scale(col("uv")))
+          .filter(col("scale") > 0)
+          .select(col("vec_id"), col("uv"), col("scale"),
+            F.int8_pack(col("uv")).as("code"))
+          .localCheckpoint(true) // reused by the score join (code side)
+                                 // and the bounded float rerank side
+        val q = r.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("code").as("qc"),
+            col("scale").as("qs"))
+        // e5's guarded broadcast: probe the query-set size with an
+        // early-stopping limit; hash-chunk past the threshold so a
+        // too-large query set costs extra corpus scans, never an OOM
+        val maxB = 500000L
+        val probe = q.select("query_id")
+          .limit((maxB + 1).toInt).count()
+        val qchunks =
+          if (probe <= maxB) Seq(q)
+          else {
+            val n = ((2 * q.count() + maxB - 1) / maxB).toInt.max(2)
+            (0 until n).map(i =>
+              q.filter(pmod(xxhash64(col("query_id")), lit(n)) === i))
+          }
+        val corpus = r.select(col("vec_id").as("neighbor_id"),
+          col("code").as("cc"), col("scale").as("cs"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("neighbor_id"))
+        val cands = qchunks.map(qc =>
+            corpus.join(broadcast(qc),
+              col("query_id") =!= col("neighbor_id"))
+              .select(col("query_id"), col("neighbor_id"),
+                (round(F.int8_dot(col("qc"), col("cc")).cast("double")
+                  * col("qs") * col("cs"), 4) + lit(0d)).as("qcos"))
+              .withColumn("rk", row_number().over(wq))
+              .filter(col("rk") <= KR).drop("rk"))
+          .reduce(_ unionByName _)
+        val ex = cands
+          .join(r.select(col("vec_id").as("query_id"),
+            col("uv").as("ua")), "query_id")
+          .join(r.select(col("vec_id").as("neighbor_id"),
+            col("uv").as("uc")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), col("qcos"),
+            (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+              .as("cosine"))
+        val we = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        ex.withColumn("rk", row_number().over(we))
+          .filter(col("rk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            round((col("qcos") - col("cosine")) * 10000).cast("long")
+              .as("err_t"))
+          .orderBy(col("query_id"), col("cosine").desc,
+            col("neighbor_id"))
+    }
   }
 
   /** EMBEDDING-TRUNCATION ablation (the Matryoshka/MRL serving

@@ -90,8 +90,10 @@ class PlanLintSpec extends SparkSpecBase {
                                    // construction-bounded, e115 pattern
       "e147_nn_descent", "e147b_nn_descent_int8", // 1-row metric frames (the
                          // q8 pattern), the 1-row count broadcast under
-                         // the ring init, and the vec_id%50 anchor-slice
-                         // truth join — the e5/e110 anchor-set pattern
+                         // the ring init, and the 64-anchor (constant
+                         // budget, r12) truth join — the e5/e110 pattern
+      "e5b_cosine_topk_int8", // e5's guarded/chunked query broadcast,
+                              // carrying int8 codes instead of doubles
       "e151_grid_density", // one-row point-total broadcast under the
                            // census, the e133 pattern (the 8-offset
                            // neighbor probes are equi-joins by design)
