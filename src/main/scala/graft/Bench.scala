@@ -85,7 +85,11 @@ object Bench {
         // 8 eager-checkpoint rounds, the same iterative shape
         "e147b_nn_descent_int8," + // e147's int8-scored twin — identical
         // 8-round eager-checkpoint shape, same in-session inflation
-        "e156_incremental_cc") // three pointer-jumping CC legs (base,
+        "e158_nn_descent_inc," + // the new/old-flags variant — same
+        // per-round eager-checkpoint shape as e147
+        "e156_incremental_cc," + // three pointer-jumping CC legs (base,
+        "e156b_incremental_cc_persist") // four CC legs + two parquet
+        // label roundtrips — the e156 shape plus disk
         // contracted, full) — the e32/e45 iterative shape, thrice
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
@@ -183,7 +187,9 @@ object Bench {
     // line with "[info] " (even raw FileDescriptor.out writes are routed
     // through its terminal proxy), so a shell-level parse should prefer
     // the sidecar file above; the printed line remains for eyeballs and
-    // for `grep -o '{"metric".*'`-style extraction.
+    // for `grep -o '{"metric".*'`-style extraction (which now lands on
+    // the short summary below, the only `{"metric`-prefixed text).
     println(line)
+    println(shortLine)
   }
 }

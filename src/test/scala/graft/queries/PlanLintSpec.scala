@@ -94,6 +94,8 @@ class PlanLintSpec extends SparkSpecBase {
                          // budget, r12) truth join — the e5/e110 pattern
       "e5b_cosine_topk_int8", // e5's guarded/chunked query broadcast,
                               // carrying int8 codes instead of doubles
+      "e158_nn_descent_inc", // e147's frames: 1-row metrics, ring-init
+                             // count, 64-anchor truth join
       "e151_grid_density", // one-row point-total broadcast under the
                            // census, the e133 pattern (the 8-offset
                            // neighbor probes are equi-joins by design)
