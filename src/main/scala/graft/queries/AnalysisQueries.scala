@@ -4995,14 +4995,21 @@ object AnalysisQueries {
     *     set is empty by construction, so every later round is a
     *     no-op. maxRounds bounds the loop regardless.
     *
-    * Returns (r, knnf per round 0..R, n_scored per round, n_updates
-    * per round) where R ≤ maxRounds is the realized round count — the
-    * driver-side counts are one cheap action per checkpointed round
-    * frame, the e132 discipline.
+    * Returns (r, knnf per round 0..R, fresh-candidate frames per round
+    * 1..R, n_updates per round) where R ≤ maxRounds is the realized
+    * round count. ONLY the post-top-K graph is checkpointed each round
+    * (small by construction: N·K rows) — the fresh candidate set, the
+    * round's LARGEST intermediate, stays lazy exactly like e147's
+    * pools; materializing it is what OOMed the first 100× probe of
+    * this operator (putIteratorAsValues on an N·(2K)²-row frame).
+    * Its count (the n_scored metric) is an audit-side recompute the
+    * caller pays at metrics time; buildOnly never pays it. n_updates
+    * IS counted eagerly per round — the convergence stop needs it, and
+    * it is one cheap action on the checkpointed graph.
     */
   private def e158BuildGraph(s: SparkSession, dir: String, K: Int,
       maxRounds: Int)
-      : (DataFrame, Vector[DataFrame], Vector[Long], Vector[Long]) = {
+      : (DataFrame, Vector[DataFrame], Vector[DataFrame], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -5034,9 +5041,8 @@ object AnalysisQueries {
     val knns = scala.collection.mutable.ArrayBuffer(
       scoreEdges(knn0).withColumn("is_new", lit(true))
         .localCheckpoint(true))
-    val init = knns.head.count()
-    val nScored = scala.collection.mutable.ArrayBuffer(init)
-    val nUpdates = scala.collection.mutable.ArrayBuffer(init)
+    val nUpdates = scala.collection.mutable.ArrayBuffer(knns.head.count())
+    val freshes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var converged = false
     for (_ <- 1 to maxRounds if !converged) {
       val knn = knns.last
@@ -5059,12 +5065,11 @@ object AnalysisQueries {
         .select(col("a").as("src"), col("c").as("dst")).distinct()
       val fresh = cand.join(knn.select("src", "dst"),
         Seq("src", "dst"), "left_anti")
-      val scoredFresh = scoreEdges(fresh).localCheckpoint(true)
-      nScored += scoredFresh.count()
+      freshes += fresh
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst"))
       val top = knn.select("src", "dst", "cos")
-        .unionByName(scoredFresh)
+        .unionByName(scoreEdges(fresh))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
         .select("src", "dst", "cos")
       val next = top
@@ -5077,7 +5082,7 @@ object AnalysisQueries {
       knns += next
       if (nUpd == 0L) converged = true
     }
-    (r, knns.toVector, nScored.toVector, nUpdates.toVector)
+    (r, knns.toVector, freshes.toVector, nUpdates.toVector)
   }
 
   /** NN-Descent WITH the paper's incremental machinery — what e147
@@ -5219,7 +5224,7 @@ object AnalysisQueries {
          |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
          |FROM m3 CROSS JOIN stp WHERE round <= stp.sr
          |ORDER BY round""".stripMargin) { (s, dir) =>
-      val (r, knns, nScored, nUpdates) =
+      val (r, knns, freshes, nUpdates) =
         e158BuildGraph(s, dir, K, maxRounds)
       val anchors = r
         .withColumn("ah",
@@ -5246,9 +5251,15 @@ object AnalysisQueries {
           .select(expr("sc div ne").as("avg_cos_t"))
         val hits = g.join(truth, Seq("src", "dst"))
           .agg(count(lit(1)).as("hits"))
-        avg.crossJoin(hits).crossJoin(na)
-          .select(lit(i.toLong).as("round"),
-            lit(nScored(i)).as("n_scored"),
+        // n_scored is an audit-side recompute of the lazy fresh frame
+        // (e147's pool-count discipline): round 0 paid for the init
+        // graph itself, round i for its anti-joined candidates
+        val nscored =
+          if (i == 0) g.agg(count(lit(1)).cast("long").as("n_scored"))
+          else freshes(i - 1)
+            .agg(count(lit(1)).cast("long").as("n_scored"))
+        nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
+          .select(lit(i.toLong).as("round"), col("n_scored"),
             lit(nUpdates(i)).as("n_updates"),
             col("avg_cos_t"), col("hits"), col("n_anchors"))
       }
