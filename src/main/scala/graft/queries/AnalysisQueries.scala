@@ -5007,7 +5007,7 @@ object AnalysisQueries {
     * IS counted eagerly per round — the convergence stop needs it, and
     * it is one cheap action on the checkpointed graph.
     */
-  private def e158BuildGraph(s: SparkSession, dir: String, K: Int,
+  private[queries] def e158BuildGraph(s: SparkSession, dir: String, K: Int,
       maxRounds: Int)
       : (DataFrame, Vector[DataFrame], Vector[DataFrame], Vector[Long]) = {
     import graft.operators.Indexing

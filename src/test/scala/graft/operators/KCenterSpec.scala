@@ -84,4 +84,25 @@ class KCenterSpec extends SparkSpecBase {
     // ties (equidistant modes) broke to the lowest vec_id each round
     assert(got.map(_._2).take(4) === Seq(0L, 3L, 6L, 9L))
   }
+
+  test("contract guards: empty input and k beyond the point count " +
+    "fail loudly; k == #points ends at radius 0") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "uv")
+    val e1 = intercept[IllegalArgumentException](KCenter.gonzalez(empty, 2))
+    assert(e1.getMessage.contains("non-empty"))
+    def unit(a: Int): Seq[Double] = {
+      val v = Array.fill(64)(0.0); v(a) = 1.0; v.toSeq
+    }
+    val three = Seq((0L, unit(0)), (1L, unit(2)), (2L, unit(4)))
+      .toDF("vec_id", "uv").localCheckpoint(true)
+    // k == N: every point becomes a center, final covering radius 0
+    val full = KCenter.gonzalez(three, 3)
+    assert(full.map(_._2) === Seq(0L, 1L, 2L))
+    assert(full.last._3 === 0L)
+    // k > N: a further round would have to duplicate a pick
+    val e2 = intercept[IllegalArgumentException](KCenter.gonzalez(three, 4))
+    assert(e2.getMessage.contains("exceeds"))
+    ConnectedComponents.releaseLocalCheckpoint(three)
+  }
 }

@@ -100,4 +100,20 @@ class MmrSelectSpec extends SparkSpecBase {
     // pick 1 is the most relevant, pick 2 must be the diverse vector 3.
     assert(got.map(_._2).take(2) === Seq(1L, 3L))
   }
+
+  test("contract guards: empty candidates and k beyond the candidate " +
+    "count fail loudly with descriptive errors") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double], Long)]
+      .toDF("vec_id", "uv", "rel_t")
+    val e1 = intercept[IllegalArgumentException](MmrSelect.select(empty, 2))
+    assert(e1.getMessage.contains("non-empty"))
+    val two = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 9000L),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0), 5000L))
+      .toDF("vec_id", "uv", "rel_t").localCheckpoint(true)
+    val e2 = intercept[IllegalArgumentException](MmrSelect.select(two, 3))
+    assert(e2.getMessage.contains("exceeds"))
+    ConnectedComponents.releaseLocalCheckpoint(two)
+  }
 }

@@ -106,6 +106,8 @@ class PlanLintSpec extends SparkSpecBase {
                              // stage-2 node count, component counts,
                              // mismatch) crossed onto the one-row
                              // census — the q8/e113 pattern
+      "e156b_incremental_cc_persist", // e156's pattern: six one-row
+                                      // audit frames onto the census
       "e148_hll_intersection") // the src_a < src_b pair join rides the
                                // #sources-row register table (512 B per
                                // source) — construction-bounded, the
