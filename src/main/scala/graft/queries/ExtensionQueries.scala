@@ -45,7 +45,7 @@ object ExtensionQueries {
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
-    e80Winnowing, e81MrlTruncation, e125MutualKnn,
+    e80Winnowing, e81MrlTruncation, e125MutualKnn, e125bMutualKnnInt8,
     e128SortedNeighborhood, e133ClusterCensus, e144Containment)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
@@ -1835,6 +1835,153 @@ object ExtensionQueries {
             col("t1.neighbor_id").as("vec_b"), col("t1.cosine"),
             col("t1.rk").cast("long").as("rank_ab"),
             col("t2.rk").cast("long").as("rank_ba"))
+          .orderBy(col("vec_a"), col("vec_b"))
+    }
+  }
+
+  /** e125's mutual-kNN with the BUCKET-JOIN payload quantized — the
+    * int8 lever applied to the family's genuinely SHUFFLE-shaped
+    * member (completing VERDICT r11 item 8's e5/e125 pair): e125's
+    * sig-keyed pair exchange ships 512 B of ARRAY<DOUBLE> per vector
+    * per side; here the same exchange carries the 64-byte Int8Pack
+    * code + one scale (72 B — ~8× off the wire, where e5b's
+    * broadcast-shaped plan put the cut on per-executor broadcast
+    * memory instead). Bucketing is UNCHANGED — the sign-LSH signature
+    * hashes the float embedding, so the candidate sets are identical
+    * to e125's and only the scoring grid moves. Top-k and reciprocity
+    * rank by the quantized score (4-dp + id tie-break); the surviving
+    * MUTUAL pairs — bounded by k·N/2 — are re-scored exactly in float,
+    * the output ranks carry the int8 ranking that production would
+    * serve, and `err_t` audits the quantization per pair (the e5b
+    * distortion-audit discipline).
+    *
+    * Scale (100 TB): e125's whole candidate discipline (bucket cap,
+    * map-side WindowGroupLimit, one swapped-pair self-join) with the
+    * pair exchange 8× lighter; the float vectors enter only the
+    * mutual-survivor rerank join. Zero-norm / zero-scale vectors are
+    * excluded (quantization is undefined there); the oracle mirrors
+    * the filter.
+    */
+  private def e125bMutualKnnInt8 = {
+    val (bits, k, bucketCap) = (8, 3, 10000L)
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    def qdotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e125b_mutual_knn_int8",
+      s"""WITH s0 AS (SELECT vec_id, embedding, ${lshSigDuck(bits)} AS sig
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, sig,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM s0),
+         |n0 AS (SELECT vec_id, sig, v, sqrt(${dotD("v", "v")}) AS nrm
+         |  FROM b),
+         |u AS (SELECT vec_id, sig,
+         |    list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |qsc AS (SELECT vec_id, sig, uv,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(uv, x -> abs(x))), (a, x) -> greatest(a, x))
+         |      / 127 AS scale
+         |  FROM u),
+         |r AS MATERIALIZED (SELECT vec_id, sig, uv, scale,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(floor(uv[i] / scale + 0.5) AS BIGINT)) AS qv
+         |  FROM qsc WHERE scale > 0),
+         |c AS (SELECT sig, count(*) AS cnt FROM r GROUP BY sig),
+         |s AS (SELECT r.vec_id, r.sig, r.scale, r.qv,
+         |    r.vec_id % ((c.cnt + ${bucketCap - 1}) // $bucketCap) AS sub
+         |  FROM r JOIN c USING (sig)),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round((${qdotD("a.qv", "b.qv")} * a.scale) * b.scale, 4)
+         |      + 0 AS qcos
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.sub = b.sub
+         |    AND a.vec_id <> b.vec_id),
+         |topk AS MATERIALIZED (SELECT query_id, neighbor_id, qcos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qcos DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qcos DESC, neighbor_id) <= $k),
+         |mut AS (SELECT t1.query_id AS vec_a, t1.neighbor_id AS vec_b,
+         |    t1.qcos, CAST(t1.rk AS BIGINT) AS rank_ab,
+         |    CAST(t2.rk AS BIGINT) AS rank_ba
+         |  FROM topk t1 JOIN topk t2
+         |    ON t2.query_id = t1.neighbor_id
+         |    AND t2.neighbor_id = t1.query_id
+         |  WHERE t1.query_id < t1.neighbor_id),
+         |ex AS (SELECT m.vec_a, m.vec_b, m.qcos, m.rank_ab, m.rank_ba,
+         |    round(${dotD("ra.uv", "rb.uv")}, 4) + 0 AS cosine
+         |  FROM mut m
+         |  JOIN r ra ON ra.vec_id = m.vec_a
+         |  JOIN r rb ON rb.vec_id = m.vec_b)
+         |SELECT vec_a, vec_b, cosine, rank_ab, rank_ba,
+         |  CAST(round((qcos - cosine) * 10000) AS BIGINT) AS err_t
+         |FROM ex ORDER BY vec_a, vec_b""".stripMargin) {
+      (s, dir) =>
+        val embD = col("embedding").cast("array<double>")
+        val sig = lshSigSpark(bits, embD)
+        // N-row bounded base table, checkpointed once: the pair join
+        // reads ONLY (code, scale) from it; uv re-enters at the
+        // bounded mutual-survivor rerank
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), embD.as("v"), sig.as("sig"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .filter(col("nrm") > 0)
+          .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+          .withColumn("scale", F.int8_scale(col("uv")))
+          .filter(col("scale") > 0)
+          .select(col("vec_id"), col("sig"), col("uv"), col("scale"),
+            F.int8_pack(col("uv")).as("code"))
+          .localCheckpoint(true)
+        val cnts = base.groupBy("sig").agg(count(lit(1)).as("cnt"))
+        val nsplits = floor(
+          (col("cnt") + lit(bucketCap - 1)) / lit(bucketCap)).cast("long")
+        val vs = base.join(cnts, "sig")
+          .withColumn("sub", pmod(col("vec_id"), nsplits))
+          .select("vec_id", "code", "scale", "sig", "sub")
+          .repartition(col("sig"))
+        val qcos = round(
+          F.int8_dot(col("a.code"), col("b.code")).cast("double")
+            * col("a.scale") * col("b.scale"), 4) + lit(0d)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("neighbor_id"))
+        val topk = vs.as("a")
+          .join(vs.as("b"),
+            col("a.sig") === col("b.sig") &&
+              col("a.sub") === col("b.sub") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"), qcos.as("qcos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+        val mut = topk.as("t1")
+          .join(topk.as("t2"),
+            col("t2.query_id") === col("t1.neighbor_id") &&
+              col("t2.neighbor_id") === col("t1.query_id"))
+          .filter(col("t1.query_id") < col("t1.neighbor_id"))
+          .select(col("t1.query_id").as("vec_a"),
+            col("t1.neighbor_id").as("vec_b"),
+            col("t1.qcos").as("qcos"),
+            col("t1.rk").cast("long").as("rank_ab"),
+            col("t2.rk").cast("long").as("rank_ba"))
+        mut
+          .join(base.select(col("vec_id").as("vec_a"),
+            col("uv").as("ua")), "vec_a")
+          .join(base.select(col("vec_id").as("vec_b"),
+            col("uv").as("ub")), "vec_b")
+          .withColumn("cosine",
+            round(F.array_dot(col("ua"), col("ub")), 4) + lit(0d))
+          .select(col("vec_a"), col("vec_b"), col("cosine"),
+            col("rank_ab"), col("rank_ba"),
+            round((col("qcos") - col("cosine")) * 10000).cast("long")
+              .as("err_t"))
           .orderBy(col("vec_a"), col("vec_b"))
     }
   }
