@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,7 +130,7 @@ object AnalysisQueries {
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
       e153EmbeddingDrift, e154WassersteinDrift, e157W1Matrix,
-      e158NnDescentInc)
+      e158NnDescentInc, e159MultipassQuantile, e160KsDrift)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -6066,5 +6066,165 @@ object AnalysisQueries {
           / (col("n_a").cast("double") * col("n_b"))).cast("long")
           .as("w1_milli"))
       .orderBy("src_a", "src_b")
+  }
+
+  // ---- e159: exact quantiles by multipass histogram narrowing -------------
+
+  /** EXACT p50/p90/p99 of per-row revenue (≈10⁹-wide integer domain)
+    * via [[graft.operators.MultipassQuantile]] — iterative B-bucket
+    * histogram range-narrowing, the classic distributed k-th selection.
+    *
+    * This completes the quantile family's missing corner. The existing
+    * members each trade something: e35's window ranking is exact but
+    * needs a per-group sort (a full-corpus sort when ungrouped); e63
+    * samples (probabilistic error, bounded rows); e150's log-histogram
+    * is mergeable but one-sided 2×-bounded; Spark's own `percentile`
+    * is exact but BUFFERS every value in one aggregation state — the
+    * 100 TB ungrouped selection OOMs in the aggregate buffer, not in
+    * any exchange. Multipass selection is EXACT with bounded memory:
+    * each round is one map-side-combinable histogram whose exchange is
+    * ≤ 3·1024 rows regardless of corpus size, and the round count is
+    * ceil(log₁₀₂₄(domain)) — THREE refinement scans for this ~10⁹-wide
+    * revenue domain (measured: rounds = 3 at every SF, because the
+    * domain, not the row count, sets the depth). The price is
+    * re-scanning the fact per round — 4 scans total vs e150's 1 — which
+    * is the honest trade stated in SCALING.md: exactness at 100 TB
+    * costs passes, never memory.
+    *
+    * Driver pulls are construction-bounded (the e122/e149 allowance
+    * discipline): one 3-field row, then ≤ 3 targets × 1024 histogram
+    * rows × 3 rounds. Ranks are e150's ceil convention
+    * ((p·n + 9999) div 10⁴); every comparison is integer; ties are
+    * value-equal at the rank boundary so the selected VALUE is unique
+    * even where the rank's witness row is not. The oracle replays the
+    * selection declaratively (row_number over the sorted values — the
+    * form whose Spark twin would be the full sort this operator
+    * exists to avoid).
+    */
+  private def e159MultipassQuantile = {
+    val centsD = (e: String) => s"CAST(round(($e) * 100) AS BIGINT)"
+    QueryDef.sql(
+      "e159_multipass_quantile",
+      s"""WITH v AS (SELECT ${centsD("l_extendedprice")}
+         |    * (100 - ${centsD("l_discount")}) AS x FROM lineitem),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v),
+         |t(p_bp) AS (VALUES (CAST(5000 AS BIGINT)),
+         |  (CAST(9000 AS BIGINT)), (CAST(9900 AS BIGINT))),
+         |k AS (SELECT p_bp, n_rows,
+         |    CAST((p_bp * n_rows + 9999) // 10000 AS BIGINT) AS k_rank
+         |  FROM t, nn),
+         |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+         |SELECT k.p_bp, k.n_rows, k.k_rank, CAST(s.x AS BIGINT) AS x_kth
+         |FROM k JOIN s ON s.rn = k.k_rank
+         |ORDER BY k.p_bp""".stripMargin) { (s, dir) =>
+      val cents = (c: Column) => round(c * 100).cast("long")
+      val xs = Tables.lineitem(s, dir).select(
+        (cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))).as("x"))
+      val (n, picks, _) = graft.operators.MultipassQuantile.select(
+        xs, "x", Seq(5000L, 9000L, 9900L))
+      import s.implicits._
+      picks.map { case (p, k, v) => (p, n, k, v) }
+        .toDF("p_bp", "n_rows", "k_rank", "x_kth")
+        .orderBy(col("p_bp"))
+    }
+  }
+
+  // ---- e160: Kolmogorov–Smirnov drift with split-point localization --------
+
+  /** Per-source two-sample KS statistic vs the corpus reference — the
+    * SUP-NORM drift member completing the family's metric axes: e69's
+    * TV and e115's PSI read how much mass differs per bucket, e154's
+    * W₁ prices how far it moved, KS reads the WORST single split —
+    * sup_v |CDF_s(v) − CDF_g(v)| — and, unlike all three, comes with a
+    * LOCATION: `ks_at` is the (smallest) length where the supremum is
+    * attained, i.e. the split point where the source's distribution
+    * diverges hardest from the corpus. That is the actionable column —
+    * "this source departs below/above N chars" is a filter threshold,
+    * where a scalar drift score is only a ranking. KS is also the
+    * two-sample test statistic, so downstream alerting can attach the
+    * classical significance thresholds (c(α)·√((n+m)/nm)) without any
+    * new machinery.
+    *
+    * Arithmetic is e154's exact-integer discipline on the SAME
+    * (source × support) spine: the gap is |cum_s·N − cum_g·n_s| held
+    * as DECIMAL(38,0) (fleet-scale cum·N products overflow Long),
+    * the supremum is a plain max, the argmax joins back on exact
+    * decimal equality with a min-v tie-break, and ks_bp is one floor
+    * division at the end — bit-identical on both engines, no float
+    * enters any comparison.
+    *
+    * Scale (100 TB): identical posture to e154 — per-doc work
+    * collapses map-side to the (source, n_chars) count table; spine,
+    * windows, max, and argmax join-back all ride the
+    * #sources × codomain-bounded support (the gaps table is
+    * localCheckpointed because BOTH the max and the argmax read it —
+    * one bounded materialization instead of a recomputed window).
+    */
+  private def e160KsDrift = QueryDef.sql(
+    "e160_ks_drift",
+    """WITH counts AS (SELECT source, n_chars AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM counts GROUP BY v),
+      |support AS (SELECT v,
+      |    CAST(sum(gc) OVER (ORDER BY v) AS BIGINT) AS cumg
+      |  FROM g),
+      |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM counts
+      |  GROUP BY source),
+      |ntot AS (SELECT CAST(sum(gc) AS BIGINT) AS nt FROM g),
+      |spine AS (SELECT s.source, sup.v, sup.cumg, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM counts) s
+      |  CROSS JOIN support sup
+      |  LEFT JOIN counts c ON c.source = s.source AND c.v = sup.v),
+      |gaps AS (SELECT sp.source, sp.v, ns.ns, nt.nt,
+      |    abs(CAST(sum(sp.c) OVER (PARTITION BY sp.source ORDER BY sp.v)
+      |        AS HUGEINT) * nt.nt
+      |      - CAST(sp.cumg AS HUGEINT) * ns.ns) AS gap
+      |  FROM spine sp JOIN nsrc ns ON ns.source = sp.source
+      |  CROSS JOIN ntot nt),
+      |mx AS (SELECT source, ns, nt, max(gap) AS mgap FROM gaps
+      |  GROUP BY source, ns, nt)
+      |SELECT m.source, m.ns AS n_docs,
+      |  CAST((10000 * m.mgap) // (CAST(m.ns AS HUGEINT) * m.nt) AS BIGINT)
+      |    AS ks_bp,
+      |  CAST(min(gp.v) AS BIGINT) AS ks_at
+      |FROM mx m JOIN gaps gp ON gp.source = m.source AND gp.gap = m.mgap
+      |GROUP BY m.source, m.ns, m.nt, m.mgap
+      |ORDER BY m.source""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // (source, length) grain: bounded table
+    val g = counts.groupBy("v").agg(sum(col("c")).as("gc"))
+    val wg = Window.orderBy(col("v")) // support grain: codomain-bounded
+    val support = g.select(col("v"), sum(col("gc")).over(wg).as("cumg"))
+    val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
+    val ntot = g.agg(sum(col("gc")).as("nt"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"))
+    val spine = counts.select("source").distinct()
+      .crossJoin(broadcast(support))
+      .join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("cumg"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val gaps = spine
+      .withColumn("cum_s", sum(col("c")).over(ws))
+      .join(nsrc, "source")
+      .crossJoin(broadcast(ntot))
+      .select(col("source"), col("v"), col("ns"), col("nt"),
+        abs(col("cum_s").cast(dec) * col("nt")
+          - col("cumg").cast(dec) * col("ns")).as("gap"))
+      .localCheckpoint(true) // bounded; read by BOTH max and argmax
+    val mx = gaps.groupBy("source", "ns", "nt").agg(max(col("gap")).as("mgap"))
+    mx.join(gaps.select(col("source"), col("v"), col("gap")), Seq("source"))
+      .filter(col("gap") === col("mgap"))
+      .groupBy("source", "ns", "nt", "mgap")
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("source"), col("ns").as("n_docs"),
+        expr(s"CAST((CAST(10000 AS $dec) * mgap)" +
+          s" div (CAST(ns AS $dec) * nt) AS BIGINT)").as("ks_bp"),
+        col("ks_at").cast("long").as("ks_at"))
+      .orderBy("source")
   }
 }
