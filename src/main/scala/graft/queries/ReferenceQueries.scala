@@ -34,7 +34,7 @@ object ReferenceQueries {
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
     q54CustDist, q55EventTransitions, q56DisjunctRevenue,
-    q57SupplierCensus, q58ReturnPriority)
+    q57SupplierCensus, q58ReturnPriority, q59UntappedBalance)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2463,5 +2463,66 @@ object ReferenceQueries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H-Q22-shaped "untapped balance" census — customers with an
+    * above-average positive account balance and NO orders at all,
+    * counted per market segment (this corpus has no phone country
+    * codes, so the census grain is c_mktsegment). The LAST census-family
+    * decorrelation shape not yet pinned: the SCALAR subquery. Q13/Q16/
+    * Q17/Q19/Q21/Q4 (q52–q58) cover correlated aggregates, NOT-IN,
+    * per-group averages, disjunctions, existential chains, and EXISTS;
+    * Q22 adds the ungrouped scalar aggregate used as a predicate
+    * constant. Two decorrelations in one query: the scalar subquery
+    * (global positive-balance average) becomes a ONE-ROW broadcast
+    * compared CROSS-MULTIPLIED in exact integer cents
+    * (bal_c · n_pos > tot_c — q52's no-float-average-boundary
+    * discipline), and NOT EXISTS becomes a LEFT ANTI join on custkey
+    * (q24's shape, here feeding a census instead of a row list).
+    * Dormancy is WINDOWED — no orders since 2000-01-01, the corpus's
+    * trailing ~19 months — because this generator gives every customer
+    * early orders (Q22's no-orders-ever is empty at every SF; the
+    * windowed form keeps the census populated at sf0.001/0.01/0.1 —
+    * 5/55/646 customers — and moves the EXISTS predicate INTO the
+    * correlated subquery, which decorrelates to an anti join against a
+    * date-pruned orders scan).
+    *
+    * Scale (100 TB): customer is scanned twice, both scans pruned to
+    * 3 columns; the one-row aggregate broadcasts by construction (the
+    * naive correlated form recomputes the average per probe row); the
+    * anti join shuffles the orders custkey projection once — both anti
+    * sides are fact-proportional so they stay UNHINTED per the q2/q50
+    * rule; the census is ≤ #segments groups, fully map-side. BIGINT
+    * cents accumulators are safe at the segment grain (≤ ~10^10 rows
+    * per group × ~10^6 cents — inside the SCALING.md headroom rule).
+    */
+  private def q59UntappedBalance = QueryDef.sql(
+    "q59_untapped_balance",
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+       |    ${centsDuck("c_acctbal")} AS bal_c FROM customer),
+       |g AS (SELECT CAST(sum(bal_c) AS BIGINT) AS tot_c,
+       |    CAST(count(*) AS BIGINT) AS n_pos FROM c WHERE bal_c > 0)
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       |  CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+       |FROM c, g
+       |WHERE bal_c * n_pos > tot_c
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_mktsegment"), cents(col("c_acctbal")).as("bal_c"))
+    val g = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("tot_c"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate")
+        >= lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    c.crossJoin(broadcast(g))
+      .filter(col("bal_c") * col("n_pos") > col("tot_c"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
+      .orderBy("c_mktsegment")
   }
 }
