@@ -62,6 +62,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e155MediaDedupApply,
+    e161VideoNeardup,
     e156IncrementalCc, e156bIncrementalCcPersist, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
@@ -1785,5 +1786,169 @@ object CurationQueries {
         col("singleton_classes"), col("rows_below_k5"),
         col("rows_below_k5_bp"), col("rows_below_k10"),
         col("l_div_min"), col("classes_no_sensitive"))
+  }
+
+  // ---- e161: video near-dup via shot-signature sequence shingles -----------
+
+  /** TEMPORAL near-dup detection over video-shaped assets — the
+    * sequence-grain member closing the multimodal dedup family: e87
+    * matches single FRAMES (perceptual hash), e155 applies the
+    * frame-grain clusters; re-uploads, re-encodes and trims of the same
+    * VIDEO are found by matching the SEQUENCE of shots, not any one
+    * frame. The pipeline is the standard video-fingerprinting shape
+    * (shot-boundary segmentation → per-shot signature → w-shingles of
+    * consecutive signatures → set-similarity join): e139's cut detector
+    * segments each asset, every shot gets an integer signature
+    * (frame count and summed energy folded mod P), consecutive
+    * signature TRIPLES become shingles, and pairs are generated by the
+    * shingle equi-join and verified with exact Jaccard over the full
+    * shingle sets — shingling makes the match LOCAL, so a trimmed or
+    * re-intro'd copy still shares the interior triples (the e80
+    * winnowing argument at the shot grain).
+    *
+    * Corpus-honest parameters: the boundary threshold is θ=2 per byte
+    * (e139 pins θ=8 as ITS tuning-signal contract; this low-contrast
+    * synthetic corpus averages a 2.6/byte frame delta, so θ=8 yields
+    * 1–2 shots per asset and NO sequences to match — θ=2 is tuned so
+    * the median asset segments, exactly how a real deployment tunes θ
+    * on decoded luma histograms, with every plan shape unchanged).
+    * Survivor threshold: sequence-Jaccard ≥ 5000 bp.
+    *
+    * Scale (100 TB of video): the e155 lessons applied up front —
+    * exact clones collapse to a min-id representative BEFORE any pair
+    * work (here by payload equality; a fleet deployment keys the
+    * exchange by content digest instead of shipping payloads), and
+    * shingles hotter than df=256 are dropped from CANDIDATE generation
+    * only (the e2 df-cap: a recall-only trade — survivors' Jaccard is
+    * still computed on FULL sets, so no reported number is
+    * approximate). Window expansion is partition-local batched
+    * mapPartitions ([[graft.operators.Media.windowEnergy]]); the lag/
+    * cumsum/lead windows partition by asset (bounded frames per asset);
+    * everything pair-ward rides the banded shingle join, never
+    * all-pairs. All arithmetic integer mod P — bit-identical engines.
+    */
+  private def e161VideoNeardup = {
+    val P = Portable.P
+    val theta = 2
+    val dfCap = 256
+    QueryDef.sql(
+      "e161_video_neardup",
+      s"""WITH reps AS (SELECT text, min(doc_id) AS doc_id FROM documents
+         |  WHERE len(text) > 0 GROUP BY text),
+         |f AS (SELECT doc_id, text,
+         |    unnest(range(0, (length(text) + 31) // 32)) AS w
+         |  FROM reps),
+         |win AS (SELECT doc_id, w,
+         |    substr(text, CAST(w * 32 AS INT) + 1, 32) AS chunk FROM f),
+         |e AS (SELECT doc_id, w, length(chunk) AS l,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(chunk, ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, c) -> a + c) AS energy FROM win),
+         |lagd AS (SELECT doc_id, w, l, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY w) AS pe,
+         |    lag(l) OVER (PARTITION BY doc_id ORDER BY w) AS pl FROM e),
+         |b AS (SELECT doc_id, w, energy,
+         |    CASE WHEN pe IS NOT NULL
+         |        AND abs(energy * pl - pe * l) >= $theta * l * pl
+         |      THEN 1 ELSE 0 END AS is_b FROM lagd),
+         |sh0 AS (SELECT doc_id, w, energy,
+         |    CAST(sum(is_b) OVER (PARTITION BY doc_id ORDER BY w
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot FROM b),
+         |shots AS (SELECT doc_id, shot,
+         |    (count(*) * 1000003 + sum(energy)) % $P AS sig
+         |  FROM sh0 GROUP BY doc_id, shot),
+         |seq AS (SELECT doc_id, shot, sig,
+         |    lead(sig, 1) OVER (PARTITION BY doc_id ORDER BY shot) AS s1,
+         |    lead(sig, 2) OVER (PARTITION BY doc_id ORDER BY shot) AS s2
+         |  FROM shots),
+         |shg AS (SELECT DISTINCT doc_id,
+         |    ((sig * 1000003 + s1) % $P * 1000003 + s2) % $P AS sh
+         |  FROM seq WHERE s2 IS NOT NULL),
+         |hot AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) > $dfCap),
+         |post AS (SELECT doc_id, sh FROM shg
+         |  WHERE sh NOT IN (SELECT sh FROM hot)),
+         |nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shg
+         |  GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM post a JOIN post b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cand c JOIN shg a ON a.doc_id = c.doc_a
+         |    JOIN shg b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, na.n_sh AS n_sh_a, nb.n_sh AS n_sh_b,
+         |  i.n_inter,
+         |  10000 * i.n_inter // (na.n_sh + nb.n_sh - i.n_inter) AS jacc_bp
+         |FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+         |  JOIN nsh nb ON nb.doc_id = i.doc_b
+         |WHERE 10000 * i.n_inter // (na.n_sh + nb.n_sh - i.n_inter) >= 5000
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Media
+      // exact-clone collapse FIRST (the e155 invariant): min doc_id per
+      // distinct payload; at fleet scale this exchange keys by digest
+      val reps = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit("video").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[Media.MediaDoc]
+      val lagW = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+      val frames = Media.windowEnergy(reps, winBytes = 32)
+        .select(col("doc_id"), col("win_idx").as("w"),
+          col("win_len").as("l"), col("energy"))
+      val shots = frames
+        .withColumn("pe", lag(col("energy"), 1).over(lagW))
+        .withColumn("pl", lag(col("l"), 1).over(lagW))
+        .withColumn("is_b",
+          when(col("pe").isNotNull &&
+              abs(col("energy") * col("pl") - col("pe") * col("l"))
+                >= lit(theta) * col("l") * col("pl"), 1L)
+            .otherwise(0L))
+        .withColumn("shot", sum(col("is_b")).over(
+          lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("shot"))
+        .agg(((count(lit(1)) * 1000003L + sum(col("energy"))) % P)
+          .as("sig"))
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("shot"))
+      val shg = shots
+        .withColumn("s1", lead(col("sig"), 1).over(seqW))
+        .withColumn("s2", lead(col("sig"), 2).over(seqW))
+        .filter(col("s2").isNotNull)
+        .select(col("doc_id"),
+          (((col("sig") * 1000003L + col("s1")) % P * 1000003L
+            + col("s2")) % P).as("sh"))
+        .distinct()
+        .localCheckpoint(true) // feeds postings, verify sides, and nsh
+      val hot = shg.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("sh")
+      val post = shg.join(hot, Seq("sh"), "left_anti")
+      val cand = post.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(post.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val nsh = shg.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(shg.select(col("doc_id").as("doc_a"), col("sh")),
+          Seq("doc_a"))
+        .join(shg.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(nsh.select(col("doc_id").as("doc_a"),
+          col("n_sh").as("n_sh_a")), Seq("doc_a"))
+        .join(nsh.select(col("doc_id").as("doc_b"),
+          col("n_sh").as("n_sh_b")), Seq("doc_b"))
+        .withColumn("jacc_bp", expr(
+          "10000 * n_inter div (n_sh_a + n_sh_b - n_inter)"))
+        .filter(col("jacc_bp") >= 5000)
+        .select(col("doc_a"), col("doc_b"), col("n_sh_a"), col("n_sh_b"),
+          col("n_inter"), col("jacc_bp"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 }

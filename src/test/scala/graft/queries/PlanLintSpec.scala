@@ -102,6 +102,9 @@ class PlanLintSpec extends SparkSpecBase {
       "e154_wasserstein_drift", // support-spine broadcast (bounded by
                                 // the length codomain) + the one-row
                                 // corpus total, the e115/e22 patterns
+      "e160_ks_drift", // e154's same spine broadcast + one-row total
+      "q59_untapped_balance", // one-row global-average frame crossed
+                              // onto the probe, the e22/q49 pattern
       "e156_incremental_cc", // five one-row audit frames (edge counts,
                              // stage-2 node count, component counts,
                              // mismatch) crossed onto the one-row
@@ -132,7 +135,9 @@ class PlanLintSpec extends SparkSpecBase {
     "e146_isotonic_calibration",
     // e154's global-CDF cumsum rides the distinct-length support table,
     // bounded by the length codomain — never the corpus
-    "e154_wasserstein_drift")
+    "e154_wasserstein_drift",
+    // e160's global-CDF cumsum rides e154's same codomain-bounded support
+    "e160_ks_drift")
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
