@@ -118,4 +118,101 @@ object MultipassQuantile {
 
     (n, state.map { case (p, k, lo, _, _) => (p, k, lo) }, rounds)
   }
+
+  /** Grouped form: the exact psBp-quantiles of `xCol` PER GROUP, for a
+    * construction-bounded set of groups (callers must know |groups| is
+    * bounded — e.g. sources, return flags — because the per-round
+    * driver pull is ≤ |groups|·|psBp|·buckets histogram rows).
+    *
+    * Why it exists next to e35's window ranking: a per-group window
+    * sort puts ALL of a group's rows in ONE task — at 100 TB a hot
+    * group is a single-task sort no cluster survives. Here no stage
+    * ever concentrates a group: each round is one scan whose histogram
+    * partially aggregates map-side on (group, target, bucket), and the
+    * per-group states narrow independently (a group that resolves
+    * early drops out of later rounds' filters).
+    *
+    * @return (counts per group, picks (group, pBp, kRank, value) in
+    *         (group, psBp) order, refinement rounds run).
+    */
+  def selectGrouped(
+      xs: DataFrame,
+      groupCol: String,
+      xCol: String,
+      psBp: Seq[Long],
+      buckets: Long = 1024L)
+      : (Map[String, Long], Seq[(String, Long, Long, Long)], Int) = {
+    require(psBp.nonEmpty, "at least one quantile target required")
+    require(psBp.forall(p => p >= 1 && p <= 10000),
+      s"quantile targets must be in [1, 10000] bp, got $psBp")
+    require(buckets >= 2, s"need at least 2 buckets per round, got $buckets")
+    val spark = xs.sparkSession
+    val x = xs.select(col(groupCol).cast("string").as("g"),
+      col(xCol).cast("long").as("x"))
+
+    // Round 0: per-group min / max / count (one bounded collected set).
+    val r0 = x.groupBy(col("g"))
+      .agg(min(col("x")), max(col("x")), count(lit(1)))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    require(r0.nonEmpty, "grouped quantile selection needs a non-empty input")
+
+    // Per-(group, target) state: (g, pBp, k, lo, hi, nBelowLo).
+    var state: Seq[(String, Long, Long, Long, Long, Long)] =
+      r0.toSeq.sortBy(_._1).flatMap { case (g, (lo, hi, n)) =>
+        psBp.map { p => (g, p, (p * n + 9999L) / 10000L, lo, hi, 0L) }
+      }
+    var rounds = 0
+
+    while (state.exists { case (_, _, _, lo, hi, _) => lo < hi }) {
+      rounds += 1
+      val active = state.collect { case (g, p, _, lo, hi, _) if lo < hi =>
+        val w = (hi - lo) / buckets + 1L
+        (g, p, lo, hi, w)
+      }
+      val tgt = spark.createDataFrame(active)
+        .toDF("g", "p_bp", "lo", "hi", "w")
+      // group-keyed broadcast hash join (equi on g), the range condition
+      // a post-join filter; build side = |groups|·|psBp| rows.
+      val hist = x
+        .join(broadcast(tgt), Seq("g"))
+        .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+        .groupBy(col("g"), col("p_bp"), expr("(x - lo) div w").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .groupBy(_._1)
+        .map { case (k, vs) => (k, vs.map(_._2).toSeq.sortBy(_._1)) }
+        .toMap: Map[(String, Long), Seq[(Long, Long)]]
+
+      state = state.map {
+        case st @ (g, p, k, lo, hi, below) =>
+          if (lo >= hi) st
+          else {
+            val w = (hi - lo) / buckets + 1L
+            val bs = hist.getOrElse((g, p), Seq.empty[(Long, Long)])
+            var cum = below
+            var out = st
+            var found = false
+            val it = bs.iterator
+            while (!found && it.hasNext) {
+              val (b, c) = it.next()
+              if (cum + c >= k) {
+                val nlo = lo + b * w
+                val nhi = math.min(hi, nlo + w - 1L)
+                out = (g, p, k, nlo, nhi, cum)
+                found = true
+              } else cum += c
+            }
+            assert(found, s"rank $k not located in [$lo, $hi] for ($g, $p)")
+            out
+          }
+      }
+    }
+
+    (r0.map { case (g, (_, _, n)) => (g, n) },
+      state.map { case (g, p, k, lo, _, _) => (g, p, k, lo) },
+      rounds)
+  }
 }

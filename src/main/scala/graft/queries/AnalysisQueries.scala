@@ -130,7 +130,8 @@ object AnalysisQueries {
       e146IsotonicCalibration, e147NnDescent, e147bNnDescentInt8,
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
       e153EmbeddingDrift, e154WassersteinDrift, e157W1Matrix,
-      e158NnDescentInc, e159MultipassQuantile, e160KsDrift)
+      e158NnDescentInc, e159MultipassQuantile, e160KsDrift,
+      e162GroupedQuantile)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -6226,5 +6227,60 @@ object AnalysisQueries {
           s" div (CAST(ns AS $dec) * nt) AS BIGINT)").as("ks_bp"),
         col("ks_at").cast("long").as("ks_at"))
       .orderBy("source")
+  }
+
+  // ---- e162: per-group exact quantiles, multipass ---------------------------
+
+  /** Exact per-group p50/p90/p99 (revenue per return flag) via
+    * [[graft.operators.MultipassQuantile.selectGrouped]] — e159's
+    * narrowing with per-(group, target) state, and the fix for the
+    * OTHER way exact group quantiles die at 100 TB: e35's per-group
+    * window ranking puts ALL of a group's rows in ONE task (a hot
+    * group is a single-task sort no executor survives — the same
+    * concentration failure `withClusterSize` exists to avoid on
+    * skewable keys, here forced by the PARTITION BY itself). In the
+    * multipass plan no stage ever concentrates a group: every round's
+    * histogram partially aggregates map-side on (group, target,
+    * bucket), the one exchange is ≤ |groups|·3·1024 rows, and groups
+    * that resolve early drop out of later rounds. The driver-pull
+    * bound requires |groups| bounded by construction (3 return flags
+    * here; sources, priorities, brands all qualify — a user-id grain
+    * would not, and the operator's Scaladoc says so).
+    *
+    * The oracle replays the selection as the per-group window ranking
+    * this operator exists to avoid — the semantic definition and the
+    * scale plan, stated as such.
+    */
+  private def e162GroupedQuantile = {
+    val centsD = (e: String) => s"CAST(round(($e) * 100) AS BIGINT)"
+    QueryDef.sql(
+      "e162_grouped_quantile",
+      s"""WITH v AS (SELECT l_returnflag AS g, ${centsD("l_extendedprice")}
+         |    * (100 - ${centsD("l_discount")}) AS x FROM lineitem),
+         |nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows FROM v
+         |  GROUP BY g),
+         |t(p_bp) AS (VALUES (CAST(5000 AS BIGINT)),
+         |  (CAST(9000 AS BIGINT)), (CAST(9900 AS BIGINT))),
+         |k AS (SELECT g, p_bp, n_rows,
+         |    CAST((p_bp * n_rows + 9999) // 10000 AS BIGINT) AS k_rank
+         |  FROM nn, t),
+         |s AS (SELECT g, x,
+         |    row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM v)
+         |SELECT k.g AS l_returnflag, k.p_bp, k.n_rows, k.k_rank,
+         |  CAST(s.x AS BIGINT) AS x_kth
+         |FROM k JOIN s ON s.g = k.g AND s.rn = k.k_rank
+         |ORDER BY k.g, k.p_bp""".stripMargin) { (s, dir) =>
+      val cents = (c: Column) => round(c * 100).cast("long")
+      val xs = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        (cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))).as("x"))
+      val (ns, picks, _) = graft.operators.MultipassQuantile.selectGrouped(
+        xs, "l_returnflag", "x", Seq(5000L, 9000L, 9900L))
+      import s.implicits._
+      picks.map { case (g, p, k, v) => (g, p, ns(g), k, v) }
+        .toDF("l_returnflag", "p_bp", "n_rows", "k_rank", "x_kth")
+        .orderBy(col("l_returnflag"), col("p_bp"))
+    }
   }
 }

@@ -61,6 +61,32 @@ class MultipassQuantileSpec extends SparkSpecBase {
     assert(picks.map(_._3) == Seq(-100L, 1000000L))
   }
 
+  test("grouped: per-group exact, early-resolving group drops out") {
+    import spark.implicits._
+    // group "a": wide domain; group "b": all-equal (resolves round 0)
+    val aVals = (0L until 500L).map(i => (i * 7919L) % 503L * 4000000L)
+    val bVals = Seq.fill(200)(7L)
+    val df = (aVals.map(("a", _)) ++ bVals.map(("b", _))).toDF("g", "x")
+    val ps = Seq(5000L, 9900L)
+    val (ns, picks, rounds) =
+      MultipassQuantile.selectGrouped(df, "g", "x", ps, buckets = 16L)
+    assert(ns == Map("a" -> 500L, "b" -> 200L))
+    val expA = ps.map(p => ("a", p, (p * 500 + 9999L) / 10000L,
+      exact(aVals, p)))
+    val expB = ps.map(p => ("b", p, (p * 200 + 9999L) / 10000L, 7L))
+    assert(picks == expA ++ expB)
+    assert(rounds <= 9, s"rounds=$rounds")
+  }
+
+  test("grouped: single-row groups and negative values") {
+    import spark.implicits._
+    val df = Seq(("a", -5L), ("b", 100L), ("b", -100L)).toDF("g", "x")
+    val (ns, picks, _) =
+      MultipassQuantile.selectGrouped(df, "g", "x", Seq(5000L))
+    assert(ns == Map("a" -> 1L, "b" -> 2L))
+    assert(picks == Seq(("a", 5000L, 1L, -5L), ("b", 5000L, 1L, -100L)))
+  }
+
   test("empty input and bad targets fail loudly") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("x")
@@ -72,5 +98,8 @@ class MultipassQuantileSpec extends SparkSpecBase {
       MultipassQuantile.select(Seq(1L).toDF("x"), "x", Seq(10001L)))
     assertThrows[IllegalArgumentException](
       MultipassQuantile.select(Seq(1L).toDF("x"), "x", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      MultipassQuantile.selectGrouped(
+        Seq.empty[(String, Long)].toDF("g", "x"), "g", "x", Seq(5000L)))
   }
 }

@@ -305,6 +305,37 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamKs sup-norm census accumulates identically on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ref = (100 to 109).map(v => v -> 2L).toMap
+    val ms = MemoryStream[StreamW1.Obs]
+    val q = StreamKs.monitor(ms.toDS(), ref)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_ks").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // same census trajectory as the StreamW1 row above: batch 1
+      // matches the reference (KS = 0); batch 2 puts half the lifetime
+      // mass above it → worst split at the reference top (109), 5000 bp
+      ms.addData((100 to 109).flatMap(v =>
+        Seq.fill(2)(StreamW1.Obs("a", v))): _*)
+      q.processAllAvailable()
+      ms.addData(Seq.fill(20)(StreamW1.Obs("a", 130)): _*)
+      q.processAllAvailable()
+      val rows = s.table("rocks_ks").as[StreamKs.Ks]
+        .collect().filter(_.key == "a").sortBy(_.n_obs)
+      assert(rows.head.ks_bp === 0L)
+      assert(rows.last.n_obs === 40L)
+      assert(rows.last.ks_bp === 5000L)
+      assert(rows.last.ks_at === 109)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamPsi census accumulates identically on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
