@@ -431,4 +431,50 @@ class RecoverySpec extends SparkSpecBase {
       assertRocksEngaged(q2)
     } finally q2.stop()
   }
+
+  test("StreamKs census survives a stop/restart from checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-ks").toString
+    val ref = (100 to 109).map(v => v -> 2L).toMap
+    val ms = MemoryStream[StreamW1.Obs]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamKs.Ks]
+    def start() = StreamKs.monitor(ms.toDS(), ref)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamKs.Ks],
+          _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      // batch 1 matches the reference exactly — KS is exactly 0
+      ms.addData((100 to 109).flatMap(v =>
+        Seq.fill(2)(StreamW1.Obs("k", v))): _*)
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.last.ks_bp) === 0L)
+    } finally q1.stop() // the "kill": the matching census lives in state
+    emitted.synchronized(emitted.clear())
+    ms.addData(Seq.fill(20)(StreamW1.Obs("k", 130)): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "k")
+      assert(rows.nonEmpty, "no post-restart emission")
+      val last = rows.last
+      // over the RECOVERED 40-observation census half the mass sits
+      // above the reference — worst split at its top (109), 5000 bp; a
+      // fresh census of only the 20 post-restart values would read
+      // 10000 bp (disjoint support) instead
+      assert(last.n_obs === 40L)
+      assert(last.ks_bp === 5000L)
+      assert(last.ks_at === 109)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
 }
