@@ -336,6 +336,37 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamEmbedDrift fixed-point sums accumulate identically on " +
+    "RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ref = new Array[Long](8)
+    ref(0) = 10L * 1000000L // reference centroid: axis 0
+    def axis(i: Int) = Array.tabulate(8)(j => if (j == i) 1.0 else 0.0)
+    val ms = MemoryStream[StreamEmbedDrift.Obs]
+    val q = StreamEmbedDrift.monitor(ms.toDS(), ref)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_em").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1 aligned (drift 0); batch 2 adds equal orthogonal mass
+      // → the ACCUMULATED centroid sits at 45°: drift 2929 (4-dp cos)
+      ms.addData(Seq.fill(5)(StreamEmbedDrift.Obs("a", axis(0))): _*)
+      q.processAllAvailable()
+      ms.addData(Seq.fill(5)(StreamEmbedDrift.Obs("a", axis(1))): _*)
+      q.processAllAvailable()
+      val rows = s.table("rocks_em").as[StreamEmbedDrift.Em]
+        .collect().filter(_.key == "a").sortBy(_.n_obs)
+      assert(rows.head.drift_t === 0L)
+      assert(rows.last.n_obs === 10L)
+      assert(rows.last.drift_t === 2929L)
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamPsi census accumulates identically on RocksDB state") {
     val s = rocksSession()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
