@@ -29,7 +29,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(g1MockBatch, g2GenBatch, g3DocsSource, g4SchemaUnion,
-      g5OrcRoundtrip, p1PipelineE2e)
+      g5OrcRoundtrip, g6BloomLookup, p1PipelineE2e)
 
   // defs, not vals: `all` above initializes FIRST during object init, so
   // a val here would still be null/0 while the g1/p1 SQL strings are
@@ -577,5 +577,51 @@ object PipelineQueries {
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("source")
+  }
+
+  /** Parquet BLOOM-FILTER point lookup ([[graft.sources.Layout
+    * .writeBloomFiltered]]): write the corpus keyed by its content
+    * fingerprint with a per-row-group bloom filter on that column,
+    * then fetch one document (plus any exact-content clones) by
+    * fingerprint equality. The third data-skipping lever proven on the
+    * sink side — directory pruning (g-series partitioned layouts) and
+    * min/max clustering (e40 Z-order) both fail for a point lookup on
+    * a HASH-shaped key (every row group spans the whole hash domain);
+    * the bloom filter answers "possibly here?" per row group with no
+    * sort and no second data copy, which is the "fetch doc by
+    * fingerprint" shape of a dedup review queue at 100 TB. The lookup
+    * key is resolved from doc 42's text first (one 1-row driver pull,
+    * the bounded-lookup class) so the scan receives a LITERAL equality
+    * predicate — the only form bloom filters engage for. Clone
+    * handling is semantic, not incidental: every doc with byte-equal
+    * text shares the fingerprint and is returned by both engines.
+    * LayoutSpec pins the footer contract (bloom offsets present for
+    * the keyed column, absent otherwise) and the false-positive
+    * safety (parquet re-checks surviving pages, so results never
+    * change — only skipping does).
+    */
+  private def g6BloomLookup = QueryDef.sql(
+    "g6_bloom_lookup",
+    s"""WITH fp AS (SELECT doc_id, source, n_chars,
+       |    ${graft.functions.Portable.textFingerprintDuck} AS fp
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+       |FROM fp WHERE fp = (SELECT fp FROM fp WHERE doc_id = 42)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft-scratch", "g6-bloom")
+      .toString
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.F.poly_hash(col("text")).as("fp"))
+    graft.sources.Layout.writeBloomFiltered(
+      keyed, s"$tmp/docs_fp.parquet", Seq("fp"), expectedNdv = 1000000L)
+    val table = s.read.parquet(s"$tmp/docs_fp.parquet")
+    val key = table.filter(col("doc_id") === 42L)
+      .select(col("fp")).head().getLong(0)
+    table.filter(col("fp") === key)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
   }
 }

@@ -258,4 +258,37 @@ object Layout {
         s"compact: swap complete but failed to remove aside dir $old")
     n
   }
+
+  /** Parquet BLOOM-FILTER layout for point-lookup columns — the third
+    * data-skipping lever beside directory pruning (writePartitioned)
+    * and min/max clustering (writeZOrdered). Min/max row-group stats
+    * are useless for a point lookup on a HASH-like column (every row
+    * group spans the whole domain unless the table is sorted on it);
+    * a per-row-group bloom filter answers "is key k possibly here?"
+    * directly, so an equality predicate pushed to the scan skips row
+    * groups with no sort, no clustering, and no second copy of the
+    * data — the right shape for "fetch document by content
+    * fingerprint" at 100 TB, where sorting by fingerprint would fight
+    * the table's natural (source, time) layout.
+    *
+    * `expectedNdv` sizes the filter (parquet derives bits from the
+    * target false-positive rate ~1%); oversizing costs footer bytes,
+    * undersizing costs false positives — never correctness, because
+    * the engine re-checks the predicate on surviving pages. Bloom
+    * filters engage only for equality/IN predicates; range predicates
+    * still need writeZOrdered's clustering.
+    */
+  def writeBloomFiltered(
+      df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedNdv: Long, files: Int = 0): Unit = {
+    require(bloomCols.nonEmpty, "at least one bloom column required")
+    require(expectedNdv > 0, "expectedNdv must be positive")
+    val base = if (files > 0) df.repartition(files) else df
+    val w = bloomCols.foldLeft(base.write) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedNdv.toString)
+    }
+    w.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -264,4 +264,65 @@ class LayoutSpec extends SparkSpecBase {
     assert(!new java.io.File(dir + "__compacting").exists())
     assert(!new java.io.File(dir + "__old").exists())
   }
+
+  test("bloom-filtered write carries bloom offsets for the keyed column " +
+    "only, and lookups stay exact for present and absent keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    val df = (0L until 2000L)
+      .map(i => (i, (i * 2654435761L) % 1000000007L))
+      .toDF("id", "fp")
+    Layout.writeBloomFiltered(df, dir, Seq("fp"), expectedNdv = 2000L,
+      files = 2)
+
+    // footer contract: every row group's fp chunk has a bloom filter,
+    // and the un-keyed id chunk has none
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    var fpChunks = 0
+    parts.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        rdr.getRowGroups.forEach { bm =>
+          bm.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (name == "fp") {
+              assert(cc.getBloomFilterOffset >= 0,
+                s"fp chunk in ${f.getName} has no bloom filter")
+              fpChunks += 1
+            } else {
+              assert(cc.getBloomFilterOffset < 0,
+                s"$name unexpectedly carries a bloom filter")
+            }
+          }
+        }
+      } finally rdr.close()
+    }
+    assert(fpChunks > 0)
+
+    // plain write: no bloom anywhere (the option is opt-in per column)
+    val plainDir = Files.createTempDirectory("graft-plain").toString + "/t"
+    df.write.parquet(plainDir)
+    val pf = new java.io.File(plainDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val prdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf))
+    try prdr.getRowGroups.forEach(_.getColumns.forEach(cc =>
+      assert(cc.getBloomFilterOffset < 0)))
+    finally prdr.close()
+
+    // lookup correctness: a present key returns its row, an absent key
+    // returns zero rows (false positives only cost skipping, never
+    // results — parquet re-checks the predicate on surviving pages)
+    val back = spark.read.parquet(dir)
+    val presentKey = (42L * 2654435761L) % 1000000007L
+    assert(back.filter(col("fp") === presentKey).select("id")
+      .as[Long].collect().toSeq === Seq(42L))
+    assert(back.filter(col("fp") === -1L).count() === 0L)
+  }
 }

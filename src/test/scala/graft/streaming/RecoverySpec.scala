@@ -477,4 +477,50 @@ class RecoverySpec extends SparkSpecBase {
       assertRocksEngaged(q2)
     } finally q2.stop()
   }
+
+  test("StreamEmbedDrift component sums survive a stop/restart from " +
+    "checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-rec-em").toString
+    val ref = new Array[Long](8)
+    ref(0) = 10L * 1000000L
+    def axis(i: Int) = Array.tabulate(8)(j => if (j == i) 1.0 else 0.0)
+    val ms = MemoryStream[StreamEmbedDrift.Obs]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[StreamEmbedDrift.Em]
+    def start() = StreamEmbedDrift.monitor(ms.toDS(), ref)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamEmbedDrift.Em],
+            _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      ms.addData(Seq.fill(5)(StreamEmbedDrift.Obs("k", axis(0))): _*)
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.last.drift_t) === 0L)
+    } finally q1.stop() // the "kill": the aligned sums live in state
+    emitted.synchronized(emitted.clear())
+    ms.addData(Seq.fill(5)(StreamEmbedDrift.Obs("k", axis(1))): _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.synchronized(emitted.toSeq).filter(_.key == "k")
+      assert(rows.nonEmpty, "no post-restart emission")
+      val last = rows.last
+      // 2929 = the 45° centroid of the RECOVERED 10-vector census; a
+      // fresh census of only the 5 post-restart vectors would read the
+      // full orthogonal 10000
+      assert(last.n_obs === 10L)
+      assert(last.drift_t === 2929L)
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
 }
