@@ -48,4 +48,41 @@ object RangeJoin {
       .where(col(pt) >= col(start) && col(pt) < col(start) + len)
       .drop("__bucket")
   }
+
+  /** INTERVAL-overlap equi-join: pairs (a, b) whose CLOSED integer
+    * intervals [aStart, aEnd] and [bStart, bEnd] intersect
+    * (aStart <= bEnd AND bStart <= aEnd — point touches count). The
+    * generalization [[pointInInterval]] can't express: BOTH sides are
+    * intervals of varying length, so both sides explode to their
+    * covering grid cells of width `cell` (ceil(span/cell)+1 rows per
+    * interval) and join on the cell id.
+    *
+    * De-dup is the CLAIM-CELL rule, not a DISTINCT: an overlapping
+    * pair co-occurs in every cell their spans share, but is KEPT only
+    * in the one cell containing max(aStart, bStart) — the overlap's
+    * left edge — which every overlapping pair has exactly once. That
+    * makes dedup a per-row predicate instead of a pair-grain exchange
+    * (the DISTINCT a naive grid join needs is a second shuffle of the
+    * PAIR set, which at fleet scale dwarfs the join itself).
+    *
+    * `cell` trades fan-out (≈ span/cell + 1 copies per interval) against
+    * bucket selectivity (a wide cell matches far-apart intervals that
+    * the residual predicate then discards); set it near the typical
+    * interval span. Column names must be disjoint across the inputs.
+    * Compose left-outer semantics downstream, as with
+    * [[pointInInterval]].
+    */
+  def intervalOverlap(
+      a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      cell: Long): DataFrame = {
+    require(cell > 0, s"cell width must be positive, got $cell")
+    def cells(df: DataFrame, st: String, en: String): DataFrame =
+      df.withColumn("__cell",
+        explode(expr(s"sequence($st div ${cell}L, $en div ${cell}L)")))
+    cells(a, aStart, aEnd).join(cells(b, bStart, bEnd), Seq("__cell"))
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__cell") === expr(s"greatest($aStart, $bStart) div ${cell}L"))
+      .drop("__cell")
+  }
 }

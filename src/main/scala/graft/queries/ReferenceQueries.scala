@@ -34,7 +34,8 @@ object ReferenceQueries {
     q49RevenueShare, q50NationVolume, q50bNationVolumeBucketed,
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
     q54CustDist, q55EventTransitions, q56DisjunctRevenue,
-    q57SupplierCensus, q58ReturnPriority, q59UntappedBalance)
+    q57SupplierCensus, q58ReturnPriority, q59UntappedBalance,
+    q60OverlapJoin)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2524,5 +2525,94 @@ object ReferenceQueries {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
       .orderBy("c_mktsegment")
+  }
+
+  /** INTERVAL-overlap join ([[graft.operators.RangeJoin
+    * .intervalOverlap]]): which error incidents intersected how many
+    * active user sessions, and for how long — the join shape q27
+    * cannot express, because BOTH sides are intervals of varying
+    * length (q27's one manufactured bucket per point assumes one side
+    * is a point and the other has fixed width). Sessions are q17's
+    * gap-30-min sessions collapsed to CLOSED [first, last] micros
+    * intervals; incidents are q27's error windows as closed
+    * [ts, ts+10min]; overlap counts point touches (s_st ≤ i_en AND
+    * i_st ≤ s_en) and its duration is least(ends) − greatest(starts)
+    * in exact micros.
+    *
+    * Scale (100 TB of events): both sides explode to covering 1-hour
+    * grid cells (fan ≈ span/cell + 1 — a few rows per session, 1–2 per
+    * incident) and equi-join on the cell id; the naive form is a
+    * nested loop over sessions × incidents. De-dup is the CLAIM-CELL
+    * predicate — a pair survives only in the cell holding the
+    * overlap's left edge — so no pair-grain DISTINCT exchange ever
+    * runs (at fleet scale that second shuffle of the matched-pair set
+    * dwarfs the join). Left semantics composed downstream, q27's rule.
+    */
+  private def q60OverlapJoin = QueryDef.sql(
+    "q60_overlap_join",
+    """WITH o AS (SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM o),
+      |sx AS (SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m),
+      |sess AS (SELECT user_id, session_idx,
+      |    epoch_us(min(ts)) AS s_st, epoch_us(max(ts)) AS s_en
+      |  FROM sx GROUP BY user_id, session_idx),
+      |inc AS (SELECT event_id AS incident_id, epoch_us(ts) AS i_st,
+      |    epoch_us(ts) + 600000000 AS i_en
+      |  FROM events WHERE event_type = 'error' AND value >= 200),
+      |pairs AS (SELECT i.incident_id, s.user_id,
+      |    least(s.s_en, i.i_en) - greatest(s.s_st, i.i_st) AS ov_us
+      |  FROM inc i JOIN sess s ON s.s_st <= i.i_en AND i.i_st <= s.s_en)
+      |SELECT i.incident_id,
+      |  CAST(count(p.user_id) AS BIGINT) AS n_sessions,
+      |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+      |  coalesce(CAST(sum(p.ov_us) AS BIGINT), 0) AS overlap_us
+      |FROM inc i LEFT JOIN pairs p ON p.incident_id = i.incident_id
+      |GROUP BY i.incident_id
+      |ORDER BY i.incident_id""".stripMargin) { (s, dir) =>
+    import graft.operators.RangeJoin
+    val ev = Tables.events(s, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(unix_micros(col("ts"))).as("s_st"),
+        max(unix_micros(col("ts"))).as("s_en"))
+    val inc = ev
+      .filter(col("event_type") === "error" && col("value") >= 200)
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("i_st"),
+        (unix_micros(col("ts")) + 600000000L).as("i_en"))
+    val pairs = RangeJoin.intervalOverlap(
+      sess, "s_st", "s_en", inc, "i_st", "i_en", cell = 3600000000L)
+      .select(col("incident_id"), col("user_id"),
+        (least(col("s_en"), col("i_en"))
+          - greatest(col("s_st"), col("i_st"))).as("ov_us"))
+    val agg = pairs.groupBy("incident_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("ov_us")).as("ov_sum"))
+    inc.select("incident_id").join(agg, Seq("incident_id"), "left")
+      .select(col("incident_id"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("ov_sum"), lit(0L)).as("overlap_us"))
+      .orderBy("incident_id")
   }
 }

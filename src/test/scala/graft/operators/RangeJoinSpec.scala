@@ -54,4 +54,50 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("intervalOverlap equals the naive overlap join, each pair once — " +
+    "touching endpoints, nesting, and spans far wider than the cell") {
+    import spark.implicits._
+    // seeded intervals: lengths from 0 (point intervals) to ~8 cells
+    val rnd = new scala.util.Random(20260815L)
+    val as = (0 until 150).map { i =>
+      val st = rnd.nextInt(5000).toLong
+      (i.toLong, st, st + rnd.nextInt(800).toLong)
+    } :+ ((150L, 100L, 100L)) :+ ((151L, 0L, 4999L)) // point + full-span
+    val bs = (0 until 150).map { i =>
+      val st = rnd.nextInt(5000).toLong
+      (i.toLong + 1000L, st, st + rnd.nextInt(200).toLong)
+    } :+ ((1150L, 100L, 100L)) // touches a's point interval exactly
+    val aDf = as.toDF("a_id", "a_st", "a_en")
+    val bDf = bs.toDF("b_id", "b_st", "b_en")
+
+    val got = RangeJoin
+      .intervalOverlap(aDf, "a_st", "a_en", bDf, "b_st", "b_en", cell = 100L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+
+    val naive = (for {
+      (aId, aSt, aEn) <- as
+      (bId, bSt, bEn) <- bs
+      if aSt <= bEn && bSt <= aEn
+    } yield (aId, bId)).sorted
+    assert(got.toSeq === naive)
+    // the claim-cell rule must keep each pair exactly once, with no
+    // DISTINCT in the plan to hide a miss
+    assert(got.distinct.length === got.length)
+    // the touching point-intervals (150, 1150) count as an overlap
+    assert(got.contains((150L, 1150L)))
+  }
+
+  test("intervalOverlap plans as an equi-join on the grid cell") {
+    import spark.implicits._
+    val aDf = Seq((1L, 0L, 50L)).toDF("a_id", "a_st", "a_en")
+    val bDf = Seq((2L, 25L, 75L)).toDF("b_id", "b_st", "b_en")
+    val df = RangeJoin.intervalOverlap(
+      aDf, "a_st", "a_en", bDf, "b_st", "b_en", cell = 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(df.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 2L)))
+  }
 }
