@@ -29,6 +29,21 @@ import org.apache.spark.sql.SparkSession
   * isolated re-time set (empty string disables it).
   */
 object Bench {
+
+  /** Timed consumption: execute the query's OWN plan and discard rows
+    * on the executors. NOT `count()` — count prunes every output
+    * column, and Catalyst then ELIMINATES whole subtrees it can prove
+    * row-count-neutral: a left join onto a unique-keyed aggregate
+    * (q27/q60's compose-left-semantics-downstream shape) drops its
+    * entire aggregate branch, so count() times a plan no consumer of
+    * the declared result ever gets (measured: q60's 100× probe read
+    * 0.6 s / 0 shuffle under count() — the whole sessionize pipeline
+    * was optimized away). toRdd drives the unpruned plan; foreach on
+    * it keeps large results off the driver.
+    */
+  private def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,7 +66,7 @@ object Bench {
 
     // Warmup: one untimed pass (errors ignored here; they resurface timed).
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -61,7 +76,7 @@ object Bench {
         if (errs.contains(name)) None // failed: don't retry, don't time
         else {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
             errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .takeWhile(_ != '\n').take(200)
@@ -106,10 +121,10 @@ object Bench {
       case (name, fn) if isolatedSet(name) && !errs.contains(name) =>
         val s = newSession()
         try {
-          try fn(s, sfDir).count() catch { case _: Throwable => () } // warmup
+          try consume(fn(s, sfDir)) catch { case _: Throwable => () } // warmup
           val times = (1 to passes).flatMap { _ =>
             val t0 = System.nanoTime()
-            try { fn(s, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            try { consume(fn(s, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
             catch { case e: Throwable =>
               System.err.println(s"[bench] isolated $name FAILED: " +
                 Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -147,16 +147,31 @@ object MultipassQuantile {
       s"quantile targets must be in [1, 10000] bp, got $psBp")
     require(buckets >= 2, s"need at least 2 buckets per round, got $buckets")
     val spark = xs.sparkSession
-    val x = xs.select(col(groupCol).cast("string").as("g"),
+    val x0 = xs.select(col(groupCol).cast("string").as("g"),
       col(xCol).cast("long").as("x"))
 
     // Round 0: per-group min / max / count (one bounded collected set).
-    val r0 = x.groupBy(col("g"))
+    val r0 = x0.groupBy(col("g"))
       .agg(min(col("x")), max(col("x")), count(lit(1)))
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     require(r0.nonEmpty, "grouped quantile selection needs a non-empty input")
+
+    // Dictionary-encode the group for the refinement rounds: round 0
+    // fixed the group set, so a |groups|-arm when-ladder maps each row
+    // to a compact Long id once per scan and the join + histogram keys
+    // go all-numeric — measured ~2× off each round's wall at the 100×
+    // probe vs carrying the string through the broadcast hash join and
+    // the (g, target, bucket) hash aggregation.
+    val groups = r0.keysIterator.toSeq.sorted
+    val gid: Map[String, Long] = groups.zipWithIndex
+      .map { case (g, i) => (g, i.toLong) }.toMap
+    val ladder = groups.tail.zipWithIndex.foldLeft(
+      when(col("g") === groups.head, 0L)) { case (w, (g, i)) =>
+      w.when(col("g") === g, (i + 1).toLong)
+    }
+    val x = x0.select(ladder.as("gi"), col("x"))
 
     // Per-(group, target) state: (g, pBp, k, lo, hi, nBelowLo).
     var state: Seq[(String, Long, Long, Long, Long, Long)] =
@@ -169,19 +184,21 @@ object MultipassQuantile {
       rounds += 1
       val active = state.collect { case (g, p, _, lo, hi, _) if lo < hi =>
         val w = (hi - lo) / buckets + 1L
-        (g, p, lo, hi, w)
+        (gid(g), p, lo, hi, w)
       }
       val tgt = spark.createDataFrame(active)
-        .toDF("g", "p_bp", "lo", "hi", "w")
-      // group-keyed broadcast hash join (equi on g), the range condition
-      // a post-join filter; build side = |groups|·|psBp| rows.
+        .toDF("gi", "p_bp", "lo", "hi", "w")
+      // group-keyed broadcast hash join (equi on the dictionary id),
+      // the range condition a post-join filter; build side =
+      // |groups|·|psBp| rows.
       val hist = x
-        .join(broadcast(tgt), Seq("g"))
+        .join(broadcast(tgt), Seq("gi"))
         .filter(col("x") >= col("lo") && col("x") <= col("hi"))
-        .groupBy(col("g"), col("p_bp"), expr("(x - lo) div w").as("b"))
+        .groupBy(col("gi"), col("p_bp"), expr("(x - lo) div w").as("b"))
         .agg(count(lit(1)).as("cnt"))
         .collect()
-        .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .map(r => ((groups(r.getLong(0).toInt), r.getLong(1)),
+          (r.getLong(2), r.getLong(3))))
         .groupBy(_._1)
         .map { case (k, vs) => (k, vs.map(_._2).toSeq.sortBy(_._1)) }
         .toMap: Map[(String, Long), Seq[(Long, Long)]]

@@ -46,7 +46,12 @@ object ProbeMain {
       Thread.sleep(500) // let the warmup's stage events drain
       val sw0 = shuffleW.get()
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      // toRdd, not count(): count prunes all columns and Catalyst then
+      // eliminates row-count-neutral subtrees (a left join onto a
+      // unique-keyed aggregate loses its whole aggregate branch — the
+      // q27/q60 shape), timing a plan no consumer of the declared
+      // result gets. Same rule as Bench.consume.
+      fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
       val dt = (System.nanoTime()-t0)/1e9
       Thread.sleep(500) // listener events are async; settle before reading
       val swMb = (shuffleW.get() - sw0) / 1e6
