@@ -49,9 +49,20 @@ object Sessionize {
     t
   }
 
+  /** Exact-micros session interval — [[Session]]'s lossless sibling for
+    * consumers that need the endpoints (duration_sec truncates): the
+    * stream-side input to interval work like
+    * [[StreamSessionOverlap]].
+    */
+  case class Interval(
+      user_id: Long, s_st_us: Long, s_en_us: Long, n_events: Long)
+
   private def close(userId: Long, s: Open): Session =
     Session(userId, toTs(s.startUs),
       s.n, (s.lastUs - s.startUs) / 1000000L)
+
+  private def closeIv(userId: Long, s: Open): Interval =
+    Interval(userId, s.startUs, s.lastUs, s.n)
 
   /** @param events streaming DataFrame with user_id, event_id, ts
     * @param watermark watermark delay on ts, e.g. "10 minutes"
@@ -60,6 +71,25 @@ object Sessionize {
   def sessions(
       events: DataFrame, watermark: String,
       gapSec: Long = 1800L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    run(events, watermark, gapSec, close)
+  }
+
+  /** [[sessions]] emitting exact-micros [[Interval]]s instead of the
+    * q17-shaped display row — same state, same closure rules.
+    */
+  def intervals(
+      events: DataFrame, watermark: String,
+      gapSec: Long = 1800L): Dataset[Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    run(events, watermark, gapSec, closeIv)
+  }
+
+  private def run[T: org.apache.spark.sql.Encoder](
+      events: DataFrame, watermark: String, gapSec: Long,
+      emit: (Long, Open) => T): Dataset[T] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -76,7 +106,7 @@ object Sessionize {
           if (!it.hasNext) {
             // timeout: the watermark passed last-seen + gap with no new
             // events — the open session is final
-            val out = state.getOption.map(close(userId, _)).toList
+            val out = state.getOption.map(emit(userId, _)).toList
             state.remove()
             out.iterator
           } else {
@@ -85,12 +115,12 @@ object Sessionize {
             // event-time order; (ts, event_id) matches q17's ordering
             val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
             var open = state.getOption
-            val closed = List.newBuilder[Session]
+            val closed = List.newBuilder[T]
             for (e <- evs) {
               val us = micros(e.ts)
               open match {
                 case Some(s) if us - s.lastUs > gapUs =>
-                  closed += close(userId, s)
+                  closed += emit(userId, s)
                   open = Some(Open(us, us, 1L))
                 case Some(s) =>
                   // an in-horizon straggler older than the open session's
