@@ -697,7 +697,13 @@ object CurationQueries {
     def persistLabels(df: org.apache.spark.sql.DataFrame,
         name: String): org.apache.spark.sql.DataFrame = {
       val p = s"$scratch/$name"
-      df.write.mode("overwrite").parquet(p)
+      // the label table is component-grain tiny at these SFs; writing it
+      // at the session's 32-partition default sprays 32 sliver files per
+      // generation — the exact small-files accumulation Layout.compact
+      // exists to undo, here avoided at write time. A fleet deployment
+      // whose labels are doc-grain sizes this with Layout's
+      // targetBytes-derived file count instead of a constant.
+      df.coalesce(1).write.mode("overwrite").parquet(p)
       s.read.parquet(p)
     }
     val comp0 = persistLabels(ConnectedComponents.components(
