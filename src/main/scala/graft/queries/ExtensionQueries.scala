@@ -46,6 +46,7 @@ object ExtensionQueries {
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
     e80Winnowing, e81MrlTruncation, e125MutualKnn, e125bMutualKnnInt8,
+    e163LpaCommunities, e163bLpaRegions,
     e128SortedNeighborhood, e133ClusterCensus, e144Containment)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
@@ -3381,4 +3382,142 @@ object ExtensionQueries {
         when(col("fe") === 1, "exact").when(col("fn") === 1, "neardup")
           .otherwise("kept").as("verdict"))
   }
+
+  /** Shared 4-round synchronous-LPA oracle CTE chain over a symmetric
+    * deduped `edges(u, v)` CTE — the SQL replay of
+    * [[graft.operators.LabelPropagation]]'s exact rule (self-vote,
+    * count DESC, label ASC).
+    */
+  private def lpaRoundsDuck(rounds: Int): String =
+    s"""l0 AS MATERIALIZED (SELECT u AS node, u AS lbl FROM edges
+       |  GROUP BY u),
+       |""".stripMargin +
+      (1 to rounds).map { r =>
+        s"""v$r AS (SELECT e.u AS node, l.lbl AS cand
+           |  FROM edges e JOIN l${r - 1} l ON l.node = e.v
+           |  UNION ALL SELECT node, lbl FROM l${r - 1}),
+           |c$r AS (SELECT node, cand, count(*) AS c FROM v$r
+           |  GROUP BY node, cand),
+           |l$r AS MATERIALIZED (SELECT node, cand AS lbl FROM (
+           |    SELECT node, cand, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, cand) AS rn FROM c$r) t
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+
+  /** COMMUNITY structure of the dup graph
+    * ([[graft.operators.LabelPropagation]], 4 synchronous rounds)
+    * laid beside its reachability CLUSTERS (e32's components) per node
+    * — the over-merge audit the CC-based dedup chain cannot produce
+    * about itself. Reachability merges through ANY bridge: two distinct
+    * boilerplate templates joined by a handful of hybrid docs become
+    * ONE cluster, and min-id canonicalization (e45/e155) then deletes
+    * one whole template. LPA floods dense regions but a bridge's few
+    * cross votes never outweigh a clique's internal majority, so a
+    * `split = 1` row — a node whose community label disagrees with its
+    * cluster canonical — marks exactly where auto-delete should pause
+    * for verification (e129's core/periphery question answered at CUT
+    * grain instead of degree grain). On THIS pair-dominated corpus
+    * (e133: 93% of dup mass in size-2 components) the honest reading
+    * is split = 0 everywhere — communities coincide with components —
+    * and e163b is the always-split constructed twin (the e129b
+    * pattern) that keeps the splitting path exercised at every SF.
+    *
+    * Scale: LPA rounds are edge⋈label joins + two keyed aggregations
+    * over the vote table (Σ degree + |nodes| rows) — the CC cost
+    * class; the argmax is a map-side struct max, no window.
+    */
+  private def e163LpaCommunities =
+    QueryDef.sql(
+      "e163_lpa_communities",
+      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |${lpaRoundsDuck(4)}
+         |SELECT c.node AS doc_id, c.cluster, l.lbl AS community,
+         |  CAST(l.lbl <> c.cluster AS INT) AS split
+         |FROM comp c JOIN l4 l ON l.node = c.node
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(true) // feeds BOTH the CC and the LPA legs
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val comm = graft.operators.LabelPropagation
+        .communities(pairs, "doc_a", "doc_b", rounds = 4)
+      comp.select(col("node"), col("comp").as("cluster"))
+        .join(comm, "node")
+        .select(col("node").as("doc_id"), col("cluster"), col("community"),
+          (col("community") =!= col("cluster")).cast("int").as("split"))
+        .orderBy("doc_id")
+    }
+
+  /** The always-split constructed twin of e163 (the e129b fixture
+    * pattern): five region cliques chained by four bridge edges
+    * (max nation of region r ↔ min nation of region r+1) — ONE
+    * reachability component by construction, FIVE LPA communities,
+    * non-degenerate at every SF because the nation table never
+    * scales. The output carries both facts: five community rows, each
+    * labeled with the shared cc_comp and the graph-wide
+    * n_components = 1, so the "LPA splits what CC merges" claim is IN
+    * the hash-matched result, not in prose.
+    */
+  private def e163bLpaRegions =
+    QueryDef.sql(
+      "e163b_lpa_regions",
+      s"""WITH RECURSIVE n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+         |    CAST(n_regionkey AS BIGINT) AS rk FROM nation),
+         |cl AS (SELECT a.nk AS u, b.nk AS v FROM n a
+         |  JOIN n b ON b.rk = a.rk AND a.nk < b.nk),
+         |bounds AS (SELECT rk, min(nk) AS mn, max(nk) AS mx FROM n
+         |  GROUP BY rk),
+         |br AS (SELECT x.mx AS u, y.mn AS v FROM bounds x
+         |  JOIN bounds y ON y.rk = x.rk + 1),
+         |base AS (SELECT u, v FROM cl UNION ALL SELECT u, v FROM br),
+         |edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |${lpaRoundsDuck(4)},
+         |tot AS (SELECT CAST(count(DISTINCT comp) AS BIGINT)
+         |    AS n_components FROM comp)
+         |SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(min(c.comp) AS BIGINT) AS cc_comp, tot.n_components
+         |FROM l4 l JOIN comp c ON c.node = l.node CROSS JOIN tot
+         |GROUP BY l.lbl, tot.n_components
+         |ORDER BY community""".stripMargin) { (s, dir) =>
+      val n = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("nk"),
+        col("n_regionkey").cast("long").as("rk"))
+      val a = n.select(col("nk").as("u"), col("rk"))
+      val b = n.select(col("nk").as("v"), col("rk"))
+      val cl = a.join(b, Seq("rk")).where(col("u") < col("v"))
+        .select("u", "v")
+      val bounds = n.groupBy("rk")
+        .agg(min(col("nk")).as("mn"), max(col("nk")).as("mx"))
+      val br = bounds.select(col("rk"), col("mx"))
+        .join(bounds.select((col("rk") - 1).as("rk"), col("mn")), "rk")
+        .select(col("mx").as("u"), col("mn").as("v"))
+      val edges = cl.unionByName(br).localCheckpoint(true) // feeds both legs
+      val comp = graft.operators.ConnectedComponents
+        .components(edges, "u", "v")
+      val comm = graft.operators.LabelPropagation
+        .communities(edges, "u", "v", rounds = 4)
+      val tot = comp.agg(countDistinct(col("comp")).as("n_components"))
+      comm.join(comp, "node")
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("comp")).as("cc_comp"))
+        .crossJoin(broadcast(tot))
+        .select(col("community"), col("n_members"), col("cc_comp"),
+          col("n_components"))
+        .orderBy("community")
+    }
 }

@@ -23,7 +23,13 @@ class FewPartitionSpec extends SparkSpecBase {
     // money aggregates: integer-cents arithmetic makes the rounded sums
     // independent of partial-aggregation fold order — double sums are
     // NOT (their boundary flips are exactly what q22 exposed)
-    "q1_pricing_summary", "q22_returned_items")
+    "q1_pricing_summary", "q22_returned_items",
+    // r12: driver-loop selections (histogram collect per round — counts
+    // are integers, so fold order must not matter), the shot-shingle
+    // band join, and the claim-cell overlap join (cell ownership is
+    // arithmetic on values, never on physical placement)
+    "e159_multipass_quantile", "e162_grouped_quantile",
+    "e161_video_neardup", "q60_overlap_join")
 
   private def at(parts: Int): SparkSession = {
     val s = spark.newSession()

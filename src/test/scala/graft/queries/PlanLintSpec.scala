@@ -105,6 +105,8 @@ class PlanLintSpec extends SparkSpecBase {
       "e160_ks_drift", // e154's same spine broadcast + one-row total
       "q59_untapped_balance", // one-row global-average frame crossed
                               // onto the probe, the e22/q49 pattern
+      "e163b_lpa_regions", // one-row component-count frame crossed
+                           // onto the 5-row census, the q8 pattern
       "e156_incremental_cc", // five one-row audit frames (edge counts,
                              // stage-2 node count, component counts,
                              // mismatch) crossed onto the one-row
