@@ -325,7 +325,13 @@ object ExtensionQueries {
   /** DuckDB CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
     * oracle twin of [[minhashVerifiedPairs]], shared by e3 and e32.
     */
-  private[queries] def minhashPairsDuck: String = {
+  private[queries] def minhashPairsDuck: String =
+    minhashPairsDuckFrom("documents")
+
+  /** [[minhashPairsDuck]] with the source relation parameterized — the
+    * oracle-side twin of [[minhashVerifiedPairsFrom]].
+    */
+  private[queries] def minhashPairsDuckFrom(src: String): String = {
     val mhDuck = (0 until 12).map { k =>
       s"list_min(list_transform(shs, x -> (${Portable.MinHashA(k)}*x + " +
         s"${Portable.MinHashB(k)}) % $P)) AS mh$k"
@@ -334,7 +340,7 @@ object ExtensionQueries {
       .map(k => s"mh${2 * k}*$P + mh${2 * k + 1}")
       .mkString("[", ", ", "]")
     s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
        |  WHERE len(wh) >= 3),
        |mh AS (SELECT doc_id, shs,
@@ -365,12 +371,20 @@ object ExtensionQueries {
     * by e3 (pair report) and e32 (cluster construction).
     */
   private[queries] def minhashVerifiedPairs(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairsFrom(Tables.documents(s, dir))
+
+  /** [[minhashVerifiedPairs]] over an explicit (doc_id, text) frame —
+    * the injection point for rep-grain callers (e163 feeds the
+    * exact-collapse representatives, the e155 invariant).
+    */
+  private[queries] def minhashVerifiedPairsFrom(
+      docs: DataFrame): DataFrame = {
     // mh feeds three consumers (the band explode and both verification
     // join sides); repartitioning by doc_id makes all three reuse one
     // exchange, so shingle + MinHash expressions evaluate once per doc
     // and the sa/sb joins need no further shuffle of the array payload.
-    val sh = docShingles(Tables.documents(s, dir))
+    val sh = docShingles(docs)
     val mh = sh.select(col("doc_id"), col("shs"),
       F.min_hashes(col("shs")).as("sig"))
       .repartition(col("doc_id"))
@@ -3422,6 +3436,16 @@ object ExtensionQueries {
     * and e163b is the always-split constructed twin (the e129b
     * pattern) that keeps the splitting path exercised at every SF.
     *
+    * REP grain (the e155/e156 invariant applied UP FRONT): exact
+    * clones collapse to a min-id representative BEFORE the pair
+    * machinery, because a clone set is a clique the detector would
+    * dutifully rebuild — the first doc-grain form probed 120 s /
+    * 14.2 GB shuffle on the 100× dense-replica corpus, ALL of it
+    * candidate/verify work on clone cliques that the collapse removes
+    * by construction. Clone mass survives in the `n_clones` column;
+    * bridges between clone sets survive as rep-rep edges, so the cut
+    * question LPA answers is unchanged.
+    *
     * Scale: LPA rounds are edge⋈label joins + two keyed aggregations
     * over the vote table (Σ degree + |nodes| rows) — the CC cost
     * class; the argmax is a map-side struct max, no window.
@@ -3429,7 +3453,10 @@ object ExtensionQueries {
   private def e163LpaCommunities =
     QueryDef.sql(
       "e163_lpa_communities",
-      s"""WITH RECURSIVE ${minhashPairsDuck.stripPrefix("WITH ")},
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_clones, text
+         |  FROM documents WHERE len(text) > 0 GROUP BY text),
+         |${minhashPairsDuckFrom("reps").stripPrefix("WITH ")},
          |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -3439,11 +3466,19 @@ object ExtensionQueries {
          |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
          |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
          |${lpaRoundsDuck(4)}
-         |SELECT c.node AS doc_id, c.cluster, l.lbl AS community,
+         |SELECT c.node AS doc_id, r2.n_clones, c.cluster,
+         |  l.lbl AS community,
          |  CAST(l.lbl <> c.cluster AS INT) AS split
          |FROM comp c JOIN l4 l ON l.node = c.node
+         |JOIN reps r2 ON r2.doc_id = c.node
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = minhashVerifiedPairs(s, dir)
+      val reps = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_clones"))
+        .localCheckpoint(true) // feeds the pair machinery AND n_clones
+      val pairs = minhashVerifiedPairsFrom(reps.select("doc_id", "text"))
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b")
         .localCheckpoint(true) // feeds BOTH the CC and the LPA legs
@@ -3453,7 +3488,10 @@ object ExtensionQueries {
         .communities(pairs, "doc_a", "doc_b", rounds = 4)
       comp.select(col("node"), col("comp").as("cluster"))
         .join(comm, "node")
-        .select(col("node").as("doc_id"), col("cluster"), col("community"),
+        .join(reps.select(col("doc_id").as("node"), col("n_clones")),
+          "node")
+        .select(col("node").as("doc_id"), col("n_clones"), col("cluster"),
+          col("community"),
           (col("community") =!= col("cluster")).cast("int").as("split"))
         .orderBy("doc_id")
     }
