@@ -103,9 +103,11 @@ object Bench {
         "e158_nn_descent_inc," + // the new/old-flags variant — same
         // per-round eager-checkpoint shape as e147
         "e156_incremental_cc," + // three pointer-jumping CC legs (base,
-        "e156b_incremental_cc_persist") // four CC legs + two parquet
+        "e156b_incremental_cc_persist," + // four CC legs + two parquet
         // label roundtrips — the e156 shape plus disk
         // contracted, full) — the e32/e45 iterative shape, thrice
+        "e163_lpa_communities") // CC + 4 LPA rounds over the rep pair
+        // graph — the e32 iterative-checkpoint shape, twice
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
     // in-session but fails in the fresh session (different
