@@ -336,6 +336,37 @@ class RocksDBStateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamSessionOverlap emits the same final overlaps on RocksDB " +
+    "state (the composed Sessionize state rides the provider)") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def us(h: Int, m: Int): Long = ts(h, m).getTime * 1000L
+    val incidents = Seq((100L, us(10, 2), us(10, 4)))
+      .toDF("incident_id", "i_st", "i_en")
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamSessionOverlap.overlaps(
+      ms.toDF().toDF("user_id", "event_id", "ts"), incidents,
+      watermark = "5 minutes", gapSec = 1800L, cell = 300000000L)
+      .writeStream
+      .format("memory").queryName("rocks_sov").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // session [10:00, 10:10] closed by the 11:00 event's gap
+      ms.addData(Seq((1L, 1L, ts(10, 0)), (1L, 2L, ts(10, 10)),
+        (1L, 3L, ts(11, 0))))
+      q.processAllAvailable()
+      val got = s.table("rocks_sov")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq(
+        (100L, 1L, us(10, 0), us(10, 10), 120000000L)))
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
+
   test("StreamEmbedDrift fixed-point sums accumulate identically on " +
     "RocksDB state") {
     val s = rocksSession()
