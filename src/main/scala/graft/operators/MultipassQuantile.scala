@@ -51,9 +51,15 @@ object MultipassQuantile {
     require(psBp.nonEmpty, "at least one quantile target required")
     require(psBp.forall(p => p >= 1 && p <= 10000),
       s"quantile targets must be in [1, 10000] bp, got $psBp")
+    require(psBp.distinct.size == psBp.size,
+      s"duplicate quantile targets double-count histogram rows, got $psBp")
     require(buckets >= 2, s"need at least 2 buckets per round, got $buckets")
     val spark = xs.sparkSession
+    // NULLs out at entry: a NULL x would count into n (count(lit(1)))
+    // yet never enter any refinement histogram (the range predicate
+    // filters it), breaking the rank invariant the assert below pins.
     val x = xs.select(col(xCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
 
     // Round 0: min / max / count in one scan (one collected row).
     val r0 = x.agg(min(col("x")), max(col("x")), count(lit(1))).head()
@@ -145,10 +151,17 @@ object MultipassQuantile {
     require(psBp.nonEmpty, "at least one quantile target required")
     require(psBp.forall(p => p >= 1 && p <= 10000),
       s"quantile targets must be in [1, 10000] bp, got $psBp")
+    require(psBp.distinct.size == psBp.size,
+      s"duplicate quantile targets double-count histogram rows, got $psBp")
     require(buckets >= 2, s"need at least 2 buckets per round, got $buckets")
     val spark = xs.sparkSession
+    // NULL group keys and NULL x both out at entry (the
+    // LabelPropagation NULL-endpoint discipline): a NULL group would
+    // NPE groups.sorted and vanish from the when-ladder; a NULL x
+    // breaks the rank invariant as in [[select]].
     val x0 = xs.select(col(groupCol).cast("string").as("g"),
       col(xCol).cast("long").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
 
     // Round 0: per-group min / max / count (one bounded collected set).
     val r0 = x0.groupBy(col("g"))

@@ -692,8 +692,7 @@ object CurationQueries {
       .localCheckpoint(true)
     // the storage boundary: labels leave the plan as parquet and come
     // back as a fresh scan — the fold below cannot see their lineage
-    val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-scratch", "e156b").toString
+    val scratch = Scratch.dir(s, "e156b")
     def persistLabels(df: org.apache.spark.sql.DataFrame,
         name: String): org.apache.spark.sql.DataFrame = {
       val p = s"$scratch/$name"

@@ -561,13 +561,12 @@ object PipelineQueries {
       |  count(DISTINCT lang) AS n_langs
       |FROM documents WHERE n_chars >= 100
       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    // Fixed scratch path, not a fresh createTempDirectory: the returned
-    // DataFrame reads the ORC copy LAZILY (Bench counts it later, and
-    // 3 timed passes re-invoke this builder), so an eager delete would
-    // race the read — instead every invocation overwrites the SAME
-    // path and repeated Bench/Verify runs hold exactly one corpus copy.
-    val tmp = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft-scratch", "g5-orc").toString
+    // Session-stable scratch (see [[Scratch]]): the returned DataFrame
+    // reads the ORC copy LAZILY (Bench counts it later, and 3 timed
+    // passes re-invoke this builder), so the path must survive
+    // re-invocation within the session — while staying disjoint from
+    // any concurrently-running session's copy.
+    val tmp = Scratch.dir(s, "g5-orc")
     Tables.documents(s, dir)
       .write.mode("overwrite").orc(s"$tmp/documents.orc")
     s.read.orc(s"$tmp/documents.orc")
@@ -608,20 +607,25 @@ object PipelineQueries {
        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
        |FROM fp WHERE fp = (SELECT fp FROM fp WHERE doc_id = 42)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val tmp = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft-scratch", "g6-bloom")
-      .toString
+    val tmp = Scratch.dir(s, "g6-bloom")
     val keyed = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
         graft.functions.F.poly_hash(col("text")).as("fp"))
     graft.sources.Layout.writeBloomFiltered(
       keyed, s"$tmp/docs_fp.parquet", Seq("fp"), expectedNdv = 1000000L)
     val table = s.read.parquet(s"$tmp/docs_fp.parquet")
-    val key = table.filter(col("doc_id") === 42L)
-      .select(col("fp")).head().getLong(0)
-    table.filter(col("fp") === key)
+    // headOption, not head(): the oracle's scalar subquery yields NULL
+    // when doc 42 is absent and `fp = NULL` matches nothing — an empty
+    // result, not a crash. Mirror that with an always-false predicate
+    // on the same projection so schema and (empty) hash still match.
+    val out = table
       .select(col("doc_id"), col("source"),
-        col("n_chars").cast("long").as("n_chars"))
-      .orderBy("doc_id")
+        col("n_chars").cast("long").as("n_chars"), col("fp"))
+    table.filter(col("doc_id") === 42L).select(col("fp"))
+      .head(1).headOption match {
+      case Some(r) => out.filter(col("fp") === r.getLong(0))
+        .drop("fp").orderBy("doc_id")
+      case None => out.filter(lit(false)).drop("fp")
+    }
   }
 }

@@ -58,3 +58,19 @@ object QueryDef {
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)
 }
+
+/** Session-scoped scratch paths for queries that materialize an
+  * intermediate copy (g5's ORC roundtrip, g6's bloom layout, e156b's
+  * label parquet). The path must be STABLE across re-invocations inside
+  * one session — returned DataFrames read the copy lazily and Bench's
+  * timed passes re-invoke the builder, so a fresh createTempDirectory
+  * per call would race its own eager cleanup — but DISJOINT across
+  * concurrent sessions, or two Verify/Bench runs overwrite each other's
+  * files mid-read. `applicationId` is exactly that scope: one id per
+  * SparkContext, constant for the session's lifetime.
+  */
+private[graft] object Scratch {
+  def dir(s: SparkSession, leaf: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-scratch", s.sparkContext.applicationId, leaf).toString
+}

@@ -87,6 +87,36 @@ class MultipassQuantileSpec extends SparkSpecBase {
     assert(picks == Seq(("a", 5000L, 1L, -5L), ("b", 5000L, 1L, -100L)))
   }
 
+  test("NULL values and NULL group keys are excluded at entry") {
+    import spark.implicits._
+    // NULL x must not count into n (it can never be located by any
+    // refinement histogram); a NULL group key must not survive into
+    // the when-ladder / groups.sorted path.
+    val vals = Seq(Some(1L), None, Some(3L), Some(5L), None)
+    val (n, picks, _) =
+      MultipassQuantile.select(vals.toDF("x"), "x", Seq(5000L, 10000L))
+    assert(n == 3L)
+    assert(picks.map(_._3) == Seq(3L, 5L))
+
+    val g = Seq((Some("a"), Some(1L)), (Some("a"), Some(9L)),
+      (None, Some(100L)), (Some("b"), None), (Some("b"), Some(4L)))
+      .toDF("g", "x")
+    val (ns, gp, _) =
+      MultipassQuantile.selectGrouped(g, "g", "x", Seq(10000L))
+    assert(ns == Map("a" -> 2L, "b" -> 1L))
+    assert(gp == Seq(("a", 10000L, 2L, 9L), ("b", 10000L, 1L, 4L)))
+  }
+
+  test("duplicate quantile targets are rejected (rank double-count)") {
+    import spark.implicits._
+    assertThrows[IllegalArgumentException](
+      MultipassQuantile.select(
+        Seq(1L, 2L).toDF("x"), "x", Seq(5000L, 5000L)))
+    assertThrows[IllegalArgumentException](
+      MultipassQuantile.selectGrouped(
+        Seq(("a", 1L)).toDF("g", "x"), "g", "x", Seq(5000L, 5000L)))
+  }
+
   test("empty input and bad targets fail loudly") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("x")
