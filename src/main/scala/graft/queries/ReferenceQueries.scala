@@ -390,12 +390,35 @@ object ReferenceQueries {
   }
 
   /** Bernoulli sample + limit twin (SURVEY §2.7 L1-L2, sample_table.sql:3-5).
-    * Seeded but sampler-implementation-specific => Spark-only rows check.
+    * The sample rule is the repo's deterministic value-hash Bernoulli
+    * (the e23/e63 split discipline — [[graft.gen.MockData.hashLong]] on
+    * the row key under a fixed seed, keep when the draw falls below
+    * ceil(0.05·P)) instead of `df.sample`, whose acceptance set is the
+    * engine's RNG-stream implementation detail: same 5% seeded-sample
+    * contract, but replayable bit-for-bit by ANY engine, so the query
+    * gains a DuckDB twin and a hash-green CORRECTNESS row (it was the
+    * suite's one `no_oracle` entry through r12). The LIMIT leg is made
+    * order-deterministic the q13 way — smallest 50 keys of the sample,
+    * which Spark executes as TakeOrderedAndProject (per-partition top-k
+    * + driver merge, no global sort). SamplingSpec keeps the rate pin
+    * (binomial bound on the pre-limit count) and the subset/determinism
+    * invariants.
     */
-  private def q12SampleLimit = QueryDef.sparkOnly("q12_sample_limit") {
-    (s, dir) =>
-      Tables.customer(s, dir).sample(withReplacement = false, 0.05, seed = 42)
+  private def q12SampleLimit = {
+    val seed = 42L
+    val t5 = math.ceil(0.05 * graft.functions.Portable.P).toLong
+    QueryDef.sql(
+      "q12_sample_limit",
+      s"""SELECT * FROM customer
+         |WHERE ${graft.gen.MockData.hashLongDuck(seed, "sample",
+          "c_custkey")} < $t5
+         |ORDER BY c_custkey LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(graft.gen.MockData.hashLong(seed, "sample",
+          col("c_custkey")) < t5)
+        .orderBy("c_custkey")
         .limit(50)
+    }
   }
 
   /** Sort/limit top-k (SURVEY §2.7): deterministic via rounded measure +
