@@ -44,6 +44,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*)
       .parquet(path)
+    writeLayoutMarker(df.sparkSession, path, Seq(
+      "kind" -> "partitioned", "cols" -> partCols.mkString(",")))
   }
 
   /** Save `df` as a bucketed+sorted catalog table (bucket pruning and
@@ -184,6 +186,59 @@ object Layout {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** The LAYOUT CONTRACT marker — `_graft_layout`, an underscore-
+    * prefixed key=value file inside the data directory (invisible to
+    * the parquet reader, dropped atomically with the data, the
+    * `_graft_fingerprint` discipline). [[writeZOrdered]],
+    * [[writeBloomFiltered]] and [[writePartitioned]] record WHAT
+    * physical property their write paid for, so maintenance passes can
+    * re-establish it instead of silently flattening it: through r12,
+    * [[compact]] rewrote every table as a plain round-robin
+    * repartition — run on a bloom-filtered table it dropped the
+    * per-row-group filters (no `parquet.bloom.filter.*` options on the
+    * rewrite), run on a z-ordered table it scattered the Morton
+    * clustering — both SILENT degradations (results stay correct, scans
+    * go full) in exactly the pass that runs constantly at 100 TB.
+    */
+  private val LayoutMarkerName = "_graft_layout"
+
+  private def layoutMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), LayoutMarkerName)
+
+  private def writeLayoutMarker(
+      spark: SparkSession, path: String,
+      props: Seq[(String, String)]): Unit = {
+    val mp = layoutMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(props.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded layout contract of `path`, if any write here declared
+    * one. Absent marker = plain layout (pre-contract tables compact as
+    * before — the conservative default).
+    */
+  def readLayoutContract(
+      spark: SparkSession, path: String): Option[Map[String, String]] = {
+    val mp = layoutMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.linesIterator.filter(_.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap)
+    }
+  }
+
   /** Write `df` Z-order-clustered on two LONG dimension columns: Morton-
     * interleave the low `bits` bits of each
     * ([[graft.functions.F.morton2]], codegen'd), range-partition into
@@ -200,7 +255,7 @@ object Layout {
     */
   def writeZOrdered(
       df: DataFrame, path: String, xCol: String, yCol: String,
-      files: Int, bits: Int = 16): Unit =
+      files: Int, bits: Int = 16): Unit = {
     df.withColumn("__z",
       graft.functions.F.morton2(col(xCol), col(yCol), bits))
       .repartitionByRange(files, col("__z"))
@@ -208,6 +263,10 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+    writeLayoutMarker(df.sparkSession, path, Seq(
+      "kind" -> "zorder", "x" -> xCol, "y" -> yCol,
+      "bits" -> bits.toString))
+  }
 
   /** Compact a parquet directory into ≈`targetBytes` files — the
     * maintenance pass that undoes small-files accumulation from
@@ -225,6 +284,20 @@ object Layout {
     * silently lost the way an unchecked delete-then-rename could lose
     * them (rename returning false is a normal failure mode on object
     * stores). Returns the new file count.
+    *
+    * The rewrite HONORS the table's recorded layout contract
+    * (`_graft_layout`, written by [[writeZOrdered]] /
+    * [[writeBloomFiltered]] / [[writePartitioned]]): a z-ordered table
+    * is re-clustered (morton2 + range-repartition + sort-within, same
+    * x/y/bits) so file min/max stay tight bounding boxes; a
+    * bloom-filtered table gets its `parquet.bloom.filter.*` options
+    * re-applied (same cols/ndv) so point lookups keep skipping row
+    * groups; the marker itself is re-written into the new directory so
+    * the contract survives repeated compactions. Hive-PARTITIONED
+    * layouts are refused (a root-level rewrite would flatten the
+    * directory scheme — compact each leaf partition directory instead,
+    * which is plain by construction). Tables with no marker compact as
+    * plain round-robin, as before.
     */
   def compact(
       spark: SparkSession, path: String,
@@ -238,9 +311,42 @@ object Layout {
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(
         s"compact: cannot clear stale aside dir $old")
-    spark.read.parquet(path)
-      .repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val contract = readLayoutContract(spark, path)
+    val src = spark.read.parquet(path)
+    contract.map(_.getOrElse("kind", "plain")) match {
+      case Some("zorder") =>
+        val c = contract.get
+        val (x, y, bits) = (c("x"), c("y"), c("bits").toInt)
+        src.withColumn("__z",
+          graft.functions.F.morton2(col(x), col(y), bits))
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        writeLayoutMarker(spark, tmp.toString, Seq(
+          "kind" -> "zorder", "x" -> x, "y" -> y,
+          "bits" -> bits.toString))
+      case Some("bloom") =>
+        val c = contract.get
+        val (cols, ndv) = (c("cols").split(',').toSeq, c("ndv"))
+        val w = cols.foldLeft(src.repartition(n).write) { (wr, bc) =>
+          wr.option(s"parquet.bloom.filter.enabled#$bc", "true")
+            .option(s"parquet.bloom.filter.expected.ndv#$bc", ndv)
+        }
+        w.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        writeLayoutMarker(spark, tmp.toString, Seq(
+          "kind" -> "bloom", "cols" -> cols.mkString(","),
+          "ndv" -> ndv))
+      case Some("partitioned") =>
+        throw new IllegalArgumentException(
+          s"compact: $path is hive-partitioned (cols=" +
+            s"${contract.get.getOrElse("cols", "?")}); a root rewrite " +
+            "would flatten the directory scheme — compact each leaf " +
+            "partition directory instead")
+      case _ =>
+        src.repartition(n)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     // Swap via rename-aside: the original is moved, not deleted, until
     // the rewrite is live at the published path.
     if (!fs.rename(hPath, old))
@@ -290,5 +396,8 @@ object Layout {
           expectedNdv.toString)
     }
     w.mode(SaveMode.Overwrite).parquet(path)
+    writeLayoutMarker(df.sparkSession, path, Seq(
+      "kind" -> "bloom", "cols" -> bloomCols.mkString(","),
+      "ndv" -> expectedNdv.toString))
   }
 }

@@ -325,4 +325,108 @@ class LayoutSpec extends SparkSpecBase {
       .as[Long].collect().toSeq === Seq(42L))
     assert(back.filter(col("fp") === -1L).count() === 0L)
   }
+
+  /** Per-row-group bloom offsets of column `c` across every parquet part
+    * under `dir`: (chunks with a filter, chunks without).
+    */
+  private def bloomChunkCounts(dir: String, c: String): (Int, Int) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    var withF = 0
+    var without = 0
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try rdr.getRowGroups.forEach(_.getColumns.forEach { cc =>
+          if (cc.getPath.toDotString == c) {
+            if (cc.getBloomFilterOffset >= 0) withF += 1 else without += 1
+          }
+        })
+        finally rdr.close()
+      }
+    (withF, without)
+  }
+
+  test("compact preserves the bloom layout contract (VERDICT r12 #1): " +
+    "offsets survive the rewrite and lookups stay exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bloomc").toString + "/t"
+    // small-files accumulation on a bloom-keyed table: 6 appends
+    val df = (0L until 3000L)
+      .map(i => (i, (i * 2654435761L) % 1000000007L))
+      .toDF("id", "fp")
+    Layout.writeBloomFiltered(df, dir, Seq("fp"), expectedNdv = 3000L,
+      files = 6)
+    val (pre, preMissing) = bloomChunkCounts(dir, "fp")
+    assert(pre > 0 && preMissing === 0)
+
+    val n = Layout.compact(spark, dir, targetBytes = 1L << 40)
+    assert(n === 1)
+    // the r12 failure mode: the rewrite dropped every bloom filter
+    // (correct rows, full-scan lookups). Now the contract re-applies.
+    val (post, postMissing) = bloomChunkCounts(dir, "fp")
+    assert(post > 0, "compact dropped the bloom filters")
+    assert(postMissing === 0)
+    // contract survives REPEATED compaction (marker re-written)
+    assert(Layout.readLayoutContract(spark, dir)
+      .exists(_.get("kind").contains("bloom")))
+    val back = spark.read.parquet(dir)
+    val presentKey = (42L * 2654435761L) % 1000000007L
+    assert(back.filter(col("fp") === presentKey).select("id")
+      .as[Long].collect().toSeq === Seq(42L))
+    assert(back.count() === 3000L)
+  }
+
+  test("compact preserves z-order clustering: file bounding boxes stay " +
+    "tight instead of degrading to full-span round-robin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zordc").toString + "/ev"
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+        .toList)
+    Layout.writeZOrdered(pts.toDF("x", "y"), dir, "x", "y",
+      files = 16, bits = 6)
+    // size targetBytes so the rewrite lands on ~4 files
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Layout.compact(spark, dir, targetBytes = total / 4 + 1)
+    assert(n >= 2 && n <= 6, s"n=$n")
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4096)
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    assert(boxes.length === n)
+    // a round-robin rewrite gives every file the full 64x64 span
+    // (area 4096); a preserved morton order gives ~(4096/n) per file.
+    // Allow 4x for range-boundary jitter.
+    boxes.foreach { r =>
+      val area = (r.getLong(2) - r.getLong(1) + 1) *
+        (r.getLong(4) - r.getLong(3) + 1)
+      assert(area <= 4 * (4096 / n), s"file ${r.getString(0)}: area $area")
+    }
+    assert(Layout.readLayoutContract(spark, dir)
+      .exists(_.get("kind").contains("zorder")))
+  }
+
+  test("compact refuses a hive-partitioned root (flattening guard)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_partc").toString + "/t"
+    val df = (0 until 100).map(i => (i.toLong, s"p${i % 3}"))
+      .toDF("id", "part")
+    Layout.writePartitioned(df, dir, Seq("part"))
+    val e = intercept[IllegalArgumentException](
+      Layout.compact(spark, dir))
+    assert(e.getMessage.contains("hive-partitioned"))
+    // data untouched by the refusal
+    assert(spark.read.parquet(dir).count() === 100)
+    // a LEAF partition directory is plain by construction and compacts
+    val leaf = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part=")).head.getAbsolutePath
+    Layout.compact(spark, leaf, targetBytes = 1L << 40)
+    assert(spark.read.parquet(dir).count() === 100)
+  }
 }
