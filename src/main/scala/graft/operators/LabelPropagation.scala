@@ -51,7 +51,30 @@ object LabelPropagation {
     */
   def communities(
       edges: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4): DataFrame =
+    run(edges, aCol, bCol, rounds, trackChurn = false)._1
+
+  /** [[communities]] plus the per-round LABELS-CHANGED count (e158's
+    * n_updates posture applied to the pinned-rounds contract): callers
+    * see stabilization as a measured number instead of trusting
+    * rounds=N. The synchronous update is deterministic in the previous
+    * labeling, so churn 0 at round r is a FIXPOINT certificate — every
+    * later round reproduces the same labels (LabelPropagationSpec pins
+    * this on the chained-clique fixture). Each count is one job over
+    * two already-checkpointed per-round frames (|nodes| rows joined on
+    * the node key) — metered, bounded, and only on this overload.
+    *
+    * @return (labels, churn) — churn(i) = nodes whose label changed in
+    *         round i+1; length == rounds
+    */
+  def communitiesWithChurn(
+      edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 4): (DataFrame, Seq[Long]) =
+    run(edges, aCol, bCol, rounds, trackChurn = true)
+
+  private def run(
+      edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int, trackChurn: Boolean): (DataFrame, Seq[Long]) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val dir = edges.select(
       col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
@@ -67,6 +90,7 @@ object LabelPropagation {
       .localCheckpoint(true)
     def release(df: DataFrame): Unit =
       ConnectedComponents.releaseLocalCheckpoint(df)
+    val churn = Seq.newBuilder[Long]
     try {
       for (_ <- 1 to rounds) {
         val votes = sym
@@ -84,10 +108,16 @@ object LabelPropagation {
           .agg(max(struct(col("c"), (-col("cand")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("community"))
           .localCheckpoint(true)
+        if (trackChurn)
+          churn += next.as("n")
+            .join(labels.select(col("node"),
+              col("community").as("prev")), "node")
+            .filter(col("community") =!= col("prev"))
+            .count()
         release(labels)
         labels = next
       }
-      labels
+      (labels, churn.result())
     } catch {
       case t: Throwable => release(labels); throw t
     } finally {

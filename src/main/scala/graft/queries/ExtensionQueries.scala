@@ -46,7 +46,8 @@ object ExtensionQueries {
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
     e80Winnowing, e81MrlTruncation, e125MutualKnn, e125bMutualKnnInt8,
-    e163LpaCommunities, e163bLpaRegions,
+    e163LpaCommunities, e163bLpaRegions, e163cLpaChurn,
+    e164CommunityDedupApply, e164bCommunityApplyRegions,
     e128SortedNeighborhood, e133ClusterCensus, e144Containment)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
@@ -3496,29 +3497,55 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }
 
-  /** The always-split constructed twin of e163 (the e129b fixture
-    * pattern): five region cliques chained by four bridge edges
-    * (max nation of region r ↔ min nation of region r+1) — ONE
-    * reachability component by construction, FIVE LPA communities,
-    * non-degenerate at every SF because the nation table never
-    * scales. The output carries both facts: five community rows, each
-    * labeled with the shared cc_comp and the graph-wide
-    * n_components = 1, so the "LPA splits what CC merges" claim is IN
-    * the hash-matched result, not in prose.
+  /** The chained-clique fixture graph shared by the e163b/e163c/e164b
+    * always-split family (the e129b pattern): five region cliques
+    * chained by four bridge edges (max nation of region r ↔ min nation
+    * of region r+1) — ONE reachability component by construction, FIVE
+    * LPA communities, non-degenerate at every SF because the nation
+    * table never scales.
+    */
+  private def regionCliqueEdges(
+      s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("nk"),
+      col("n_regionkey").cast("long").as("rk"))
+    val a = n.select(col("nk").as("u"), col("rk"))
+    val b = n.select(col("nk").as("v"), col("rk"))
+    val cl = a.join(b, Seq("rk")).where(col("u") < col("v"))
+      .select("u", "v")
+    val bounds = n.groupBy("rk")
+      .agg(min(col("nk")).as("mn"), max(col("nk")).as("mx"))
+    val br = bounds.select(col("rk"), col("mx"))
+      .join(bounds.select((col("rk") - 1).as("rk"), col("mn")), "rk")
+      .select(col("mx").as("u"), col("mn").as("v"))
+    cl.unionByName(br)
+  }
+
+  /** Oracle twin of [[regionCliqueEdges]]: CTE chain ending in the
+    * symmetric `edges(u, v)` relation [[lpaRoundsDuck]] consumes.
+    */
+  private def regionCliqueDuck: String =
+    s"""n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+       |    CAST(n_regionkey AS BIGINT) AS rk FROM nation),
+       |cl AS (SELECT a.nk AS u, b.nk AS v FROM n a
+       |  JOIN n b ON b.rk = a.rk AND a.nk < b.nk),
+       |bounds AS (SELECT rk, min(nk) AS mn, max(nk) AS mx FROM n
+       |  GROUP BY rk),
+       |br AS (SELECT x.mx AS u, y.mn AS v FROM bounds x
+       |  JOIN bounds y ON y.rk = x.rk + 1),
+       |base AS (SELECT u, v FROM cl UNION ALL SELECT u, v FROM br),
+       |edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base)"""
+      .stripMargin
+
+  /** The always-split constructed twin of e163: the fixture graph's
+    * community rows, each labeled with the shared cc_comp and the
+    * graph-wide n_components = 1, so the "LPA splits what CC merges"
+    * claim is IN the hash-matched result, not in prose.
     */
   private def e163bLpaRegions =
     QueryDef.sql(
       "e163b_lpa_regions",
-      s"""WITH RECURSIVE n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
-         |    CAST(n_regionkey AS BIGINT) AS rk FROM nation),
-         |cl AS (SELECT a.nk AS u, b.nk AS v FROM n a
-         |  JOIN n b ON b.rk = a.rk AND a.nk < b.nk),
-         |bounds AS (SELECT rk, min(nk) AS mn, max(nk) AS mx FROM n
-         |  GROUP BY rk),
-         |br AS (SELECT x.mx AS u, y.mn AS v FROM bounds x
-         |  JOIN bounds y ON y.rk = x.rk + 1),
-         |base AS (SELECT u, v FROM cl UNION ALL SELECT u, v FROM br),
-         |edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+      s"""WITH RECURSIVE $regionCliqueDuck,
          |reach(node, r) AS (
          |  SELECT u, u FROM edges
          |  UNION
@@ -3532,19 +3559,8 @@ object ExtensionQueries {
          |FROM l4 l JOIN comp c ON c.node = l.node CROSS JOIN tot
          |GROUP BY l.lbl, tot.n_components
          |ORDER BY community""".stripMargin) { (s, dir) =>
-      val n = Tables.nation(s, dir).select(
-        col("n_nationkey").cast("long").as("nk"),
-        col("n_regionkey").cast("long").as("rk"))
-      val a = n.select(col("nk").as("u"), col("rk"))
-      val b = n.select(col("nk").as("v"), col("rk"))
-      val cl = a.join(b, Seq("rk")).where(col("u") < col("v"))
-        .select("u", "v")
-      val bounds = n.groupBy("rk")
-        .agg(min(col("nk")).as("mn"), max(col("nk")).as("mx"))
-      val br = bounds.select(col("rk"), col("mx"))
-        .join(bounds.select((col("rk") - 1).as("rk"), col("mn")), "rk")
-        .select(col("mx").as("u"), col("mn").as("v"))
-      val edges = cl.unionByName(br).localCheckpoint(true) // feeds both legs
+      val edges = regionCliqueEdges(s, dir)
+        .localCheckpoint(true) // feeds both legs
       val comp = graft.operators.ConnectedComponents
         .components(edges, "u", "v")
       val comm = graft.operators.LabelPropagation
@@ -3556,6 +3572,196 @@ object ExtensionQueries {
         .crossJoin(broadcast(tot))
         .select(col("community"), col("n_members"), col("cc_comp"),
           col("n_components"))
+        .orderBy("community")
+    }
+
+  /** STABILIZATION metering for the pinned-rounds LPA contract
+    * ([[graft.operators.LabelPropagation.communitiesWithChurn]], the
+    * e158 n_updates posture): per synchronous round, how many nodes
+    * changed label — run past the pinned 4 rounds (6 here) on the
+    * always-split fixture so the zero tail is VISIBLE in the
+    * hash-matched output. The synchronous update is deterministic in
+    * the previous labeling, so the first churn-0 round is a fixpoint
+    * certificate: every later round reproduces the same labels
+    * (LabelPropagationSpec pins churn-0 ⇒ label equality). This is the
+    * number a caller reads to decide whether rounds=4 was enough,
+    * instead of trusting the pin.
+    *
+    * Scale: churn is one |nodes|-row keyed join per round between two
+    * already-checkpointed label frames — the metering costs one extra
+    * bounded job per round, only on this overload.
+    */
+  private def e163cLpaChurn = {
+    val rounds = 6
+    QueryDef.sql(
+      "e163c_lpa_churn",
+      s"""WITH $regionCliqueDuck,
+         |${lpaRoundsDuck(rounds)}
+         |SELECT * FROM (
+         |${(1 to rounds).map { r =>
+        s"  SELECT CAST($r AS BIGINT) AS round, (SELECT " +
+          s"CAST(count(*) AS BIGINT) FROM l$r a JOIN l${r - 1} b " +
+          s"ON b.node = a.node WHERE a.lbl <> b.lbl) AS n_changed"
+      }.mkString("\n  UNION ALL\n")}
+         |) ORDER BY round""".stripMargin) { (s, dir) =>
+      val edges = regionCliqueEdges(s, dir)
+      val (labels, churn) = graft.operators.LabelPropagation
+        .communitiesWithChurn(edges, "u", "v", rounds = rounds)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(labels)
+      import s.implicits._
+      churn.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c) }
+        .toDF("round", "n_changed")
+        .orderBy("round")
+    }
+  }
+
+  /** COMMUNITY-SCOPED dedup apply — the operator that ACTS on e163's
+    * split signal (VERDICT r12 #1). e45/e155 keep one survivor per
+    * reachability component (min id), which on an over-merged graph —
+    * two boilerplate templates linked by a few hybrid docs — deletes a
+    * whole template. Here the survivor rule is one per LPA COMMUNITY:
+    * inside a split component each dense region keeps its own min-id
+    * survivor; in a non-split component the single community's min IS
+    * the component min, so the rule degenerates to exactly e45's
+    * behavior. Per-source yield columns are e45/e71's report shape,
+    * plus `n_rescued` — reps kept ONLY because of community scoping
+    * (community min ≠ component min), i.e. the docs the CC-grain apply
+    * would have wrongly deleted. On this pair-dominated corpus the
+    * honest value is 0 everywhere (e163 reads split = 0 — communities
+    * coincide with components); e164b is the always-populated
+    * constructed twin that keeps the rescue path hash-checked at every
+    * SF, and CommunityApplySpec pins "both templates keep a survivor"
+    * on the fixture.
+    *
+    * REP grain throughout (the e155/e156/e163 invariant): exact clones
+    * collapse to a min-id representative BEFORE the pair machinery —
+    * the digest groupBy shuffles 32-byte digests, never text — and the
+    * exact-drop mass is reported from the same digest map. Survivor
+    * selection is one keyed min per community plus one |reps|-row
+    * broadcast-joinable status frame; no window, no per-cluster sort,
+    * nothing pair-grain beyond the banded candidate join e3 already
+    * pays.
+    */
+  private def e164CommunityDedupApply =
+    QueryDef.sql(
+      "e164_community_dedup_apply",
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, text
+         |  FROM documents GROUP BY text),
+         |${minhashPairsDuckFrom("reps").stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |${lpaRoundsDuck(4)},
+         |surv AS (SELECT lbl, min(node) AS s FROM l4 GROUP BY lbl),
+         |st AS (SELECT l.node, c.cluster,
+         |    CASE WHEN l.node = v.s THEN 1 ELSE 0 END AS is_surv
+         |  FROM l4 l JOIN comp c ON c.node = l.node
+         |  JOIN surv v ON v.lbl = l.lbl),
+         |fx AS (SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+         |  FROM documents),
+         |cls AS (SELECT f.source,
+         |    CASE WHEN f.doc_id <> f.rep_id THEN 1 ELSE 0 END AS ex,
+         |    CASE WHEN f.doc_id = f.rep_id AND st.is_surv = 0
+         |      THEN 1 ELSE 0 END AS nr,
+         |    CASE WHEN f.doc_id = f.rep_id AND st.is_surv = 1
+         |      AND st.node <> st.cluster THEN 1 ELSE 0 END AS resc
+         |  FROM fx f LEFT JOIN st ON st.node = f.rep_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ex) AS BIGINT) AS n_exact_dropped,
+         |  CAST(sum(nr) AS BIGINT) AS n_near_dropped,
+         |  CAST(count(*) - sum(ex) - sum(nr) AS BIGINT) AS n_kept,
+         |  CAST(sum(resc) AS BIGINT) AS n_rescued
+         |FROM cls GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"),
+            sha2(col("text"), 256).as("dig"))
+        val firsts = docs.groupBy("dig")
+          .agg(min(col("doc_id")).as("rep_id"))
+        val reps = docs.join(firsts, "dig")
+          .where(col("doc_id") === col("rep_id"))
+          .select("doc_id", "text")
+        val pairs = minhashVerifiedPairsFrom(reps)
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b")
+          .localCheckpoint(true) // feeds BOTH the CC and the LPA legs
+        val comp = graft.operators.ConnectedComponents
+          .components(pairs, "doc_a", "doc_b")
+        val comm = graft.operators.LabelPropagation
+          .communities(pairs, "doc_a", "doc_b", rounds = 4)
+        val surv = comm.groupBy("community").agg(min(col("node")).as("s"))
+        val st = comm.join(comp, "node").join(surv, "community")
+          .select(col("node").as("rep_id"),
+            col("comp").as("cluster"),
+            (col("node") === col("s")).cast("int").as("is_surv"))
+        // classification leg never shuffles text: (doc_id, source, dig)
+        // joins the digest map, then the |graph-reps|-row status frame
+        docs.select(col("doc_id"), col("source"), col("dig"))
+          .join(firsts, "dig")
+          .join(st, Seq("rep_id"), "left")
+          .select(col("source"),
+            when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L)
+              .as("ex"),
+            when(col("doc_id") === col("rep_id") && col("is_surv") === 0,
+              1L).otherwise(0L).as("nr"),
+            when(col("doc_id") === col("rep_id") && col("is_surv") === 1
+              && col("rep_id") =!= col("cluster"), 1L).otherwise(0L)
+              .as("resc"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ex")).as("n_exact_dropped"),
+            sum(col("nr")).as("n_near_dropped"),
+            (count(lit(1)) - sum(col("ex")) - sum(col("nr"))).as("n_kept"),
+            sum(col("resc")).as("n_rescued"))
+          .orderBy("source")
+    }
+
+  /** The always-populated constructed twin of e164's RESCUE path (the
+    * e129b/e163b pattern, on the same chained-clique fixture): one
+    * reachability component, five communities — the CC-grain rule
+    * keeps ONE survivor (the component min), the community-scoped rule
+    * keeps FIVE, so four rows carry rescued = 1 in the hash-matched
+    * output at every SF. Each row is one community's apply outcome:
+    * its survivor (community min), member count, the shared component
+    * canonical, and whether only community scoping saved it.
+    */
+  private def e164bCommunityApplyRegions =
+    QueryDef.sql(
+      "e164b_community_apply_regions",
+      s"""WITH RECURSIVE $regionCliqueDuck,
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |${lpaRoundsDuck(4)}
+         |SELECT l.lbl AS community, CAST(min(l.node) AS BIGINT) AS survivor,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(min(c.cluster) AS BIGINT) AS cc_comp,
+         |  CAST(min(l.node) <> min(c.cluster) AS INT) AS rescued
+         |FROM l4 l JOIN comp c ON c.node = l.node
+         |GROUP BY l.lbl ORDER BY community""".stripMargin) { (s, dir) =>
+      val edges = regionCliqueEdges(s, dir)
+        .localCheckpoint(true) // feeds both legs
+      val comp = graft.operators.ConnectedComponents
+        .components(edges, "u", "v")
+      val comm = graft.operators.LabelPropagation
+        .communities(edges, "u", "v", rounds = 4)
+      comm.join(comp, "node")
+        .groupBy("community")
+        .agg(min(col("node")).as("survivor"),
+          count(lit(1)).as("n_members"),
+          min(col("comp")).as("cc_comp"))
+        .select(col("community"), col("survivor"), col("n_members"),
+          col("cc_comp"),
+          (col("survivor") =!= col("cc_comp")).cast("int").as("rescued"))
         .orderBy("community")
     }
 }

@@ -66,6 +66,36 @@ class LabelPropagationSpec extends SparkSpecBase {
     }
   }
 
+  test("churn metering: per-round counts match the replay, and churn 0 " +
+    "certifies a fixpoint (later rounds reproduce the labels)") {
+    import spark.implicits._
+    // two bridged 5-cliques — stabilizes in a couple of rounds, so a
+    // rounds=8 run has a visible zero tail
+    val cliqueA = for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 until 15; j <- i + 1 until 15)
+      yield (i.toLong, j.toLong)
+    val edges = cliqueA ++ cliqueB :+ ((4L, 10L))
+    val (labels, churn) = LabelPropagation
+      .communitiesWithChurn(edges.toDF("a", "b"), "a", "b", rounds = 8)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(churn.length === 8)
+    // per-round churn replays exactly: diff consecutive replay states
+    val perRound = (1 to 8).map { r =>
+      val prev = replay(edges, r - 1)
+      replay(edges, r).count { case (n, l) => prev(n) != l }.toLong
+    }
+    assert(churn === perRound)
+    // fixpoint certificate: once churn hits 0 it stays 0, and the
+    // final labels equal the labels at the first churn-0 round
+    val firstZero = churn.indexOf(0L)
+    assert(firstZero >= 0, s"no churn-0 round in $churn")
+    assert(churn.drop(firstZero).forall(_ == 0L), s"churn=$churn")
+    assert(got === replay(edges, firstZero), "labels moved after churn 0")
+    // the plain overload agrees (no metering side effects on labels)
+    assert(got === run(edges, 8))
+  }
+
   test("matches the driver replay on a seeded random graph, and is " +
     "partition-count invariant") {
     val rnd = new scala.util.Random(20260815L)
