@@ -24,9 +24,18 @@ import org.apache.spark.sql.SparkSession
   * `isolated`. The `total` remains the in-session sum — the driver
   * contract is unchanged; `isolated` is additive signal.
   *
+  * Beside the overwritten `bench_result.json` sidecar, every run
+  * APPENDS its full stamped line to `bench_history.jsonl`, and the full
+  * line carries a per-query `spread` map (max−min over the timed
+  * passes) — so per-query numbers from every round survive in one
+  * growing artifact and a round-over-round diff can tell a plan
+  * regression from pass noise without re-deriving the session variance.
+  *
   * Env knobs: SPARK_GRAFT_BENCH_ONLY=name,name restricts the run (dev
   * iteration on one query); SPARK_GRAFT_BENCH_ISOLATED overrides the
-  * isolated re-time set (empty string disables it).
+  * isolated re-time set (empty string disables it);
+  * SPARK_GRAFT_BENCH_HISTORY overrides the history path (empty
+  * disables).
   */
 object Bench {
 
@@ -71,7 +80,7 @@ object Bench {
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = queries.map { case (name, fn) =>
+    val allTimes = queries.map { case (name, fn) =>
       val times = (1 to passes).flatMap { _ =>
         if (errs.contains(name)) None // failed: don't retry, don't time
         else {
@@ -84,7 +93,18 @@ object Bench {
           }
         }
       }
-      name -> times.sorted.apply((times.size - 1) / 2) // median (lower mid)
+      name -> times.sorted
+    }
+    val results = allTimes.map { case (name, ts) =>
+      name -> ts.apply((ts.size - 1) / 2) // median (lower mid)
+    }
+    // Per-query pass spread (max − min over the timed passes): the
+    // measured in-session variance next to every median, so a
+    // round-over-round diff can tell a plan regression from pass noise
+    // (r12's ±15 % session variance was a SCALING.md footnote; now it's
+    // a per-query number in the same artifact as the timing).
+    val spreads = allTimes.collect { case (name, ts) if ts.size > 1 =>
+      name -> (ts.last - ts.head)
     }
     spark.stop()
 
@@ -106,8 +126,10 @@ object Bench {
         "e156b_incremental_cc_persist," + // four CC legs + two parquet
         // label roundtrips — the e156 shape plus disk
         // contracted, full) — the e32/e45 iterative shape, thrice
-        "e163_lpa_communities") // CC + 4 LPA rounds over the rep pair
+        "e163_lpa_communities," + // CC + 4 LPA rounds over the rep pair
         // graph — the e32 iterative-checkpoint shape, twice
+        "e164_community_dedup_apply") // e163's CC+LPA shape plus the
+        // community-scoped apply legs
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
     // in-session but fails in the fresh session (different
@@ -157,6 +179,9 @@ object Bench {
     val iso = isolated
       .map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
       .mkString("{", ",", "}")
+    val spr = spreads
+      .map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
+      .mkString("{", ",", "}")
     val isoErrs = isolatedErrs
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
@@ -171,7 +196,7 @@ object Bench {
     // parse is unaffected while a tail capture now always carries the
     // totals.
     val line =
-      s"""{"queries":$qs,"errors":$es,"isolated":$iso,""" +
+      s"""{"queries":$qs,"spread":$spr,"errors":$es,"isolated":$iso,""" +
         s""""isolated_errors":$isoErrs,""" +
         s""""metric":"total","unit":"sec",""" +
         s""""value":${"%.4f".format(total)},""" +
@@ -199,6 +224,24 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     catch { case _: Throwable => () }
+    // Append-only per-run history: bench_result.json is overwritten by
+    // every run, so per-query numbers from earlier rounds survived only
+    // when that round's LAST run happened to be the recorded one (and
+    // the driver's tail-window capture starts mid-alphabet). Each run
+    // appends its full line — stamped with wall-clock and sf — so
+    // round-over-round per-query regression diffs read one growing
+    // artifact instead of a lossy tail. Empty env var disables.
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.jsonl")
+    if (hist.nonEmpty) {
+      val stamped = s"""{"ts":${jstr(java.time.Instant.now.toString)},""" +
+        line.stripPrefix("{")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(hist), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
     // Print after the session is down so executor/log noise can't interleave
     // with the JSON line the driver parses. sbt decorates every captured
     // line with "[info] " (even raw FileDescriptor.out writes are routed
