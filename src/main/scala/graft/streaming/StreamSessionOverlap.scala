@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * far" emission would have to be retracted as the session grows —
   * exactly the non-final row append mode exists to forbid. The spec
   * pins emitted rows equal to the batch overlap computation over the
-  * closed-session set.
+  * closed-session set, AND the full handoff identity: at any cut
+  * point, stream rows ∪ batch q60 over the not-yet-closed events
+  * (open tails replayed in full, plus post-cut arrivals) equals the
+  * all-events batch result, with no row claimed by both legs — a
+  * session spanning the cut surfaces once, from the batch leg, at its
+  * full extent.
   *
   * Scale: session state is [[Sessionize]]'s O(1)-per-active-user
   * struct; the overlap side adds NO state at all — each closed session
