@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Portable
+
+/** Neighborhood function N(r) = Σ_v |B(v, r)| of an undirected graph —
+  * the DISTANCE reading of the dup graph, beside
+  * [[ConnectedComponents]]' reachability, [[LabelPropagation]]'s
+  * communities, and [[PageRank]]'s centrality. N(r) / N(∞) is the
+  * cumulative distance distribution; its 90 % crossing is the
+  * effective diameter — for a near-dup graph, the measured answer to
+  * "how far does dup transitivity CHAIN" (a template family whose
+  * effective diameter grows round over round is drifting by
+  * hybridization, which min-id collapse silently absorbs).
+  *
+  * Two legs, the e134/e102 calibration posture:
+  *
+  *  - EXACT: iterate the sparse reachable-set relation
+  *    B_{t+1} = B_t ∪ (edges ⋈ B_t), one distinct per round; N(r) is
+  *    one count over the round-r relation. Σ|B(v, r)| is
+  *    component-quadratic — at rep grain on a pair-dominated dup graph
+  *    that is small, but it is the AUDIT leg, not the scale path.
+  *  - HLL (HyperANF, Boldi–Rosa–Vigna WWW'11): per node, a 64-register
+  *    HyperLogLog of B(v, r), iterated by register max-merge with the
+  *    neighbors' previous registers — per-round state is ≤ 64·|V| rows
+  *    at ANY corpus size, the whole point of the sketch path. Registers
+  *    ride SPARSE (only touched (node, j) rows; an absent register is
+  *    rank 0) and the estimate is the integer-only e134 form:
+  *    s2 = (64 − touched)·2²⁵ + Σ 2^(25−mr), est = ⌊709·2³⁷ /
+  *    (1000·s2)⌋ — exactly replayable in SQL, so BOTH legs
+  *    hash-compare. Per-node sets here are far below HLL's accurate
+  *    regime (the raw estimator reads high on tiny sets — e134's
+  *    linear-counting caveat); err_bp REPORTS that bias honestly, and
+  *    at the 100 TB clique sizes the sketch is built for it decays as
+  *    1.04/√64.
+  *
+  * Determinism: register updates are max-merges of a pure node-id hash
+  * ([[Portable.HllA]]'s affine+cube mix — safe on SEQUENTIAL ids, the
+  * e136 lesson), the exact leg is set union — both order- and
+  * partitioning-free.
+  *
+  * Scale: per round, each leg is one edge⋈state join + one keyed
+  * aggregation (max / distinct) — the CC cost class; per-round eager
+  * localCheckpoint cuts lineage (the [[ConnectedComponents]]
+  * discipline; round frames stay live because the tagged union at the
+  * end reads every round). Production runs [[hllOnly]] — the exact
+  * relation is precisely what a 100 TB graph cannot materialize.
+  */
+object NeighborhoodFunction {
+
+  private val P = Portable.P
+  private val AlphaNum = 709L * (1L << 37)
+
+  /** Trailing-zero CASE ladder over the lowest set bit (the e134
+    * oracle's integer-only rank), shared verbatim by the Spark side so
+    * both engines run one definition.
+    */
+  def tzCaseSql(w: String): String =
+    s"CASE WHEN $w = 0 THEN 25 ELSE CASE ($w) & (-($w)) " +
+      (0 to 24).map(i => s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ") +
+      " END END"
+
+  /** Round-0 registers of {v} per node: j and rank of the node-id hash
+    * (x = (263·v + 89) mod P, h2 = x³ mod P — the [[Portable.HllA]]
+    * contract). `node` must be an integral column named `node`.
+    */
+  private def selfRegs(nodes: DataFrame): DataFrame =
+    nodes
+      .withColumn("x", (col("node") * Portable.HllA + Portable.HllB) % P)
+      .withColumn("h2", expr(s"x * x % $P * x % $P"))
+      .select(col("node"), expr("h2 % 64").as("j"),
+        expr(tzCaseSql(s"h2 div 64")).cast("long").as("mr"))
+
+  /** Per-round summaries of both legs joined on round:
+    * (round, n_pairs, est_pairs, err_bp, frac_bp) for round = 0..rounds,
+    * frac_bp = ⌊N(r)·10⁴ / N(rounds)⌋ — the column whose 9000 crossing
+    * is the effective diameter once the tail has converged.
+    */
+  def neighborhood(
+      edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val (sym, release) = symmetrize(edges, aCol, bCol)
+    try {
+      val nodes = sym.select(col("u").as("node")).distinct()
+      val ex = iterateExact(sym, nodes, rounds)
+      val est = iterateHll(sym, nodes, rounds)
+      val last = ex.filter(col("round") === rounds)
+        .select(col("n_pairs").as("np_last"))
+      ex.join(est, "round")
+        .crossJoin(broadcast(last))
+        .select(col("round"), col("n_pairs"), col("est_pairs"),
+          expr("abs(est_pairs - n_pairs) * 10000 div n_pairs")
+            .as("err_bp"),
+          expr("n_pairs * 10000 div np_last").as("frac_bp"))
+        .orderBy("round")
+    } finally release()
+  }
+
+  /** The production leg alone: (round, est_pairs) from the bounded
+    * register state — no exact relation is ever built.
+    */
+  def hllOnly(
+      edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val (sym, release) = symmetrize(edges, aCol, bCol)
+    try {
+      val nodes = sym.select(col("u").as("node")).distinct()
+      iterateHll(sym, nodes, rounds).orderBy("round")
+    } finally release()
+  }
+
+  private def symmetrize(
+      edges: DataFrame, aCol: String,
+      bCol: String): (DataFrame, () => Unit) = {
+    val dir = edges.select(
+      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .localCheckpoint(true)
+    val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (sym, () => {
+      sym.unpersist()
+      ConnectedComponents.releaseLocalCheckpoint(dir)
+    })
+  }
+
+  /** Exact leg: one (round, n_pairs) row per round from the iterated
+    * sparse reachable relation; one job (the tagged union's aggregate)
+    * counts every round.
+    */
+  private def iterateExact(
+      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    var reach = nodes.select(col("node"), col("node").as("r"))
+      .localCheckpoint(true)
+    val tagged = Seq.newBuilder[DataFrame]
+    tagged += reach.select(lit(0L).as("round"), col("node"))
+    for (t <- 1 to rounds) {
+      reach = reach
+        .unionByName(sym
+          .join(reach.select(col("node").as("v"), col("r")), "v")
+          .select(col("u").as("node"), col("r")))
+        .distinct()
+        .localCheckpoint(true)
+      tagged += reach.select(lit(t.toLong).as("round"), col("node"))
+    }
+    tagged.result().reduce(_ unionByName _)
+      .groupBy("round").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** HLL leg: one (round, est_pairs) row per round from the iterated
+    * sparse register relation (node, j, mr).
+    */
+  private def iterateHll(
+      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    var regs = selfRegs(nodes).localCheckpoint(true)
+    val tagged = Seq.newBuilder[DataFrame]
+    tagged += regs.withColumn("round", lit(0L))
+    for (t <- 1 to rounds) {
+      regs = regs
+        .unionByName(sym
+          .join(regs.select(col("node").as("v"), col("j"), col("mr")),
+            "v")
+          .select(col("u").as("node"), col("j"), col("mr")))
+        .groupBy("node", "j").agg(max(col("mr")).as("mr"))
+        .localCheckpoint(true)
+      tagged += regs.withColumn("round", lit(t.toLong))
+    }
+    tagged.result().reduce(_ unionByName _)
+      .groupBy("round", "node")
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mr AS INT))"))
+          .as("s"))
+      .select(col("round"),
+        expr(s"$AlphaNum div (1000 * ((64 - cnt) * 33554432 + s))")
+          .as("e"))
+      .groupBy("round").agg(sum(col("e")).cast("long").as("est_pairs"))
+  }
+}

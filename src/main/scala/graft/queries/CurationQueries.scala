@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,7 +62,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e155MediaDedupApply,
-    e161VideoNeardup,
+    e161VideoNeardup, e166AudioFingerprint,
     e156IncrementalCc, e156bIncrementalCcPersist, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
@@ -1955,5 +1955,161 @@ object CurationQueries {
           col("n_inter"), col("jacc_bp"))
         .orderBy("doc_a", "doc_b")
     }
+  }
+
+  // ---- e166: audio constellation fingerprinting (snippet → source) ---------
+
+  /** Audio IDENTIFICATION by constellation hashing (Wang, ISMIR'03 —
+    * the Shazam shape): the retrieval member of the multimodal family
+    * that none of the dedup ops cover — e87/e155 answer "which assets
+    * are copies", e161 "which sequences are near-copies"; this answers
+    * "which SOURCE does this SNIPPET come from, and at what OFFSET",
+    * the query a contamination / rights audit runs against a training
+    * corpus. Pipeline: windowed energies (the e58/e139 decode stub —
+    * a real deployment swaps in spectrogram band energies inside the
+    * same partition-local stage) → PEAK PICKING (strict local maxima:
+    * content-anchored, so an offset clip re-finds the same landmarks —
+    * the property uniform sampling lacks) → consecutive-peak pairs
+    * hashed as (q₁, q₂, Δt) → inverted index. Query clips (a
+    * deterministic 1-in-5 slice of reps, cut 0–3 windows in, 12
+    * windows long) run the same fingerprint pipeline; hash-join hits
+    * vote on (clip, candidate, offset-delta) and the histogram argmax
+    * is the match — alignment VOTING, not similarity: a handful of
+    * co-linear landmark pairs beats any diffuse near-match, which is
+    * why the method survives noise and trimming.
+    *
+    * In-output audit: `hit` = matched its true source at the true
+    * offset (clips are constructed, so truth is known); `votes` vs
+    * `n_pairs` is the margin. REP grain up front (the e155/e161
+    * invariant): exact clones collapse before indexing, so a clip
+    * cannot "mis-match" its source's clone.
+    *
+    * Scale (100 TB of audio): the index side is one partition-local
+    * window expansion + per-asset bounded lag/lead windows (e139's
+    * exact cost class), built ONCE and stored — clips are the query
+    * stream, and the only pair-ward work is the hash equi-join
+    * (selectivity ~2²² hash space) feeding a map-side vote count and a
+    * struct-max argmax; nothing is ever all-pairs, no window spans
+    * more than one asset's marks.
+    */
+  private def e166AudioFingerprint = QueryDef.sql(
+    "e166_audio_fingerprint",
+    s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents
+       |  WHERE len(text) > 0 GROUP BY text),
+       |f AS (SELECT doc_id, text,
+       |    unnest(range(0, (length(text) + 15) // 16)) AS w
+       |  FROM reps),
+       |win AS (SELECT doc_id, w,
+       |    substr(text, CAST(w * 16 AS INT) + 1, 16) AS chunk FROM f),
+       |e AS (SELECT doc_id, w,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(chunk, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> a + c) AS energy
+       |  FROM win),
+       |lg AS (SELECT doc_id, w, energy,
+       |    lag(energy) OVER (PARTITION BY doc_id ORDER BY w) AS pe,
+       |    lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+       |  FROM e),
+       |marks AS (SELECT doc_id, w, energy % 256 AS q FROM lg
+       |  WHERE pe IS NOT NULL AND ne IS NOT NULL
+       |    AND energy > pe AND energy >= ne),
+       |pd AS (SELECT doc_id, w AS t1,
+       |    (q * 256 + q2) * 64 + least(t2 - w, 63) AS h
+       |  FROM (SELECT doc_id, w, q,
+       |      lead(w) OVER (PARTITION BY doc_id ORDER BY w) AS t2,
+       |      lead(q) OVER (PARTITION BY doc_id ORDER BY w) AS q2
+       |    FROM marks)
+       |  WHERE t2 IS NOT NULL),
+       |el AS (SELECT doc_id, doc_id % 4 AS o FROM reps
+       |  WHERE doc_id % 5 = 0
+       |    AND len(text) >= (doc_id % 4 + 12) * 16),
+       |cm AS (SELECT m.doc_id, m.w - el.o AS t, m.q FROM marks m
+       |  JOIN el ON el.doc_id = m.doc_id
+       |  WHERE m.w >= el.o + 1 AND m.w <= el.o + 10),
+       |pc AS (SELECT doc_id AS clip_id, t AS t1c,
+       |    (q * 256 + q2) * 64 + least(t2 - t, 63) AS h
+       |  FROM (SELECT doc_id, t, q,
+       |      lead(t) OVER (PARTITION BY doc_id ORDER BY t) AS t2,
+       |      lead(q) OVER (PARTITION BY doc_id ORDER BY t) AS q2
+       |    FROM cm)
+       |  WHERE t2 IS NOT NULL),
+       |np AS (SELECT clip_id, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pc GROUP BY clip_id),
+       |v AS (SELECT pc.clip_id, pd.doc_id AS cand,
+       |    pd.t1 - pc.t1c AS delta, CAST(count(*) AS BIGINT) AS votes
+       |  FROM pc JOIN pd ON pd.h = pc.h GROUP BY 1, 2, 3),
+       |wnr AS (SELECT clip_id, cand, delta, votes, row_number() OVER (
+       |    PARTITION BY clip_id
+       |    ORDER BY votes DESC, cand, delta) AS rn FROM v)
+       |SELECT w2.clip_id, np.n_pairs, w2.cand AS matched_doc,
+       |  w2.delta AS offset_win, w2.votes,
+       |  CAST(w2.cand = w2.clip_id AND w2.delta = w2.clip_id % 4
+       |    AS INT) AS hit
+       |FROM wnr w2 JOIN np ON np.clip_id = w2.clip_id
+       |WHERE rn = 1 ORDER BY w2.clip_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docW = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    val reps = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val frames = graft.operators.Media
+      .windowEnergy(reps
+        .select(col("doc_id"), lit("audio").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[graft.operators.Media.MediaDoc], winBytes = 16)
+      .select(col("doc_id"), col("win_idx").as("w"), col("energy"))
+    val marks = frames
+      .withColumn("pe", lag(col("energy"), 1).over(docW))
+      .withColumn("ne", lead(col("energy"), 1).over(docW))
+      .where(col("pe").isNotNull && col("ne").isNotNull &&
+        col("energy") > col("pe") && col("energy") >= col("ne"))
+      .select(col("doc_id"), col("w"), (col("energy") % 256).as("q"))
+    def pairHash(t1: Column, t2: Column, q1: Column, q2: Column): Column =
+      (q1 * 256 + q2) * 64 + least(t2 - t1, lit(63L))
+    val pd = marks
+      .withColumn("t2", lead(col("w"), 1).over(docW))
+      .withColumn("q2", lead(col("q"), 1).over(docW))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), col("w").as("t1"),
+        pairHash(col("w"), col("t2"), col("q"), col("q2")).as("h"))
+    val el = reps
+      .select(col("doc_id"), (col("doc_id") % 4).as("o"),
+        length(col("text")).as("len"))
+      .where(col("doc_id") % 5 === 0 &&
+        col("len") >= (col("o") + 12) * 16)
+      .select("doc_id", "o")
+    val cm = marks.join(el, "doc_id")
+      .where(col("w") >= col("o") + 1 && col("w") <= col("o") + 10)
+      .select(col("doc_id"), (col("w") - col("o")).as("t"), col("q"))
+    val clipW = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+    val pc = cm
+      .withColumn("t2", lead(col("t"), 1).over(clipW))
+      .withColumn("q2", lead(col("q"), 1).over(clipW))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id").as("clip_id"), col("t").as("t1c"),
+        pairHash(col("t"), col("t2"), col("q"), col("q2")).as("h"))
+    val np = pc.groupBy("clip_id").agg(count(lit(1)).as("n_pairs"))
+    val v = pc
+      .join(pd.select(col("doc_id").as("cand"), col("t1"), col("h")),
+        "h")
+      .groupBy(col("clip_id"), col("cand"),
+        (col("t1") - col("t1c")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+    // argmax by (votes DESC, cand ASC, delta ASC) as one map-side
+    // struct max — the LabelPropagation vote discipline, no window
+    val wnr = v
+      .groupBy("clip_id")
+      .agg(max(struct(col("votes").as("vv"), (-col("cand")).as("nc"),
+        (-col("delta")).as("nd"))).as("m"))
+      .select(col("clip_id"), (-col("m.nc")).as("matched_doc"),
+        (-col("m.nd")).as("offset_win"), col("m.vv").as("votes"))
+    wnr.join(np, "clip_id")
+      .select(col("clip_id"), col("n_pairs"), col("matched_doc"),
+        col("offset_win"), col("votes"),
+        (col("matched_doc") === col("clip_id") &&
+          col("offset_win") === col("clip_id") % 4).cast("int")
+          .as("hit"))
+      .orderBy("clip_id")
   }
 }

@@ -48,6 +48,7 @@ object ExtensionQueries {
     e80Winnowing, e81MrlTruncation, e125MutualKnn, e125bMutualKnnInt8,
     e163LpaCommunities, e163bLpaRegions, e163cLpaChurn,
     e164CommunityDedupApply, e164bCommunityApplyRegions,
+    e165NeighborhoodFn, e165bNeighborhoodRegions,
     e128SortedNeighborhood, e133ClusterCensus, e144Containment)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
@@ -3764,4 +3765,136 @@ object ExtensionQueries {
           (col("survivor") =!= col("cc_comp")).cast("int").as("rescued"))
         .orderBy("community")
     }
+
+  /** Shared oracle CTE chain for the neighborhood-function family: the
+    * SQL replay of BOTH [[graft.operators.NeighborhoodFunction]] legs
+    * over a symmetric deduped `edges(u, v)` CTE — `rounds` unrolled
+    * iterations of the exact reachable relation (b0..bR) and of the
+    * sparse HLL register relation (h0..hR, the e134 integer-only
+    * estimator over the [[Portable.HllA]] node-id hash), ending in
+    * per-round summary CTEs `ex(round, n_pairs)` / `es(round,
+    * est_pairs)`.
+    */
+  private def anfRoundsDuck(rounds: Int): String = {
+    val alphaNum = 709L * (1L << 37)
+    val tz = graft.operators.NeighborhoodFunction.tzCaseSql("h2 // 64")
+    val base =
+      s"""n0 AS (SELECT u AS node FROM edges GROUP BY u),
+         |b0 AS MATERIALIZED (SELECT node, node AS r FROM n0),
+         |h0 AS MATERIALIZED (SELECT node, h2 % 64 AS j, $tz AS mr
+         |  FROM (SELECT node, x * x % $P * x % $P AS h2
+         |    FROM (SELECT node, (node * ${Portable.HllA} +
+         |      ${Portable.HllB}) % $P AS x FROM n0)))""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""b$t AS MATERIALIZED (SELECT DISTINCT node, r FROM (
+         |  SELECT node, r FROM b${t - 1}
+         |  UNION ALL SELECT e.u AS node, p.r FROM edges e
+         |    JOIN b${t - 1} p ON p.node = e.v)),
+         |h$t AS MATERIALIZED (SELECT node, j, max(mr) AS mr FROM (
+         |  SELECT node, j, mr FROM h${t - 1}
+         |  UNION ALL SELECT e.u AS node, p.j, p.mr FROM edges e
+         |    JOIN h${t - 1} p ON p.node = e.v) GROUP BY node, j)"""
+        .stripMargin
+    }
+    val ex = (0 to rounds).map(t =>
+      s"  SELECT CAST($t AS BIGINT) AS round, count(*) AS n_pairs " +
+        s"FROM b$t").mkString("ex AS (\n", "\n  UNION ALL\n", ")")
+    val es = (0 to rounds).map { t =>
+      s"""  SELECT CAST($t AS BIGINT) AS round,
+         |    CAST(sum($alphaNum // (1000 * ((64 - cnt) * 33554432 + s)))
+         |      AS BIGINT) AS est_pairs
+         |  FROM (SELECT node, count(*) AS cnt,
+         |      sum(CAST(1 AS BIGINT) << CAST(25 - mr AS INT)) AS s
+         |    FROM h$t GROUP BY node)""".stripMargin
+    }.mkString("es AS (\n", "\n  UNION ALL\n", ")")
+    (Seq(base) ++ steps ++ Seq(ex, es)).mkString(",\n")
+  }
+
+  /** Final SELECT shared by e165/e165b: both legs joined on round,
+    * err_bp the sketch-vs-exact calibration, frac_bp the cumulative
+    * distance distribution in basis points of the final round (its
+    * 9000 crossing is the effective diameter once the tail converges).
+    */
+  private def anfSelectDuck(rounds: Int): String =
+    s"""SELECT x.round, x.n_pairs, e.est_pairs,
+       |  abs(e.est_pairs - x.n_pairs) * 10000 // x.n_pairs AS err_bp,
+       |  x.n_pairs * 10000 // (SELECT n_pairs FROM ex
+       |    WHERE round = $rounds) AS frac_bp
+       |FROM ex x JOIN es e ON e.round = x.round
+       |ORDER BY x.round""".stripMargin
+
+  /** Neighborhood function / effective diameter of the dup graph
+    * ([[graft.operators.NeighborhoodFunction]], HyperANF —
+    * Boldi–Rosa–Vigna WWW'11): N(r) = reachable (node, node) pairs
+    * within distance r, for r = 0..4, exact AND HLL-estimated with the
+    * in-output err_bp calibration (the e134/e102 posture). This is the
+    * graph family's DISTANCE axis — CC answers "what is transitively
+    * connected" (e32), LPA "where are the dense regions" (e163); N(r)
+    * answers "how far does near-dup transitivity CHAIN": frac_bp
+    * hitting 10000 at round 1 says dup mass is direct-pair-shaped
+    * (e133's reading, confirmed at distance grain), while a curve that
+    * keeps climbing marks template drift by hybridization — chains the
+    * min-id collapse absorbs silently.
+    *
+    * REP grain up front (the e155/e156/e163 invariant): exact clones
+    * collapse to min-id representatives before any pair machinery, so
+    * clone cliques never inflate either leg.
+    *
+    * Scale: the HLL leg's per-round state is ≤ 64·|V| register rows at
+    * ANY corpus size — the point of the sketch path; the exact leg is
+    * the component-quadratic AUDIT (production runs hllOnly, the
+    * registered buildOnly plan).
+    */
+  private def e165NeighborhoodFn = {
+    val rounds = 4
+    def edges(s: SparkSession, dir: String): DataFrame = {
+      val reps = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"))
+      minhashVerifiedPairsFrom(reps.select("doc_id", "text"))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+    }
+    QueryDef.sql(
+      "e165_neighborhood_fn",
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text
+         |  FROM documents WHERE len(text) > 0 GROUP BY text),
+         |${minhashPairsDuckFrom("reps").stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |${anfRoundsDuck(rounds)}
+         |${anfSelectDuck(rounds)}""".stripMargin) { (s, dir) =>
+      graft.operators.NeighborhoodFunction
+        .neighborhood(edges(s, dir), "doc_a", "doc_b", rounds)
+    }.withBuildOnly { (s, dir) =>
+      graft.operators.NeighborhoodFunction
+        .hllOnly(edges(s, dir), "doc_a", "doc_b", rounds)
+    }
+  }
+
+  /** The non-degenerate constructed twin of e165 (the e163b pattern, on
+    * the same chained-clique fixture): five region cliques chained by
+    * four bridges have true diameter 9, so the distance curve CLIMBS —
+    * frac_bp steps through nine rounds before the converged tail
+    * (round 10 = round 9) certifies N(∞) was reached, and the final
+    * n_pairs is exactly |V|² (one component). The dup-graph headline
+    * can honestly read "everything within distance 1"; this twin keeps
+    * the multi-round frontier machinery hash-checked at every SF. The
+    * 25-node fixture sits far below HLL's accurate regime, so err_bp
+    * here also pins the estimator's small-set bias as a measured
+    * number (e134's linear-counting caveat, made visible).
+    */
+  private def e165bNeighborhoodRegions = {
+    val rounds = 10
+    QueryDef.sql(
+      "e165b_neighborhood_regions",
+      s"""WITH $regionCliqueDuck,
+         |${anfRoundsDuck(rounds)}
+         |${anfSelectDuck(rounds)}""".stripMargin) { (s, dir) =>
+      graft.operators.NeighborhoodFunction
+        .neighborhood(regionCliqueEdges(s, dir), "u", "v", rounds)
+    }
+  }
 }

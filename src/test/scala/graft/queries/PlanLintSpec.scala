@@ -113,10 +113,14 @@ class PlanLintSpec extends SparkSpecBase {
                              // census — the q8/e113 pattern
       "e156b_incremental_cc_persist", // e156's pattern: six one-row
                                       // audit frames onto the census
-      "e148_hll_intersection") // the src_a < src_b pair join rides the
+      "e148_hll_intersection", // the src_a < src_b pair join rides the
                                // #sources-row register table (512 B per
                                // source) — construction-bounded, the
                                // e132 pattern
+      "e165_neighborhood_fn", // one-row final-round N(r) frame crossed
+                              // onto the ≤ rounds+1-row summary table,
+                              // the e22/q59 pattern
+      "e165b_neighborhood_regions") // same one-row cross as e165
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
