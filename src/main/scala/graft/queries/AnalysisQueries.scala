@@ -5422,6 +5422,36 @@ object AnalysisQueries {
           expr("abs(est_a + est_b - union_est - inter_exact) * 10000 " +
             "div (na + nb - inter_exact)").as("err_union_bp"))
         .orderBy(col("src_a"), col("src_b"))
+    }.withBuildOnly { (s, dir) =>
+      // Production: registers straight off the RAW shingle stream — the
+      // HLL update is replay-idempotent (a duplicate only re-touches
+      // the same register), so the (source, h)-distinct exchange that
+      // the oracle form pays for its exact audit legs (measured: the
+      // only growing term at the 1000× dense replicas, ~83 MB =
+      // #splits × per-source vocabulary) is DROPPED, not just pruned:
+      // the per-source exchange is #splits × 512 B of register state.
+      // No exact counts, no Σ-intersection self-join — sketch algebra
+      // only, the shape a fleet actually ships.
+      val alphaNum = 709L * (1L << 37)
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(F.shingle_hashes(col("text"))).as("h"))
+        .groupBy("source")
+        .agg(graft.functions.sketches.hll_sketch(col("h")).as("regs"))
+      def estOf(regs: String): org.apache.spark.sql.Column = {
+        val s2 = s"aggregate(transform($regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        expr(s"$alphaNum div (1000 * $s2)")
+      }
+      val a = per.select(col("source").as("src_a"), col("regs").as("ra"))
+      val b = per.select(col("source").as("src_b"), col("regs").as("rb"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .withColumn("ru",
+          zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y)))
+        .select(col("src_a"), col("src_b"),
+          (estOf("ra") + estOf("rb") - estOf("ru")).as("inter_est"),
+          estOf("ru").as("union_est"))
     }
   }
 

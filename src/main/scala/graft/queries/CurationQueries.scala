@@ -65,7 +65,7 @@ object CurationQueries {
     e161VideoNeardup, e166AudioFingerprint,
     e156IncrementalCc, e156bIncrementalCcPersist, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
-    e91IvfUpsert, e92ManifestDiff, e93AnnInt8, e94DataCard,
+    e91IvfUpsert, e167IvfResplit, e92ManifestDiff, e93AnnInt8, e94DataCard,
     e95StratifiedPriority, e96FilterAblation, e97CdcChunks,
     e145KAnonymity)
 
@@ -1954,6 +1954,129 @@ object CurationQueries {
         .select(col("doc_a"), col("doc_b"), col("n_sh_a"), col("n_sh_b"),
           col("n_inter"), col("jacc_bp"))
         .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  // ---- e167: IVF hot-cell re-split (the maintenance ACT on e91) ------------
+
+  /** IVF index RE-SPLIT — the maintenance action e91's growth report
+    * exists to trigger (the audit→act gap, closed the e163→e164 way):
+    * e91 measures per-cell growth and stops; a production index
+    * maintainer must then SPLIT the over-capacity cells or watch probe
+    * latency grow with the hottest list. Here: assign the corpus
+    * against the frozen codebook (e17/e91's one-scan argmax), flag
+    * cells above capacity (cap = corpus mean cell size — data-derived,
+    * so the hot set is replica-invariant), and for each hot cell seed a
+    * second centroid at the cell's FARTHEST member (lowest cosine to
+    * its centroid, min-id tiebreak — the split-along-the-dominant-
+    * direction stand-in every IVF maintainer uses before a local Lloyd
+    * polish) and reassign ONLY that cell's members to the nearer of
+    * (old centroid, new seed). Per hot cell: size before, the seed id,
+    * keep/move counts and moved_bp — the balance check that says
+    * whether the split actually relieved the cell or the mass is a
+    * tight clump the seed cannot peel.
+    *
+    * Scale (100 TB): one corpus-scan assignment (the cost e17/e64/e91
+    * already pay, broadcast codebook); everything after is CELL-grain
+    * except the reassignment re-join, which touches exactly the hot
+    * cells' members — the maintenance working set, not the corpus.
+    * Float cosines follow e91's cross-engine IEEE discipline
+    * (index-ordered sums, identical on both engines).
+    */
+  private def e167IvfResplit = {
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e167_ivf_resplit",
+      s"""WITH all0 AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM all0 WHERE vec_id % 67 = 3),
+         |sc AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM all0 b CROSS JOIN cent c),
+         |mxc AS (SELECT vec_id, max(cs) AS mc FROM sc GROUP BY vec_id),
+         |a AS (SELECT sc.vec_id, min(cid) AS list_id, min(mc) AS cs
+         |  FROM sc JOIN mxc USING (vec_id) WHERE cs = mc
+         |  GROUP BY sc.vec_id),
+         |n AS (SELECT list_id, count(*) AS n_before FROM a
+         |  GROUP BY list_id),
+         |cap AS (SELECT sum(n_before) // count(*) AS cap FROM n),
+         |hot AS (SELECT list_id, n_before FROM n CROSS JOIN cap
+         |  WHERE n_before > cap),
+         |mem AS (SELECT a.vec_id, a.list_id, a.cs, h.n_before
+         |  FROM a JOIN hot h ON h.list_id = a.list_id),
+         |far AS (SELECT list_id, vec_id AS far_id FROM (
+         |    SELECT list_id, vec_id, row_number() OVER (
+         |      PARTITION BY list_id ORDER BY cs, vec_id) AS rn
+         |    FROM mem) WHERE rn = 1),
+         |c2 AS (SELECT f.list_id, f.far_id, e.embedding AS femb,
+         |    e.nrm AS fnrm
+         |  FROM far f JOIN all0 e ON e.vec_id = f.far_id),
+         |re AS (SELECT m.list_id, m.n_before, c2.far_id,
+         |    CASE WHEN ${dotCols("e.embedding", "c2.femb")}
+         |        / (e.nrm * c2.fnrm) > m.cs THEN 1 ELSE 0 END AS mv
+         |  FROM mem m JOIN all0 e ON e.vec_id = m.vec_id
+         |  JOIN c2 ON c2.list_id = m.list_id)
+         |SELECT list_id AS cid, CAST(n_before AS BIGINT) AS n_before,
+         |  far_id, CAST(n_before - sum(mv) AS BIGINT) AS n_keep,
+         |  CAST(sum(mv) AS BIGINT) AS n_moved,
+         |  CAST(sum(mv) * 10000 // n_before AS BIGINT) AS moved_bp
+         |FROM re GROUP BY list_id, n_before, far_id
+         |ORDER BY cid""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(F.array_dot(col("emb"), col("emb"))))
+        .filter(col("vec_id").isNotNull)
+        .localCheckpoint(true) // feeds assignment, seed lookup, re-join
+      val cent = emb.filter(col("vec_id") % 67 === 3)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"))
+      // e17's argmax idiom: struct max (cs, −cid) — winner's cosine
+      // rides along for the reassignment compare
+      val asg = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          struct((F.array_dot(col("emb"), col("cemb")) /
+            (col("nrm") * col("cnrm"))).as("cs"),
+            (-col("cid")).as("nc")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("list_id"),
+          col("m.cs").as("cs"))
+      val counts = asg.groupBy("list_id")
+        .agg(count(lit(1)).as("n_before"))
+      val cap = counts.agg(
+        expr("sum(n_before) div count(1)").as("cap"))
+      val hot = counts.crossJoin(broadcast(cap))
+        .where(col("n_before") > col("cap"))
+        .select("list_id", "n_before")
+      val mem = asg.join(hot, "list_id")
+      val far = mem.groupBy("list_id")
+        .agg(min(struct(col("cs"), col("vec_id"))).as("f"))
+        .select(col("list_id"), col("f.vec_id").as("far_id"))
+      val c2 = far.join(
+        emb.select(col("vec_id").as("far_id"), col("emb").as("femb"),
+          col("nrm").as("fnrm")), "far_id")
+      mem
+        .join(emb.select(col("vec_id"), col("emb"), col("nrm")),
+          "vec_id")
+        .join(broadcast(c2), "list_id")
+        .select(col("list_id"), col("n_before"), col("far_id"),
+          when(F.array_dot(col("emb"), col("femb")) /
+            (col("nrm") * col("fnrm")) > col("cs"), 1L)
+            .otherwise(0L).as("mv"))
+        .groupBy("list_id", "n_before", "far_id")
+        .agg(sum(col("mv")).as("n_moved"))
+        .select(col("list_id").as("cid"), col("n_before"),
+          col("far_id"),
+          (col("n_before") - col("n_moved")).as("n_keep"),
+          col("n_moved"),
+          expr("n_moved * 10000 div n_before").as("moved_bp"))
+        .orderBy("cid")
     }
   }
 

@@ -3636,13 +3636,16 @@ object ExtensionQueries {
     * on the fixture.
     *
     * REP grain throughout (the e155/e156/e163 invariant): exact clones
-    * collapse to a min-id representative BEFORE the pair machinery —
-    * the digest groupBy shuffles 32-byte digests, never text — and the
-    * exact-drop mass is reported from the same digest map. Survivor
-    * selection is one keyed min per community plus one |reps|-row
-    * broadcast-joinable status frame; no window, no per-cluster sort,
-    * nothing pair-grain beyond the banded candidate join e3 already
-    * pays.
+    * collapse to a min-id representative BEFORE the pair machinery, and
+    * — because the report is per-source aggregates — even the
+    * CLASSIFICATION never moves a per-doc row: docs fold map-side into
+    * (text, source) counts, so the one corpus-keyed exchange is the
+    * e163 collapse exchange (~30 MB at the 1000× dense replicas,
+    * vs 1.48 GB for the doc-grain digest join this replaced — the
+    * measured lever in SCALING.md r13). Survivor selection is one
+    * keyed min per community plus one |reps|-row status frame; no
+    * per-cluster sort, nothing pair-grain beyond the banded candidate
+    * join e3 already pays.
     */
   private def e164CommunityDedupApply =
     QueryDef.sql(
@@ -3681,14 +3684,24 @@ object ExtensionQueries {
          |  CAST(sum(resc) AS BIGINT) AS n_rescued
          |FROM cls GROUP BY source ORDER BY source""".stripMargin) {
       (s, dir) =>
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("text"),
-            sha2(col("text"), 256).as("dig"))
-        val firsts = docs.groupBy("dig")
-          .agg(min(col("doc_id")).as("rep_id"))
-        val reps = docs.join(firsts, "dig")
-          .where(col("doc_id") === col("rep_id"))
-          .select("doc_id", "text")
+        // (text, source)-GRAIN classification (measured lever, r13):
+        // the report is per-source AGGREGATES, so no per-doc row ever
+        // needs to move — the first form joined every doc to a digest
+        // map and probed 1.48 GB shuffle at the 1000× dense replicas
+        // (~300 B/doc, linear by construction); this form folds docs
+        // map-side into per-(text, source) counts (the e163 collapse
+        // exchange, ~30 MB at 1000×) and everything downstream rides
+        // the rep grain. A fleet deployment keys this exchange by a
+        // content digest instead of the text value (the e161
+        // convention); the text key keeps the oracle byte-exact.
+        val g = Tables.documents(s, dir)
+          .groupBy("text", "source")
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("src_min"))
+          .withColumn("rep_id",
+            min(col("src_min")).over(Window.partitionBy(col("text"))))
+          .localCheckpoint(true) // feeds reps AND the classification
+        val reps = g.where(col("src_min") === col("rep_id"))
+          .select(col("rep_id").as("doc_id"), col("text"))
         val pairs = minhashVerifiedPairsFrom(reps)
           .filter(col("jaccard") >= 0.2)
           .select("doc_a", "doc_b")
@@ -3702,24 +3715,24 @@ object ExtensionQueries {
           .select(col("node").as("rep_id"),
             col("comp").as("cluster"),
             (col("node") === col("s")).cast("int").as("is_surv"))
-        // classification leg never shuffles text: (doc_id, source, dig)
-        // joins the digest map, then the |graph-reps|-row status frame
-        docs.select(col("doc_id"), col("source"), col("dig"))
-          .join(firsts, "dig")
-          .join(st, Seq("rep_id"), "left")
-          .select(col("source"),
-            when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L)
-              .as("ex"),
-            when(col("doc_id") === col("rep_id") && col("is_surv") === 0,
+        // the rep holder is the one (text, source) row whose src_min IS
+        // the group rep; its group contributes cnt−1 exact drops, every
+        // other source's group contributes cnt
+        g.join(st, Seq("rep_id"), "left")
+          .select(col("source"), col("cnt"),
+            (col("cnt") - when(col("src_min") === col("rep_id"), 1L)
+              .otherwise(0L)).as("ex"),
+            when(col("src_min") === col("rep_id") && col("is_surv") === 0,
               1L).otherwise(0L).as("nr"),
-            when(col("doc_id") === col("rep_id") && col("is_surv") === 1
+            when(col("src_min") === col("rep_id") && col("is_surv") === 1
               && col("rep_id") =!= col("cluster"), 1L).otherwise(0L)
               .as("resc"))
           .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
+          .agg(sum(col("cnt")).as("n_docs"),
             sum(col("ex")).as("n_exact_dropped"),
             sum(col("nr")).as("n_near_dropped"),
-            (count(lit(1)) - sum(col("ex")) - sum(col("nr"))).as("n_kept"),
+            (sum(col("cnt")) - sum(col("ex")) - sum(col("nr")))
+              .as("n_kept"),
             sum(col("resc")).as("n_rescued"))
           .orderBy("source")
     }

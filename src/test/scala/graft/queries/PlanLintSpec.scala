@@ -120,7 +120,9 @@ class PlanLintSpec extends SparkSpecBase {
       "e165_neighborhood_fn", // one-row final-round N(r) frame crossed
                               // onto the ≤ rounds+1-row summary table,
                               // the e22/q59 pattern
-      "e165b_neighborhood_regions") // same one-row cross as e165
+      "e165b_neighborhood_regions", // same one-row cross as e165
+      "e167_ivf_resplit") // the e17 codebook broadcast + one-row
+                          // capacity frame, the e91/e22 patterns
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine

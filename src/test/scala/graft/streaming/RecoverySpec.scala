@@ -523,4 +523,53 @@ class RecoverySpec extends SparkSpecBase {
       assertRocksEngaged(q2)
     } finally q2.stop()
   }
+
+  test("StreamFingerprint vote histograms survive a stop/restart from " +
+    "checkpoint") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ckpt = Files.createTempDirectory("graft-rec-fp").toString
+    val idx = Seq((5L, 10L, 77L), (5L, 14L, 88L), (7L, 3L, 77L))
+      .toDF("cand", "t1d", "h")
+    val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[StreamFingerprint.FpMatch]
+    def start() = StreamFingerprint
+      .matches(ms.toDF().toDF("clip_id", "t1c", "h", "ts"), idx,
+        watermark = "1 minute", quietSec = 120L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          StreamFingerprint.FpMatch], _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      // first half of clip 1: one vote for doc 5 (delta 8) and one for
+      // doc 7 (delta 1) — no verdict yet, state only
+      ms.addData((1L, 2L, 77L, ts(0)))
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.isEmpty))
+    } finally q1.stop()
+    // while down: the clip's second pair (breaks the 1-1 tie toward
+    // doc 5 — only possible if the first pair's votes were recovered),
+    // then watermark pushers to fire the timeout
+    ms.addData((1L, 6L, 88L, ts(1)))
+    ms.addData((8L, 0L, 1L, ts(30)))
+    ms.addData((8L, 1L, 1L, ts(45)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = emitted.synchronized(emitted.toSeq)
+        .filter(_.clip_id == 1L)
+      assert(got === Seq(StreamFingerprint.FpMatch(1L, 5L, 8L, 2L)),
+        s"got: $got")
+      assertRocksEngaged(q2)
+    } finally q2.stop()
+  }
 }

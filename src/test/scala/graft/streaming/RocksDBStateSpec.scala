@@ -702,4 +702,37 @@ class RocksDBStateSpec extends SparkSpecBase {
       assertRocksEngaged(q)
     } finally q.stop()
   }
+
+  test("StreamFingerprint folds a cross-batch clip and emits its final " +
+    "verdict on RocksDB state") {
+    val s = rocksSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val idx = Seq((5L, 10L, 77L), (5L, 14L, 88L), (7L, 3L, 77L))
+      .toDF("cand", "t1d", "h")
+    val ms = MemoryStream[(Long, Long, Long, java.sql.Timestamp)]
+    val q = StreamFingerprint
+      .matches(ms.toDF().toDF("clip_id", "t1c", "h", "ts"), idx,
+        watermark = "1 minute", quietSec = 120L)
+      .toDF()
+      .writeStream
+      .format("memory").queryName("rocks_fp").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1L, 2L, 77L, ts(0)))
+      q.processAllAvailable()
+      ms.addData((1L, 6L, 88L, ts(1))) // second half of the same clip
+      q.processAllAvailable()
+      ms.addData((8L, 0L, 1L, ts(30)))
+      q.processAllAvailable()
+      ms.addData((8L, 1L, 1L, ts(45)))
+      q.processAllAvailable()
+      val got = s.table("rocks_fp")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 5L, 8L, 2L))) // same as the in-memory spec
+      assertRocksEngaged(q)
+    } finally q.stop()
+  }
 }

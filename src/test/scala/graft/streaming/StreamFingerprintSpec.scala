@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpecBase
+
+/** Streaming fingerprint match: verdicts equal a batch replay of the
+  * same vote rule over the same joined rows, a clip split across
+  * micro-batches folds into ONE final verdict, and the argmax
+  * tie-break is (votes DESC, cand ASC, delta ASC) exactly.
+  */
+class StreamFingerprintSpec extends SparkSpecBase {
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  /** Static index: cand, t1d, h. Hash 77 appears in docs 5 and 7 at
+    * offsets that give clip 1 a consistent delta only against doc 5;
+    * hash 88 is doc-5-only; hash 99 collides into doc 9 once.
+    */
+  private def index = {
+    import spark.implicits._
+    Seq(
+      (5L, 10L, 77L), (5L, 14L, 88L), (5L, 20L, 99L),
+      (7L, 3L, 77L),
+      (9L, 50L, 99L))
+      .toDF("cand", "t1d", "h")
+  }
+
+  test("verdicts equal the batch vote rule; a clip split across " +
+    "micro-batches emits once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = StreamFingerprint.matches(
+      ms.toDF().toDF("clip_id", "t1c", "h", "ts"), index,
+      watermark = "1 minute", quietSec = 120L)
+    val q = out.writeStream
+      .format("memory").queryName("fp").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // clip 1: pairs at t1c 2 (h77) and 6 (h88) — doc 5 gets votes at
+      // delta 8 from BOTH (10-2, 14-6); doc 7 one vote at delta 1.
+      // Split the clip across two micro-batches: state must fold.
+      ms.addData(Seq((1L, 2L, 77L, ts(0))))
+      q.processAllAvailable()
+      ms.addData(Seq((1L, 6L, 88L, ts(1)),
+        // clip 2: single pair h99 matching docs 5 and 9 with one vote
+        // each — tie on votes, cand ASC picks doc 5
+        (2L, 40L, 99L, ts(1))))
+      q.processAllAvailable()
+      // push the watermark far past last-seen + quiet to fire timeouts
+      ms.addData(Seq((8L, 0L, 1L, ts(30))))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, 1L, 1L, ts(45))))
+      q.processAllAvailable()
+
+      val got = spark.table("fp")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq(
+        (1L, 5L, 8L, 2L), // two aligned votes beat doc 7's one
+        (2L, 5L, -20L, 1L))) // vote tie -> min cand (5 < 9)
+      // batch replay of the same rule over the same joined rows agrees
+      val batch = Seq((1L, 2L, 77L), (1L, 6L, 88L), (2L, 40L, 99L))
+        .toDF("clip_id", "t1c", "h")
+        .join(index, "h")
+        .selectExpr("clip_id", "cand", "t1d - t1c AS delta")
+        .groupBy("clip_id", "cand", "delta").count()
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (c, rows) =>
+          val w = rows.minBy(r => (-r._4, r._2, r._3))
+          (c, w._2, w._3, w._4)
+        }.toSeq.sortBy(_._1)
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("a clip with no index hits emits nothing; unmatched hashes " +
+    "never create state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = StreamFingerprint.matches(
+      ms.toDF().toDF("clip_id", "t1c", "h", "ts"), index,
+      watermark = "1 minute", quietSec = 60L)
+    val q = out.writeStream
+      .format("memory").queryName("fp_none").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(Seq((3L, 0L, 12345L, ts(0)))) // hash absent from index
+      q.processAllAvailable()
+      ms.addData(Seq((8L, 0L, 1L, ts(30))))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, 1L, 1L, ts(45))))
+      q.processAllAvailable()
+      assert(spark.table("fp_none").count() === 0L)
+    } finally q.stop()
+  }
+}
