@@ -29,7 +29,13 @@ class FewPartitionSpec extends SparkSpecBase {
     // band join, and the claim-cell overlap join (cell ownership is
     // arithmetic on values, never on physical placement)
     "e159_multipass_quantile", "e162_grouped_quantile",
-    "e161_video_neardup", "q60_overlap_join")
+    "e161_video_neardup", "q60_overlap_join",
+    // r13: the iterated reach/register unions (checkpoint-per-round
+    // frames re-aggregated by round tag), the constellation vote
+    // argmax, and the hot-cell reassignment (float argmaxes whose
+    // tie-breaks are value arithmetic, never placement)
+    "e165_neighborhood_fn", "e166_audio_fingerprint",
+    "e167_ivf_resplit")
 
   private def at(parts: Int): SparkSession = {
     val s = spark.newSession()
