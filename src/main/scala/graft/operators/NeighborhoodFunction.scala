@@ -75,9 +75,13 @@ object NeighborhoodFunction {
         expr(tzCaseSql(s"h2 div 64")).cast("long").as("mr"))
 
   /** Per-round summaries of both legs joined on round:
-    * (round, n_pairs, est_pairs, err_bp, frac_bp) for round = 0..rounds,
-    * frac_bp = ⌊N(r)·10⁴ / N(rounds)⌋ — the column whose 9000 crossing
-    * is the effective diameter once the tail has converged.
+    * (round, n_pairs, est_pairs, err_bp, frac_bp, z_total) for
+    * round = 0..rounds, frac_bp = ⌊N(r)·10⁴ / N(rounds)⌋ — the column
+    * whose 9000 crossing is the effective diameter once the tail has
+    * converged — and z_total = Σ_v (empty registers of v): when it
+    * sits near 64·|V| the per-node sets are in HLL's linear-counting
+    * regime and the raw estimates read high (the e134 caveat as an
+    * in-output integer, not prose).
     */
   def neighborhood(
       edges: DataFrame, aCol: String, bCol: String,
@@ -94,7 +98,8 @@ object NeighborhoodFunction {
         .select(col("round"), col("n_pairs"), col("est_pairs"),
           expr("abs(est_pairs - n_pairs) * 10000 div n_pairs")
             .as("err_bp"),
-          expr("n_pairs * 10000 div np_last").as("frac_bp"))
+          expr("n_pairs * 10000 div np_last").as("frac_bp"),
+          col("z_total"))
         .orderBy("round")
     } finally release()
   }
@@ -177,7 +182,13 @@ object NeighborhoodFunction {
           .as("s"))
       .select(col("round"),
         expr(s"$AlphaNum div (1000 * ((64 - cnt) * 33554432 + s))")
-          .as("e"))
-      .groupBy("round").agg(sum(col("e")).cast("long").as("est_pairs"))
+          .as("e"),
+        // empty registers per node: Σ over nodes = the integer
+        // linear-counting-regime flag (e134's caveat, in-output) —
+        // z_total near 64·|V| says raw estimates read high
+        (lit(64L) - col("cnt")).as("z"))
+      .groupBy("round")
+      .agg(sum(col("e")).cast("long").as("est_pairs"),
+        sum(col("z")).cast("long").as("z_total"))
   }
 }

@@ -3815,7 +3815,8 @@ object ExtensionQueries {
     val es = (0 to rounds).map { t =>
       s"""  SELECT CAST($t AS BIGINT) AS round,
          |    CAST(sum($alphaNum // (1000 * ((64 - cnt) * 33554432 + s)))
-         |      AS BIGINT) AS est_pairs
+         |      AS BIGINT) AS est_pairs,
+         |    CAST(sum(64 - cnt) AS BIGINT) AS z_total
          |  FROM (SELECT node, count(*) AS cnt,
          |      sum(CAST(1 AS BIGINT) << CAST(25 - mr AS INT)) AS s
          |    FROM h$t GROUP BY node)""".stripMargin
@@ -3832,7 +3833,8 @@ object ExtensionQueries {
     s"""SELECT x.round, x.n_pairs, e.est_pairs,
        |  abs(e.est_pairs - x.n_pairs) * 10000 // x.n_pairs AS err_bp,
        |  x.n_pairs * 10000 // (SELECT n_pairs FROM ex
-       |    WHERE round = $rounds) AS frac_bp
+       |    WHERE round = $rounds) AS frac_bp,
+       |  e.z_total
        |FROM ex x JOIN es e ON e.round = x.round
        |ORDER BY x.round""".stripMargin
 
