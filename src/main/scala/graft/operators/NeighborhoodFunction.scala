@@ -89,7 +89,10 @@ object NeighborhoodFunction {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try {
       val nodes = sym.select(col("u").as("node")).distinct()
-      val ex = iterateExact(sym, nodes, rounds)
+      // eager-checkpoint the (rounds+1)-row summary: `ex` feeds both
+      // the round join and the np_last filter, and without this the
+      // component-quadratic tagged pair union would be aggregated TWICE
+      val ex = iterateExact(sym, nodes, rounds).localCheckpoint(true)
       val est = iterateHll(sym, nodes, rounds)
       val last = ex.filter(col("round") === rounds)
         .select(col("n_pairs").as("np_last"))

@@ -39,8 +39,10 @@ object Sessionize {
 
   /** Exact micros: Timestamp.getTime is millis-truncated, and the events
     * table carries live microseconds (see q17's unix_micros note).
+    * Shared across the streaming operators (StreamFingerprint's timeout
+    * arithmetic uses exactly this rule).
     */
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
   private def toTs(us: Long): Timestamp = {

@@ -20,11 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * aggregation can only finalize once the clip is provably complete —
   * so the histogram lives in keyed state ([[Sessionize]]'s
   * flatMapGroupsWithState discipline): per clip, a bounded list of
-  * (cand, delta, votes) entries folded batch-by-batch, emitted ONCE
-  * when the event-time timeout proves no pair can still arrive
-  * (watermark past last-seen + quiet gap). Late rows beyond the
-  * watermark are dropped by the engine before the function runs, so
-  * every emitted verdict is final (append mode).
+  * (cand, delta, votes) entries folded batch-by-batch, emitted once
+  * the event-time timeout proves no pair OLDER than last-seen + quiet
+  * can still arrive (watermark). Late rows beyond the watermark are
+  * dropped by the engine before the function runs, so each emitted
+  * verdict is final over the pairs it saw (append mode).
+  *
+  * Producer contract (`quietSec`): one clip's pairs must span less
+  * than the quiet gap in EVENT time — a fingerprinter emits a clip's
+  * pairs in one shot, so this holds by construction. A producer that
+  * violates it (a same-clip pair whose event time lands past the
+  * already-fired timeout) gets a SECOND, independent verdict over the
+  * late pairs — deterministic and visible, never a silently merged
+  * histogram; re-unifying such fragments is the batch operator's job
+  * (the [[Sessionize]] open-tail precedent, spec-pinned).
   *
   * State per clip is bounded by its DISTINCT (candidate, delta)
   * matches — hash selectivity keeps that near the clip's own pair
@@ -48,8 +57,7 @@ object StreamFingerprint {
   final case class FpMatch(
       clip_id: Long, matched_doc: Long, offset_win: Long, votes: Long)
 
-  private def micros(t: Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def micros(t: Timestamp): Long = Sessionize.micros(t)
 
   /** @param clipPairs streaming frame: clip_id, t1c, h, ts — the clip's
     *                  constellation pairs (the batch pipeline's `pc`

@@ -100,4 +100,41 @@ class StreamFingerprintSpec extends SparkSpecBase {
       assert(spark.table("fp_none").count() === 0L)
     } finally q.stop()
   }
+
+  test("a producer violating the quiet-gap contract gets a second " +
+    "independent verdict, never a merged histogram") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = StreamFingerprint.matches(
+      ms.toDF().toDF("clip_id", "t1c", "h", "ts"), index,
+      watermark = "1 minute", quietSec = 120L)
+    val q = out.writeStream
+      .format("memory").queryName("fp_frag").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // first fragment of clip 4, then traffic that fires its timeout
+      ms.addData(Seq((4L, 2L, 77L, ts(0))))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, 0L, 1L, ts(10))))
+      q.processAllAvailable()
+      // a same-clip pair 20 min later in EVENT time — past the fired
+      // timeout, above the watermark, so it re-creates state
+      ms.addData(Seq((4L, 6L, 88L, ts(20))))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, 1L, 1L, ts(50))))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, 2L, 1L, ts(59))))
+      q.processAllAvailable()
+      val got = spark.table("fp_frag")
+        .as[(Long, Long, Long, Long)].collect()
+        .filter(_._1 == 4L).sortBy(_._4).toSeq
+      // two fragments, each judged on its own pairs: h77 alone ties
+      // docs 5 and 7 at one vote (cand ASC -> 5, delta 10-2=8); h88 is
+      // doc-5-only (delta 14-6=8). Crucially NOT one merged 2-vote row.
+      assert(got === Seq((4L, 5L, 8L, 1L), (4L, 5L, 8L, 1L)),
+        s"got: $got")
+    } finally q.stop()
+  }
 }
