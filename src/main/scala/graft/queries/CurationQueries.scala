@@ -69,6 +69,18 @@ object CurationQueries {
     e95StratifiedPriority, e96FilterAblation, e97CdcChunks,
     e145KAnonymity)
 
+  /** DuckDB 64-dim dot-product fold over two list expressions — the
+    * cross-engine IEEE discipline (index-ordered sum, per-element
+    * DOUBLE cast) shared by every oracle that scores embeddings
+    * (e88b, e91, e93, e107-family, e167). One definition so a fix to
+    * the fold cannot silently miss a site.
+    */
+  private def dotCols(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+       |      (s, v) -> s + v)""".stripMargin
+
   // ---- e86: line-level exact dedup with doc reassembly ---------------------
 
   /** C4-style line dedup: segment each document into 8-word "lines",
@@ -896,11 +908,6 @@ object CurationQueries {
     */
   private def e88bHybridIndexed = {
     val dfCap = 100
-    def dotCols(x: String, y: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65),
-         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-         |      (s, v) -> s + v)""".stripMargin
     QueryDef.sql(
       "e88b_hybrid_indexed",
       s"""WITH u AS (SELECT d.doc_id, d.text, e.embedding
@@ -1199,11 +1206,6 @@ object CurationQueries {
     * single broadcast pairing, and two bounded aggregations.
     */
   private def e91IvfUpsert = {
-    def dotCols(x: String, y: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65),
-         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-         |      (s, v) -> s + v)""".stripMargin
     def assignDuck(src: String, tag: String): String =
       s"""s$tag AS (SELECT b.vec_id, c.cid,
          |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
@@ -1296,11 +1298,6 @@ object CurationQueries {
     */
   private def e93AnnInt8 = {
     val k = 10
-    def dotCols(x: String, y: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65),
-         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-         |      (s, v) -> s + v)""".stripMargin
     QueryDef.sql(
       "e93_ann_int8",
       s"""WITH b AS (SELECT vec_id,
@@ -1984,11 +1981,6 @@ object CurationQueries {
     * (index-ordered sums, identical on both engines).
     */
   private def e167IvfResplit = {
-    def dotCols(x: String, y: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65),
-         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-         |      (s, v) -> s + v)""".stripMargin
     QueryDef.sql(
       "e167_ivf_resplit",
       s"""WITH all0 AS (SELECT vec_id, embedding,
@@ -2113,7 +2105,12 @@ object CurationQueries {
     * stream, and the only pair-ward work is the hash equi-join
     * (selectivity ~2²² hash space) feeding a map-side vote count and a
     * struct-max argmax; nothing is ever all-pairs, no window spans
-    * more than one asset's marks.
+    * more than one asset's marks. Index hashes with df > 256 are
+    * excluded from voting (the e161/e2 df-cap, semantic here: a
+    * landmark pair shared by hundreds of documents is corpus
+    * boilerplate with no identification value), which bounds every
+    * posting list the vote join can touch regardless of corpus
+    * repetitiveness.
     */
   private def e166AudioFingerprint = QueryDef.sql(
     "e166_audio_fingerprint",
@@ -2159,9 +2156,12 @@ object CurationQueries {
        |  WHERE t2 IS NOT NULL),
        |np AS (SELECT clip_id, CAST(count(*) AS BIGINT) AS n_pairs
        |  FROM pc GROUP BY clip_id),
-       |v AS (SELECT pc.clip_id, pd.doc_id AS cand,
-       |    pd.t1 - pc.t1c AS delta, CAST(count(*) AS BIGINT) AS votes
-       |  FROM pc JOIN pd ON pd.h = pc.h GROUP BY 1, 2, 3),
+       |pdc AS (SELECT pd.* FROM pd JOIN (
+       |    SELECT h FROM pd GROUP BY h HAVING count(*) <= 256) k
+       |  ON k.h = pd.h),
+       |v AS (SELECT pc.clip_id, pdc.doc_id AS cand,
+       |    pdc.t1 - pc.t1c AS delta, CAST(count(*) AS BIGINT) AS votes
+       |  FROM pc JOIN pdc ON pdc.h = pc.h GROUP BY 1, 2, 3),
        |wnr AS (SELECT clip_id, cand, delta, votes, row_number() OVER (
        |    PARTITION BY clip_id
        |    ORDER BY votes DESC, cand, delta) AS rn FROM v)
@@ -2213,8 +2213,17 @@ object CurationQueries {
       .select(col("doc_id").as("clip_id"), col("t").as("t1c"),
         pairHash(col("t"), col("t2"), col("q"), col("q2")).as("h"))
     val np = pc.groupBy("clip_id").agg(count(lit(1)).as("n_pairs"))
+    // df-cap on the index side (the e161/e2 convention, here SEMANTIC:
+    // a landmark pair seen in > 256 documents is corpus boilerplate —
+    // silence runs, padding — and carries no identification signal, so
+    // it is excluded from VOTING, keeping the hash join's posting
+    // lists bounded at any corpus scale; the census is one
+    // hash-grain map-side aggregation)
+    val pdc = pd.join(
+      pd.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 256).select("h"), "h")
     val v = pc
-      .join(pd.select(col("doc_id").as("cand"), col("t1"), col("h")),
+      .join(pdc.select(col("doc_id").as("cand"), col("t1"), col("h")),
         "h")
       .groupBy(col("clip_id"), col("cand"),
         (col("t1") - col("t1c")).as("delta"))

@@ -3809,18 +3809,29 @@ object ExtensionQueries {
          |    JOIN h${t - 1} p ON p.node = e.v) GROUP BY node, j)"""
         .stripMargin
     }
+    // Summaries GROUP BY the round tag over tagged unions (not one
+    // ungrouped aggregate per round): an ungrouped count/sum emits a
+    // row even over an EMPTY relation, while the Spark legs' groupBy
+    // returns zero rows — on an edge-free corpus the engines would
+    // structurally diverge (0 rows vs rounds+1 NULL rows). Grouped,
+    // both emit nothing when there is no graph.
     val ex = (0 to rounds).map(t =>
-      s"  SELECT CAST($t AS BIGINT) AS round, count(*) AS n_pairs " +
-        s"FROM b$t").mkString("ex AS (\n", "\n  UNION ALL\n", ")")
-    val es = (0 to rounds).map { t =>
-      s"""  SELECT CAST($t AS BIGINT) AS round,
-         |    CAST(sum($alphaNum // (1000 * ((64 - cnt) * 33554432 + s)))
-         |      AS BIGINT) AS est_pairs,
-         |    CAST(sum(64 - cnt) AS BIGINT) AS z_total
-         |  FROM (SELECT node, count(*) AS cnt,
-         |      sum(CAST(1 AS BIGINT) << CAST(25 - mr AS INT)) AS s
-         |    FROM h$t GROUP BY node)""".stripMargin
-    }.mkString("es AS (\n", "\n  UNION ALL\n", ")")
+      s"    SELECT CAST($t AS BIGINT) AS round, node FROM b$t")
+      .mkString("ex AS (SELECT round, count(*) AS n_pairs FROM (\n",
+        "\n    UNION ALL\n", "\n  ) GROUP BY round)")
+    val es = (0 to rounds).map(t =>
+      s"    SELECT CAST($t AS BIGINT) AS round, node, j, mr FROM h$t")
+      .mkString(
+        s"""es AS (SELECT round,
+           |    CAST(sum($alphaNum // (1000 * ((64 - cnt) * 33554432 + s)))
+           |      AS BIGINT) AS est_pairs,
+           |    CAST(sum(64 - cnt) AS BIGINT) AS z_total
+           |  FROM (SELECT round, node, count(*) AS cnt,
+           |      sum(CAST(1 AS BIGINT) << CAST(25 - mr AS INT)) AS s
+           |    FROM (
+           |""".stripMargin,
+        "\n    UNION ALL\n",
+        "\n  ) GROUP BY round, node) GROUP BY round)")
     (Seq(base) ++ steps ++ Seq(ex, es)).mkString(",\n")
   }
 
