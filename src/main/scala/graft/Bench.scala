@@ -128,8 +128,12 @@ object Bench {
         // contracted, full) — the e32/e45 iterative shape, thrice
         "e163_lpa_communities," + // CC + 4 LPA rounds over the rep pair
         // graph — the e32 iterative-checkpoint shape, twice
-        "e164_community_dedup_apply") // e163's CC+LPA shape plus the
+        "e164_community_dedup_apply," + // e163's CC+LPA shape plus the
         // community-scoped apply legs
+        "p1_pipeline_e2e") // the ONLY baseline-comparable number (the
+        // reference's ≈120 s end-to-end DAG): in-session it re-reads
+        // warm shuffle/broadcast state and times ~0.2 s, so the honest
+        // figure is the fresh-session one — record it every round
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Each isolated pass is fully try-caught: a query that passed
     // in-session but fails in the fresh session (different
@@ -234,8 +238,15 @@ object Bench {
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "bench_history.jsonl")
     if (hist.nonEmpty) {
+      // Round stamp: SPARK_GRAFT_ROUND (driver-passed) makes each
+      // history line self-describing — without it, correlating a line
+      // to its BENCH_rN.json means matching wall-clock timestamps.
+      // Absent or non-numeric env omits the field (old lines' shape).
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .filter(_.forall(_.isDigit)).filter(_.nonEmpty)
+        .map(r => s""""round":$r,""").getOrElse("")
       val stamped = s"""{"ts":${jstr(java.time.Instant.now.toString)},""" +
-        line.stripPrefix("{")
+        round + line.stripPrefix("{")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(hist), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE,

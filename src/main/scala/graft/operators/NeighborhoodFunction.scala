@@ -45,8 +45,12 @@ import graft.functions.Portable
   * Scale: per round, each leg is one edge⋈state join + one keyed
   * aggregation (max / distinct) — the CC cost class; per-round eager
   * localCheckpoint cuts lineage (the [[ConnectedComponents]]
-  * discipline; round frames stay live because the tagged union at the
-  * end reads every round). Production runs [[hllOnly]] — the exact
+  * discipline). Round frames stay live only until the (rounds+1)-row
+  * summary is eagerly checkpointed, then every one is released
+  * ([[ConnectedComponents.releaseLocalCheckpoint]]) — without that,
+  * each call pins rounds+1 materialized relations (the exact leg's
+  * component-quadratic) in executor storage for the session, the e129
+  * accumulation failure. Production runs [[hllOnly]] — the exact
   * relation is precisely what a 100 TB graph cannot materialize.
   */
 object NeighborhoodFunction {
@@ -89,10 +93,12 @@ object NeighborhoodFunction {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try {
       val nodes = sym.select(col("u").as("node")).distinct()
-      // eager-checkpoint the (rounds+1)-row summary: `ex` feeds both
-      // the round join and the np_last filter, and without this the
-      // component-quadratic tagged pair union would be aggregated TWICE
-      val ex = iterateExact(sym, nodes, rounds).localCheckpoint(true)
+      // both summaries arrive eagerly checkpointed (rounds+1 rows):
+      // `ex` feeds both the round join and the np_last filter, so
+      // without it the component-quadratic tagged pair union would be
+      // aggregated TWICE — and the checkpoint is what lets each leg
+      // release its per-round frames before returning
+      val ex = iterateExact(sym, nodes, rounds)
       val est = iterateHll(sym, nodes, rounds)
       val last = ex.filter(col("round") === rounds)
         .select(col("n_pairs").as("np_last"))
@@ -107,8 +113,9 @@ object NeighborhoodFunction {
     } finally release()
   }
 
-  /** The production leg alone: (round, est_pairs) from the bounded
-    * register state — no exact relation is ever built.
+  /** The production leg alone: (round, est_pairs, z_total) from the
+    * bounded register state — no exact relation is ever built. z_total
+    * is the linear-counting-regime flag [[neighborhood]] documents.
     */
   def hllOnly(
       edges: DataFrame, aCol: String, bCol: String,
@@ -139,46 +146,97 @@ object NeighborhoodFunction {
 
   /** Exact leg: one (round, n_pairs) row per round from the iterated
     * sparse reachable relation; one job (the tagged union's aggregate)
-    * counts every round.
+    * counts every round. Returns the summary eagerly checkpointed, with
+    * every per-round reach frame released — a failed job releases them
+    * via the finally.
     */
   private def iterateExact(
       sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
-    var reach = nodes.select(col("node"), col("node").as("r"))
-      .localCheckpoint(true)
-    val tagged = Seq.newBuilder[DataFrame]
-    tagged += reach.select(lit(0L).as("round"), col("node"))
-    for (t <- 1 to rounds) {
-      reach = reach
-        .unionByName(sym
-          .join(reach.select(col("node").as("v"), col("r")), "v")
-          .select(col("u").as("node"), col("r")))
-        .distinct()
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var reach = nodes.select(col("node"), col("node").as("r"))
         .localCheckpoint(true)
-      tagged += reach.select(lit(t.toLong).as("round"), col("node"))
-    }
-    tagged.result().reduce(_ unionByName _)
-      .groupBy("round").agg(count(lit(1)).as("n_pairs"))
+      frames += reach
+      val tagged = Seq.newBuilder[DataFrame]
+      tagged += reach.select(lit(0L).as("round"), col("node"))
+      for (t <- 1 to rounds) {
+        reach = reach
+          .unionByName(sym
+            .join(reach.select(col("node").as("v"), col("r")), "v")
+            .select(col("u").as("node"), col("r")))
+          .distinct()
+          .localCheckpoint(true)
+        frames += reach
+        tagged += reach.select(lit(t.toLong).as("round"), col("node"))
+      }
+      tagged.result().reduce(_ unionByName _)
+        .groupBy("round").agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true)
+    } finally frames.foreach(ConnectedComponents.releaseLocalCheckpoint)
   }
 
-  /** HLL leg: one (round, est_pairs) row per round from the iterated
-    * sparse register relation (node, j, mr).
+  /** HLL leg: one (round, est_pairs, z_total) row per round from the
+    * iterated sparse register relation (node, j, mr). Returns the
+    * summary eagerly checkpointed, with every per-round register frame
+    * AND the intermediate tagged relation released (the exact leg's
+    * discipline).
     */
   private def iterateHll(
       sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
-    var regs = selfRegs(nodes).localCheckpoint(true)
-    val tagged = Seq.newBuilder[DataFrame]
-    tagged += regs.withColumn("round", lit(0L))
-    for (t <- 1 to rounds) {
-      regs = regs
-        .unionByName(sym
-          .join(regs.select(col("node").as("v"), col("j"), col("mr")),
-            "v")
-          .select(col("u").as("node"), col("j"), col("mr")))
-        .groupBy("node", "j").agg(max(col("mr")).as("mr"))
-        .localCheckpoint(true)
-      tagged += regs.withColumn("round", lit(t.toLong))
-    }
-    tagged.result().reduce(_ unionByName _)
+    val tagged = taggedRegisters(sym, nodes, rounds)
+    try summarizeHll(tagged).localCheckpoint(true)
+    finally ConnectedComponents.releaseLocalCheckpoint(tagged)
+  }
+
+  /** The tagged sparse register relation of every round — (round, node,
+    * j, mr), ≤ 64·|V|·(rounds+1) rows at any corpus size — eagerly
+    * checkpointed with the per-round frames released. This is the
+    * PERSISTABLE artifact of the HLL leg: a generational pipeline
+    * writes it to parquet once per generation and re-derives the whole
+    * N(r) curve later with ONE scan ([[summarizeRegisters]]) instead of
+    * re-iterating the generation's graph (e169's posture). The caller
+    * owns the returned checkpoint — write it out, then release it via
+    * [[ConnectedComponents.releaseLocalCheckpoint]].
+    */
+  def hllRegisters(
+      edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val (sym, release) = symmetrize(edges, aCol, bCol)
+    try taggedRegisters(
+      sym, sym.select(col("u").as("node")).distinct(), rounds)
+    finally release()
+  }
+
+  /** One-scan summary of a (possibly persisted) [[hllRegisters]]
+    * relation: (round, est_pairs, z_total), the production columns.
+    */
+  def summarizeRegisters(regs: DataFrame): DataFrame = summarizeHll(regs)
+
+  private def taggedRegisters(
+      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var regs = selfRegs(nodes).localCheckpoint(true)
+      frames += regs
+      val tagged = Seq.newBuilder[DataFrame]
+      tagged += regs.withColumn("round", lit(0L))
+      for (t <- 1 to rounds) {
+        regs = regs
+          .unionByName(sym
+            .join(regs.select(col("node").as("v"), col("j"), col("mr")),
+              "v")
+            .select(col("u").as("node"), col("j"), col("mr")))
+          .groupBy("node", "j").agg(max(col("mr")).as("mr"))
+          .localCheckpoint(true)
+        frames += regs
+        tagged += regs.withColumn("round", lit(t.toLong))
+      }
+      tagged.result().reduce(_ unionByName _).localCheckpoint(true)
+    } finally frames.foreach(ConnectedComponents.releaseLocalCheckpoint)
+  }
+
+  private def summarizeHll(tagged: DataFrame): DataFrame =
+    tagged
       .groupBy("round", "node")
       .agg(count(lit(1)).as("cnt"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mr AS INT))"))
@@ -193,5 +251,4 @@ object NeighborhoodFunction {
       .groupBy("round")
       .agg(sum(col("e")).cast("long").as("est_pairs"),
         sum(col("z")).cast("long").as("z_total"))
-  }
 }

@@ -2094,8 +2094,12 @@ object CurationQueries {
     * why the method survives noise and trimming.
     *
     * In-output audit: `hit` = matched its true source at the true
-    * offset (clips are constructed, so truth is known); `votes` vs
-    * `n_pairs` is the margin. REP grain up front (the e155/e161
+    * offset (clips are constructed, so truth is known). `margin` =
+    * winner votes − runner-up votes over the clip's (cand, delta)
+    * histogram, and margin 0 (a deterministic vote tie — what every
+    * measured miss at sf0.01 is: 4/66, all 2–4-pair snippets) reads
+    * `verdict = 'abstain'`: the alarm never asserts a match it cannot
+    * separate from its runner-up. REP grain up front (the e155/e161
     * invariant): exact clones collapse before indexing, so a clip
     * cannot "mis-match" its source's clone.
     *
@@ -2164,12 +2168,17 @@ object CurationQueries {
        |  FROM pc JOIN pdc ON pdc.h = pc.h GROUP BY 1, 2, 3),
        |wnr AS (SELECT clip_id, cand, delta, votes, row_number() OVER (
        |    PARTITION BY clip_id
-       |    ORDER BY votes DESC, cand, delta) AS rn FROM v)
+       |    ORDER BY votes DESC, cand, delta) AS rn FROM v),
+       |ru AS (SELECT clip_id, votes AS v2 FROM wnr WHERE rn = 2)
        |SELECT w2.clip_id, np.n_pairs, w2.cand AS matched_doc,
        |  w2.delta AS offset_win, w2.votes,
+       |  w2.votes - COALESCE(ru.v2, 0) AS margin,
+       |  CASE WHEN w2.votes - COALESCE(ru.v2, 0) >= 1 THEN 'match'
+       |    ELSE 'abstain' END AS verdict,
        |  CAST(w2.cand = w2.clip_id AND w2.delta = w2.clip_id % 4
        |    AS INT) AS hit
        |FROM wnr w2 JOIN np ON np.clip_id = w2.clip_id
+       |LEFT JOIN ru ON ru.clip_id = w2.clip_id
        |WHERE rn = 1 ORDER BY w2.clip_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docW = Window.partitionBy(col("doc_id")).orderBy(col("w"))
@@ -2228,17 +2237,32 @@ object CurationQueries {
       .groupBy(col("clip_id"), col("cand"),
         (col("t1") - col("t1c")).as("delta"))
       .agg(count(lit(1)).as("votes"))
-    // argmax by (votes DESC, cand ASC, delta ASC) as one map-side
-    // struct max — the LabelPropagation vote discipline, no window
+    // winner AND runner-up by (votes DESC, cand ASC, delta ASC) in one
+    // keyed aggregation: sort the clip's own candidate histogram —
+    // bounded by its distinct (cand, delta) entries, the exact per-clip
+    // working set StreamFingerprint holds in state — and slice the top
+    // 2; no re-shuffling window. The runner-up gives `margin` (winner
+    // votes − runner-up votes), and margin 0 — a deterministic vote
+    // TIE, which is what every measured miss is — reads 'abstain': for
+    // a contamination / rights alarm a wrong confident match is worse
+    // than an abstain.
     val wnr = v
       .groupBy("clip_id")
-      .agg(max(struct(col("votes").as("vv"), (-col("cand")).as("nc"),
-        (-col("delta")).as("nd"))).as("m"))
-      .select(col("clip_id"), (-col("m.nc")).as("matched_doc"),
-        (-col("m.nd")).as("offset_win"), col("m.vv").as("votes"))
+      .agg(slice(sort_array(collect_list(struct(col("votes").as("vv"),
+        (-col("cand")).as("nc"), (-col("delta")).as("nd"))),
+        asc = false), 1, 2).as("t"))
+      .select(col("clip_id"),
+        (-col("t")(0)("nc")).as("matched_doc"),
+        (-col("t")(0)("nd")).as("offset_win"),
+        col("t")(0)("vv").as("votes"),
+        (col("t")(0)("vv") -
+          when(size(col("t")) > 1, col("t")(1)("vv")).otherwise(0L))
+          .as("margin"))
     wnr.join(np, "clip_id")
       .select(col("clip_id"), col("n_pairs"), col("matched_doc"),
-        col("offset_win"), col("votes"),
+        col("offset_win"), col("votes"), col("margin"),
+        when(col("margin") >= 1, "match").otherwise("abstain")
+          .as("verdict"),
         (col("matched_doc") === col("clip_id") &&
           col("offset_win") === col("clip_id") % 4).cast("int")
           .as("hit"))

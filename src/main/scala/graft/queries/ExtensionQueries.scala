@@ -40,15 +40,18 @@ object ExtensionQueries {
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
-    e6cAnnMultiprobe, e41IncrementalDedup, e45DedupApply, e46CcStar,
+    e6cAnnMultiprobe, e41IncrementalDedup, e168GateVerify, e45DedupApply,
+    e46CcStar,
     e135ClusterSplit, e139ShotBoundaries,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
+    e170IvfResplitPersist,
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
     e80Winnowing, e81MrlTruncation, e125MutualKnn, e125bMutualKnnInt8,
     e163LpaCommunities, e163bLpaRegions, e163cLpaChurn,
     e164CommunityDedupApply, e164bCommunityApplyRegions,
     e165NeighborhoodFn, e165bNeighborhoodRegions,
+    e169DiameterDrift, e169bDiameterRegions,
     e128SortedNeighborhood, e133ClusterCensus, e144Containment)
 
   /** doc_id + distinct-shingle-hash array per document (shared candidate
@@ -331,9 +334,13 @@ object ExtensionQueries {
     minhashPairsDuckFrom("documents")
 
   /** [[minhashPairsDuck]] with the source relation parameterized — the
-    * oracle-side twin of [[minhashVerifiedPairsFrom]].
+    * oracle-side twin of [[minhashVerifiedPairsFrom]]. `pfx` prefixes
+    * every CTE name (`${pfx}verified` etc.) so one oracle can carry the
+    * chain twice over two corpora (e169's generations); the default ""
+    * keeps every existing caller's names.
     */
-  private[queries] def minhashPairsDuckFrom(src: String): String = {
+  private[queries] def minhashPairsDuckFrom(
+      src: String, pfx: String = ""): String = {
     val mhDuck = (0 until 12).map { k =>
       s"list_min(list_transform(shs, x -> (${Portable.MinHashA(k)}*x + " +
         s"${Portable.MinHashB(k)}) % $P)) AS mh$k"
@@ -341,30 +348,30 @@ object ExtensionQueries {
     val bandKeysDuck = (0 until 6)
       .map(k => s"mh${2 * k}*$P + mh${2 * k + 1}")
       .mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
+    s"""WITH ${pfx}w AS (SELECT doc_id, ${Portable.wordHashesDuck} AS wh
        |  FROM $src),
-       |sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs FROM w
-       |  WHERE len(wh) >= 3),
-       |mh AS (SELECT doc_id, shs,
+       |${pfx}sh AS (SELECT doc_id, ${Portable.shinglesDuck} AS shs
+       |  FROM ${pfx}w WHERE len(wh) >= 3),
+       |${pfx}mh AS (SELECT doc_id, shs,
        |  $mhDuck
-       |  FROM sh WHERE len(shs) > 0),
-       |bands AS (
+       |  FROM ${pfx}sh WHERE len(shs) > 0),
+       |${pfx}bands AS (
        |  SELECT doc_id, unnest(range(0, 6)) AS band_id,
        |    unnest($bandKeysDuck) AS band_key
-       |  FROM mh),
-       |cand AS (
+       |  FROM ${pfx}mh),
+       |${pfx}cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM ${pfx}bands a JOIN ${pfx}bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |verified AS (
+       |${pfx}verified AS (
        |  SELECT doc_a, doc_b,
        |    round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
        |      (len(sa.shs) + len(sb.shs)
        |        - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
-       |  FROM cand
-       |  JOIN mh sa ON sa.doc_id = doc_a
-       |  JOIN mh sb ON sb.doc_id = doc_b)""".stripMargin
+       |  FROM ${pfx}cand
+       |  JOIN ${pfx}mh sa ON sa.doc_id = doc_a
+       |  JOIN ${pfx}mh sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
   /** MinHash-LSH candidate generation + exact-Jaccard verification,
@@ -2498,6 +2505,161 @@ object ExtensionQueries {
     }
   }
 
+  /** e167's hot-cell re-split applied ACROSS THE PROCESS BOUNDARY —
+    * the e156b question ("does the posture survive a roundtrip?")
+    * asked of the IVF family: e167 computes the split over an
+    * in-memory assignment; a production index maintainer starts from
+    * the PERSISTED cell-partitioned table (e64's layout) and must end
+    * with a rewritten table whose probes still prune. Steps, every one
+    * off the stored index (the corpus-scan argmax is NEVER re-run —
+    * the stored assignment is the whole point of persisting it):
+    *
+    *  1. read e64's `list_id`-partitioned parquet back;
+    *  2. re-derive each member's cosine to its OWN centroid with one
+    *     broadcast join on `list_id` (centroids are index rows,
+    *     vec_id ≡ 3 mod 67 — cheap, cell-local, no argmax);
+    *  3. e167's rule verbatim: cap = corpus mean cell size, hot cells
+    *     split at their farthest member, only hot-cell members
+    *     reassigned (strictly-closer rule, the seed moves itself);
+    *  4. REWRITE as a new `list_id`-partitioned layout
+    *     ([[graft.sources.Layout.writePartitioned]] — marker included,
+    *     so [[graft.sources.Layout.compactPartitioned]] maintenance
+    *     keeps working on the post-split table);
+    *  5. the reported census is read BACK from the rewritten table —
+    *     two rows per split cell (survivor cell, new `far_id` cell)
+    *     with their persisted member counts.
+    *
+    * IvfPersistSpec pins the other half of "done": a probe against
+    * the post-split table filtered to one cell — including a NEW
+    * (far_id) cell that did not exist pre-split — reaches the scan as
+    * a PartitionFilter reading only that cell's directory.
+    *
+    * Scale: the maintenance working set is the hot cells' members (the
+    * e167 argument); the rewrite is one partitioned write of the
+    * corpus — the operation's honest cost, paid to keep every future
+    * probe's pruning. Probe the family at 10×/100× only (the `% 67`
+    * replica-codebook caveat, SCALING.md).
+    */
+  private def e170IvfResplitPersist = {
+    def dotCols(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |      (s, v) -> s + v)""".stripMargin
+    QueryDef.sql(
+      "e170_ivf_resplit_persist",
+      s"""WITH all0 AS (SELECT vec_id, embedding,
+         |    sqrt(${dotCols("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM all0 WHERE vec_id % 67 = 3),
+         |sc AS (SELECT b.vec_id, c.cid,
+         |    ${dotCols("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cs
+         |  FROM all0 b CROSS JOIN cent c),
+         |mxc AS (SELECT vec_id, max(cs) AS mc FROM sc GROUP BY vec_id),
+         |a AS (SELECT sc.vec_id, min(cid) AS list_id, min(mc) AS cs
+         |  FROM sc JOIN mxc USING (vec_id) WHERE cs = mc
+         |  GROUP BY sc.vec_id),
+         |n AS (SELECT list_id, count(*) AS n_before FROM a
+         |  GROUP BY list_id),
+         |cap AS (SELECT sum(n_before) // count(*) AS cap FROM n),
+         |hot AS (SELECT list_id, n_before FROM n CROSS JOIN cap
+         |  WHERE n_before > cap),
+         |mem AS (SELECT a.vec_id, a.list_id, a.cs, h.n_before
+         |  FROM a JOIN hot h ON h.list_id = a.list_id),
+         |far AS (SELECT list_id, vec_id AS far_id FROM (
+         |    SELECT list_id, vec_id, row_number() OVER (
+         |      PARTITION BY list_id ORDER BY cs, vec_id) AS rn
+         |    FROM mem) WHERE rn = 1),
+         |c2 AS (SELECT f.list_id, f.far_id, e.embedding AS femb,
+         |    e.nrm AS fnrm
+         |  FROM far f JOIN all0 e ON e.vec_id = f.far_id),
+         |re AS (SELECT m.list_id, m.n_before, c2.far_id,
+         |    CASE WHEN ${dotCols("e.embedding", "c2.femb")}
+         |        / (e.nrm * c2.fnrm) > m.cs THEN 1 ELSE 0 END AS mv
+         |  FROM mem m JOIN all0 e ON e.vec_id = m.vec_id
+         |  JOIN c2 ON c2.list_id = m.list_id),
+         |keepc AS (SELECT list_id AS src_cid, list_id AS cid,
+         |    CAST(n_before - sum(mv) AS BIGINT) AS n_vecs, 0 AS is_new
+         |  FROM re GROUP BY list_id, n_before),
+         |newc AS (SELECT list_id AS src_cid, far_id AS cid,
+         |    CAST(sum(mv) AS BIGINT) AS n_vecs, 1 AS is_new
+         |  FROM re GROUP BY list_id, far_id)
+         |SELECT src_cid, cid, n_vecs, CAST(is_new AS INT) AS is_new
+         |FROM (SELECT * FROM keepc UNION ALL SELECT * FROM newc)
+         |ORDER BY src_cid, is_new""".stripMargin) { (s, dir) =>
+      ivfResplitPersist(s, dir)._2
+    }
+  }
+
+  /** The e170 build, returning (post-split index path, census frame) —
+    * `private[queries]` so IvfPersistSpec can probe the rewritten
+    * table's pruning behavior at the path the build published.
+    */
+  private[queries] def ivfResplitPersist(
+      s: SparkSession, dir: String): (String, DataFrame) = {
+    val base = embBase(s, dir)
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    val prePath = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_$tag").toString
+    // e64's index build, fingerprint-amortized — same path, same table
+    graft.sources.Layout.writePartitionedIfStale(
+      base.join(ivfAssign(base), "vec_id"), prePath, Seq("list_id"),
+      graft.sources.Layout.scanFingerprint(Tables.embeddings(s, dir)))
+    // ---- everything below reads the PERSISTED index only ----
+    val idx = s.read.parquet(prePath)
+    val cent = idx.filter(col("vec_id") % 67 === 3)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    // cell-local cosine to the OWN centroid: equals the assignment's
+    // winning score (same operands, same float op), without the argmax
+    val scored = idx.join(broadcast(cent), col("list_id") === col("cid"))
+      .select(col("vec_id"), col("list_id"),
+        (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+          .as("cs"))
+    val counts = scored.groupBy("list_id")
+      .agg(count(lit(1)).as("n_before"))
+    val cap = counts.agg(expr("sum(n_before) div count(1)").as("cap"))
+    val hot = counts.crossJoin(broadcast(cap))
+      .where(col("n_before") > col("cap"))
+      .select("list_id", "n_before")
+    val mem = scored.join(hot, "list_id")
+    val far = mem.groupBy("list_id")
+      .agg(min(struct(col("cs"), col("vec_id"))).as("f"))
+      .select(col("list_id"), col("f.vec_id").as("far_id"))
+    val c2 = far.join(
+      idx.select(col("vec_id").as("far_id"), col("emb").as("femb"),
+        col("nrm").as("fnrm")), "far_id")
+    val moved = mem
+      .join(idx.select(col("vec_id"), col("emb"), col("nrm")), "vec_id")
+      .join(broadcast(c2), "list_id")
+      .where(dot(col("emb"), col("femb")) / (col("nrm") * col("fnrm"))
+        > col("cs"))
+      .select(col("vec_id"), col("far_id").as("new_list"))
+    val postIdx = idx.join(moved, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        coalesce(col("new_list"), col("list_id")).as("list_id"))
+    val postPath = prePath + "_split"
+    graft.sources.Layout.writePartitioned(postIdx, postPath,
+      Seq("list_id"))
+    // census read BACK from the rewritten table — the roundtrip proof
+    val mapping = far
+      .select(col("list_id").as("src_cid"), col("list_id").as("cid"),
+        lit(0).as("is_new"))
+      .unionByName(far.select(col("list_id").as("src_cid"),
+        col("far_id").as("cid"), lit(1).as("is_new")))
+    val counts2 = s.read.parquet(postPath)
+      .groupBy(col("list_id").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val census = mapping.join(counts2, Seq("cid"), "left")
+      .select(col("src_cid"), col("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"), col("is_new"))
+      .orderBy("src_cid", "is_new")
+    (postPath, census)
+  }
+
   /** ANN RECALL calibration: recall@3 of the IVF (nprobe = 1) search
     * against exact brute-force top-3 on the deterministic probe set —
     * the measurement that decides whether an ANN configuration is good
@@ -3326,6 +3488,32 @@ object ExtensionQueries {
     * the symmetric `verified` pair set and filters to cross-split pairs —
     * an independent formulation with the same result set.
     */
+  /** One side's (doc_id, shs, sig) signature frame — e41's per-side
+    * MinHash pass, shared with e168's verification tier: the e3
+    * pattern (repartition(doc_id) + keep-columns-referenced guards) so
+    * bands and the verification join sides share one exchange.
+    */
+  private def mhSide(side: DataFrame): DataFrame = side
+    .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
+    .filter(size(col("shs")) > 0)
+    .filter(col("doc_id").isNotNull)
+    .select(col("doc_id"), col("shs"), F.min_hashes(col("shs")).as("sig"))
+    .repartition(col("doc_id"))
+
+  /** Exploded (doc_id, band_id, band_key) rows of a [[mhSide]] frame —
+    * the same 6×2 banding as [[graft.streaming.StreamBandGate]]'s
+    * index, with doc ids retained (the gate's admission index drops
+    * them; verification needs them).
+    */
+  private def bandsOf(mh: DataFrame): DataFrame = {
+    val bandKeys = array((0 until 6).map(k =>
+      element_at(col("sig"), 2 * k + 1) * P +
+        element_at(col("sig"), 2 * k + 2)): _*)
+    mh.select(col("doc_id"),
+      posexplode(when(size(col("shs")) > 0, bandKeys))
+        .as(Seq("band_id", "band_key")))
+  }
+
   private def e41IncrementalDedup = QueryDef.sql(
     "e41_incremental_dedup",
     s"""$minhashPairsDuck,
@@ -3357,20 +3545,6 @@ object ExtensionQueries {
     // side the e3 pattern applies: repartition(doc_id) + the
     // keep-columns-referenced guards so bands and the verification join
     // side share one exchange.
-    def mhSide(side: DataFrame) = side
-      .select(col("doc_id"), F.shingle_hashes(col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("shs"), F.min_hashes(col("shs")).as("sig"))
-      .repartition(col("doc_id"))
-    def bandsOf(mh: DataFrame) = {
-      val bandKeys = array((0 until 6).map(k =>
-        element_at(col("sig"), 2 * k + 1) * P +
-          element_at(col("sig"), 2 * k + 2)): _*)
-      mh.select(col("doc_id"),
-        posexplode(when(size(col("shs")) > 0, bandKeys))
-          .as(Seq("band_id", "band_key")))
-    }
     val mhD = mhSide(docs.filter(isDelta))
     val mhB = mhSide(docs.filter(!isDelta))
     val cand = bandsOf(mhD).as("a")
@@ -3395,6 +3569,121 @@ object ExtensionQueries {
       .join(ex, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .select(col("doc_id"),
+        when(col("fe") === 1, "exact").when(col("fn") === 1, "neardup")
+          .otherwise("kept").as("verdict"))
+  }
+
+  /** The crawl-ingest admission loop CLOSED: the streaming gate's
+    * quarantine composed with e41's batch exact-Jaccard verification —
+    * the consumer [[graft.streaming.StreamBandGate]]'s contract
+    * promises ("candidates quarantine for exact verification by the
+    * batch pass") but nothing ran until now. Two tiers over the same
+    * delta split as e41 (doc_id ≡ 4 mod 5):
+    *
+    *  1. GATE (`gate_verdict`): the admission rule exactly as the
+    *     stream runs it — digest membership ('exact'), else ≥ 1 shared
+    *     MinHash band key with the corpus ('neardup_candidate'), else
+    *     'kept'. The corpus side is the gate's OWN slim index
+    *     ([[graft.streaming.StreamBandGate.corpusIndex]]: digest set +
+    *     doc-id-free distinct (band_id, band_key) table — the
+    *     composition reuses the stream artifact, it does not
+    *     re-derive it), so this tier never touches signatures or text.
+    *  2. VERIFY (`verdict`): ONLY quarantined docs enter e41's
+    *     asymmetric band join + exact shingle-Jaccard ≥ 0.3; a
+    *     candidate that fails — the band rule's false positive, one
+    *     lucky band among 6 — is REJECTED back to 'kept', proven
+    *     harmless rather than auto-dropped.
+    *
+    * Union identity (spec-pinned, the StreamSessionOverlap handoff
+    * pattern): `verdict` equals e41's full two-tier verdict on the
+    * same delta row-for-row — gate-then-verify loses nothing and
+    * admits nothing extra, because the gate's band rule IS e41's
+    * candidate rule (same signatures, same 6×2 banding) and
+    * verification applies e41's threshold to exactly the quarantined
+    * set.
+    *
+    * Scale (the reason the loop is shaped this way): the gate tier
+    * joins the delta against the slim index — distinct band keys,
+    * digests; no doc ids, no shingle arrays — so admission cost is
+    * per-delta-doc and O(1) per band probe at any corpus size; the
+    * expensive tier (signature fetch + exact Jaccard) runs only on the
+    * quarantined minority. At fleet scale both index sides are the
+    * batch pipeline's materialized parquet; nothing here is all-pairs.
+    */
+  private def e168GateVerify = QueryDef.sql(
+    "e168_gate_verify",
+    s"""$minhashPairsDuck,
+       |ex AS (SELECT DISTINCT d.doc_id, 1 AS fe
+       |  FROM documents d JOIN documents b
+       |    ON d.text = b.text AND d.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+       |gate AS (SELECT DISTINCT
+       |    CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id,
+       |    1 AS fg
+       |  FROM cand WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4)),
+       |ver AS (SELECT DISTINCT
+       |    CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id,
+       |    1 AS fn
+       |  FROM verified
+       |  WHERE jaccard >= 0.3 AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4)))
+       |SELECT dd.doc_id,
+       |  CASE WHEN fe = 1 THEN 'exact'
+       |    WHEN fg = 1 THEN 'neardup_candidate' ELSE 'kept'
+       |  END AS gate_verdict,
+       |  CASE WHEN fe = 1 THEN 'exact' WHEN fn = 1 THEN 'neardup'
+       |    ELSE 'kept' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) dd
+       |LEFT JOIN ex USING (doc_id) LEFT JOIN gate USING (doc_id)
+       |LEFT JOIN ver USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val isDelta = col("doc_id") % 5 === 4
+    val base = docs.filter(!isDelta)
+    // the gate's own slim corpus index — the stream operator's builder
+    val (dig, gateBands) =
+      graft.streaming.StreamBandGate.corpusIndex(base)
+    // tier 1a: digest membership (32-byte digests, never text)
+    val ex = docs.filter(isDelta)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(dig, "h").select("doc_id").distinct()
+      .withColumn("fe", lit(1))
+    // tier 1b: band-key membership against the doc-id-free gate index —
+    // the quarantine set
+    val mhD = mhSide(docs.filter(isDelta))
+    val gate = bandsOf(mhD)
+      .join(gateBands, Seq("band_id", "band_key"))
+      .select("doc_id").distinct()
+      .withColumn("fg", lit(1))
+    // tier 2: e41's verification, restricted to the quarantined docs —
+    // the asymmetric delta⋈base band join with full doc ids, then exact
+    // shingle Jaccard at the e41 threshold
+    val mhDq = mhD.join(gate.select("doc_id"), "doc_id")
+    val mhB = mhSide(base)
+    val cand = bandsOf(mhDq).as("a")
+      .join(bandsOf(mhB).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_d"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = when(
+      size(col("sa.sig")) > 0 && size(col("sb.sig")) > 0,
+      size(array_intersect(col("sa.shs"), col("sb.shs"))))
+    val jac = round(inter.cast("double") /
+      (size(col("sa.shs")) + size(col("sb.shs")) - inter), 4)
+    val nd = cand
+      .join(mhDq.as("sa"), col("doc_d") === col("sa.doc_id"))
+      .join(mhB.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_d").as("doc_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_id").distinct()
+      .withColumn("fn", lit(1))
+    docs.filter(isDelta).select("doc_id")
+      .join(ex, Seq("doc_id"), "left")
+      .join(gate, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("fe") === 1, "exact")
+          .when(col("fg") === 1, "neardup_candidate")
+          .otherwise("kept").as("gate_verdict"),
         when(col("fe") === 1, "exact").when(col("fn") === 1, "neardup")
           .otherwise("kept").as("verdict"))
   }
@@ -3506,7 +3795,14 @@ object ExtensionQueries {
     * table never scales.
     */
   private def regionCliqueEdges(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    regionCliqueSplit(s, dir)._2
+
+  /** The fixture's (cliques-only, cliques+bridges) edge pair — e169b's
+    * two generations: the bridges are exactly what gen B adds.
+    */
+  private def regionCliqueSplit(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val n = Tables.nation(s, dir).select(
       col("n_nationkey").cast("long").as("nk"),
       col("n_regionkey").cast("long").as("rk"))
@@ -3519,7 +3815,7 @@ object ExtensionQueries {
     val br = bounds.select(col("rk"), col("mx"))
       .join(bounds.select((col("rk") - 1).as("rk"), col("mn")), "rk")
       .select(col("mx").as("u"), col("mn").as("v"))
-    cl.unionByName(br)
+    (cl, cl.unionByName(br))
   }
 
   /** Oracle twin of [[regionCliqueEdges]]: CTE chain ending in the
@@ -3789,24 +4085,13 @@ object ExtensionQueries {
     * est_pairs)`.
     */
   private def anfRoundsDuck(rounds: Int): String = {
-    val alphaNum = 709L * (1L << 37)
-    val tz = graft.operators.NeighborhoodFunction.tzCaseSql("h2 // 64")
     val base =
-      s"""n0 AS (SELECT u AS node FROM edges GROUP BY u),
-         |b0 AS MATERIALIZED (SELECT node, node AS r FROM n0),
-         |h0 AS MATERIALIZED (SELECT node, h2 % 64 AS j, $tz AS mr
-         |  FROM (SELECT node, x * x % $P * x % $P AS h2
-         |    FROM (SELECT node, (node * ${Portable.HllA} +
-         |      ${Portable.HllB}) % $P AS x FROM n0)))""".stripMargin
+      s"""b0 AS MATERIALIZED (SELECT node, node AS r FROM n0)"""
     val steps = (1 to rounds).map { t =>
       s"""b$t AS MATERIALIZED (SELECT DISTINCT node, r FROM (
          |  SELECT node, r FROM b${t - 1}
          |  UNION ALL SELECT e.u AS node, p.r FROM edges e
-         |    JOIN b${t - 1} p ON p.node = e.v)),
-         |h$t AS MATERIALIZED (SELECT node, j, max(mr) AS mr FROM (
-         |  SELECT node, j, mr FROM h${t - 1}
-         |  UNION ALL SELECT e.u AS node, p.j, p.mr FROM edges e
-         |    JOIN h${t - 1} p ON p.node = e.v) GROUP BY node, j)"""
+         |    JOIN b${t - 1} p ON p.node = e.v))"""
         .stripMargin
     }
     // Summaries GROUP BY the round tag over tagged unions (not one
@@ -3819,10 +4104,38 @@ object ExtensionQueries {
       s"    SELECT CAST($t AS BIGINT) AS round, node FROM b$t")
       .mkString("ex AS (SELECT round, count(*) AS n_pairs FROM (\n",
         "\n    UNION ALL\n", "\n  ) GROUP BY round)")
+    (Seq(anfHllDuckPfx(rounds, "", "edges"), base) ++ steps :+ ex)
+      .mkString(",\n")
+  }
+
+  /** HLL-only, PREFIX-parameterized slice of [[anfRoundsDuck]] — the
+    * register chain `${p}n0`, `${p}h0..R` over `$edges`, ending in the
+    * per-round summary `${p}es(round, est_pairs, z_total)` — so a
+    * query can replay TWO generations' HyperANF legs in one oracle
+    * (e169 needs `aes`/`bes` side by side; the unprefixed form is
+    * e165's). Same grouped-summary discipline as [[anfRoundsDuck]].
+    */
+  private def anfHllDuckPfx(
+      rounds: Int, p: String, edges: String): String = {
+    val alphaNum = 709L * (1L << 37)
+    val tz = graft.operators.NeighborhoodFunction.tzCaseSql("h2 // 64")
+    val base =
+      s"""${p}n0 AS (SELECT u AS node FROM $edges GROUP BY u),
+         |${p}h0 AS MATERIALIZED (SELECT node, h2 % 64 AS j, $tz AS mr
+         |  FROM (SELECT node, x * x % $P * x % $P AS h2
+         |    FROM (SELECT node, (node * ${Portable.HllA} +
+         |      ${Portable.HllB}) % $P AS x FROM ${p}n0)))""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""${p}h$t AS MATERIALIZED (SELECT node, j, max(mr) AS mr FROM (
+         |  SELECT node, j, mr FROM ${p}h${t - 1}
+         |  UNION ALL SELECT e.u AS node, q.j, q.mr FROM $edges e
+         |    JOIN ${p}h${t - 1} q ON q.node = e.v) GROUP BY node, j)"""
+        .stripMargin
+    }
     val es = (0 to rounds).map(t =>
-      s"    SELECT CAST($t AS BIGINT) AS round, node, j, mr FROM h$t")
+      s"    SELECT CAST($t AS BIGINT) AS round, node, j, mr FROM ${p}h$t")
       .mkString(
-        s"""es AS (SELECT round,
+        s"""${p}es AS (SELECT round,
            |    CAST(sum($alphaNum // (1000 * ((64 - cnt) * 33554432 + s)))
            |      AS BIGINT) AS est_pairs,
            |    CAST(sum(64 - cnt) AS BIGINT) AS z_total
@@ -3832,7 +4145,7 @@ object ExtensionQueries {
            |""".stripMargin,
         "\n    UNION ALL\n",
         "\n  ) GROUP BY round, node) GROUP BY round)")
-    (Seq(base) ++ steps ++ Seq(ex, es)).mkString(",\n")
+    (Seq(base) ++ steps :+ es).mkString(",\n")
   }
 
   /** Final SELECT shared by e165/e165b: both legs joined on round,
@@ -3921,6 +4234,151 @@ object ExtensionQueries {
          |${anfSelectDuck(rounds)}""".stripMargin) { (s, dir) =>
       graft.operators.NeighborhoodFunction
         .neighborhood(regionCliqueEdges(s, dir), "u", "v", rounds)
+    }
+  }
+
+  /** Shared Spark leg of the e169 family: persist generation A's
+    * HyperANF registers to parquet (the e138/e153/e156b persistence
+    * posture — [[graft.operators.NeighborhoodFunction.hllRegisters]],
+    * ≤ 64·|V|·(rounds+1) rows at any corpus size), release the build's
+    * checkpoint, then derive gen A's whole N(r) curve from the
+    * PERSISTED relation with one scan while generation B runs its own
+    * production HLL leg — the cross-generation report never re-iterates
+    * gen A's graph. Deltas are integer-exact: `delta_pairs` (signed —
+    * rep ids can move between generations, so per-round estimates are
+    * not monotone) and `widened` = frac_b_bp < frac_a_bp (at radius r
+    * gen B covers a smaller fraction of its final mass, i.e. its
+    * distance curve got fatter-tailed — the diameter-growth flag).
+    */
+  private def diameterDrift(
+      s: SparkSession, leaf: String,
+      edgesA: DataFrame, edgesB: DataFrame,
+      aCol: String, bCol: String, rounds: Int): DataFrame = {
+    import graft.operators.{ConnectedComponents, NeighborhoodFunction}
+    val regPath = Scratch.dir(s, leaf)
+    val regsA = NeighborhoodFunction
+      .hllRegisters(edgesA, aCol, bCol, rounds)
+    regsA.write.mode("overwrite").parquet(regPath)
+    ConnectedComponents.releaseLocalCheckpoint(regsA)
+    val estA = NeighborhoodFunction
+      .summarizeRegisters(s.read.parquet(regPath))
+    val estB = NeighborhoodFunction.hllOnly(edgesB, aCol, bCol, rounds)
+    val lastA = estA.filter(col("round") === rounds)
+      .select(col("est_pairs").as("na_last"))
+    val lastB = estB.filter(col("round") === rounds)
+      .select(col("est_pairs").as("nb_last"))
+    estA.select(col("round"), col("est_pairs").as("est_a"))
+      .join(estB.select(col("round"), col("est_pairs").as("est_b")),
+        "round")
+      .crossJoin(broadcast(lastA)).crossJoin(broadcast(lastB))
+      .select(col("round"), col("est_a"), col("est_b"),
+        expr("est_a * 10000 div na_last").as("frac_a_bp"),
+        expr("est_b * 10000 div nb_last").as("frac_b_bp"),
+        (col("est_b") - col("est_a")).as("delta_pairs"),
+        (expr("est_b * 10000 div nb_last") <
+          expr("est_a * 10000 div na_last")).cast("int").as("widened"))
+      .orderBy("round")
+  }
+
+  /** Oracle final SELECT shared by e169/e169b over the prefixed
+    * summaries `aes`/`bes` ([[anfHllDuckPfx]]).
+    */
+  private def driftSelectDuck(rounds: Int): String =
+    s"""SELECT a.round, a.est_pairs AS est_a, b.est_pairs AS est_b,
+       |  a.est_pairs * 10000 // (SELECT est_pairs FROM aes
+       |    WHERE round = $rounds) AS frac_a_bp,
+       |  b.est_pairs * 10000 // (SELECT est_pairs FROM bes
+       |    WHERE round = $rounds) AS frac_b_bp,
+       |  b.est_pairs - a.est_pairs AS delta_pairs,
+       |  CAST(b.est_pairs * 10000 // (SELECT est_pairs FROM bes
+       |      WHERE round = $rounds) <
+       |    a.est_pairs * 10000 // (SELECT est_pairs FROM aes
+       |      WHERE round = $rounds) AS INT) AS widened
+       |FROM aes a JOIN bes b ON b.round = a.round
+       |ORDER BY a.round""".stripMargin
+
+  /** GENERATIONAL effective-diameter drift — e165's stated motivation
+    * made operational ("a template family whose effective diameter
+    * grows round over round is drifting by hybridization",
+    * [[graft.operators.NeighborhoodFunction]]): generation A (the
+    * corpus without the e41 delta split, doc_id ≢ 4 mod 5) against
+    * generation B (the full corpus), each at its own rep grain with
+    * its own dup graph, compared round-by-round on the HLL distance
+    * curve. Gen A's registers are PERSISTED parquet and its curve is
+    * re-derived by one scan of that relation — the e138/e153/e156b
+    * posture: a fleet pipeline keeps one bounded register table per
+    * generation and diffs curves without ever re-iterating old graphs.
+    *
+    * Reading: `widened = 1` at some round marks gen B needing MORE
+    * rounds to cover the same mass fraction — dup transitivity is
+    * chaining farther than last generation, exactly the hybridization
+    * drift min-id collapse absorbs silently. On THIS corpus the honest
+    * reading is near-identical curves (the delta adds near-dups but no
+    * long chains); e169b is the constructed twin where gen B genuinely
+    * widens the diameter.
+    *
+    * Scale: both legs are the bounded-register HyperANF (never the
+    * exact relation); the persisted artifact is ≤ 64·|V|·(rounds+1)
+    * rows; the cross-generation report is one scan + one (rounds+1)-row
+    * join. 100 TB-safe by the e165 argument, plus the roundtrip.
+    */
+  private def e169DiameterDrift = {
+    val rounds = 4
+    def repEdges(docs: DataFrame): DataFrame = {
+      val reps = docs.filter(length(col("text")) > 0)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"))
+      minhashVerifiedPairsFrom(reps.select("doc_id", "text"))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+    }
+    QueryDef.sql(
+      "e169_diameter_drift",
+      s"""WITH repsa AS (SELECT min(doc_id) AS doc_id, text
+         |  FROM documents WHERE len(text) > 0 AND doc_id % 5 <> 4
+         |  GROUP BY text),
+         |repsb AS (SELECT min(doc_id) AS doc_id, text
+         |  FROM documents WHERE len(text) > 0 GROUP BY text),
+         |${minhashPairsDuckFrom("repsa", "ga").stripPrefix("WITH ")},
+         |${minhashPairsDuckFrom("repsb", "gb").stripPrefix("WITH ")},
+         |pa AS (SELECT doc_a, doc_b FROM gaverified WHERE jaccard >= 0.2),
+         |pb AS (SELECT doc_a, doc_b FROM gbverified WHERE jaccard >= 0.2),
+         |edgesa AS (SELECT doc_a AS u, doc_b AS v FROM pa
+         |           UNION SELECT doc_b, doc_a FROM pa),
+         |edgesb AS (SELECT doc_a AS u, doc_b AS v FROM pb
+         |           UNION SELECT doc_b, doc_a FROM pb),
+         |${anfHllDuckPfx(rounds, "a", "edgesa")},
+         |${anfHllDuckPfx(rounds, "b", "edgesb")}
+         |${driftSelectDuck(rounds)}""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      diameterDrift(s, "e169_regs",
+        repEdges(docs.filter(col("doc_id") % 5 =!= 4)), repEdges(docs),
+        "doc_a", "doc_b", rounds)
+    }
+  }
+
+  /** The constructed twin of e169 where generation B GENUINELY widens
+    * the diameter (the e163b/e165b pattern, same chained-clique
+    * fixture): gen A is the five region cliques alone — five
+    * components, every distance curve converged at round 1 — and gen B
+    * adds the four bridges, one component of true diameter 9. Every
+    * round before the converged tail reads widened = 1 with a climbing
+    * frac_b_bp, keeping
+    * the drift-detection path (persisted registers included — the
+    * fixture runs the same parquet roundtrip) hash-checked at every
+    * SF.
+    */
+  private def e169bDiameterRegions = {
+    val rounds = 10
+    QueryDef.sql(
+      "e169b_diameter_regions",
+      s"""WITH $regionCliqueDuck,
+         |edgesa AS (SELECT u, v FROM cl UNION SELECT v, u FROM cl),
+         |${anfHllDuckPfx(rounds, "a", "edgesa")},
+         |${anfHllDuckPfx(rounds, "b", "edges")}
+         |${driftSelectDuck(rounds)}""".stripMargin) { (s, dir) =>
+      val (cl, full) = regionCliqueSplit(s, dir)
+      diameterDrift(s, "e169b_regs", cl, full, "u", "v", rounds)
     }
   }
 }

@@ -341,28 +341,105 @@ object Layout {
         throw new IllegalArgumentException(
           s"compact: $path is hive-partitioned (cols=" +
             s"${contract.get.getOrElse("cols", "?")}); a root rewrite " +
-            "would flatten the directory scheme — compact each leaf " +
-            "partition directory instead")
+            "would flatten the directory scheme — use " +
+            "compactPartitioned, which compacts each leaf partition " +
+            "directory under the recorded contract")
       case _ =>
         src.repartition(n)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
-    // Swap via rename-aside: the original is moved, not deleted, until
-    // the rewrite is live at the published path.
+    swapInPlace(fs, hPath, tmp, old, "compact")
+    n
+  }
+
+  /** Rename-aside swap: the original is moved, not deleted, until the
+    * rewrite is live at the published path; every rename/delete result
+    * is checked and a failure throws with the data's location named.
+    */
+  private def swapInPlace(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, op: String): Unit = {
     if (!fs.rename(hPath, old))
       throw new java.io.IOException(
-        s"compact: failed to move $hPath aside to $old; original intact")
+        s"$op: failed to move $hPath aside to $old; original intact")
     if (!fs.rename(tmp, hPath)) {
       // best-effort restore so the published path doesn't stay empty
       val restored = fs.rename(old, hPath)
       throw new java.io.IOException(
-        s"compact: failed to publish $tmp at $hPath; original " +
+        s"$op: failed to publish $tmp at $hPath; original " +
           (if (restored) s"restored at $hPath" else s"preserved at $old"))
     }
     if (!fs.delete(old, true))
       throw new java.io.IOException(
-        s"compact: swap complete but failed to remove aside dir $old")
-    n
+        s"$op: swap complete but failed to remove aside dir $old")
+  }
+
+  /** Compaction for hive-PARTITIONED layouts — the maintenance pass
+    * [[compact]] (correctly) refuses to run at the root, provided as a
+    * library operation instead of the manual loop the refusal used to
+    * suggest: partitioned layout is the default posture for the
+    * corpus-scale tables this engine targets (writePartitioned is the
+    * first data-skipping lever), so its small-files maintenance cannot
+    * be user-assembled.
+    *
+    * Walks the directory scheme the recorded contract declares (one
+    * `col=value` level per partition column — the shape
+    * [[writePartitioned]] wrote by construction) and compacts each LEAF
+    * directory in place to ≈`targetBytes` files: leaves are plain
+    * parquet by construction (partition values live in the directory
+    * names, z-order/bloom contracts are root-level kinds), so each leaf
+    * rewrite is the plain round-robin path with [[compact]]'s
+    * rename-aside swap — a crash mid-pass leaves every leaf either
+    * fully old, fully new, or recoverable at `leaf__old`/
+    * `leaf__compacting`, and all OTHER leaves untouched. The directory
+    * scheme, the root `_graft_layout` marker, and any
+    * `_graft_fingerprint` are never rewritten, so partition pruning and
+    * freshness claims survive (LayoutSpec pins scheme + marker +
+    * pruning across a compact). Returns the total new file count.
+    *
+    * Scale: at fleet scale each leaf is an independent rewrite of one
+    * partition's bytes — the pass parallelizes per leaf and never holds
+    * more than one partition's data in flight, unlike a root rewrite,
+    * which would shuffle the whole table to rebuild a scheme it already
+    * has.
+    */
+  def compactPartitioned(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val contract = readLayoutContract(spark, path)
+    val kind = contract.map(_.getOrElse("kind", "plain"))
+    require(kind.contains("partitioned"),
+      s"compactPartitioned: $path has no recorded hive-partitioned " +
+        s"contract (found ${kind.getOrElse("no marker")}) — use compact")
+    val nLevels = contract.get("cols").split(',').count(_.nonEmpty)
+    def leaves(
+        p: org.apache.hadoop.fs.Path,
+        depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    leaves(hPath, nLevels).map { leaf =>
+      val total = fs.getContentSummary(leaf).getLength
+      val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      val tmp = new org.apache.hadoop.fs.Path(leaf.toString + "__compacting")
+      val old = new org.apache.hadoop.fs.Path(leaf.toString + "__old")
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(
+          s"compactPartitioned: cannot clear stale aside dir $old")
+      // leaf files carry only data columns (partition values are the
+      // directory names) — read and rewrite the leaf alone, so the
+      // rewrite never re-infers or re-writes the partition scheme
+      spark.read.parquet(leaf.toString)
+        .repartition(n)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapInPlace(fs, leaf, tmp, old, "compactPartitioned")
+      n
+    }.sum
   }
 
   /** Parquet BLOOM-FILTER layout for point-lookup columns — the third

@@ -35,11 +35,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * histogram; re-unifying such fragments is the batch operator's job
   * (the [[Sessionize]] open-tail precedent, spec-pinned).
   *
+  * Index contract (`dfCap`): the batch operator excludes index hashes
+  * with df > 256 from voting — a landmark pair shared by hundreds of
+  * documents is corpus boilerplate with no identification value — and
+  * that cap is ALSO this operator's state bound: one uncapped
+  * boilerplate hash fans a single clip pair into up to df distinct
+  * (cand, delta) state entries, exactly the blowup the cap exists to
+  * prevent. So the cap is applied HERE, to whatever index the caller
+  * passes (the raw `pd` shape is fine): a df census plus one semi
+  * join, both static-side-only. Pass dfCap = 0 only when the index is
+  * already the batch pipeline's capped `pdc` table (at fleet scale the
+  * capped index is what the batch pass materializes — recomputing the
+  * census per micro-batch is then wasted static-side work).
+  *
   * State per clip is bounded by its DISTINCT (candidate, delta)
-  * matches — hash selectivity keeps that near the clip's own pair
-  * count on unrelated corpora (the batch operator's candidate
-  * argument); it is the per-clip working set a batch matcher holds
-  * anyway, held only inside the watermark horizon.
+  * matches over the CAPPED index — df-cap selectivity keeps that near
+  * the clip's own pair count on any corpus (the batch operator's
+  * boilerplate argument), held only inside the watermark horizon.
+  *
+  * Verdict margin (the batch operator's abstain rule): `margin` =
+  * winner votes − runner-up votes over the clip's (cand, delta)
+  * histogram; below `marginFloor` the verdict is 'abstain' instead of
+  * 'match' — for a contamination / rights ALARM a wrong confident
+  * match is worse than an abstain, and the batch operator's measured
+  * misses are precisely deterministic vote TIES (margin 0) on 2–4-pair
+  * snippets.
   */
 object StreamFingerprint {
 
@@ -53,9 +73,12 @@ object StreamFingerprint {
 
   case class Pending(votes: Seq[Vote], lastUs: Long)
 
-  /** Final per-clip verdict — the batch operator's winner columns. */
+  /** Final per-clip verdict — the batch operator's winner columns plus
+    * its margin/abstain pair.
+    */
   final case class FpMatch(
-      clip_id: Long, matched_doc: Long, offset_win: Long, votes: Long)
+      clip_id: Long, matched_doc: Long, offset_win: Long, votes: Long,
+      margin: Long, verdict: String)
 
   private def micros(t: Timestamp): Long = Sessionize.micros(t)
 
@@ -63,20 +86,32 @@ object StreamFingerprint {
     *                  constellation pairs (the batch pipeline's `pc`
     *                  shape plus an event time)
     * @param index     static frame: cand, t1d, h — the corpus inverted
-    *                  index (the batch pipeline's `pd` shape)
+    *                  index (the batch pipeline's `pd` shape; capped
+    *                  here per `dfCap`)
     * @param watermark watermark delay on ts, e.g. "10 minutes"
     * @param quietSec  event-time quiet gap after a clip's last pair
     *                  that finalizes its verdict
+    * @param dfCap     max index df per hash admitted to voting (the
+    *                  batch operator's 256); 0 = caller passes the
+    *                  pre-capped index
+    * @param marginFloor minimum winner-minus-runner-up vote margin for
+    *                  a 'match' verdict; below it the clip abstains
     */
   def matches(
       clipPairs: DataFrame, index: DataFrame, watermark: String,
-      quietSec: Long = 60L): Dataset[FpMatch] = {
+      quietSec: Long = 60L, dfCap: Long = 256L,
+      marginFloor: Long = 1L): Dataset[FpMatch] = {
     val spark = clipPairs.sparkSession
     import spark.implicits._
+    val capped =
+      if (dfCap <= 0L) index
+      else index.join(
+        index.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("h"), "h")
     clipPairs
       .where(col("clip_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)
-      .join(index, "h") // stream-static: per-batch join, no added state
+      .join(capped, "h") // stream-static: per-batch join, no added state
       .select(col("clip_id"), col("cand"),
         (col("t1d") - col("t1c")).as("delta"), col("ts"))
       .as[Hit]
@@ -84,15 +119,24 @@ object StreamFingerprint {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (clipId: Long, it: Iterator[Hit], state: GroupState[Pending]) =>
-          if (!it.hasNext) {
+          // the documented GroupState contract, not iterator emptiness:
+          // an empty-iterator invocation WITHOUT timeout must not fire
+          // a premature verdict and destroy the clip's state
+          if (state.hasTimedOut) {
             // timeout: watermark passed last-seen + quiet — the
-            // histogram is complete, emit the argmax verdict
+            // histogram is complete, emit the margin-gated verdict
             val out = state.getOption.map { p =>
-              val w = p.votes.minBy(v => (-v.n, v.cand, v.delta))
-              FpMatch(clipId, w.cand, w.delta, w.n)
+              val sorted = p.votes.sortBy(v => (-v.n, v.cand, v.delta))
+              val w = sorted.head
+              val margin =
+                w.n - sorted.drop(1).headOption.map(_.n).getOrElse(0L)
+              FpMatch(clipId, w.cand, w.delta, w.n, margin,
+                if (margin >= marginFloor) "match" else "abstain")
             }.toList
             state.remove()
             out.iterator
+          } else if (!it.hasNext) {
+            Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(Pending(Nil, 0L))
             val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]

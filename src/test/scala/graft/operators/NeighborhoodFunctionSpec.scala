@@ -73,6 +73,46 @@ class NeighborhoodFunctionSpec extends SparkSpecBase {
     assert(prod.toSeq === full.toSeq)
   }
 
+  test("hllRegisters persisted to parquet re-derive hllOnly's summary " +
+    "with one scan (e169's posture); the build's checkpoint releases") {
+    import spark.implicits._
+    val edges = chainedCliques
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val regs = NeighborhoodFunction
+      .hllRegisters(edges.toDF("a", "b"), "a", "b", rounds = 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_anf_regs").toString + "/regs"
+    regs.write.parquet(dir)
+    ConnectedComponents.releaseLocalCheckpoint(regs)
+    val fromDisk = NeighborhoodFunction
+      .summarizeRegisters(spark.read.parquet(dir))
+      .select("round", "est_pairs", "z_total")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val direct = NeighborhoodFunction
+      .hllOnly(edges.toDF("a", "b"), "a", "b", rounds = 10)
+      .select("round", "est_pairs", "z_total")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(fromDisk.toSeq === direct.toSeq)
+    // only hllOnly's (rounds+1)-row summary may remain persisted: the
+    // register build's checkpoint was released above and every
+    // per-round frame inside both calls self-releases (ADVICE r13)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"leaked checkpoints: $before -> $after")
+  }
+
+  test("neighborhood() keeps only its two summary checkpoints: every " +
+    "per-round reach/register frame is released (ADVICE r13)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    NeighborhoodFunction
+      .neighborhood(chainedCliques.toDF("a", "b"), "a", "b", rounds = 10)
+      .collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"leaked checkpoints: $before -> $after")
+  }
+
   test("pair-shaped graph: everything reachable at round 1, flat after") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (3L, 4L), (5L, 6L))

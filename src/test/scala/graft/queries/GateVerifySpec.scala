@@ -1,0 +1,87 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpecBase
+import graft.streaming.StreamBandGate
+
+/** e168 — the closed crawl-ingest admission loop: gate-then-verify must
+  * equal e41's full two-tier verdict on the same delta (union
+  * identity), a quarantined candidate REJECTED by exact verification
+  * must exist and read 'kept' (the band rule's false positive, proven
+  * harmless), and the literal STREAMING gate's verdicts must equal
+  * e168's gate_verdict column (the handoff: what the stream
+  * quarantines is exactly what the batch pass verifies).
+  */
+class GateVerifySpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    ExtensionQueries.all.find(_.name == name).get.run(spark, dir)
+
+  test("union identity: e168's verdict equals e41's on every delta doc") {
+    val e168 = run("e168_gate_verify")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val e41 = run("e41_incremental_dedup")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(e168.keySet === e41.keySet)
+    val diff = e168.collect {
+      case (id, v) if e41(id) != v => (id, v, e41(id))
+    }
+    assert(diff.isEmpty, s"verdicts diverge: $diff")
+  }
+
+  test("a quarantined candidate rejected by verification reads 'kept' " +
+    "— the gate's false positive is harmless, not dropped") {
+    val rows = run("e168_gate_verify").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rejected = rows.filter(r =>
+      r._2 == "neardup_candidate" && r._3 == "kept")
+    assert(rejected.nonEmpty,
+      "expected at least one band-rule false positive at sf0.001")
+    // and every verified candidate stayed inside the quarantine set:
+    // verification can only demote, never invent a near-dup
+    assert(rows.forall(r => r._3 != "neardup" ||
+      r._2 == "neardup_candidate"))
+  }
+
+  test("the literal streaming gate's verdicts equal e168's " +
+    "gate_verdict column (the stream->batch handoff)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (dig, bands) = StreamBandGate.corpusIndex(corpus)
+    val digM = dig.localCheckpoint(true)
+    val bandsM = bands.localCheckpoint(true)
+
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamBandGate.verdicts(
+      ms.toDF().toDF("doc_id", "text", "ts"), digM, bandsM)
+    val q = out.writeStream
+      .format("memory").queryName("gate168").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(delta.map { case (id, t) => (id, t, ts(0)) }.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gate168")
+        .select("doc_id", "verdict").as[(Long, String)]
+        .collect().toMap
+      val batch = run("e168_gate_verify")
+        .select("doc_id", "gate_verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

@@ -121,8 +121,16 @@ class PlanLintSpec extends SparkSpecBase {
                               // onto the ≤ rounds+1-row summary table,
                               // the e22/q59 pattern
       "e165b_neighborhood_regions", // same one-row cross as e165
-      "e167_ivf_resplit") // the e17 codebook broadcast + one-row
+      "e167_ivf_resplit", // the e17 codebook broadcast + one-row
                           // capacity frame, the e91/e22 patterns
+      "e169_diameter_drift", // TWO one-row final-round frames (one per
+                             // generation) crossed onto the
+                             // ≤ rounds+1-row joined summary — the
+                             // e165 pattern, twice
+      "e169b_diameter_regions", // same two one-row crosses as e169
+      "e170_ivf_resplit_persist") // e167's one-row capacity frame, off
+                                  // the persisted index (the codebook
+                                  // join is an equi-join on list_id)
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine

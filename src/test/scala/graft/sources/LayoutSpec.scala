@@ -421,6 +421,8 @@ class LayoutSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       Layout.compact(spark, dir))
     assert(e.getMessage.contains("hive-partitioned"))
+    assert(e.getMessage.contains("compactPartitioned"),
+      "refusal must point at the library remedy")
     // data untouched by the refusal
     assert(spark.read.parquet(dir).count() === 100)
     // a LEAF partition directory is plain by construction and compacts
@@ -428,5 +430,59 @@ class LayoutSpec extends SparkSpecBase {
       .filter(_.getName.startsWith("part=")).head.getAbsolutePath
     Layout.compact(spark, leaf, targetBytes = 1L << 40)
     assert(spark.read.parquet(dir).count() === 100)
+  }
+
+  test("compactPartitioned compacts every leaf under the recorded " +
+    "contract: scheme, marker, and pruning survive (VERDICT r13 #2)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_partcp").toString + "/t"
+    val df = (0 until 3000).map { i =>
+      (i.toLong, s"lang${i % 3}", s"text body $i")
+    }.toDF("doc_id", "lang", "text")
+    // small-files state: 4 files per leaf
+    Layout.writePartitioned(df, dir, Seq("lang"), filesPerPart = 4)
+    val before = spark.read.parquet(dir)
+      .orderBy("doc_id").collect().toSeq
+
+    val n = Layout.compactPartitioned(spark, dir, targetBytes = 1L << 40)
+    assert(n === 3, "one sized rewrite per leaf")
+
+    // directory scheme preserved: same three lang= leaves, ONE parquet
+    // file each, no stray aside/compacting dirs anywhere
+    val root = new java.io.File(dir)
+    val leaves = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(leaves.sorted.toSeq ===
+      Seq("lang=lang0", "lang=lang1", "lang=lang2"))
+    for (l <- leaves) {
+      val files = new java.io.File(s"$dir/$l").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, l)
+    }
+    assert(!root.listFiles().exists(f =>
+      f.getName.contains("__compacting") || f.getName.contains("__old")))
+
+    // contract marker survives (repeated maintenance keeps working)
+    assert(Layout.readLayoutContract(spark, dir)
+      .exists(_.get("kind").contains("partitioned")))
+
+    // rows and values identical; pruning still reaches the scan
+    val back = spark.read.parquet(dir)
+    assert(back.orderBy("doc_id").collect().toSeq === before)
+    val q = back.filter(col("lang") === "lang1")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(q.count() === 1000)
+
+    // second compact over the compacted table is a no-op-shaped pass
+    assert(Layout.compactPartitioned(spark, dir,
+      targetBytes = 1L << 40) === 3)
+
+    // a plain (non-partitioned) table is refused toward compact
+    val plainDir = Files.createTempDirectory("graft_partcp2")
+      .toString + "/p"
+    df.write.parquet(plainDir)
+    val e2 = intercept[IllegalArgumentException](
+      Layout.compactPartitioned(spark, plainDir))
+    assert(e2.getMessage.contains("use compact"))
   }
 }

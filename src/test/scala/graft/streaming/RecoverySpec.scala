@@ -567,7 +567,9 @@ class RecoverySpec extends SparkSpecBase {
       q2.processAllAvailable()
       val got = emitted.synchronized(emitted.toSeq)
         .filter(_.clip_id == 1L)
-      assert(got === Seq(StreamFingerprint.FpMatch(1L, 5L, 8L, 2L)),
+      // margin 1 (doc 5's 2 votes vs doc 7's 1) -> a confident 'match'
+      assert(got === Seq(
+        StreamFingerprint.FpMatch(1L, 5L, 8L, 2L, 1L, "match")),
         s"got: $got")
       assertRocksEngaged(q2)
     } finally q2.stop()

@@ -730,8 +730,10 @@ class RocksDBStateSpec extends SparkSpecBase {
       ms.addData((8L, 1L, 1L, ts(45)))
       q.processAllAvailable()
       val got = s.table("rocks_fp")
-        .as[(Long, Long, Long, Long)].collect().toSeq
-      assert(got === Seq((1L, 5L, 8L, 2L))) // same as the in-memory spec
+        .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+      // same as the in-memory spec: doc 5's 2 aligned votes beat doc
+      // 7's 1 -> margin 1, a confident 'match'
+      assert(got === Seq((1L, 5L, 8L, 2L, 1L, "match")))
       assertRocksEngaged(q)
     } finally q.stop()
   }

@@ -9,8 +9,10 @@ import graft.SparkSpecBase
 
 /** Streaming fingerprint match: verdicts equal a batch replay of the
   * same vote rule over the same joined rows, a clip split across
-  * micro-batches folds into ONE final verdict, and the argmax
-  * tie-break is (votes DESC, cand ASC, delta ASC) exactly.
+  * micro-batches folds into ONE final verdict, the argmax tie-break is
+  * (votes DESC, cand ASC, delta ASC) exactly, a vote TIE abstains
+  * (margin 0 < floor), and a df > cap boilerplate hash is excluded
+  * from voting by the operator itself — the state-bound contract.
   */
 class StreamFingerprintSpec extends SparkSpecBase {
 
@@ -29,8 +31,10 @@ class StreamFingerprintSpec extends SparkSpecBase {
       .toDF("cand", "t1d", "h")
   }
 
+  private type Row6 = (Long, Long, Long, Long, Long, String)
+
   test("verdicts equal the batch vote rule; a clip split across " +
-    "micro-batches emits once") {
+    "micro-batches emits once; a vote tie abstains") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[(Long, Long, Long, Timestamp)]
@@ -49,7 +53,7 @@ class StreamFingerprintSpec extends SparkSpecBase {
       q.processAllAvailable()
       ms.addData(Seq((1L, 6L, 88L, ts(1)),
         // clip 2: single pair h99 matching docs 5 and 9 with one vote
-        // each — tie on votes, cand ASC picks doc 5
+        // each — tie on votes, cand ASC picks doc 5, margin 0 abstains
         (2L, 40L, 99L, ts(1))))
       q.processAllAvailable()
       // push the watermark far past last-seen + quiet to fire timeouts
@@ -59,10 +63,12 @@ class StreamFingerprintSpec extends SparkSpecBase {
       q.processAllAvailable()
 
       val got = spark.table("fp")
-        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        .as[Row6].collect().sortBy(_._1).toSeq
       assert(got === Seq(
-        (1L, 5L, 8L, 2L), // two aligned votes beat doc 7's one
-        (2L, 5L, -20L, 1L))) // vote tie -> min cand (5 < 9)
+        // two aligned votes beat doc 7's one: margin 1 -> match
+        (1L, 5L, 8L, 2L, 1L, "match"),
+        // vote tie -> min cand (5 < 9), margin 0 -> abstain
+        (2L, 5L, -20L, 1L, 0L, "abstain")))
       // batch replay of the same rule over the same joined rows agrees
       val batch = Seq((1L, 2L, 77L), (1L, 6L, 88L), (2L, 40L, 99L))
         .toDF("clip_id", "t1c", "h")
@@ -71,8 +77,12 @@ class StreamFingerprintSpec extends SparkSpecBase {
         .groupBy("clip_id", "cand", "delta").count()
         .as[(Long, Long, Long, Long)].collect()
         .groupBy(_._1).map { case (c, rows) =>
-          val w = rows.minBy(r => (-r._4, r._2, r._3))
-          (c, w._2, w._3, w._4)
+          val sorted = rows.sortBy(r => (-r._4, r._2, r._3)).toSeq
+          val w = sorted.head
+          val margin =
+            w._4 - sorted.drop(1).headOption.map(_._4).getOrElse(0L)
+          (c, w._2, w._3, w._4, margin,
+            if (margin >= 1L) "match" else "abstain")
         }.toSeq.sortBy(_._1)
       assert(got === batch)
     } finally q.stop()
@@ -128,13 +138,61 @@ class StreamFingerprintSpec extends SparkSpecBase {
       ms.addData(Seq((8L, 2L, 1L, ts(59))))
       q.processAllAvailable()
       val got = spark.table("fp_frag")
-        .as[(Long, Long, Long, Long)].collect()
-        .filter(_._1 == 4L).sortBy(_._4).toSeq
+        .as[Row6].collect()
+        .filter(_._1 == 4L).sortBy(_._5).toSeq
       // two fragments, each judged on its own pairs: h77 alone ties
-      // docs 5 and 7 at one vote (cand ASC -> 5, delta 10-2=8); h88 is
-      // doc-5-only (delta 14-6=8). Crucially NOT one merged 2-vote row.
-      assert(got === Seq((4L, 5L, 8L, 1L), (4L, 5L, 8L, 1L)),
+      // docs 5 and 7 at one vote (cand ASC -> 5, delta 10-2=8, margin 0
+      // -> abstain); h88 is doc-5-only (delta 14-6=8, margin 1 ->
+      // match). Crucially NOT one merged 2-vote row.
+      assert(got === Seq(
+        (4L, 5L, 8L, 1L, 0L, "abstain"),
+        (4L, 5L, 8L, 1L, 1L, "match")),
         s"got: $got")
     } finally q.stop()
+  }
+
+  test("a df > cap boilerplate hash is excluded from voting by the " +
+    "operator — bounded per-clip state, verdicts equal the capped " +
+    "batch rule; an uncapped run demonstrably diverges") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // boilerplate: hash 55 appears in 257 documents (df > the 256 cap),
+    // including cand 2 — LOWER than the true source 5, so an uncapped
+    // vote's tie-break would pick the wrong document
+    val boiler = (0 until 257).map(i => (2L + i, 20L, 55L))
+    val idx = index.union(boiler.toDF("cand", "t1d", "h"))
+
+    def run(name: String, dfCap: Long): Seq[Row6] = {
+      val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+      val out = StreamFingerprint.matches(
+        ms.toDF().toDF("clip_id", "t1c", "h", "ts"), idx,
+        watermark = "1 minute", quietSec = 60L, dfCap = dfCap)
+      val q = out.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        // clip 6: one boilerplate pair (h55) + one true pair (h88)
+        ms.addData(Seq((6L, 0L, 55L, ts(0)), (6L, 6L, 88L, ts(0))))
+        q.processAllAvailable()
+        ms.addData(Seq((8L, 0L, 1L, ts(30))))
+        q.processAllAvailable()
+        ms.addData(Seq((8L, 1L, 1L, ts(45))))
+        q.processAllAvailable()
+        spark.table(name).as[Row6].collect().filter(_._1 == 6L).toSeq
+      } finally q.stop()
+    }
+
+    // capped (the default contract): the 257-document posting list
+    // never reaches the join, so the clip's state holds ONE (cand,
+    // delta) entry — the h88 hit — and the verdict is the true source
+    // with a confident margin, exactly e166's capped vote rule
+    assert(run("fp_cap", 256L) === Seq((6L, 5L, 8L, 1L, 1L, "match")))
+    // uncapped (dfCap = 0 against the RAW index — the misuse the cap
+    // parameter exists to prevent): 257 boilerplate candidates flood
+    // the histogram, the tie-break lands on boilerplate doc 2, and the
+    // margin collapses to an abstain — a DIFFERENT verdict, proving
+    // the cap is semantic, not just a bound
+    assert(run("fp_raw", 0L) === Seq((6L, 2L, 20L, 1L, 0L, "abstain")))
   }
 }
