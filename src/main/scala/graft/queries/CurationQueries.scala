@@ -62,7 +62,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     e86LineDedup, e87MediaPhash, e87bMediaPhash16, e155MediaDedupApply,
-    e161VideoNeardup, e166AudioFingerprint,
+    e161VideoNeardup, e166AudioFingerprint, e171FingerprintIndexed,
     e156IncrementalCc, e156bIncrementalCcPersist, e88HybridRrf,
     e88bHybridIndexed, e89PrioritySample, e90HashedClassifier,
     e91IvfUpsert, e167IvfResplit, e92ManifestDiff, e93AnnInt8, e94DataCard,
@@ -2116,8 +2116,11 @@ object CurationQueries {
     * posting list the vote join can touch regardless of corpus
     * repetitiveness.
     */
-  private def e166AudioFingerprint = QueryDef.sql(
-    "e166_audio_fingerprint",
+  /** Oracle SQL shared verbatim by e166 and e171 — the stored index is
+    * a LAYOUT, not an approximation (the e64-vs-e17 contract), so both
+    * queries have the same answer.
+    */
+  private def constellationDuckSql: String =
     s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents
        |  WHERE len(text) > 0 GROUP BY text),
        |f AS (SELECT doc_id, text,
@@ -2179,7 +2182,20 @@ object CurationQueries {
        |    AS INT) AS hit
        |FROM wnr w2 JOIN np ON np.clip_id = w2.clip_id
        |LEFT JOIN ru ON ru.clip_id = w2.clip_id
-       |WHERE rn = 1 ORDER BY w2.clip_id""".stripMargin) { (s, dir) =>
+       |WHERE rn = 1 ORDER BY w2.clip_id""".stripMargin
+
+  private def e166AudioFingerprint = QueryDef.sql(
+    "e166_audio_fingerprint", constellationDuckSql) { (s, dir) =>
+    val (pdc, pc, np) = constellationParts(s, dir)
+    constellationVerdicts(pdc, pc, np)
+  }
+
+  /** The shared e166/e171 constellation pipeline up to the index and
+    * query sides: (pdc — the df-capped inverted index; pc — the query
+    * clips' pair hashes; np — per-clip pair counts).
+    */
+  private[queries] def constellationParts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val docW = Window.partitionBy(col("doc_id")).orderBy(col("w"))
     val reps = Tables.documents(s, dir)
@@ -2231,8 +2247,17 @@ object CurationQueries {
     val pdc = pd.join(
       pd.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 256).select("h"), "h")
+    (pdc, pc, np)
+  }
+
+  /** The shared e166/e171 vote/argmax tail over an index frame shaped
+    * (doc_id, t1, h) — in-memory (e166) or read back from the stored
+    * layout (e171).
+    */
+  private def constellationVerdicts(
+      index: DataFrame, pc: DataFrame, np: DataFrame): DataFrame = {
     val v = pc
-      .join(pdc.select(col("doc_id").as("cand"), col("t1"), col("h")),
+      .join(index.select(col("doc_id").as("cand"), col("t1"), col("h")),
         "h")
       .groupBy(col("clip_id"), col("cand"),
         (col("t1") - col("t1c")).as("delta"))
@@ -2267,5 +2292,38 @@ object CurationQueries {
           col("offset_win") === col("clip_id") % 4).cast("int")
           .as("hit"))
       .orderBy("clip_id")
+  }
+
+  /** e166 probed through its PERSISTED index — the production split of
+    * the retrieval member, the e64-vs-e17 pattern applied to the
+    * multimodal family: the df-capped inverted index `pdc` (the table
+    * [[graft.streaming.StreamFingerprint]]'s dfCap = 0 contract names
+    * as "what the batch pipeline materializes") is written ONCE as a
+    * BLOOM-FILTERED parquet layout keyed on the pair hash `h`
+    * ([[graft.sources.Layout.writeBloomFiltered]] — `h` is hash-shaped,
+    * so directory pruning and min/max clustering both fail it; a
+    * per-row-group bloom filter serves exactly the "is this landmark
+    * hash possibly here?" probe a clip lookup runs), and the vote join
+    * reads the table back from disk. Results are e166's verbatim —
+    * same oracle SQL — because the index is a LAYOUT, not an
+    * approximation. FingerprintIndexSpec pins the roundtrip identity,
+    * the recorded bloom contract, and the stream side: a
+    * StreamFingerprint wired to THIS stored table (dfCap = 0, the
+    * documented fleet posture) emits the batch verdicts.
+    *
+    * Scale: the index build amortizes across probe workloads (the
+    * e64 argument); each clip's probe touches the posting lists its
+    * ≤ n_pairs hashes select, with row-group skipping from the bloom
+    * footer — never a corpus scan.
+    */
+  private def e171FingerprintIndexed = QueryDef.sql(
+    "e171_fingerprint_indexed", constellationDuckSql) { (s, dir) =>
+    val (pdc, pc, np) = constellationParts(s, dir)
+    val tmp = Scratch.dir(s, "e171-fpidx")
+    graft.sources.Layout.writeBloomFiltered(
+      pdc, s"$tmp/fp_index.parquet", Seq("h"),
+      expectedNdv = 4194304L) // the (q1, q2, dt) hash codomain 2^22·…
+    constellationVerdicts(
+      s.read.parquet(s"$tmp/fp_index.parquet"), pc, np)
   }
 }

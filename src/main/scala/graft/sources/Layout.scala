@@ -399,11 +399,11 @@ object Layout {
     * freshness claims survive (LayoutSpec pins scheme + marker +
     * pruning across a compact). Returns the total new file count.
     *
-    * Scale: at fleet scale each leaf is an independent rewrite of one
-    * partition's bytes — the pass parallelizes per leaf and never holds
-    * more than one partition's data in flight, unlike a root rewrite,
-    * which would shuffle the whole table to rebuild a scheme it already
-    * has.
+    * Scale: each leaf is an independent rewrite of one partition's
+    * bytes — here they run sequentially (one partition's data in
+    * flight at a time; a fleet deployment can fan the independent leaf
+    * jobs out under FAIR scheduling), unlike a root rewrite, which
+    * would shuffle the whole table to rebuild a scheme it already has.
     */
   def compactPartitioned(
       spark: SparkSession, path: String,

@@ -64,5 +64,16 @@ class IvfPersistSpec extends SparkSpecBase {
     val jPlan = j.queryExecution.executedPlan.toString
     assert(jPlan.contains("dynamicpruning"), jPlan.take(4000))
     assert(j.count() === census.filter(_._4 == 1).map(_._3).sum)
+
+    // and the maintenance loop composes: the rewrite carried the
+    // partitioned-layout marker, so compactPartitioned runs on the
+    // post-split index and pruning + counts survive the compaction
+    graft.sources.Layout.compactPartitioned(spark, postPath)
+    val post2 = spark.read.parquet(postPath)
+    assert(post2.count() === nVecs)
+    val probe2 = post2.filter(col("list_id") === newCell)
+    assert(probe2.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(list_id"))
+    assert(probe2.count() === nNew)
   }
 }
