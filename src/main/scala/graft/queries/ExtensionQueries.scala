@@ -40,8 +40,8 @@ object ExtensionQueries {
     e10Fingerprint, e11EmbedStats, e12MediaMeta, e13EmbedNeardup,
     e14QualityFilter, e15MediaFrames, e16PrepPipeline, e17AnnIvf,
     e18VocabTopk, e28SimhashNeardup, e29HeavyHitters, e32DedupClusters,
-    e6cAnnMultiprobe, e41IncrementalDedup, e168GateVerify, e45DedupApply,
-    e46CcStar,
+    e6cAnnMultiprobe, e41IncrementalDedup, e168GateVerify,
+    e172GateVerifyStored, e45DedupApply, e46CcStar,
     e135ClusterSplit, e139ShotBoundaries,
     e47JlProject, e49SemDedup, e52DupMatrix, e54VocabGrowth,
     e57SplitLeakage, e58MediaEnergy, e61LshCalibration, e64AnnIndexed,
@@ -3610,8 +3610,11 @@ object ExtensionQueries {
     * quarantined minority. At fleet scale both index sides are the
     * batch pipeline's materialized parquet; nothing here is all-pairs.
     */
-  private def e168GateVerify = QueryDef.sql(
-    "e168_gate_verify",
+  /** Oracle SQL shared verbatim by e168 and e172 — the stored
+    * admission artifacts are a LAYOUT of the same relations (the
+    * e64/e171 contract), so both queries have the same answer.
+    */
+  private def gateVerifyDuckSql: String =
     s"""$minhashPairsDuck,
        |ex AS (SELECT DISTINCT d.doc_id, 1 AS fe
        |  FROM documents d JOIN documents b
@@ -3634,13 +3637,60 @@ object ExtensionQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) dd
        |LEFT JOIN ex USING (doc_id) LEFT JOIN gate USING (doc_id)
        |LEFT JOIN ver USING (doc_id)
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |ORDER BY doc_id""".stripMargin
+
+  private def e168GateVerify = QueryDef.sql(
+    "e168_gate_verify", gateVerifyDuckSql) { (s, dir) =>
+    gateVerifyImpl(s, dir, store = None)
+  }
+
+  /** e168 run entirely from PERSISTED corpus artifacts — e41's
+    * documented production posture ("at production scale the base
+    * side's signatures come from a stored index, same join shape")
+    * mechanized: the three admission artifacts — the digest set, the
+    * doc-id-free (band_id, band_key) gate index, and the full
+    * (doc_id, shs, sig) signature store verification reads — are
+    * written to parquet and every corpus-side join reads them BACK
+    * from disk; the delta alone is computed fresh (it is the arriving
+    * data). Same oracle SQL as e168: the artifacts are a layout of
+    * the same relations, so the verdicts are identical (spec-pinned).
+    * At fleet scale these tables are what the batch pipeline maintains
+    * between crawls, and what [[graft.streaming.StreamBandGate]] reads
+    * as its static sides — the stored-artifact loop, closed the
+    * e64/e170/e171 way for the dedup family.
+    */
+  private def e172GateVerifyStored = QueryDef.sql(
+    "e172_gate_verify_stored", gateVerifyDuckSql) { (s, dir) =>
+    gateVerifyImpl(s, dir, store = Some("e172-admission"))
+  }
+
+  /** Shared e168/e172 implementation; `store` names a scratch leaf to
+    * roundtrip the corpus artifacts through parquet before use.
+    */
+  private[queries] def gateVerifyImpl(
+      s: SparkSession, dir: String, store: Option[String]): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isDelta = col("doc_id") % 5 === 4
     val base = docs.filter(!isDelta)
     // the gate's own slim corpus index — the stream operator's builder
-    val (dig, gateBands) =
+    val (dig0, gateBands0) =
       graft.streaming.StreamBandGate.corpusIndex(base)
+    val mhB0 = mhSide(base)
+    // e172's posture: the three corpus artifacts roundtrip through
+    // parquet, and every corpus-side join below reads the STORED
+    // tables — the base shingle/signature pass runs at write time
+    // only, exactly the between-crawls amortization e41 documents
+    val (dig, gateBands, mhB) = store match {
+      case None => (dig0, gateBands0, mhB0)
+      case Some(leaf) =>
+        val p = Scratch.dir(s, leaf)
+        dig0.write.mode("overwrite").parquet(s"$p/digests.parquet")
+        gateBands0.write.mode("overwrite").parquet(s"$p/bands.parquet")
+        mhB0.write.mode("overwrite").parquet(s"$p/signatures.parquet")
+        (s.read.parquet(s"$p/digests.parquet"),
+          s.read.parquet(s"$p/bands.parquet"),
+          s.read.parquet(s"$p/signatures.parquet"))
+    }
     // tier 1a: digest membership (32-byte digests, never text)
     val ex = docs.filter(isDelta)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
@@ -3657,7 +3707,6 @@ object ExtensionQueries {
     // the asymmetric delta⋈base band join with full doc ids, then exact
     // shingle Jaccard at the e41 threshold
     val mhDq = mhD.join(gate.select("doc_id"), "doc_id")
-    val mhB = mhSide(base)
     val cand = bandsOf(mhDq).as("a")
       .join(bandsOf(mhB).as("b"),
         col("a.band_id") === col("b.band_id") &&

@@ -51,6 +51,19 @@ class GateVerifySpec extends SparkSpecBase {
       r._2 == "neardup_candidate"))
   }
 
+  test("e172 (stored admission artifacts) returns e168's rows; the " +
+    "three artifacts exist on disk") {
+    val stored = run("e172_gate_verify_stored").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val fresh = run("e168_gate_verify").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(stored === fresh)
+    assert(stored.nonEmpty)
+    val p = Scratch.dir(spark, "e172-admission")
+    for (t <- Seq("digests", "bands", "signatures"))
+      assert(spark.read.parquet(s"$p/$t.parquet").count() > 0, t)
+  }
+
   test("the literal streaming gate's verdicts equal e168's " +
     "gate_verdict column (the stream->batch handoff)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
