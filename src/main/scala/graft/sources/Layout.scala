@@ -421,7 +421,14 @@ object Layout {
         depth: Int): Seq[org.apache.hadoop.fs.Path] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .filter { st =>
+          val n = st.getPath.getName
+          // a crashed run's aside/rewrite dirs also contain '=' — they
+          // are recovery state, not partitions; the real leaf's own
+          // pre-step clears its stale aside before rewriting
+          st.isDirectory && n.contains("=") &&
+            !n.endsWith("__old") && !n.endsWith("__compacting")
+        }
         .flatMap(st => leaves(st.getPath, depth - 1))
     leaves(hPath, nLevels).map { leaf =>
       val total = fs.getContentSummary(leaf).getLength

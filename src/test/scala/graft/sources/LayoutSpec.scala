@@ -477,6 +477,17 @@ class LayoutSpec extends SparkSpecBase {
     assert(Layout.compactPartitioned(spark, dir,
       targetBytes = 1L << 40) === 3)
 
+    // crash recovery: a stale aside dir from a killed run (its name
+    // also contains '=') must be treated as recovery state, not a
+    // partition — the pass compacts the 3 real leaves and the real
+    // leaf's own pre-step clears its stale aside
+    val stale = new java.io.File(s"$dir/lang=lang1__old")
+    assert(stale.mkdir())
+    assert(Layout.compactPartitioned(spark, dir,
+      targetBytes = 1L << 40) === 3)
+    assert(!stale.exists(), "stale aside cleared by the leaf's pre-step")
+    assert(spark.read.parquet(dir).count() === 3000)
+
     // a plain (non-partitioned) table is refused toward compact
     val plainDir = Files.createTempDirectory("graft_partcp2")
       .toString + "/p"
