@@ -242,8 +242,11 @@ object Bench {
       // history line self-describing — without it, correlating a line
       // to its BENCH_rN.json means matching wall-clock timestamps.
       // Absent or non-numeric env omits the field (old lines' shape).
+      // canonical JSON integers only: "013" (zero-padded driver
+      // scripts) or unicode digits would splice an illegal literal and
+      // cost the whole line at parse time
       val round = sys.env.get("SPARK_GRAFT_ROUND")
-        .filter(_.forall(_.isDigit)).filter(_.nonEmpty)
+        .filter(_.matches("0|[1-9][0-9]*"))
         .map(r => s""""round":$r,""").getOrElse("")
       val stamped = s"""{"ts":${jstr(java.time.Instant.now.toString)},""" +
         round + line.stripPrefix("{")

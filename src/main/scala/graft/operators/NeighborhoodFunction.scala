@@ -178,15 +178,39 @@ object NeighborhoodFunction {
   /** HLL leg: one (round, est_pairs, z_total) row per round from the
     * iterated sparse register relation (node, j, mr). Returns the
     * summary eagerly checkpointed, with every per-round register frame
-    * AND the intermediate tagged relation released (the exact leg's
-    * discipline).
+    * released (the exact leg's discipline). The tagged union is built
+    * LAZILY over the checkpointed round frames and aggregated straight
+    * into the summary — the production path never materializes a
+    * second full copy of the registers (that eager union exists only
+    * behind [[hllRegisters]], whose whole purpose is persisting it).
     */
   private def iterateHll(
       sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
-    val tagged = taggedRegisters(sym, nodes, rounds)
-    try summarizeHll(tagged).localCheckpoint(true)
-    finally ConnectedComponents.releaseLocalCheckpoint(tagged)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var regs = selfRegs(nodes).localCheckpoint(true)
+      frames += regs
+      val tagged = Seq.newBuilder[DataFrame]
+      tagged += regs.withColumn("round", lit(0L))
+      for (t <- 1 to rounds) {
+        regs = hllRound(sym, regs)
+        frames += regs
+        tagged += regs.withColumn("round", lit(t.toLong))
+      }
+      summarizeHll(tagged.result().reduce(_ unionByName _))
+        .localCheckpoint(true)
+    } finally frames.foreach(ConnectedComponents.releaseLocalCheckpoint)
   }
+
+  /** One register max-merge round, eagerly checkpointed. */
+  private def hllRound(sym: DataFrame, regs: DataFrame): DataFrame =
+    regs
+      .unionByName(sym
+        .join(regs.select(col("node").as("v"), col("j"), col("mr")),
+          "v")
+        .select(col("u").as("node"), col("j"), col("mr")))
+      .groupBy("node", "j").agg(max(col("mr")).as("mr"))
+      .localCheckpoint(true)
 
   /** The tagged sparse register relation of every round — (round, node,
     * j, mr), ≤ 64·|V|·(rounds+1) rows at any corpus size — eagerly
@@ -221,13 +245,7 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += regs.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
-        regs = regs
-          .unionByName(sym
-            .join(regs.select(col("node").as("v"), col("j"), col("mr")),
-              "v")
-            .select(col("u").as("node"), col("j"), col("mr")))
-          .groupBy("node", "j").agg(max(col("mr")).as("mr"))
-          .localCheckpoint(true)
+        regs = hllRound(sym, regs)
         frames += regs
         tagged += regs.withColumn("round", lit(t.toLong))
       }

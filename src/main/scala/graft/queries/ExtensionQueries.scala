@@ -2475,11 +2475,7 @@ object ExtensionQueries {
         val base = embBase(s, dir)
         val assign = ivfAssign(base)
         // ---- build (amortized): cell-partitioned index layout --------
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8")).take(8)
-          .map("%02x".format(_)).mkString
-        val path = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_$tag").toString
+        val path = ivfIndexPath(s, dir)
         graft.sources.Layout.writePartitionedIfStale(
           base.join(assign, "vec_id"), path, Seq("list_id"),
           graft.sources.Layout.scanFingerprint(Tables.embeddings(s, dir)))
@@ -2596,14 +2592,23 @@ object ExtensionQueries {
     * `private[queries]` so IvfPersistSpec can probe the rewritten
     * table's pruning behavior at the path the build published.
     */
-  private[queries] def ivfResplitPersist(
-      s: SparkSession, dir: String): (String, DataFrame) = {
-    val base = embBase(s, dir)
+  /** The ONE location of the persisted IVF index — shared by e64
+    * (build + probe) and e170 (maintenance) so the two sides cannot
+    * drift onto different tables; concurrent IfStale builds on it are
+    * serialized by [[graft.sources.Layout]]'s per-path lock.
+    */
+  private def ivfIndexPath(s: SparkSession, dir: String): String = {
     val tag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8)
       .map("%02x".format(_)).mkString
-    val prePath = new org.apache.hadoop.fs.Path(
+    new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_$tag").toString
+  }
+
+  private[queries] def ivfResplitPersist(
+      s: SparkSession, dir: String): (String, DataFrame) = {
+    val base = embBase(s, dir)
+    val prePath = ivfIndexPath(s, dir)
     // e64's index build, fingerprint-amortized — same path, same table
     graft.sources.Layout.writePartitionedIfStale(
       base.join(ivfAssign(base), "vec_id"), prePath, Seq("list_id"),
@@ -2625,7 +2630,11 @@ object ExtensionQueries {
     val hot = counts.crossJoin(broadcast(cap))
       .where(col("n_before") > col("cap"))
       .select("list_id", "n_before")
-    val mem = scored.join(hot, "list_id")
+    // eager checkpoint: mem (the hot cells' members — the bounded
+    // maintenance working set) feeds THREE consumers (far, moved, and
+    // transitively the census mapping); without it the full-index
+    // scoring join re-executes per action
+    val mem = scored.join(hot, "list_id").localCheckpoint(true)
     val far = mem.groupBy("list_id")
       .agg(min(struct(col("cs"), col("vec_id"))).as("f"))
       .select(col("list_id"), col("f.vec_id").as("far_id"))
@@ -4307,8 +4316,10 @@ object ExtensionQueries {
     val regPath = Scratch.dir(s, leaf)
     val regsA = NeighborhoodFunction
       .hllRegisters(edgesA, aCol, bCol, rounds)
-    regsA.write.mode("overwrite").parquet(regPath)
-    ConnectedComponents.releaseLocalCheckpoint(regsA)
+    // finally, not sequence: a failed write (scratch disk full) must
+    // not pin the largest relation of the leg for the session
+    try regsA.write.mode("overwrite").parquet(regPath)
+    finally ConnectedComponents.releaseLocalCheckpoint(regsA)
     val estA = NeighborhoodFunction
       .summarizeRegisters(s.read.parquet(regPath))
     val estB = NeighborhoodFunction.hllOnly(edgesB, aCol, bCol, rounds)

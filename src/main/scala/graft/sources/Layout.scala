@@ -125,6 +125,20 @@ object Layout {
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase),
       "_graft_fingerprint")
 
+  /** Per-target monitor for the IfStale builders: two queries sharing
+    * one amortized artifact (e64 and e170 both build the IVF index
+    * path; Verify runs queries 4-at-a-time in one JVM) must not
+    * concurrently pass the same staleness probe and overwrite each
+    * other mid-write. Keyed by the target string; single-JVM scope
+    * matches the engine's local execution model (a multi-driver fleet
+    * serializes builds through its orchestrator instead).
+    */
+  private val ifStaleLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(key: String): Object =
+    ifStaleLocks.computeIfAbsent(key, _ => new Object)
+
   /** [[writeBucketed]] guarded by a marker-file fingerprint: rebuild only
     * when the table is absent or its recorded source fingerprint differs
     * from `fingerprint` (pass [[scanFingerprint]] of the source scan).
@@ -133,7 +147,10 @@ object Layout {
     */
   def writeBucketedIfStale(
       df: DataFrame, table: String, bucketCol: String, buckets: Int,
-      fingerprint: String): Boolean = {
+      // lock on the NORMALIZED identity: markerPath/writeBucketed
+      // lowercase the table, so two casings are one on-disk target
+      fingerprint: String): Boolean =
+    lockFor("tbl:" + table.toLowerCase).synchronized {
     val spark = df.sparkSession
     val mp = markerPath(spark, table)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,7 +177,8 @@ object Layout {
     */
   def writePartitionedIfStale(
       df: DataFrame, path: String, partCols: Seq[String],
-      fingerprint: String, filesPerPart: Int = 1): Boolean = {
+      fingerprint: String,
+      filesPerPart: Int = 1): Boolean = lockFor(path).synchronized {
     val spark = df.sparkSession
     val mp = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path), "_graft_fingerprint")
@@ -392,8 +410,10 @@ object Layout {
     * names, z-order/bloom contracts are root-level kinds), so each leaf
     * rewrite is the plain round-robin path with [[compact]]'s
     * rename-aside swap — a crash mid-pass leaves every leaf either
-    * fully old, fully new, or recoverable at `leaf__old`/
-    * `leaf__compacting`, and all OTHER leaves untouched. The directory
+    * fully old, fully new, or recoverable at the '_'-prefixed sibling
+    * dirs `_old_<leaf>` / `_compacting_<leaf>` (invisible to the
+    * parquet reader, impossible to confuse with a partition value),
+    * and all OTHER leaves untouched. The directory
     * scheme, the root `_graft_layout` marker, and any
     * `_graft_fingerprint` are never rewritten, so partition pruning and
     * freshness claims survive (LayoutSpec pins scheme + marker +
@@ -423,18 +443,26 @@ object Layout {
       else fs.listStatus(p).toSeq
         .filter { st =>
           val n = st.getPath.getName
-          // a crashed run's aside/rewrite dirs also contain '=' — they
-          // are recovery state, not partitions; the real leaf's own
-          // pre-step clears its stale aside before rewriting
-          st.isDirectory && n.contains("=") &&
-            !n.endsWith("__old") && !n.endsWith("__compacting")
+          // recovery dirs (below) are '_'-prefixed SIBLINGS — a name
+          // class the parquet reader ignores and a hive partition dir
+          // can never be (a `col=value` dir starts with the column
+          // name; '_'-prefixed paths are filtered by Spark's own file
+          // index, so no real partition can live there). Crucially the
+          // recovery name is NOT `leaf + suffix`: a genuine partition
+          // VALUE ending in the suffix (status=done vs status=done__old)
+          // must never be mistakable for another leaf's crash state.
+          st.isDirectory && n.contains("=") && !n.startsWith("_") &&
+            !n.startsWith(".")
         }
         .flatMap(st => leaves(st.getPath, depth - 1))
     leaves(hPath, nLevels).map { leaf =>
       val total = fs.getContentSummary(leaf).getLength
       val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-      val tmp = new org.apache.hadoop.fs.Path(leaf.toString + "__compacting")
-      val old = new org.apache.hadoop.fs.Path(leaf.toString + "__old")
+      val parent = leaf.getParent
+      val tmp = new org.apache.hadoop.fs.Path(
+        parent, s"_compacting_${leaf.getName}")
+      val old = new org.apache.hadoop.fs.Path(
+        parent, s"_old_${leaf.getName}")
       if (fs.exists(old) && !fs.delete(old, true))
         throw new java.io.IOException(
           s"compactPartitioned: cannot clear stale aside dir $old")

@@ -459,7 +459,8 @@ class LayoutSpec extends SparkSpecBase {
       assert(files.length === 1, l)
     }
     assert(!root.listFiles().exists(f =>
-      f.getName.contains("__compacting") || f.getName.contains("__old")))
+      f.getName.startsWith("_compacting_") ||
+        f.getName.startsWith("_old_")))
 
     // contract marker survives (repeated maintenance keeps working)
     assert(Layout.readLayoutContract(spark, dir)
@@ -477,16 +478,30 @@ class LayoutSpec extends SparkSpecBase {
     assert(Layout.compactPartitioned(spark, dir,
       targetBytes = 1L << 40) === 3)
 
-    // crash recovery: a stale aside dir from a killed run (its name
-    // also contains '=') must be treated as recovery state, not a
-    // partition — the pass compacts the 3 real leaves and the real
-    // leaf's own pre-step clears its stale aside
-    val stale = new java.io.File(s"$dir/lang=lang1__old")
+    // crash recovery: a stale '_'-prefixed aside dir from a killed run
+    // is recovery state, not a partition — the pass compacts the 3
+    // real leaves and the owning leaf's pre-step clears its aside
+    val stale = new java.io.File(s"$dir/_old_lang=lang1")
     assert(stale.mkdir())
     assert(Layout.compactPartitioned(spark, dir,
       targetBytes = 1L << 40) === 3)
     assert(!stale.exists(), "stale aside cleared by the leaf's pre-step")
     assert(spark.read.parquet(dir).count() === 3000)
+
+    // a GENUINE partition value that merely ends in a recovery-ish
+    // suffix is a real leaf — compacted, never deleted (the aside
+    // naming is '_'-prefixed siblings precisely so hive values can
+    // never collide with crash state)
+    val dir2 = Files.createTempDirectory("graft_partcp3").toString + "/t"
+    val df2 = (0 until 200)
+      .map(i => (i.toLong, if (i % 2 == 0) "done" else "done__old"))
+      .toDF("id", "status")
+    Layout.writePartitioned(df2, dir2, Seq("status"), filesPerPart = 2)
+    assert(Layout.compactPartitioned(spark, dir2,
+      targetBytes = 1L << 40) === 2)
+    assert(spark.read.parquet(dir2).count() === 200)
+    assert(spark.read.parquet(dir2)
+      .filter(col("status") === "done__old").count() === 100)
 
     // a plain (non-partitioned) table is refused toward compact
     val plainDir = Files.createTempDirectory("graft_partcp2")
