@@ -241,12 +241,28 @@ object Bench {
       // Round stamp: SPARK_GRAFT_ROUND (driver-passed) makes each
       // history line self-describing — without it, correlating a line
       // to its BENCH_rN.json means matching wall-clock timestamps.
-      // Absent or non-numeric env omits the field (old lines' shape).
+      // The driver does NOT export the env var (r14 verdict nit), so
+      // when it is absent the round is derived from the repo itself:
+      // VERDICT.md's header names the PREVIOUS round and is stable for
+      // the whole working round (unlike CORRECTNESS_r*.json, which the
+      // driver may write mid-wrap-up before or after the bench), so
+      // current = verdict round + 1. No verdict file (round 1) or an
+      // unparsable header omits the field (old lines' shape).
       // canonical JSON integers only: "013" (zero-padded driver
       // scripts) or unicode digits would splice an illegal literal and
       // cost the whole line at parse time
+      val derived: Option[String] =
+        try {
+          val v = java.nio.file.Paths.get("VERDICT.md")
+          if (!java.nio.file.Files.exists(v)) None
+          else "round ([1-9][0-9]*)".r
+            .findFirstMatchIn(java.nio.file.Files.readAllLines(v)
+              .stream.findFirst.orElse(""))
+            .map(m => (m.group(1).toInt + 1).toString)
+        } catch { case _: Throwable => None }
       val round = sys.env.get("SPARK_GRAFT_ROUND")
         .filter(_.matches("0|[1-9][0-9]*"))
+        .orElse(derived)
         .map(r => s""""round":$r,""").getOrElse("")
       val stamped = s"""{"ts":${jstr(java.time.Instant.now.toString)},""" +
         round + line.stripPrefix("{")

@@ -2633,26 +2633,39 @@ object ExtensionQueries {
     // eager checkpoint: mem (the hot cells' members — the bounded
     // maintenance working set) feeds THREE consumers (far, moved, and
     // transitively the census mapping); without it the full-index
-    // scoring join re-executes per action
+    // scoring join re-executes per action. Released in the finally
+    // below once the rewrite (the last eager consumer) has run — the
+    // iterateExact discipline, so repeated maintenance invocations
+    // don't pin one hot-cell frame per run for the session (r14
+    // ADVICE). `far` is checkpointed too — it is hot-CELL-grain tiny
+    // (one row per split cell) and the lazily-returned census still
+    // needs it after mem is gone.
     val mem = scored.join(hot, "list_id").localCheckpoint(true)
-    val far = mem.groupBy("list_id")
-      .agg(min(struct(col("cs"), col("vec_id"))).as("f"))
-      .select(col("list_id"), col("f.vec_id").as("far_id"))
-    val c2 = far.join(
-      idx.select(col("vec_id").as("far_id"), col("emb").as("femb"),
-        col("nrm").as("fnrm")), "far_id")
-    val moved = mem
-      .join(idx.select(col("vec_id"), col("emb"), col("nrm")), "vec_id")
-      .join(broadcast(c2), "list_id")
-      .where(dot(col("emb"), col("femb")) / (col("nrm") * col("fnrm"))
-        > col("cs"))
-      .select(col("vec_id"), col("far_id").as("new_list"))
-    val postIdx = idx.join(moved, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        coalesce(col("new_list"), col("list_id")).as("list_id"))
     val postPath = prePath + "_split"
-    graft.sources.Layout.writePartitioned(postIdx, postPath,
-      Seq("list_id"))
+    val far =
+      try {
+        val farCk = mem.groupBy("list_id")
+          .agg(min(struct(col("cs"), col("vec_id"))).as("f"))
+          .select(col("list_id"), col("f.vec_id").as("far_id"))
+          .localCheckpoint(true)
+        val c2 = farCk.join(
+          idx.select(col("vec_id").as("far_id"), col("emb").as("femb"),
+            col("nrm").as("fnrm")), "far_id")
+        val moved = mem
+          .join(idx.select(col("vec_id"), col("emb"), col("nrm")),
+            "vec_id")
+          .join(broadcast(c2), "list_id")
+          .where(dot(col("emb"), col("femb")) / (col("nrm") * col("fnrm"))
+            > col("cs"))
+          .select(col("vec_id"), col("far_id").as("new_list"))
+        val postIdx = idx.join(moved, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("emb"), col("nrm"),
+            coalesce(col("new_list"), col("list_id")).as("list_id"))
+        graft.sources.Layout.writePartitioned(postIdx, postPath,
+          Seq("list_id"))
+        farCk
+      } finally graft.operators.ConnectedComponents
+        .releaseLocalCheckpoint(mem)
     // census read BACK from the rewritten table — the roundtrip proof
     val mapping = far
       .select(col("list_id").as("src_cid"), col("list_id").as("cid"),

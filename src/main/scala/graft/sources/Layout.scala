@@ -178,11 +178,18 @@ object Layout {
   def writePartitionedIfStale(
       df: DataFrame, path: String, partCols: Seq[String],
       fingerprint: String,
-      filesPerPart: Int = 1): Boolean = lockFor(path).synchronized {
+      filesPerPart: Int = 1): Boolean = {
     val spark = df.sparkSession
-    val mp = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path), "_graft_fingerprint")
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // lock on the NORMALIZED on-disk identity, not the raw string:
+    // two callers naming one target via different spellings (trailing
+    // slash, relative vs absolute, scheme-qualified) must serialize on
+    // one monitor or the lock is a no-op exactly when it matters —
+    // the same rule writeBucketedIfStale applies to table casing
+    lockFor("path:" + fs.makeQualified(hPath).toUri.toString)
+      .synchronized {
+    val mp = new org.apache.hadoop.fs.Path(hPath, "_graft_fingerprint")
     val fresh = fs.exists(mp) && {
       val in = fs.open(mp)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString == fingerprint
@@ -194,6 +201,7 @@ object Layout {
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
     !fresh
+    }
   }
 
   /** Join two same-bucketing tables on the bucket key — planned with no
@@ -411,23 +419,57 @@ object Layout {
     * rewrite is the plain round-robin path with [[compact]]'s
     * rename-aside swap — a crash mid-pass leaves every leaf either
     * fully old, fully new, or recoverable at the '_'-prefixed sibling
-    * dirs `_old_<leaf>` / `_compacting_<leaf>` (invisible to the
-    * parquet reader, impossible to confuse with a partition value),
-    * and all OTHER leaves untouched. The directory
+    * dirs `_old_<esc(leaf)>` / `_compacting_<esc(leaf)>` (the leaf's
+    * '=' percent-encoded, so the names are invisible to the parquet
+    * reader EVEN WHEN POPULATED and impossible to confuse with a
+    * partition value — see [[escLeaf]]), and all OTHER leaves
+    * untouched. The directory
     * scheme, the root `_graft_layout` marker, and any
     * `_graft_fingerprint` are never rewritten, so partition pruning and
     * freshness claims survive (LayoutSpec pins scheme + marker +
     * pruning across a compact). Returns the total new file count.
     *
     * Scale: each leaf is an independent rewrite of one partition's
-    * bytes — here they run sequentially (one partition's data in
-    * flight at a time; a fleet deployment can fan the independent leaf
-    * jobs out under FAIR scheduling), unlike a root rewrite, which
-    * would shuffle the whole table to rebuild a scheme it already has.
+    * bytes — fanned out on a bounded pool of `maxConcurrentLeaves`
+    * driver threads (each leaf job tagged into a `graft-compact`
+    * scheduler pool, so a FAIR-scheduled deployment time-slices the
+    * maintenance pass against foreground queries), unlike a root
+    * rewrite, which would shuffle the whole table to rebuild a scheme
+    * it already has. At 10³-10⁴ leaves a sequential pass is serialized
+    * on the driver round-trip per leaf; the fan-out keeps the per-leaf
+    * rename-aside protocol untouched, so a crash mid-fan still leaves
+    * every leaf untouched, complete, or recoverable — never half-
+    * written. A failed leaf fails the pass after in-flight leaves
+    * finish (no new leaves are started).
+    *
+    * RECOVERY: a crash between a leaf's two swap renames leaves that
+    * leaf's only data in `_old_<leaf>` — a directory the parquet
+    * reader ignores, i.e. the partition's rows silently vanish from
+    * every query until restored. Each pass therefore starts by
+    * scanning the leaf level for aside dirs whose leaf directory is
+    * ABSENT and restores them to the leaf name (the rewrite in
+    * `_compacting_<leaf>`, if any, is discarded — it is re-derivable;
+    * the original is not), so the table heals on the next maintenance
+    * pass instead of relying on manual surgery. A restore rename that
+    * fails throws with both locations named.
     */
+  /** Bijective leaf-name escape for recovery-dir names: '=' (and '%',
+    * so decoding is unambiguous) are percent-encoded, because a
+    * '_'-prefixed name CONTAINING '=' is not filtered by Spark's file
+    * index — partition inference would read `_old_lang=lang1` as a
+    * hive dir for column `_old_lang` and fail the whole table's scan
+    * the moment the dir holds data (exactly the crash window).
+    */
+  private def escLeaf(name: String): String =
+    name.replace("%", "%25").replace("=", "%3D")
+
+  private def unescLeaf(name: String): String =
+    name.replace("%3D", "=").replace("%25", "%")
+
   def compactPartitioned(
       spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20,
+      maxConcurrentLeaves: Int = 4): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val contract = readLayoutContract(spark, path)
@@ -435,34 +477,69 @@ object Layout {
     require(kind.contains("partitioned"),
       s"compactPartitioned: $path has no recorded hive-partitioned " +
         s"contract (found ${kind.getOrElse("no marker")}) — use compact")
+    require(maxConcurrentLeaves >= 1,
+      "compactPartitioned: maxConcurrentLeaves must be >= 1")
     val nLevels = contract.get("cols").split(',').count(_.nonEmpty)
+    def isPartDir(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = st.getPath.getName
+      // recovery dirs (below) are '_'-prefixed SIBLINGS whose names
+      // contain NO '=' (the leaf's '=' is percent-encoded): Spark's
+      // file index only filters '_'-prefixed names WITHOUT '=' — a
+      // name like `_old_lang=lang1` is treated as a hive dir for
+      // column `_old_lang`, so one POPULATED crash-state dir would
+      // fail every read of the table with conflicting partition
+      // columns (caught by LayoutSpec's crash-heal row). With the
+      // encoding, crash state is invisible to partition discovery
+      // even when it holds the partition's data. Crucially the
+      // recovery name is NOT `leaf + suffix`: a genuine partition
+      // VALUE ending in the suffix (status=done vs status=done__old)
+      // must never be mistakable for another leaf's crash state.
+      st.isDirectory && n.contains("=") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
     def leaves(
         p: org.apache.hadoop.fs.Path,
         depth: Int): Seq[org.apache.hadoop.fs.Path] =
       if (depth == 0) Seq(p)
-      else fs.listStatus(p).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          // recovery dirs (below) are '_'-prefixed SIBLINGS — a name
-          // class the parquet reader ignores and a hive partition dir
-          // can never be (a `col=value` dir starts with the column
-          // name; '_'-prefixed paths are filtered by Spark's own file
-          // index, so no real partition can live there). Crucially the
-          // recovery name is NOT `leaf + suffix`: a genuine partition
-          // VALUE ending in the suffix (status=done vs status=done__old)
-          // must never be mistakable for another leaf's crash state.
-          st.isDirectory && n.contains("=") && !n.startsWith("_") &&
-            !n.startsWith(".")
+      else {
+        val listed = fs.listStatus(p).toSeq
+        if (depth == 1) {
+          // heal orphaned aside dirs BEFORE collecting this level's
+          // leaves, so a restored partition is compacted this pass
+          val present = listed.filter(isPartDir)
+            .map(_.getPath.getName).toSet
+          listed.filter(_.getPath.getName.startsWith("_old_"))
+            .foreach { st =>
+              val leafName =
+                unescLeaf(st.getPath.getName.stripPrefix("_old_"))
+              if (!present.contains(leafName)) {
+                val dest = new org.apache.hadoop.fs.Path(p, leafName)
+                if (!fs.rename(st.getPath, dest))
+                  throw new java.io.IOException(
+                    "compactPartitioned: found orphaned aside dir " +
+                      s"${st.getPath} with no live leaf, and restoring " +
+                      s"it to $dest failed — the partition's only data " +
+                      "is in the aside dir; restore manually")
+                val tmp = new org.apache.hadoop.fs.Path(
+                  p, s"_compacting_${escLeaf(leafName)}")
+                if (fs.exists(tmp) && !fs.delete(tmp, true))
+                  throw new java.io.IOException(
+                    s"compactPartitioned: restored $dest but could " +
+                      s"not discard the stale rewrite $tmp")
+              }
+            }
         }
-        .flatMap(st => leaves(st.getPath, depth - 1))
-    leaves(hPath, nLevels).map { leaf =>
+        fs.listStatus(p).toSeq.filter(isPartDir)
+          .flatMap(st => leaves(st.getPath, depth - 1))
+      }
+    def compactLeaf(leaf: org.apache.hadoop.fs.Path): Int = {
       val total = fs.getContentSummary(leaf).getLength
       val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       val parent = leaf.getParent
       val tmp = new org.apache.hadoop.fs.Path(
-        parent, s"_compacting_${leaf.getName}")
+        parent, s"_compacting_${escLeaf(leaf.getName)}")
       val old = new org.apache.hadoop.fs.Path(
-        parent, s"_old_${leaf.getName}")
+        parent, s"_old_${escLeaf(leaf.getName)}")
       if (fs.exists(old) && !fs.delete(old, true))
         throw new java.io.IOException(
           s"compactPartitioned: cannot clear stale aside dir $old")
@@ -474,7 +551,45 @@ object Layout {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       swapInPlace(fs, leaf, tmp, old, "compactPartitioned")
       n
-    }.sum
+    }
+    val leafList = leaves(hPath, nLevels)
+    if (leafList.isEmpty) 0
+    else if (maxConcurrentLeaves == 1 || leafList.size == 1)
+      leafList.map(compactLeaf).sum
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrentLeaves, leafList.size))
+      try {
+        val futs = leafList.map { leaf =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = {
+              // jobs submitted from this thread land in the compact
+              // pool (a FAIR-mode deployment caps their share; under
+              // the default FIFO scheduler the tag is inert)
+              spark.sparkContext
+                .setLocalProperty("spark.scheduler.pool", "graft-compact")
+              compactLeaf(leaf)
+            }
+          })
+        }
+        // propagate the FIRST leaf failure with its real cause; leaves
+        // already in flight complete their own swap protocol first
+        try futs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }.sum
+        finally {
+          // on failure: unstarted leaves never start (cancel(false)
+          // does not interrupt a running swap), in-flight ones drain
+          futs.foreach(_.cancel(false))
+          pool.shutdown()
+          pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        }
+      } finally pool.shutdownNow()
+    }
   }
 
   /** Parquet BLOOM-FILTER layout for point-lookup columns — the third

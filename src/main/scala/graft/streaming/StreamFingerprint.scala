@@ -103,11 +103,20 @@ object StreamFingerprint {
       marginFloor: Long = 1L): Dataset[FpMatch] = {
     val spark = clipPairs.sparkSession
     import spark.implicits._
+    // Materialized ONCE at wiring time: the static side of a
+    // stream-static join is re-evaluated on every micro-batch, so an
+    // unpersisted census would re-aggregate the whole index per batch
+    // — the exact per-batch waste the dfCap=0 escape hatch documents,
+    // silently paid on the default path too (r14 ADVICE). persist()
+    // (memory-and-disk, spill-safe for a corpus-scale index) pins the
+    // capped frame for the stream's lifetime, which IS the lifetime
+    // that needs it; the first batch pays the census once.
     val capped =
       if (dfCap <= 0L) index
       else index.join(
         index.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap).select("h"), "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clipPairs
       .where(col("clip_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)

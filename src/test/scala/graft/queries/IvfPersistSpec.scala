@@ -18,8 +18,15 @@ class IvfPersistSpec extends SparkSpecBase {
 
   test("post-split probes prune to the probed cell's directory — " +
     "including a cell created by the split") {
+    // persistent-RDD discipline (r14 ADVICE): the hot-cell member
+    // frame is released before the build returns — each maintenance
+    // invocation may pin only the tiny cell-grain `far` frame the
+    // lazily-returned census still needs, never the member working set
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
     val (postPath, censusDf) =
       ExtensionQueries.ivfResplitPersist(spark, dir)
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore + 1,
+      "ivfResplitPersist pinned more than the cell-grain far frame")
     val census = censusDf.collect()
       .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
         r.getAs[Number](2).longValue, r.getAs[Number](3).intValue))
