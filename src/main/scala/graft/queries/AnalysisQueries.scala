@@ -131,7 +131,7 @@ object AnalysisQueries {
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
       e153EmbeddingDrift, e154WassersteinDrift, e157W1Matrix,
       e158NnDescentInc, e159MultipassQuantile, e160KsDrift,
-      e162GroupedQuantile)
+      e162GroupedQuantile, e173KnnPersistFold)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5285,6 +5285,472 @@ object AnalysisQueries {
     }.withBuildOnly((s, dir) =>
       // production plan: the converged graph, no anchor-truth leg
       e158BuildGraph(s, dir, K, maxRounds)._2.last)
+  }
+
+  // ---- e173: the kNN graph PERSISTED and folded across the boundary -------
+
+  /** The three e173 legs plus the frames their metrics need. `stored`
+    * is the base graph READ BACK from parquet — the process boundary:
+    * its lineage is a scan, so the fold below cannot see how it was
+    * built (e156b's label-table contract applied to the kNN family).
+    */
+  private[queries] final case class E173Legs(
+      r: DataFrame, gens: DataFrame,
+      baseInit: DataFrame, stored: DataFrame,
+      baseFreshes: Vector[DataFrame],
+      foldInit: DataFrame, foldFinal: DataFrame,
+      foldFreshes: Vector[DataFrame],
+      scratchInit: DataFrame, scratchFinal: DataFrame,
+      scratchFreshes: Vector[DataFrame])
+
+  /** e173's build — NN-Descent (e158's new/old-flag loop body, FIXED
+    * round counts so the oracle unrolls statically) run three ways:
+    *
+    *  1. BASE: ring-init + `baseRounds` over the base generation
+    *     (hash-mod-5 ≠ 4 of vec_id, ~80 %), final graph WRITTEN TO
+    *     PARQUET at `storePath` and read back;
+    *  2. FOLD: the read-back graph (every edge OLD) unioned with
+    *     ring-init edges for the fresh generation (every edge NEW),
+    *     then `foldRounds` of the same loop — the new/old rule makes
+    *     old×old witness pairs free, so the stored graph is never
+    *     re-scored: the only dot products paid are the fresh init and
+    *     the fresh-driven candidates;
+    *  3. SCRATCH: ring-init + `scratchRounds` over the full union —
+    *     the from-scratch reference the fold is audited against.
+    *
+    * `private[queries]` so E173Spec can drive a convergent fixture
+    * (where fold and scratch both reach the exact kNN graph and must
+    * agree edge-for-edge) through the same code.
+    */
+  private[queries] def e173Core(
+      s: SparkSession, emb: DataFrame, K: Int,
+      baseRounds: Int, foldRounds: Int, scratchRounds: Int,
+      storePath: String): E173Legs = {
+    import graft.operators.Indexing
+    val u = emb
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(F.array_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("uv"))
+    val r = Indexing.withGlobalIndex(u, col("vec_id"), "rid")
+      .localCheckpoint(true)
+    val gens = r.select(col("vec_id"),
+      expr("(((vec_id % 1000003) * 2654435761) % 1000000007) % 5 = 4")
+        .as("is_fresh"))
+    def scoreEdges(edges: DataFrame): DataFrame =
+      edges
+        .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
+          "src")
+        .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
+          "dst")
+        .select(col("src"), col("dst"),
+          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+            .as("cos"))
+    // ring init: srcIdx rows (vec_id, rid — rid in DST-INDEX space)
+    // each propose K successors around the dst index's id ring
+    def ringInit(srcIdx: DataFrame, dstIdx: DataFrame): DataFrame = {
+      val nn = dstIdx.agg(count(lit(1)).as("n"))
+      srcIdx.select(col("vec_id").as("src"), col("rid"))
+        .crossJoin(broadcast(nn))
+        .select(col("src"), col("rid"), col("n"),
+          explode(sequence(lit(1), lit(K))).as("o"))
+        .withColumn("nbr", (col("rid") + col("o")) % col("n"))
+        .join(dstIdx.select(col("vec_id").as("dst"),
+          col("rid").as("rid2")), col("rid2") === col("nbr"))
+        .select("src", "dst")
+    }
+    // e158's loop body with the convergence stop dropped (fixed
+    // rounds keep all three legs statically oracle-unrollable); only
+    // the N·K-row post-top-K graph is checkpointed per round — the
+    // fresh candidate set stays lazy (the e158 OOM lesson)
+    def loop(knnf0: DataFrame, rounds: Int)
+        : (DataFrame, Vector[DataFrame]) = {
+      var knn = knnf0.localCheckpoint(true)
+      val freshes =
+        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to rounds) {
+        val rev = knn
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("dst")).orderBy(col("src"))))
+          .filter(col("rr") <= K)
+          .select(col("dst").as("src"), col("src").as("dst"),
+            col("is_new"))
+        val und = knn.select("src", "dst", "is_new").unionByName(rev)
+          .groupBy("src", "dst").agg(max(col("is_new")).as("is_new"))
+        val cand = und.select(col("src").as("w"), col("dst").as("a"),
+            col("is_new").as("na"))
+          .join(und.select(col("src").as("w"), col("dst").as("c"),
+            col("is_new").as("nc")), "w")
+          .filter(col("a") =!= col("c") && (col("na") || col("nc")))
+          .select(col("a").as("src"), col("c").as("dst")).distinct()
+        val fresh = cand.join(knn.select("src", "dst"),
+          Seq("src", "dst"), "left_anti")
+        freshes += fresh
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        val top = knn.select("src", "dst", "cos")
+          .unionByName(scoreEdges(fresh))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K)
+          .select("src", "dst", "cos")
+        knn = top
+          .join(knn.select(col("src"), col("dst"),
+            lit(true).as("was")), Seq("src", "dst"), "left")
+          .withColumn("is_new", col("was").isNull).drop("was")
+          .localCheckpoint(true)
+      }
+      (knn, freshes.toVector)
+    }
+    val rb = Indexing.withGlobalIndex(
+      r.join(gens.filter(col("is_fresh") === false).select("vec_id"),
+        "vec_id").select("vec_id", "uv"),
+      col("vec_id"), "rid").localCheckpoint(true)
+    val baseInit = ringInit(rb, rb)
+    val (baseFinal, bF) =
+      loop(scoreEdges(baseInit).withColumn("is_new", lit(true)),
+        baseRounds)
+    // the storage boundary: the converged base graph leaves the plan
+    // as parquet (N·K rows — one file, the e156b sizing note) and
+    // comes back as a fresh scan the fold cannot see past
+    baseFinal.select("src", "dst", "cos").coalesce(1)
+      .write.mode("overwrite").parquet(storePath)
+    val stored = s.read.parquet(storePath)
+    val rf = r
+      .join(gens.filter(col("is_fresh")).select("vec_id"), "vec_id")
+      .select("vec_id", "rid")
+    val foldInit = ringInit(rf, r)
+    val fknnf0 = stored.select("src", "dst", "cos")
+      .withColumn("is_new", lit(false))
+      .unionByName(scoreEdges(foldInit)
+        .withColumn("is_new", lit(true)))
+    val (foldFinal, fF) = loop(fknnf0, foldRounds)
+    val scratchInit = ringInit(r.select("vec_id", "rid"), r)
+    val (scratchFinal, sF) =
+      loop(scoreEdges(scratchInit).withColumn("is_new", lit(true)),
+        scratchRounds)
+    E173Legs(r, gens, baseInit, stored, bF, foldInit, foldFinal, fF,
+      scratchInit, scratchFinal, sF)
+  }
+
+  /** The kNN graph across the PROCESS BOUNDARY — the stored-artifact
+    * posture (labels e156b, IVF e170, gate artifacts e172, HyperANF
+    * registers e169) brought to the NN-Descent family, which until now
+    * restarted its incremental loop from scratch every invocation
+    * (VERDICT r14 #1). Three legs, one summary row each:
+    *
+    *  - `base`: the graph built on the base generation (~80 % of
+    *    vectors) and PERSISTED; its metrics are read from the
+    *    round-tripped parquet, not the in-plan frame.
+    *  - `fold`: a fresh-vector delta (~20 %) folded ONTO the stored
+    *    graph — stored edges enter the loop flagged OLD, so the
+    *    new/old candidate rule never re-scores the stored graph; the
+    *    only dot products paid are the fresh ring-init and the
+    *    fresh-driven candidates. This is the steady-state maintenance
+    *    cost the persisted posture buys.
+    *  - `scratch`: from-scratch on the union — the reference the fold
+    *    is audited against.
+    *
+    * Columns per leg: `n_scored` (Σ pairs actually scored — the
+    * economics: fold ≪ scratch at every SF), `recall_bp`/`recall_se_bp`
+    * vs exact anchor truth over the leg's own universe (base universe
+    * for `base`, the union for `fold`/`scratch` — the e158 harness),
+    * `avg_cos_t`, and `n_edge_diff` — the e156b n_mismatch analog: the
+    * symmetric difference between the leg's final edge set and the
+    * scratch graph restricted to the leg's source universe (0 for
+    * scratch by construction; REPORTED RAW for base/fold — NN-Descent
+    * is approximate, so unlike CC the incremental and from-scratch
+    * graphs legitimately differ away from full convergence; E173Spec
+    * pins that on a convergent fixture the fold IS edge-identical to
+    * scratch). `base`'s diff counts, among else, every stored edge
+    * whose true neighbor is a FRESH vector the base build could not
+    * see — the staleness the fold repairs.
+    *
+    * Scale (100 TB of vectors): the stored graph is N·K rows (~the
+    * corpus's id column, not its payload); the fold's pair budget is
+    * |fresh|·K init plus fresh-driven candidates — delta-proportional,
+    * never corpus-quadratic — and the loop's exchanges are the e158
+    * bounds with N replaced by the delta for the scoring legs. The
+    * scratch + truth legs are the AUDIT (buildOnly drops them: base
+    * build + persist + fold only).
+    */
+  private def e173KnnPersistFold = {
+    val K = 10
+    val B = 3; val Fr = 2; val S = 3
+    val anchorBudget = 64
+    def dotD(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+         |      (s, v) -> s + v)""".stripMargin
+    def legRounds(p: String, rounds: Int): String =
+      (0 until rounds).map { i =>
+        s"""${p}rev$i AS (SELECT dst AS src, src AS dst, is_new
+           |  FROM (SELECT src, dst, is_new, row_number() OVER (
+           |      PARTITION BY dst ORDER BY src) AS rr FROM ${p}knnf$i) t
+           |  WHERE rr <= $K),
+           |${p}und$i AS MATERIALIZED (SELECT src, dst,
+           |    max(is_new) AS is_new
+           |  FROM (SELECT src, dst, is_new FROM ${p}knnf$i
+           |    UNION ALL SELECT src, dst, is_new FROM ${p}rev$i) u
+           |  GROUP BY src, dst),
+           |${p}cand$i AS (SELECT DISTINCT j1.dst AS src, j2.dst AS dst
+           |  FROM ${p}und$i j1 JOIN ${p}und$i j2
+           |    ON j1.src = j2.src AND j1.dst <> j2.dst
+           |    AND (j1.is_new OR j2.is_new)),
+           |${p}fresh$i AS MATERIALIZED (SELECT c.src, c.dst
+           |  FROM ${p}cand$i c
+           |  LEFT JOIN ${p}knnf$i k ON k.src = c.src AND k.dst = c.dst
+           |  WHERE k.src IS NULL),
+           |${p}sc$i AS (SELECT f.src, f.dst,
+           |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+           |  FROM ${p}fresh$i f JOIN r a ON a.vec_id = f.src
+           |  JOIN r c ON c.vec_id = f.dst),
+           |${p}top$i AS (SELECT src, dst, cos FROM (
+           |    SELECT src, dst, cos FROM ${p}knnf$i
+           |    UNION ALL SELECT src, dst, cos FROM ${p}sc$i) z
+           |  QUALIFY row_number() OVER (PARTITION BY src
+           |    ORDER BY cos DESC, dst) <= $K),
+           |${p}knnf${i + 1} AS MATERIALIZED (SELECT t.src, t.dst,
+           |    t.cos, k.src IS NULL AS is_new
+           |  FROM ${p}top$i t LEFT JOIN ${p}knnf$i k
+           |    ON k.src = t.src AND k.dst = t.dst),""".stripMargin
+      }.mkString("\n")
+    def scoredSum(p: String, init: String, rounds: Int): String =
+      (s"(SELECT count(*) FROM $init)" +:
+        (0 until rounds).map(i =>
+          s"(SELECT count(*) FROM ${p}fresh$i)")).mkString(" + ")
+    def diffExpr(a: String, b: String): String =
+      s"""(SELECT count(*) FROM $a x LEFT JOIN $b y
+         |      ON y.src = x.src AND y.dst = x.dst WHERE y.src IS NULL)
+         |    + (SELECT count(*) FROM $b y LEFT JOIN $a x
+         |      ON x.src = y.src AND x.dst = y.dst
+         |      WHERE x.src IS NULL)""".stripMargin
+    def legRow(leg: String, fin: String, init: String, p: String,
+        rounds: Int, truthRel: String, diff: String): String =
+      s"""SELECT '$leg' AS leg,
+         |  CAST((SELECT count(DISTINCT src) FROM $fin) AS BIGINT)
+         |    AS n_nodes,
+         |  CAST($rounds AS BIGINT) AS n_rounds,
+         |  CAST(${scoredSum(p, init, rounds)} AS BIGINT) AS n_scored,
+         |  (SELECT CAST(sum(CAST(round(cos * 10000) AS BIGINT))
+         |      // count(*) AS BIGINT) FROM $fin) AS avg_cos_t,
+         |  CAST((SELECT count(*) FROM $fin k JOIN $truthRel t
+         |      ON t.src = k.src AND t.dst = k.dst) AS BIGINT) AS hits,
+         |  CAST((SELECT count(DISTINCT src) FROM $truthRel) AS BIGINT)
+         |    AS n_anchors,
+         |  CAST($diff AS BIGINT) AS n_edge_diff""".stripMargin
+    QueryDef.sql(
+      "e173_knn_persist_fold",
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm
+         |  FROM b),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM n0 WHERE nrm > 0),
+         |r AS MATERIALIZED (SELECT vec_id, uv,
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS rid FROM u),
+         |nn AS (SELECT count(*) AS n FROM r),
+         |gens AS MATERIALIZED (SELECT vec_id,
+         |    (((vec_id % 1000003) * 2654435761) % 1000000007) % 5 = 4
+         |      AS is_fresh
+         |  FROM r),
+         |rb AS MATERIALIZED (SELECT r.vec_id, r.uv,
+         |    row_number() OVER (ORDER BY r.vec_id) - 1 AS rid
+         |  FROM r JOIN gens g ON g.vec_id = r.vec_id
+         |  WHERE NOT g.is_fresh),
+         |nb AS (SELECT count(*) AS n FROM rb),
+         |bknn0 AS MATERIALIZED (SELECT a.vec_id AS src,
+         |    c.vec_id AS dst
+         |  FROM rb a CROSS JOIN nb
+         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+         |  JOIN rb c ON c.rid = (a.rid + os.o) % nb.n),
+         |bknnf0 AS MATERIALIZED (SELECT k.src, k.dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos,
+         |    TRUE AS is_new
+         |  FROM bknn0 k JOIN r a ON a.vec_id = k.src
+         |  JOIN r c ON c.vec_id = k.dst),
+         |${legRounds("b", B)}
+         |rf AS (SELECT r.vec_id, r.rid
+         |  FROM r JOIN gens g ON g.vec_id = r.vec_id WHERE g.is_fresh),
+         |finit AS MATERIALIZED (SELECT a.vec_id AS src,
+         |    c.vec_id AS dst
+         |  FROM rf a CROSS JOIN nn
+         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+         |  JOIN r c ON c.rid = (a.rid + os.o) % nn.n),
+         |fknnf0 AS MATERIALIZED (
+         |  SELECT src, dst, cos, FALSE AS is_new FROM bknnf$B
+         |  UNION ALL
+         |  SELECT k.src, k.dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos,
+         |    TRUE AS is_new
+         |  FROM finit k JOIN r a ON a.vec_id = k.src
+         |  JOIN r c ON c.vec_id = k.dst),
+         |${legRounds("f", Fr)}
+         |sknn0 AS MATERIALIZED (SELECT a.vec_id AS src,
+         |    c.vec_id AS dst
+         |  FROM r a CROSS JOIN nn
+         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+         |  JOIN r c ON c.rid = (a.rid + os.o) % nn.n),
+         |sknnf0 AS MATERIALIZED (SELECT k.src, k.dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos,
+         |    TRUE AS is_new
+         |  FROM sknn0 k JOIN r a ON a.vec_id = k.src
+         |  JOIN r c ON c.vec_id = k.dst),
+         |${legRounds("s", S)}
+         |anch AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ((vec_id % 1000003) * 2654435761) % 1000000007 AS ah
+         |    FROM r) t
+         |  QUALIFY row_number() OVER (ORDER BY ah, vec_id)
+         |    <= $anchorBudget),
+         |tr0 AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM anch an JOIN r a ON a.vec_id = an.vec_id
+         |  JOIN r c ON c.vec_id <> a.vec_id),
+         |truth AS MATERIALIZED (SELECT src, dst FROM tr0
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= $K),
+         |anchb AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ((vec_id % 1000003) * 2654435761) % 1000000007 AS ah
+         |    FROM rb) t
+         |  QUALIFY row_number() OVER (ORDER BY ah, vec_id)
+         |    <= $anchorBudget),
+         |trb0 AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM anchb an JOIN rb a ON a.vec_id = an.vec_id
+         |  JOIN rb c ON c.vec_id <> a.vec_id),
+         |truthb AS MATERIALIZED (SELECT src, dst FROM trb0
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= $K),
+         |sb AS MATERIALIZED (SELECT k.src, k.dst FROM sknnf$S k
+         |  JOIN gens g ON g.vec_id = k.src WHERE NOT g.is_fresh),
+         |mraw AS (
+         |${legRow("base", s"bknnf$B", "bknn0", "b", B, "truthb",
+           diffExpr(s"bknnf$B", "sb"))}
+         |UNION ALL
+         |${legRow("fold", s"fknnf$Fr", "finit", "f", Fr, "truth",
+           diffExpr(s"fknnf$Fr", s"sknnf$S"))}
+         |UNION ALL
+         |${legRow("scratch", s"sknnf$S", "sknn0", "s", S, "truth",
+           "0")}),
+         |m1 AS (SELECT *,
+         |    CAST(hits * 10000 // (n_anchors * $K) AS BIGINT)
+         |      AS recall_bp,
+         |    10000 * (hits + 1) // (n_anchors * $K + 2) AS rt
+         |  FROM mraw),
+         |m2 AS (SELECT *,
+         |    rt * (10000 - rt) // (n_anchors * $K + 2) AS sx FROM m1),
+         |m3 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(sx AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM m2)
+         |SELECT leg, n_nodes, n_rounds, n_scored, avg_cos_t,
+         |  recall_bp,
+         |  s0 + CASE WHEN s0 < 3037000499 AND (s0 + 1) * (s0 + 1) <= sx
+         |         THEN 1 ELSE 0 END
+         |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END
+         |    AS recall_se_bp,
+         |  n_edge_diff
+         |FROM m3 ORDER BY leg""".stripMargin) { (s, dir) =>
+      val legs = e173Core(s, Tables.embeddings(s, dir), K, B, Fr, S,
+        Scratch.dir(s, "e173") + "/knn_base")
+      def anchorTruth(idx: DataFrame): DataFrame = {
+        val anchors = idx
+          .withColumn("ah",
+            expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
+          .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
+          .select(col("vec_id").as("src"), col("uv").as("ua"))
+        idx.select(col("vec_id").as("dst"), col("uv").as("uc"))
+          .join(broadcast(anchors), col("dst") =!= col("src"))
+          .select(col("src"), col("dst"),
+            (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+              .as("cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))))
+          .filter(col("rk") <= K).select("src", "dst")
+          .localCheckpoint(true)
+      }
+      val truth = anchorTruth(legs.r.select("vec_id", "uv"))
+      val truthB = anchorTruth(legs.r
+        .join(legs.gens.filter(col("is_fresh") === false)
+          .select("vec_id"), "vec_id")
+        .select("vec_id", "uv"))
+      val sb = legs.scratchFinal.select("src", "dst")
+        .join(legs.gens.filter(col("is_fresh") === false)
+          .select(col("vec_id").as("src")), "src")
+      def legRowDf(leg: String, rounds: Int, init: DataFrame,
+          freshes: Seq[DataFrame], fin: DataFrame, truthRel: DataFrame,
+          ref: Option[DataFrame]): DataFrame = {
+        val counts = (init +: freshes.toIndexedSeq).zipWithIndex.map {
+          case (f, i) => f.agg(count(lit(1)).cast("long").as(s"c$i"))
+        }
+        val nNodes = fin.select("src").distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        val avg = fin.agg(
+            sum(round(col("cos") * 10000).cast("long")).as("scs"),
+            count(lit(1)).as("ne"))
+          .select(expr("scs div ne").as("avg_cos_t"))
+        val hits = fin.join(truthRel, Seq("src", "dst"))
+          .agg(count(lit(1)).as("hits"))
+        val na = truthRel.select("src").distinct()
+          .agg(count(lit(1)).as("n_anchors"))
+        val diff = ref match {
+          case Some(b) =>
+            fin.select("src", "dst")
+              .join(b, Seq("src", "dst"), "left_anti")
+              .agg(count(lit(1)).as("d1"))
+              .crossJoin(b.join(fin.select("src", "dst"),
+                Seq("src", "dst"), "left_anti")
+                .agg(count(lit(1)).as("d2")))
+              .select((col("d1") + col("d2")).as("n_edge_diff"))
+          case None =>
+            legs.r.limit(1).select(lit(0L).as("n_edge_diff"))
+        }
+        counts.reduce(_ crossJoin _)
+          .crossJoin(nNodes).crossJoin(avg).crossJoin(hits)
+          .crossJoin(na).crossJoin(diff)
+          .select(lit(leg).as("leg"), col("n_nodes"),
+            lit(rounds.toLong).as("n_rounds"),
+            expr(counts.indices.map(i => s"c$i").mkString(" + "))
+              .as("n_scored"),
+            col("avg_cos_t"), col("hits"), col("n_anchors"),
+            col("n_edge_diff"))
+      }
+      val rows =
+        legRowDf("base", B, legs.baseInit, legs.baseFreshes,
+          legs.stored, truthB, Some(sb))
+        .unionByName(legRowDf("fold", Fr, legs.foldInit,
+          legs.foldFreshes, legs.foldFinal, truth,
+          Some(legs.scratchFinal.select("src", "dst"))))
+        .unionByName(legRowDf("scratch", S, legs.scratchInit,
+          legs.scratchFreshes, legs.scratchFinal, truth, None))
+      rows
+        .withColumn("recall_bp",
+          expr(s"hits * 10000 div (n_anchors * $K)"))
+        .withColumn("rt",
+          expr(s"10000 * (hits + 1) div (n_anchors * $K + 2)"))
+        .withColumn("sx",
+          expr(s"rt * (10000 - rt) div (n_anchors * $K + 2)"))
+        .withColumn("s0",
+          floor(sqrt(col("sx").cast("double"))).cast("long"))
+        .select(col("leg"), col("n_nodes"), col("n_rounds"),
+          col("n_scored"), col("avg_cos_t"), col("recall_bp"),
+          (col("s0")
+            + when(col("s0") < 3037000499L &&
+                (col("s0") + 1) * (col("s0") + 1) <= col("sx"), 1L)
+              .otherwise(0L)
+            - when(col("s0") * col("s0") > col("sx"), 1L)
+              .otherwise(0L)).as("recall_se_bp"),
+          col("n_edge_diff"))
+        .orderBy("leg")
+    }.withBuildOnly((s, dir) =>
+      // production: base build + persist + fold — no truth, no
+      // scratch reference, no diffs (the audit is the oracle row's)
+      e173Core(s, Tables.embeddings(s, dir), K, B, Fr, S,
+        Scratch.dir(s, "e173") + "/knn_base").foldFinal)
   }
 
   // ---- e148: HLL pairwise intersection via inclusion–exclusion ------------

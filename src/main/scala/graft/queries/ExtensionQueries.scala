@@ -49,6 +49,7 @@ object ExtensionQueries {
     e65DedupBest, e67AnnRecall, e68AnnNprobeSweep, e71DedupYield,
     e80Winnowing, e81MrlTruncation, e125MutualKnn, e125bMutualKnnInt8,
     e163LpaCommunities, e163bLpaRegions, e163cLpaChurn,
+    e175Modularity, e175bModularityRegions,
     e164CommunityDedupApply, e164bCommunityApplyRegions,
     e165NeighborhoodFn, e165bNeighborhoodRegions,
     e169DiameterDrift, e169bDiameterRegions,
@@ -3684,17 +3685,30 @@ object ExtensionQueries {
   private def e172GateVerifyStored = QueryDef.sql(
     "e172_gate_verify_stored", gateVerifyDuckSql) { (s, dir) =>
     gateVerifyImpl(s, dir, store = Some("e172-admission"))
-  }
+  }.withBuildOnly((s, dir) =>
+    // the STEADY-STATE admission leg (VERDICT r14 #5): artifact writes
+    // are fingerprint-amortized, so the first invocation builds the
+    // store and every later one reads only — ProbeMain's warmup pays
+    // the build, the timed pass prices what a crawl operator pays per
+    // delta between index refreshes
+    gateVerifyImpl(s, dir, store = Some("e172-admission-steady"),
+      amortize = true))
 
   /** Shared e168/e172 implementation; `store` names a scratch leaf to
     * roundtrip the corpus artifacts through parquet before use.
+    * `amortize` guards those writes with the [[graft.sources.Layout]]
+    * fingerprint discipline (skip when the store already matches the
+    * source scan) — the steady-state posture, where the artifacts are
+    * yesterday's tables and only admission runs.
     */
   private[queries] def gateVerifyImpl(
-      s: SparkSession, dir: String, store: Option[String]): DataFrame = {
+      s: SparkSession, dir: String, store: Option[String],
+      amortize: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isDelta = col("doc_id") % 5 === 4
     val base = docs.filter(!isDelta)
     // the gate's own slim corpus index — the stream operator's builder
+    // (plan construction only — no job runs unless a write needs them)
     val (dig0, gateBands0) =
       graft.streaming.StreamBandGate.corpusIndex(base)
     val mhB0 = mhSide(base)
@@ -3706,9 +3720,19 @@ object ExtensionQueries {
       case None => (dig0, gateBands0, mhB0)
       case Some(leaf) =>
         val p = Scratch.dir(s, leaf)
-        dig0.write.mode("overwrite").parquet(s"$p/digests.parquet")
-        gateBands0.write.mode("overwrite").parquet(s"$p/bands.parquet")
-        mhB0.write.mode("overwrite").parquet(s"$p/signatures.parquet")
+        if (amortize) {
+          val fp = graft.sources.Layout.scanFingerprint(docs)
+          graft.sources.Layout.writePartitionedIfStale(
+            dig0, s"$p/digests.parquet", Seq.empty, fp)
+          graft.sources.Layout.writePartitionedIfStale(
+            gateBands0, s"$p/bands.parquet", Seq.empty, fp)
+          graft.sources.Layout.writePartitionedIfStale(
+            mhB0, s"$p/signatures.parquet", Seq.empty, fp)
+        } else {
+          dig0.write.mode("overwrite").parquet(s"$p/digests.parquet")
+          gateBands0.write.mode("overwrite").parquet(s"$p/bands.parquet")
+          mhB0.write.mode("overwrite").parquet(s"$p/signatures.parquet")
+        }
         (s.read.parquet(s"$p/digests.parquet"),
           s.read.parquet(s"$p/bands.parquet"),
           s.read.parquet(s"$p/signatures.parquet"))
@@ -3872,7 +3896,7 @@ object ExtensionQueries {
   /** The fixture's (cliques-only, cliques+bridges) edge pair — e169b's
     * two generations: the bridges are exactly what gen B adds.
     */
-  private def regionCliqueSplit(
+  private[queries] def regionCliqueSplit(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val n = Tables.nation(s, dir).select(
       col("n_nationkey").cast("long").as("nk"),
@@ -3941,6 +3965,174 @@ object ExtensionQueries {
         .select(col("community"), col("n_members"), col("cc_comp"),
           col("n_components"))
         .orderBy("community")
+    }
+
+  /** Newman modularity of a labeling over an undirected simple pair
+    * graph, in EXACT INTEGER arithmetic (VERDICT r14 #8): with m =
+    * |edges|, e_c = intra-partition edges and d_c = summed degree of
+    * partition c, Q = Σ_c [e_c/m − d_c²/(4m²)] =
+    * (4·m·Σe_c − Σd_c²) / (4m²) — so `modularity_num` alone ranks
+    * labelings of the SAME graph (the denominator 4m² is shared), with
+    * no division, no float, no engine disagreement (the q52
+    * cross-multiplication rule applied to a graph statistic). The
+    * single-partition labeling scores exactly 0 (Σe_c = m, d_c = 2m),
+    * which makes "does LPA beat CC here?" a sign test. Newman &
+    * Girvan, Phys. Rev. E 69, 026113 (2004) — public knowledge.
+    *
+    * One summary row per method: partition count, m, Σ intra, Σ d_c²,
+    * and the numerator. Accumulator note (the q49 lever, documented
+    * not applied): Σd_c² is the one term that outgrows BIGINT first at
+    * fleet scale (a 10⁹-degree-mass community squares to 10¹⁸); a
+    * 100 TB deployment swaps the two Σ accumulators to DECIMAL(38,0),
+    * bounded here by the rep-grain dup graph's measured size.
+    *
+    * Scale: degree is one keyed count over the symmetric edge list;
+    * intra is the edge list joined twice against the |V|-row label
+    * table; Σd_c² is two keyed aggregations — all label-keyed
+    * equi-exchanges on frames no larger than the dup graph itself,
+    * the e163 cost class.
+    */
+  private[queries] def modularityRow(
+      method: String, pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"),
+        col("doc_a").as("v")))
+    val deg = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val m = pairs.agg(count(lit(1)).as("m_edges"))
+    val intra = pairs
+      .join(labels.select(col("node").as("doc_a"), col("lbl").as("la")),
+        "doc_a")
+      .join(labels.select(col("node").as("doc_b"), col("lbl").as("lb")),
+        "doc_b")
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val bySq = labels.join(deg, "node")
+      .groupBy("lbl").agg(sum(col("d")).as("dc"))
+      .agg(sum(col("dc") * col("dc")).cast("long").as("sum_deg_sq"),
+        count(lit(1)).as("n_parts"))
+    m.crossJoin(intra).crossJoin(bySq)
+      .select(lit(method).as("method"), col("n_parts"),
+        col("m_edges"), col("intra_edges"), col("sum_deg_sq"),
+        (lit(4L) * col("m_edges") * col("intra_edges")
+          - col("sum_deg_sq")).as("modularity_num"))
+  }
+
+  /** The modularity ORACLE tail shared by e175/e175b: consumes the
+    * symmetric `edges`, oriented `pairs`, CC labels `ccl(node, lbl)`
+    * and LPA labels `l4(node, lbl)` CTEs.
+    */
+  private def modularityDuckTail: String =
+    s"""deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM pairs),
+       |icc AS (SELECT CAST(count(*) AS BIGINT) AS i FROM pairs p
+       |  JOIN ccl a ON a.node = p.doc_a
+       |  JOIN ccl b ON b.node = p.doc_b WHERE a.lbl = b.lbl),
+       |dcc AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sdq,
+       |    CAST(count(*) AS BIGINT) AS np
+       |  FROM (SELECT c.lbl, sum(d.d) AS dc FROM ccl c
+       |    JOIN deg d ON d.node = c.node GROUP BY c.lbl)),
+       |ilp AS (SELECT CAST(count(*) AS BIGINT) AS i FROM pairs p
+       |  JOIN l4 a ON a.node = p.doc_a
+       |  JOIN l4 b ON b.node = p.doc_b WHERE a.lbl = b.lbl),
+       |dlp AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sdq,
+       |    CAST(count(*) AS BIGINT) AS np
+       |  FROM (SELECT c.lbl, sum(d.d) AS dc FROM l4 c
+       |    JOIN deg d ON d.node = c.node GROUP BY c.lbl))
+       |SELECT 'cc' AS method, dcc.np AS n_parts, m.m_edges,
+       |  icc.i AS intra_edges, dcc.sdq AS sum_deg_sq,
+       |  CAST(4 * m.m_edges * icc.i - dcc.sdq AS BIGINT)
+       |    AS modularity_num
+       |FROM m, icc, dcc
+       |UNION ALL
+       |SELECT 'lpa', dlp.np, m.m_edges, ilp.i, dlp.sdq,
+       |  CAST(4 * m.m_edges * ilp.i - dlp.sdq AS BIGINT)
+       |FROM m, ilp, dlp
+       |ORDER BY method""".stripMargin
+
+  /** PARTITION-QUALITY ranking for the dedup audit chain — e163 marks
+    * WHERE communities and clusters disagree (`split` rows); this
+    * scores the two labelings of the SAME rep-grain dup graph so the
+    * disagreement is RANKED, not just located: a corpus where the LPA
+    * partition's modularity numerator clearly exceeds the CC
+    * partition's is one where reachability is over-merging through
+    * bridges and auto-delete should pause for verification
+    * (audit → act → rank, the chain's last link). On THIS
+    * pair-dominated corpus the honest expectation is near-parity
+    * (e163's split = 0 reading); e175b is the always-split fixture
+    * twin where LPA strictly wins at every SF.
+    */
+  private def e175Modularity =
+    QueryDef.sql(
+      "e175_modularity",
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, text
+         |  FROM documents WHERE len(text) > 0 GROUP BY text),
+         |${minhashPairsDuckFrom("reps").stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM verified
+         |  WHERE jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e
+         |    ON e.u = reach.r),
+         |ccl AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node),
+         |${lpaRoundsDuck(4)},
+         |$modularityDuckTail""".stripMargin) { (s, dir) =>
+      val reps = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+      val pairs = minhashVerifiedPairsFrom(reps)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(true) // feeds CC, LPA, and three metric legs
+      val ccl = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+        .select(col("node"), col("comp").as("lbl"))
+      val lpa = graft.operators.LabelPropagation
+        .communities(pairs, "doc_a", "doc_b", rounds = 4)
+        .select(col("node"), col("community").as("lbl"))
+      modularityRow("cc", pairs, ccl)
+        .unionByName(modularityRow("lpa", pairs, lpa))
+        .orderBy("method")
+    }
+
+  /** e175 on the chained-clique fixture (the e129b/e163b pattern):
+    * ONE reachability component — whose modularity numerator is 0 by
+    * the single-partition identity — against FIVE LPA communities
+    * whose numerator is strictly positive, so "LPA ranks above CC
+    * exactly when bridges over-merge" is carried by the hash-matched
+    * rows at every SF (the nation table never scales). E175Spec pins
+    * the strict inequality.
+    */
+  private def e175bModularityRegions =
+    QueryDef.sql(
+      "e175b_modularity_regions",
+      s"""WITH RECURSIVE $regionCliqueDuck,
+         |pairs AS (SELECT u AS doc_a, v AS doc_b FROM base),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e
+         |    ON e.u = reach.r),
+         |ccl AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node),
+         |${lpaRoundsDuck(4)},
+         |$modularityDuckTail""".stripMargin) { (s, dir) =>
+      val pairs = regionCliqueEdges(s, dir)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
+        .localCheckpoint(true)
+      val ccl = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+        .select(col("node"), col("comp").as("lbl"))
+      val lpa = graft.operators.LabelPropagation
+        .communities(pairs, "doc_a", "doc_b", rounds = 4)
+        .select(col("node"), col("community").as("lbl"))
+      modularityRow("cc", pairs, ccl)
+        .unionByName(modularityRow("lpa", pairs, lpa))
+        .orderBy("method")
     }
 
   /** STABILIZATION metering for the pinned-rounds LPA contract

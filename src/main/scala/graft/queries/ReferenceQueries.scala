@@ -35,7 +35,7 @@ object ReferenceQueries {
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
     q54CustDist, q55EventTransitions, q56DisjunctRevenue,
     q57SupplierCensus, q58ReturnPriority, q59UntappedBalance,
-    q60OverlapJoin)
+    q60OverlapJoin, q61MinCostSupplier, q62BigQtyOrders)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2637,5 +2637,130 @@ object ReferenceQueries {
         coalesce(col("n_users"), lit(0L)).as("n_users"),
         coalesce(col("ov_sum"), lit(0L)).as("overlap_us"))
       .orderBy("incident_id")
+  }
+
+  /** TPC-H-Q2-shaped minimum-cost supplier: for every size-15 part,
+    * the EUROPE-region supplier(s) whose best unit price for that part
+    * is the regional minimum — Q2's correlated scalar-MIN subquery,
+    * re-cast on this schema (no partsupp table: the part↔supplier cost
+    * relation is derived from lineitem at (partkey, suppkey) grain,
+    * unit price = extendedprice/quantity in exact integer
+    * ten-thousandths via `cents·100 div qty` — floor division agrees
+    * on both engines, no float boundary). This completes the
+    * decorrelation census's missing Q2 shape (VERDICT r14 #3): unlike
+    * q51 (compare vs ONE global scalar) and q52 (per-group AVG at FACT
+    * grain), the correlated aggregate here lives at DIMENSION grain
+    * (part × supplier) and the correlation re-applies the SAME
+    * region-eligibility join inside the subquery — the textbook form
+    * the oracle keeps verbatim.
+    *
+    * Decorrelated Spark plan: ONE (partkey, suppkey)-grain aggregate
+    * over the fact (the only corpus-sized exchange), region
+    * eligibility applied once (nation⋈region broadcast — 25/5 rows by
+    * construction; supplier itself is fact-proportional and joins
+    * UNHINTED per the q2 rule), then the per-part MIN and its
+    * equality join-back both key on l_partkey — the q52 one-exchange
+    * discipline: the min side is a partial agg of the already-shrunk
+    * eligible grain, never a second fact pass. The part-dim filter
+    * (p_size = 15, ~2 % of parts) joins the ≤|parts| winner set last.
+    * PLANS.md row carries 0 BNLJ — the scalar subquery never becomes
+    * a per-row re-execution.
+    */
+  private def q61MinCostSupplier = QueryDef.sql(
+    "q61_min_cost_supplier",
+    s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+       |    min(${centsDuck("l_extendedprice")} * 100
+       |      // CAST(l_quantity AS BIGINT)) AS cost_t
+       |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2)
+       |SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name, ps.cost_t
+       |FROM part p, ps, supplier s, nation n, region r
+       |WHERE ps.l_partkey = p.p_partkey AND s.s_suppkey = ps.l_suppkey
+       |  AND n.n_nationkey = s.s_nationkey
+       |  AND r.r_regionkey = n.n_regionkey
+       |  AND r.r_name = 'EUROPE' AND p.p_size = 15
+       |  AND ps.cost_t = (SELECT min(ps2.cost_t)
+       |    FROM ps ps2, supplier s2, nation n2, region r2
+       |    WHERE ps2.l_partkey = p.p_partkey
+       |      AND s2.s_suppkey = ps2.l_suppkey
+       |      AND n2.n_nationkey = s2.s_nationkey
+       |      AND r2.r_regionkey = n2.n_regionkey
+       |      AND r2.r_name = 'EUROPE')
+       |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, dir) =>
+    val euroNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "EUROPE")),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(euroNations),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val ps = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint) " +
+        "* 100 div cast(l_quantity as bigint)")).as("cost_t"))
+    val eligible = ps.join(euroSupp,
+      col("s_suppkey") === col("l_suppkey"))
+    val mn = eligible.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("cost_t")).as("mc"))
+    val winners = eligible.join(mn,
+      col("pk") === col("l_partkey") && col("cost_t") === col("mc"))
+    Tables.part(s, dir).filter(col("p_size") === 15)
+      .select(col("p_partkey"))
+      .join(winners, col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("cost_t"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H-Q18-shaped large-volume orders: customers whose order's
+    * total quantity exceeds 250 units — Q18's
+    * `o_orderkey IN (SELECT l_orderkey ... HAVING sum(l_quantity) >
+    * T)` grouped-IN subquery, the last textbook decorrelation shape
+    * the census lacked (VERDICT r14 #3). The duplicate-safety trap is
+    * the point: the outer query re-joins LINEITEM and re-aggregates
+    * per order, so a naive rewrite that inner-joins the HAVING set's
+    * ROWS would be correct only because the set is already grouped —
+    * the decorrelated plan must treat it as a SEMI filter.
+    *
+    * Decorrelated Spark plan: the per-order quantity sum is computed
+    * ONCE and serves BOTH roles — the IN-subquery membership test
+    * (filter sq > T) and the outer query's own sum(l_quantity) column
+    * — so the fact aggregates once on l_orderkey and the textbook
+    * plan's second fact scan + semi-join disappears entirely. The
+    * surviving big-order set (0.1-1.5 % of orders at every measured
+    * SF) joins orders on the SAME orderkey exchange, then customer;
+    * both are fact-proportional and join UNHINTED (threshold/AQE
+    * broadcasts the shrunken big-order side while it fits — the
+    * winners-broadcast shape q51 pins). Total: one corpus-sized
+    * exchange, no LIMIT (the full thresholded set ships, ordered by
+    * its unique key — the q13 trailing-sort convention).
+    */
+  private def q62BigQtyOrders = QueryDef.sql(
+    "q62_big_qty_orders",
+    s"""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       |FROM customer c, orders o, lineitem l
+       |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+       |    GROUP BY l_orderkey
+       |    HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+       |  AND c.c_custkey = o.o_custkey
+       |  AND o.o_orderkey = l.l_orderkey
+       |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(big, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
   }
 }

@@ -37,8 +37,11 @@ import graft.functions.Portable.P
   */
 object StreamBandGate {
 
-  /** Band key k of a 12-wide MinHash signature — e3's pairing rule. */
-  private def bandKey(k: Int) =
+  /** Band key k of a 12-wide MinHash signature — e3's pairing rule.
+    * (`private[streaming]`: [[StreamGateVerify]] keys its verification
+    * tier with the same rule so the two gates cannot drift.)
+    */
+  private[streaming] def bandKey(k: Int) =
     element_at(col("sig"), 2 * k + 1) * P + element_at(col("sig"), 2 * k + 2)
 
   /** The frozen corpus side: (digests, bands) — digests is one `h`

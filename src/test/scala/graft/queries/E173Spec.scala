@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** e173 — the persisted-kNN fold's "done" criteria beyond the oracle
+  * row (VERDICT r14 #1): on a CONVERGENT fixture the stored-fold graph
+  * must be edge-identical to a from-scratch build on the union (the
+  * e156b n_mismatch = 0 contract, provable here only at full
+  * convergence because NN-Descent is approximate), the boundary
+  * artifact must be real parquet on disk, and the fold must have paid
+  * strictly fewer dot products than from-scratch — the economics the
+  * stored posture exists to buy.
+  *
+  * Fixture: unit vectors fanned along a circular arc in angle order of
+  * vec_id, so cosine similarity decreases monotonically with id
+  * distance — the exact kNN graph is the id-neighborhood graph, ring
+  * init starts adjacent to it, and a handful of rounds provably
+  * converges BOTH legs to the exact graph (asserted against a local
+  * brute-force computation, not just to each other — two legs stuck in
+  * the same local optimum would otherwise pass).
+  */
+class E173Spec extends SparkSpecBase {
+
+  test("stored-fold ≡ from-scratch ≡ exact kNN at convergence, with a " +
+    "parquet boundary and a cheaper fold") {
+    import spark.implicits._
+    val n = 40
+    val K = 4
+    val ang = (0 until n).map(i => i * 0.07)
+    val emb = ang.zipWithIndex.map { case (th, i) =>
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_e173").toString + "/knn_base"
+    val legs = AnalysisQueries.e173Core(spark, emb, K,
+      baseRounds = 6, foldRounds = 6, scratchRounds = 6, store)
+
+    // fixture sanity: the hash split actually produces both generations
+    val nFresh = legs.gens.filter(col("is_fresh")).count()
+    assert(nFresh >= 2 && nFresh <= n - 2, s"degenerate split: $nFresh")
+
+    // the process boundary is a real parquet artifact
+    assert(new java.io.File(store).listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "base graph not persisted as parquet")
+    // ... and the stored frame's lineage is a scan of it, holding
+    // exactly the base generation's K edges per node
+    assert(legs.stored.count() === (n - nFresh) * K)
+
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fold = edges(legs.foldFinal)
+    val scratch = edges(legs.scratchFinal)
+    assert(fold === scratch,
+      "stored-fold and from-scratch disagree at convergence")
+
+    // both equal the EXACT kNN graph, brute-forced locally with the
+    // operator's own arithmetic (double-cast floats, normalize, dot,
+    // half-up 4-dp round, ties by cos desc then dst asc)
+    val uv = ang.map { th =>
+      val v = Array(math.cos(th).toFloat.toDouble,
+        math.sin(th).toFloat.toDouble)
+      val nrm = math.sqrt(v(0) * v(0) + v(1) * v(1))
+      Array(v(0) / nrm, v(1) / nrm)
+    }
+    def cos4(a: Int, b: Int): Double =
+      BigDecimal(uv(a)(0) * uv(b)(0) + uv(a)(1) * uv(b)(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact = (0 until n).flatMap { a =>
+      (0 until n).filter(_ != a)
+        .sortBy(b => (-cos4(a, b), b.toLong))
+        .take(K).map(b => (a.toLong, b.toLong))
+    }.toSet
+    assert(fold === exact, "converged graph is not the exact kNN graph")
+
+    // economics: the fold scored strictly fewer pairs than from-scratch
+    val foldScored = legs.foldInit.count() +
+      legs.foldFreshes.map(_.count()).sum
+    val scratchScored = legs.scratchInit.count() +
+      legs.scratchFreshes.map(_.count()).sum
+    assert(foldScored < scratchScored,
+      s"fold scored $foldScored, scratch $scratchScored — the stored " +
+        "posture bought nothing")
+  }
+}

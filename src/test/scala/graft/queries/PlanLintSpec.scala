@@ -128,9 +128,19 @@ class PlanLintSpec extends SparkSpecBase {
                              // ≤ rounds+1-row joined summary — the
                              // e165 pattern, twice
       "e169b_diameter_regions", // same two one-row crosses as e169
-      "e170_ivf_resplit_persist") // e167's one-row capacity frame, off
+      "e170_ivf_resplit_persist", // e167's one-row capacity frame, off
                                   // the persisted index (the codebook
                                   // join is an equi-join on list_id)
+      "e173_knn_persist_fold", // e158's frames three-legged: per-leg
+                               // 1-row metric/count crosses, ring-init
+                               // count broadcasts, 64-anchor truth
+                               // joins (constant budget, the e5/e110
+                               // bound) — every BNLJ side is one row
+                               // or the anchor constant
+      "e175_modularity", // three one-row frames (m, intra, Σd²)
+                         // crossed per method — the q8 pattern
+      "e175b_modularity_regions") // same one-row crosses on the
+                                  // 25-node fixture graph
 
   /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
     * not by data — q44's window runs over the 720-row calendar spine
