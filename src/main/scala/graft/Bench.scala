@@ -122,6 +122,8 @@ object Bench {
         // 8-round eager-checkpoint shape, same in-session inflation
         "e158_nn_descent_inc," + // the new/old-flags variant — same
         // per-round eager-checkpoint shape as e147
+        "e173_knn_persist_fold," + // three NN-Descent legs + a parquet
+        // graph roundtrip — the e158 shape with the e156b boundary
         "e156_incremental_cc," + // three pointer-jumping CC legs (base,
         "e156b_incremental_cc_persist," + // four CC legs + two parquet
         // label roundtrips — the e156 shape plus disk

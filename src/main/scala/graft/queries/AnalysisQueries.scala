@@ -5321,12 +5321,25 @@ object AnalysisQueries {
     * `private[queries]` so E173Spec can drive a convergent fixture
     * (where fold and scratch both reach the exact kNN graph and must
     * agree edge-for-edge) through the same code.
+    *
+    * `production = true` is the steady-state maintenance posture
+    * (VERDICT r14 #5's lesson applied up front): the base build +
+    * persist is FINGERPRINT-AMORTIZED ([[graft.sources.Layout
+    * .amortize]] — when the store already matches the source scan, the
+    * base loop never even runs and the invocation is fold-only, which
+    * IS the per-delta cost the stored posture buys), the scratch
+    * reference leg is skipped entirely (it is the audit), and every
+    * intermediate per-round checkpoint is RELEASED as soon as the next
+    * round lands (the e170/iterateExact discipline — repeated
+    * maintenance must not pin one frame per round per invocation). The
+    * audit frames of [[E173Legs]] come back empty in this mode.
     */
   private[queries] def e173Core(
       s: SparkSession, emb: DataFrame, K: Int,
       baseRounds: Int, foldRounds: Int, scratchRounds: Int,
-      storePath: String): E173Legs = {
+      storePath: String, production: Boolean = false): E173Legs = {
     import graft.operators.Indexing
+    import graft.operators.ConnectedComponents.releaseLocalCheckpoint
     val u = emb
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
@@ -5370,6 +5383,9 @@ object AnalysisQueries {
       var knn = knnf0.localCheckpoint(true)
       val freshes =
         scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      // production: intermediate rounds are released as soon as the
+      // next one lands, and the fresh frames (which reference them)
+      // are withheld — only the final graph's checkpoint survives
       for (_ <- 1 to rounds) {
         val rev = knn
           .withColumn("rr", row_number().over(
@@ -5395,27 +5411,48 @@ object AnalysisQueries {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= K)
           .select("src", "dst", "cos")
-        knn = top
+        val next = top
           .join(knn.select(col("src"), col("dst"),
             lit(true).as("was")), Seq("src", "dst"), "left")
           .withColumn("is_new", col("was").isNull).drop("was")
           .localCheckpoint(true)
+        if (production) releaseLocalCheckpoint(knn)
+        knn = next
       }
-      (knn, freshes.toVector)
+      (knn, if (production) Vector.empty else freshes.toVector)
     }
-    val rb = Indexing.withGlobalIndex(
-      r.join(gens.filter(col("is_fresh") === false).select("vec_id"),
-        "vec_id").select("vec_id", "uv"),
-      col("vec_id"), "rid").localCheckpoint(true)
-    val baseInit = ringInit(rb, rb)
-    val (baseFinal, bF) =
-      loop(scoreEdges(baseInit).withColumn("is_new", lit(true)),
-        baseRounds)
-    // the storage boundary: the converged base graph leaves the plan
-    // as parquet (N·K rows — one file, the e156b sizing note) and
-    // comes back as a fresh scan the fold cannot see past
-    baseFinal.select("src", "dst", "cos").coalesce(1)
-      .write.mode("overwrite").parquet(storePath)
+    var baseInit: DataFrame = s.emptyDataFrame
+    var bF: Vector[DataFrame] = Vector.empty
+    def buildBase(): Unit = {
+      val rb = Indexing.withGlobalIndex(
+        r.join(gens.filter(col("is_fresh") === false).select("vec_id"),
+          "vec_id").select("vec_id", "uv"),
+        col("vec_id"), "rid").localCheckpoint(true)
+      baseInit = ringInit(rb, rb)
+      val (baseFinal, f) =
+        loop(scoreEdges(baseInit).withColumn("is_new", lit(true)),
+          baseRounds)
+      bF = f
+      // the storage boundary: the converged base graph leaves the plan
+      // as parquet (N·K rows — one file, the e156b sizing note) and
+      // comes back as a fresh scan the fold cannot see past
+      baseFinal.select("src", "dst", "cos").coalesce(1)
+        .write.mode("overwrite").parquet(storePath)
+      if (production) {
+        releaseLocalCheckpoint(baseFinal)
+        releaseLocalCheckpoint(rb)
+      }
+    }
+    // steady state: skip the base loop entirely when the store already
+    // matches the source scan (file-backed sources only — a fixture
+    // frame has no files to fingerprint and always rebuilds)
+    val srcFiles =
+      if (production) scala.util.Try(emb.inputFiles).getOrElse(Array.empty[String])
+      else Array.empty[String]
+    if (production && srcFiles.nonEmpty)
+      graft.sources.Layout.amortize(s, storePath,
+        graft.sources.Layout.scanFingerprint(emb))(buildBase())
+    else buildBase()
     val stored = s.read.parquet(storePath)
     val rf = r
       .join(gens.filter(col("is_fresh")).select("vec_id"), "vec_id")
@@ -5426,10 +5463,18 @@ object AnalysisQueries {
       .unionByName(scoreEdges(foldInit)
         .withColumn("is_new", lit(true)))
     val (foldFinal, fF) = loop(fknnf0, foldRounds)
-    val scratchInit = ringInit(r.select("vec_id", "rid"), r)
-    val (scratchFinal, sF) =
-      loop(scoreEdges(scratchInit).withColumn("is_new", lit(true)),
-        scratchRounds)
+    // the scratch reference is the AUDIT — production never pays it
+    val (scratchInit, scratchFinal, sF) =
+      if (production)
+        (s.emptyDataFrame, s.emptyDataFrame, Vector.empty[DataFrame])
+      else {
+        val si = ringInit(r.select("vec_id", "rid"), r)
+        val (sf, sfr) =
+          loop(scoreEdges(si).withColumn("is_new", lit(true)),
+            scratchRounds)
+        (si, sf, sfr)
+      }
+    if (production) releaseLocalCheckpoint(r)
     E173Legs(r, gens, baseInit, stored, bF, foldInit, foldFinal, fF,
       scratchInit, scratchFinal, sF)
   }
@@ -5747,10 +5792,14 @@ object AnalysisQueries {
           col("n_edge_diff"))
         .orderBy("leg")
     }.withBuildOnly((s, dir) =>
-      // production: base build + persist + fold — no truth, no
-      // scratch reference, no diffs (the audit is the oracle row's)
+      // production: fingerprint-amortized base build + persist, then
+      // the fold — no truth, no scratch reference, no diffs (the
+      // audit is the oracle row's), intermediate checkpoints released;
+      // on a fresh store the timed pass is FOLD-ONLY, the steady-state
+      // per-delta cost the persisted posture buys
       e173Core(s, Tables.embeddings(s, dir), K, B, Fr, S,
-        Scratch.dir(s, "e173") + "/knn_base").foldFinal)
+        Scratch.dir(s, "e173-steady") + "/knn_base",
+        production = true).foldFinal)
   }
 
   // ---- e148: HLL pairwise intersection via inclusion–exclusion ------------

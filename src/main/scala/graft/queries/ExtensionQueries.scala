@@ -3726,16 +3726,30 @@ object ExtensionQueries {
             dig0, s"$p/digests.parquet", Seq.empty, fp)
           graft.sources.Layout.writePartitionedIfStale(
             gateBands0, s"$p/bands.parquet", Seq.empty, fp)
-          graft.sources.Layout.writePartitionedIfStale(
-            mhB0, s"$p/signatures.parquet", Seq.empty, fp)
+          // the signature store is the one corpus-sized verification
+          // side, and an unbucketed store RE-SHUFFLES per admission
+          // (measured 563 MB of the steady leg's 567 MB at 100× —
+          // almost the whole exchange budget was yesterday's table
+          // moving again): bucketed on doc_id, the verification
+          // join-back reads pre-shuffled buckets and only the
+          // quarantined candidate side moves
+          val tag = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(dir.getBytes("UTF-8")).take(8)
+            .map("%02x".format(_)).mkString
+          val sigT = s"graft_sigstore_$tag"
+          graft.sources.Layout.writeBucketedIfStale(
+            mhB0, sigT, "doc_id", 16, fp)
+          (s.read.parquet(s"$p/digests.parquet"),
+            s.read.parquet(s"$p/bands.parquet"),
+            s.table(sigT))
         } else {
           dig0.write.mode("overwrite").parquet(s"$p/digests.parquet")
           gateBands0.write.mode("overwrite").parquet(s"$p/bands.parquet")
           mhB0.write.mode("overwrite").parquet(s"$p/signatures.parquet")
+          (s.read.parquet(s"$p/digests.parquet"),
+            s.read.parquet(s"$p/bands.parquet"),
+            s.read.parquet(s"$p/signatures.parquet"))
         }
-        (s.read.parquet(s"$p/digests.parquet"),
-          s.read.parquet(s"$p/bands.parquet"),
-          s.read.parquet(s"$p/signatures.parquet"))
     }
     // tier 1a: digest membership (32-byte digests, never text)
     val ex = docs.filter(isDelta)

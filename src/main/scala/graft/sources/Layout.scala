@@ -204,6 +204,38 @@ object Layout {
     }
   }
 
+  /** Fingerprint-amortize an artifact whose BUILDER must not even run
+    * when the artifact is fresh — the IfStale discipline for builds
+    * with EAGER side effects (iterative loops that checkpoint per
+    * round, multi-file writers): `writePartitionedIfStale` can defer a
+    * lazy frame, but a builder that runs jobs at construction needs
+    * the staleness probe BEFORE it is invoked. `build` must leave the
+    * artifact at `path`; the fingerprint marker is recorded after it
+    * returns, under the same normalized per-path lock as the other
+    * IfStale writers. Returns true when the build ran.
+    */
+  def amortize(spark: SparkSession, path: String, fingerprint: String)(
+      build: => Unit): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lockFor("path:" + fs.makeQualified(hPath).toUri.toString)
+      .synchronized {
+      val mp = new org.apache.hadoop.fs.Path(hPath, "_graft_fingerprint")
+      val fresh = fs.exists(mp) && {
+        val in = fs.open(mp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString ==
+          fingerprint
+        finally in.close()
+      }
+      if (!fresh) {
+        build
+        val out = fs.create(mp, true)
+        try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+      }
+      !fresh
+    }
+  }
+
   /** Join two same-bucketing tables on the bucket key — planned with no
     * exchange when both sides' bucketing matches the join key.
     */

@@ -84,5 +84,37 @@ class E173Spec extends SparkSpecBase {
     assert(foldScored < scratchScored,
       s"fold scored $foldScored, scratch $scratchScored — the stored " +
         "posture bought nothing")
+
+    // ---- production mode: amortized base, released checkpoints ----
+    // file-backed source so the fingerprint amortization engages
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_e173p").toString
+    emb.write.parquet(s"$srcDir/emb")
+    val fileEmb = spark.read.parquet(s"$srcDir/emb")
+    val store2 = s"$srcDir/knn_base"
+    val pinned0 = spark.sparkContext.getPersistentRDDs.size
+    val prod1 = AnalysisQueries.e173Core(spark, fileEmb, K,
+      baseRounds = 6, foldRounds = 6, scratchRounds = 6, store2,
+      production = true)
+    // same fold result as the full (audit-bearing) mode
+    assert(edges(prod1.foldFinal) === fold,
+      "production fold diverged from the audited fold")
+    // steady state: the second invocation must NOT rebuild the base —
+    // the fingerprint marker is untouched and the fold still lands
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def mtime(p: String): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p)).getModificationTime
+    val t0 = mtime(s"$store2/_graft_fingerprint")
+    val prod2 = AnalysisQueries.e173Core(spark, fileEmb, K,
+      baseRounds = 6, foldRounds = 6, scratchRounds = 6, store2,
+      production = true)
+    assert(mtime(s"$store2/_graft_fingerprint") === t0,
+      "second production invocation rebuilt a fresh base store")
+    assert(edges(prod2.foldFinal) === fold)
+    // checkpoint discipline: repeated maintenance pins only the
+    // returned fold graph per invocation, never the per-round frames
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinned0 + 2,
+      "production invocations leak per-round checkpoints")
   }
 }

@@ -64,6 +64,43 @@ class GateVerifySpec extends SparkSpecBase {
       assert(spark.read.parquet(s"$p/$t.parquet").count() > 0, t)
   }
 
+  test("e172's STEADY-STATE leg (fingerprint-amortized artifacts, " +
+    "bucketed signature store) returns the same verdicts, and the " +
+    "second invocation rebuilds nothing (VERDICT r14 #5)") {
+    val steady1 = ExtensionQueries
+      .gateVerifyImpl(spark, dir, Some("e172-steady-spec"),
+        amortize = true)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val fresh = run("e168_gate_verify").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(steady1 === fresh,
+      "amortized steady-state leg diverged from e168")
+    // the signature store landed as a bucketed catalog table, so the
+    // verification join-back reads pre-shuffled buckets
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    assert(spark.catalog.tableExists(s"graft_sigstore_$tag"))
+    // steady-state means steady: a second invocation on the unchanged
+    // corpus reuses every artifact (fingerprint match — this is the
+    // leg ProbeMain's timed pass runs after the warmup built the store)
+    val p = Scratch.dir(spark, "e172-steady-spec")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def mtime(path: String): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(path)).getModificationTime
+    val t0 = mtime(s"$p/digests.parquet/_graft_fingerprint")
+    val steady2 = ExtensionQueries
+      .gateVerifyImpl(spark, dir, Some("e172-steady-spec"),
+        amortize = true)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(steady2 === fresh)
+    assert(mtime(s"$p/digests.parquet/_graft_fingerprint") === t0,
+      "second steady invocation rewrote an artifact it should reuse")
+  }
+
   test("the literal streaming gate's verdicts equal e168's " +
     "gate_verdict column (the stream->batch handoff)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
