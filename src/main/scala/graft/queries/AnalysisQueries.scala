@@ -131,7 +131,7 @@ object AnalysisQueries {
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
       e153EmbeddingDrift, e154WassersteinDrift, e157W1Matrix,
       e158NnDescentInc, e159MultipassQuantile, e160KsDrift,
-      e162GroupedQuantile, e173KnnPersistFold)
+      e162GroupedQuantile, e173KnnPersistFold, e176KnnStoreClusters)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5474,9 +5474,20 @@ object AnalysisQueries {
             scratchRounds)
         (si, sf, sfr)
       }
-    if (production) releaseLocalCheckpoint(r)
-    E173Legs(r, gens, baseInit, stored, bF, foldInit, foldFinal, fF,
-      scratchInit, scratchFinal, sF)
+    if (production) {
+      // r's checkpoint is the last non-returned pin; releasing it
+      // makes every frame derived from it unusable, so the production
+      // legs hand back EMPTY audit frames rather than live-looking
+      // ones that would crash on first action (only `stored` and
+      // `foldFinal` — a parquet scan and a surviving checkpoint — are
+      // real in this mode)
+      releaseLocalCheckpoint(r)
+      val e = s.emptyDataFrame
+      E173Legs(e, e, e, stored, Vector.empty, e, foldFinal,
+        Vector.empty, e, e, Vector.empty)
+    } else
+      E173Legs(r, gens, baseInit, stored, bF, foldInit, foldFinal, fF,
+        scratchInit, scratchFinal, sF)
   }
 
   /** The kNN graph across the PROCESS BOUNDARY — the stored-artifact
@@ -5520,47 +5531,131 @@ object AnalysisQueries {
     * scratch + truth legs are the AUDIT (buildOnly drops them: base
     * build + persist + fold only).
     */
+  /** e173's fixed build geometry — shared with e176, which consumes
+    * the SAME stored graph (one definition, so the producer and the
+    * consumer cannot drift onto different artifacts — the e64/e170
+    * rule applied to the kNN store).
+    */
+  private val E173K = 10
+  private val E173B = 3
+  private val E173F = 2
+  private val E173S = 3
+
+  /** The ONE location of the persisted kNN base graph — shared by
+    * e173's production leg (build + fold) and e176 (consume); the
+    * session-scoped scratch root keeps concurrent Verify JVMs apart,
+    * the dir tag keeps SF corpora apart within a session.
+    */
+  private[queries] def knnStorePath(s: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    Scratch.dir(s, s"e173-steady-$tag") + "/knn_base"
+  }
+
+  private def e173Dot(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
+       |      (s, v) -> s + v)""".stripMargin
+
+  /** One NN-Descent round family of oracle CTEs under prefix `p` —
+    * e158's unrolled loop body parameterized so e173's three legs and
+    * e176's replay share one text.
+    */
+  private def e173LegRoundsDuck(p: String, rounds: Int, K: Int): String =
+    (0 until rounds).map { i =>
+      s"""${p}rev$i AS (SELECT dst AS src, src AS dst, is_new
+         |  FROM (SELECT src, dst, is_new, row_number() OVER (
+         |      PARTITION BY dst ORDER BY src) AS rr FROM ${p}knnf$i) t
+         |  WHERE rr <= $K),
+         |${p}und$i AS MATERIALIZED (SELECT src, dst,
+         |    max(is_new) AS is_new
+         |  FROM (SELECT src, dst, is_new FROM ${p}knnf$i
+         |    UNION ALL SELECT src, dst, is_new FROM ${p}rev$i) u
+         |  GROUP BY src, dst),
+         |${p}cand$i AS (SELECT DISTINCT j1.dst AS src, j2.dst AS dst
+         |  FROM ${p}und$i j1 JOIN ${p}und$i j2
+         |    ON j1.src = j2.src AND j1.dst <> j2.dst
+         |    AND (j1.is_new OR j2.is_new)),
+         |${p}fresh$i AS MATERIALIZED (SELECT c.src, c.dst
+         |  FROM ${p}cand$i c
+         |  LEFT JOIN ${p}knnf$i k ON k.src = c.src AND k.dst = c.dst
+         |  WHERE k.src IS NULL),
+         |${p}sc$i AS (SELECT f.src, f.dst,
+         |    round(${e173Dot("a.uv", "c.uv")}, 4) + 0 AS cos
+         |  FROM ${p}fresh$i f JOIN r a ON a.vec_id = f.src
+         |  JOIN r c ON c.vec_id = f.dst),
+         |${p}top$i AS (SELECT src, dst, cos FROM (
+         |    SELECT src, dst, cos FROM ${p}knnf$i
+         |    UNION ALL SELECT src, dst, cos FROM ${p}sc$i) z
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= $K),
+         |${p}knnf${i + 1} AS MATERIALIZED (SELECT t.src, t.dst,
+         |    t.cos, k.src IS NULL AS is_new
+         |  FROM ${p}top$i t LEFT JOIN ${p}knnf$i k
+         |    ON k.src = t.src AND k.dst = t.dst),""".stripMargin
+    }.mkString("\n")
+
+  /** Oracle CTEs replaying e173's base build + fold — everything up to
+    * (and including) the fold's final graph `fknnf<F>`; ends with a
+    * trailing comma, ready for a consumer's own tail. This is the SQL
+    * twin of the STORED artifact + fold that [[e173Core]] produces.
+    */
+  private def e173FoldDuckCtes(K: Int, B: Int, F: Int): String =
+    s"""b AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n0 AS (SELECT vec_id, v, sqrt(${e173Dot("v", "v")}) AS nrm
+       |  FROM b),
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+       |  FROM n0 WHERE nrm > 0),
+       |r AS MATERIALIZED (SELECT vec_id, uv,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS rid FROM u),
+       |nn AS (SELECT count(*) AS n FROM r),
+       |gens AS MATERIALIZED (SELECT vec_id,
+       |    (((vec_id % 1000003) * 2654435761) % 1000000007) % 5 = 4
+       |      AS is_fresh
+       |  FROM r),
+       |rb AS MATERIALIZED (SELECT r.vec_id, r.uv,
+       |    row_number() OVER (ORDER BY r.vec_id) - 1 AS rid
+       |  FROM r JOIN gens g ON g.vec_id = r.vec_id
+       |  WHERE NOT g.is_fresh),
+       |nb AS (SELECT count(*) AS n FROM rb),
+       |bknn0 AS MATERIALIZED (SELECT a.vec_id AS src,
+       |    c.vec_id AS dst
+       |  FROM rb a CROSS JOIN nb
+       |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+       |  JOIN rb c ON c.rid = (a.rid + os.o) % nb.n),
+       |bknnf0 AS MATERIALIZED (SELECT k.src, k.dst,
+       |    round(${e173Dot("a.uv", "c.uv")}, 4) + 0 AS cos,
+       |    TRUE AS is_new
+       |  FROM bknn0 k JOIN r a ON a.vec_id = k.src
+       |  JOIN r c ON c.vec_id = k.dst),
+       |${e173LegRoundsDuck("b", B, K)}
+       |rf AS (SELECT r.vec_id, r.rid
+       |  FROM r JOIN gens g ON g.vec_id = r.vec_id WHERE g.is_fresh),
+       |finit AS MATERIALIZED (SELECT a.vec_id AS src,
+       |    c.vec_id AS dst
+       |  FROM rf a CROSS JOIN nn
+       |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
+       |  JOIN r c ON c.rid = (a.rid + os.o) % nn.n),
+       |fknnf0 AS MATERIALIZED (
+       |  SELECT src, dst, cos, FALSE AS is_new FROM bknnf$B
+       |  UNION ALL
+       |  SELECT k.src, k.dst,
+       |    round(${e173Dot("a.uv", "c.uv")}, 4) + 0 AS cos,
+       |    TRUE AS is_new
+       |  FROM finit k JOIN r a ON a.vec_id = k.src
+       |  JOIN r c ON c.vec_id = k.dst),
+       |${e173LegRoundsDuck("f", F, K)}""".stripMargin
+
   private def e173KnnPersistFold = {
-    val K = 10
-    val B = 3; val Fr = 2; val S = 3
+    val K = E173K
+    val B = E173B; val Fr = E173F; val S = E173S
     val anchorBudget = 64
-    def dotD(x: String, y: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
-         |      (s, v) -> s + v)""".stripMargin
+    def dotD(x: String, y: String): String = e173Dot(x, y)
     def legRounds(p: String, rounds: Int): String =
-      (0 until rounds).map { i =>
-        s"""${p}rev$i AS (SELECT dst AS src, src AS dst, is_new
-           |  FROM (SELECT src, dst, is_new, row_number() OVER (
-           |      PARTITION BY dst ORDER BY src) AS rr FROM ${p}knnf$i) t
-           |  WHERE rr <= $K),
-           |${p}und$i AS MATERIALIZED (SELECT src, dst,
-           |    max(is_new) AS is_new
-           |  FROM (SELECT src, dst, is_new FROM ${p}knnf$i
-           |    UNION ALL SELECT src, dst, is_new FROM ${p}rev$i) u
-           |  GROUP BY src, dst),
-           |${p}cand$i AS (SELECT DISTINCT j1.dst AS src, j2.dst AS dst
-           |  FROM ${p}und$i j1 JOIN ${p}und$i j2
-           |    ON j1.src = j2.src AND j1.dst <> j2.dst
-           |    AND (j1.is_new OR j2.is_new)),
-           |${p}fresh$i AS MATERIALIZED (SELECT c.src, c.dst
-           |  FROM ${p}cand$i c
-           |  LEFT JOIN ${p}knnf$i k ON k.src = c.src AND k.dst = c.dst
-           |  WHERE k.src IS NULL),
-           |${p}sc$i AS (SELECT f.src, f.dst,
-           |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos
-           |  FROM ${p}fresh$i f JOIN r a ON a.vec_id = f.src
-           |  JOIN r c ON c.vec_id = f.dst),
-           |${p}top$i AS (SELECT src, dst, cos FROM (
-           |    SELECT src, dst, cos FROM ${p}knnf$i
-           |    UNION ALL SELECT src, dst, cos FROM ${p}sc$i) z
-           |  QUALIFY row_number() OVER (PARTITION BY src
-           |    ORDER BY cos DESC, dst) <= $K),
-           |${p}knnf${i + 1} AS MATERIALIZED (SELECT t.src, t.dst,
-           |    t.cos, k.src IS NULL AS is_new
-           |  FROM ${p}top$i t LEFT JOIN ${p}knnf$i k
-           |    ON k.src = t.src AND k.dst = t.dst),""".stripMargin
-      }.mkString("\n")
+      e173LegRoundsDuck(p, rounds, K)
     def scoredSum(p: String, init: String, rounds: Int): String =
       (s"(SELECT count(*) FROM $init)" +:
         (0 until rounds).map(i =>
@@ -5587,52 +5682,7 @@ object AnalysisQueries {
          |  CAST($diff AS BIGINT) AS n_edge_diff""".stripMargin
     QueryDef.sql(
       "e173_knn_persist_fold",
-      s"""WITH b AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n0 AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS nrm
-         |  FROM b),
-         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
-         |  FROM n0 WHERE nrm > 0),
-         |r AS MATERIALIZED (SELECT vec_id, uv,
-         |    row_number() OVER (ORDER BY vec_id) - 1 AS rid FROM u),
-         |nn AS (SELECT count(*) AS n FROM r),
-         |gens AS MATERIALIZED (SELECT vec_id,
-         |    (((vec_id % 1000003) * 2654435761) % 1000000007) % 5 = 4
-         |      AS is_fresh
-         |  FROM r),
-         |rb AS MATERIALIZED (SELECT r.vec_id, r.uv,
-         |    row_number() OVER (ORDER BY r.vec_id) - 1 AS rid
-         |  FROM r JOIN gens g ON g.vec_id = r.vec_id
-         |  WHERE NOT g.is_fresh),
-         |nb AS (SELECT count(*) AS n FROM rb),
-         |bknn0 AS MATERIALIZED (SELECT a.vec_id AS src,
-         |    c.vec_id AS dst
-         |  FROM rb a CROSS JOIN nb
-         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
-         |  JOIN rb c ON c.rid = (a.rid + os.o) % nb.n),
-         |bknnf0 AS MATERIALIZED (SELECT k.src, k.dst,
-         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos,
-         |    TRUE AS is_new
-         |  FROM bknn0 k JOIN r a ON a.vec_id = k.src
-         |  JOIN r c ON c.vec_id = k.dst),
-         |${legRounds("b", B)}
-         |rf AS (SELECT r.vec_id, r.rid
-         |  FROM r JOIN gens g ON g.vec_id = r.vec_id WHERE g.is_fresh),
-         |finit AS MATERIALIZED (SELECT a.vec_id AS src,
-         |    c.vec_id AS dst
-         |  FROM rf a CROSS JOIN nn
-         |  CROSS JOIN (SELECT unnest(range(1, ${K + 1})) AS o) os
-         |  JOIN r c ON c.rid = (a.rid + os.o) % nn.n),
-         |fknnf0 AS MATERIALIZED (
-         |  SELECT src, dst, cos, FALSE AS is_new FROM bknnf$B
-         |  UNION ALL
-         |  SELECT k.src, k.dst,
-         |    round(${dotD("a.uv", "c.uv")}, 4) + 0 AS cos,
-         |    TRUE AS is_new
-         |  FROM finit k JOIN r a ON a.vec_id = k.src
-         |  JOIN r c ON c.vec_id = k.dst),
-         |${legRounds("f", Fr)}
+      s"""WITH ${e173FoldDuckCtes(K, B, Fr)}
          |sknn0 AS MATERIALIZED (SELECT a.vec_id AS src,
          |    c.vec_id AS dst
          |  FROM r a CROSS JOIN nn
@@ -5798,8 +5848,85 @@ object AnalysisQueries {
       // on a fresh store the timed pass is FOLD-ONLY, the steady-state
       // per-delta cost the persisted posture buys
       e173Core(s, Tables.embeddings(s, dir), K, B, Fr, S,
-        Scratch.dir(s, "e173-steady") + "/knn_base",
-        production = true).foldFinal)
+        knnStorePath(s, dir), production = true).foldFinal)
+  }
+
+  /** CONSUMER of the stored kNN graph — the chain e173 opens
+    * (build → persist → fold) closed with the operation a curation
+    * pipeline actually runs on a maintained kNN store: MUTUAL-kNN
+    * near-duplicate clusters (e125's rule — an edge counts only when
+    * each endpoint is in the OTHER's top-K, the asymmetric-hub filter)
+    * AND cosine ≥ 0.35, computed from the FOLDED graph, clustered by
+    * connected components, reported as a per-cluster census. The floor
+    * is load-bearing: on this isotropic corpus the unfloored mutual
+    * graph PERCOLATES (measured at sf0.01: one 500-node cluster —
+    * top-K lists chain through the bulk, whose pairwise cosine p99.9
+    * is 0.38), while ≥ 0.35 keeps only the distribution's genuine
+    * upper tail, which is what "near-duplicate" means here; clone-
+    * replica corpora sit at cos 1.0 and cluster exactly. The graph is
+    * read
+    * through [[knnStorePath]] — the SAME artifact e173's production
+    * leg maintains (one path definition, the e64/e170 rule), with the
+    * base build fingerprint-amortized away when the store is fresh:
+    * the steady-state invocation pays fold + cluster only.
+    *
+    * Oracle: the fold replay ([[e173FoldDuckCtes]] — the SQL twin of
+    * the stored artifact + fold) plus the mutual join and a recursive
+    * reachability closure; identical text shared with e173, so the
+    * producer's and consumer's views of the artifact cannot drift.
+    *
+    * Scale: the mutual join is a self-equi-join of an N·K-row edge
+    * list on (src, dst) — id-pair payload, no vectors; the census is
+    * the e32/e46 CC cost class over a graph no larger than the store.
+    */
+  private def e176KnnStoreClusters = QueryDef.sql(
+    "e176_knn_store_clusters",
+    s"""WITH RECURSIVE ${e173FoldDuckCtes(E173K, E173B, E173F)}
+       |mp AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, a.cos
+       |  FROM fknnf$E173F a JOIN fknnf$E173F b
+       |    ON b.src = a.dst AND b.dst = a.src
+       |  WHERE a.src < a.dst AND a.cos >= 0.35),
+       |edges AS (SELECT u, v FROM mp UNION SELECT v, u FROM mp),
+       |reach(node, rr) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN edges e
+       |    ON e.u = reach.rr),
+       |comp AS MATERIALIZED (SELECT node, min(rr) AS cluster
+       |  FROM reach GROUP BY node),
+       |mem AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM comp GROUP BY cluster),
+       |mec AS (SELECT c.cluster, m.cos FROM mp m
+       |  JOIN comp c ON c.node = m.u)
+       |SELECT mem.cluster, mem.n_members,
+       |  CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(sum(CAST(round(m.cos * 10000) AS BIGINT)) // count(*)
+       |    AS BIGINT) AS avg_cos_t
+       |FROM mem JOIN mec m ON m.cluster = mem.cluster
+       |GROUP BY mem.cluster, mem.n_members
+       |ORDER BY mem.cluster""".stripMargin) { (s, dir) =>
+    val fold = e173Core(s, Tables.embeddings(s, dir), E173K, E173B,
+      E173F, E173S, knnStorePath(s, dir), production = true).foldFinal
+    val mp = fold.as("a")
+      .join(fold.as("b"),
+        col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+      .filter(col("a.src") < col("a.dst") && col("a.cos") >= 0.35)
+      .select(col("a.src").as("u"), col("a.dst").as("v"),
+        col("a.cos").as("cos"))
+      .localCheckpoint(true) // feeds the CC leg and the census twice
+    val comp = graft.operators.ConnectedComponents
+      .components(mp, "u", "v")
+      .select(col("node"), col("comp").as("cluster"))
+    val mem = comp.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+    mp.join(comp.withColumnRenamed("node", "u"), "u")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(round(col("cos") * 10000).cast("long")).as("sc"))
+      .join(mem, "cluster")
+      .select(col("cluster"), col("n_members"), col("n_edges"),
+        expr("sc div n_edges").as("avg_cos_t"))
+      .orderBy("cluster")
   }
 
   // ---- e148: HLL pairwise intersection via inclusion–exclusion ------------

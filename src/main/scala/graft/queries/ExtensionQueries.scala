@@ -3722,10 +3722,17 @@ object ExtensionQueries {
         val p = Scratch.dir(s, leaf)
         if (amortize) {
           val fp = graft.sources.Layout.scanFingerprint(docs)
-          graft.sources.Layout.writePartitionedIfStale(
-            dig0, s"$p/digests.parquet", Seq.empty, fp)
-          graft.sources.Layout.writePartitionedIfStale(
-            gateBands0, s"$p/bands.parquet", Seq.empty, fp)
+          // amortize + plain writes, NOT writePartitionedIfStale with
+          // zero partition columns: that path's spread key degenerates
+          // to a constant and funnels the corpus-sized digest set
+          // through ONE task — these artifacts keep the writer's
+          // natural parallelism and only gain the fingerprint skip
+          graft.sources.Layout.amortize(s, s"$p/digests.parquet", fp)(
+            dig0.write.mode("overwrite")
+              .parquet(s"$p/digests.parquet"))
+          graft.sources.Layout.amortize(s, s"$p/bands.parquet", fp)(
+            gateBands0.write.mode("overwrite")
+              .parquet(s"$p/bands.parquet"))
           // the signature store is the one corpus-sized verification
           // side, and an unbucketed store RE-SHUFFLES per admission
           // (measured 563 MB of the steady leg's 567 MB at 100× —

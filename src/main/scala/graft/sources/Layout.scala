@@ -537,9 +537,15 @@ object Layout {
         val listed = fs.listStatus(p).toSeq
         if (depth == 1) {
           // heal orphaned aside dirs BEFORE collecting this level's
-          // leaves, so a restored partition is compacted this pass
+          // leaves, so a restored partition is compacted this pass.
+          // unescLeaf is the identity on names the PRE-r15 code wrote
+          // (raw `_old_lang=lang1`, no percent escapes), so legacy
+          // crash state from the old naming heals through the same
+          // branches — critical because a POPULATED raw name breaks
+          // every read of the table until removed.
           val present = listed.filter(isPartDir)
             .map(_.getPath.getName).toSet
+          var healed = false
           listed.filter(_.getPath.getName.startsWith("_old_"))
             .foreach { st =>
               val leafName =
@@ -552,17 +558,40 @@ object Layout {
                       s"${st.getPath} with no live leaf, and restoring " +
                       s"it to $dest failed — the partition's only data " +
                       "is in the aside dir; restore manually")
-                val tmp = new org.apache.hadoop.fs.Path(
-                  p, s"_compacting_${escLeaf(leafName)}")
-                if (fs.exists(tmp) && !fs.delete(tmp, true))
+                healed = true
+              } else if (st.getPath.getName.contains("=")) {
+                // leaf alive + RAW-named legacy aside: the old code's
+                // "stale aside" state, which its next pass used to
+                // clear but the escaped-name compactLeaf never will —
+                // and which poisons partition inference while populated
+                if (!fs.delete(st.getPath, true))
                   throw new java.io.IOException(
-                    s"compactPartitioned: restored $dest but could " +
-                      s"not discard the stale rewrite $tmp")
+                    "compactPartitioned: cannot clear legacy stale " +
+                      s"aside dir ${st.getPath}")
+                healed = true
               }
             }
-        }
-        fs.listStatus(p).toSeq.filter(isPartDir)
-          .flatMap(st => leaves(st.getPath, depth - 1))
+          // stale rewrites (either naming) whose swap never completed:
+          // re-derivable — discard so partition inference stays clean
+          // (exists-guarded so a racing cleanup can't turn a missing
+          // dir into a spurious failure)
+          listed.filter(_.getPath.getName.startsWith("_compacting_"))
+            .foreach { st =>
+              if (fs.exists(st.getPath)) {
+                if (!fs.delete(st.getPath, true))
+                  throw new java.io.IOException(
+                    "compactPartitioned: cannot clear stale rewrite " +
+                      s"dir ${st.getPath}")
+                healed = true
+              }
+            }
+          // re-list only when a heal changed the directory
+          val cur = if (healed) fs.listStatus(p).toSeq else listed
+          cur.filter(isPartDir)
+            .flatMap(st => leaves(st.getPath, depth - 1))
+        } else
+          listed.filter(isPartDir)
+            .flatMap(st => leaves(st.getPath, depth - 1))
       }
     def compactLeaf(leaf: org.apache.hadoop.fs.Path): Int = {
       val total = fs.getContentSummary(leaf).getLength

@@ -110,7 +110,11 @@ object StreamFingerprint {
     // silently paid on the default path too (r14 ADVICE). persist()
     // (memory-and-disk, spill-safe for a corpus-scale index) pins the
     // capped frame for the stream's lifetime, which IS the lifetime
-    // that needs it; the first batch pays the census once.
+    // that needs it; the first batch pays the census once. CAVEAT:
+    // each wiring call pins its own copy for the session (no teardown
+    // hook exists on a streaming plan) — a caller re-wiring repeatedly
+    // in one long-lived session should pass the pre-capped index with
+    // dfCap = 0 and manage its persistence itself.
     val capped =
       if (dfCap <= 0L) index
       else index.join(

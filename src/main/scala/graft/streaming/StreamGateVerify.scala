@@ -60,23 +60,36 @@ object StreamGateVerify {
     * @param signatures full signature store: doc_id, shs, sig — the
     *                   e172 artifact verification reads
     * @param jaccardFloor exact-Jaccard admission threshold (e41's 0.3)
+    * @param materializeStatics persist the three static sides at
+    *                  wiring time (default). Each wiring CALL pins its
+    *                  own copies for the session — there is no
+    *                  teardown hook on a streaming plan — so a caller
+    *                  that re-wires repeatedly in one long-lived
+    *                  session (spec harnesses, restart loops) should
+    *                  pass false and manage persistence of the frames
+    *                  it passes in itself.
     * @return append-mode stream of (doc_id, ts, gate_verdict, verdict)
     */
   def verdicts(
       docs: DataFrame, digests: DataFrame, bands: DataFrame,
-      signatures: DataFrame, jaccardFloor: Double = 0.3): DataFrame = {
-    val dig = digests.persist(StorageLevel.MEMORY_AND_DISK)
-    val bnd = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    // six per-band verification tables: (vk_k, shs_b) — band key of the
-    // corpus doc's signature plus its shingle set for the residual
+      signatures: DataFrame, jaccardFloor: Double = 0.3,
+      materializeStatics: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materializeStatics) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    val dig = mat(digests)
+    val bnd = mat(bands)
+    // ONE persisted copy of the signature store; the six per-band
+    // verification tables (vk_k, shs_b) are lazy projections over it —
+    // persisting each projection would pin ~6× the corpus-scale shs
+    // payload (only the small band key differs between them)
+    val sigs = mat(signatures.filter(size(col("shs")) > 0)
+      .select(col("sig"), col("shs")))
     val sigBand = (0 until 6).map { k =>
-      signatures
-        .filter(size(col("shs")) > 0)
-        .select(
-          (element_at(col("sig"), 2 * k + 1) * P
-            + element_at(col("sig"), 2 * k + 2)).as(s"vk$k"),
-          col("shs").as("shs_b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      sigs.select(
+        (element_at(col("sig"), 2 * k + 1) * P
+          + element_at(col("sig"), 2 * k + 2)).as(s"vk$k"),
+        col("shs").as("shs_b"))
     }
     val shs = F.shingle_hashes(col("text"))
     val base = docs

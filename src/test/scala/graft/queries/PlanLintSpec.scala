@@ -139,6 +139,10 @@ class PlanLintSpec extends SparkSpecBase {
                                // or the anchor constant
       "e175_modularity", // three one-row frames (m, intra, Σd²)
                          // crossed per method — the q8 pattern
+      "e176_knn_store_clusters", // e173's ring-init 1-row count
+                                 // broadcasts under the fold replay —
+                                 // the e158 bound; the mutual join and
+                                 // census are equi-joins
       "e175b_modularity_regions") // same one-row crosses on the
                                   // 25-node fixture graph
 

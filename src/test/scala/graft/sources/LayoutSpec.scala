@@ -550,6 +550,36 @@ class LayoutSpec extends SparkSpecBase {
       "crash state fully cleared (stale rewrite discarded)")
     assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
       === before, "no row lost or changed through crash + heal")
+
+    // LEGACY crash state (the pre-escape naming, raw '=' in the dir
+    // name): a populated raw-named aside beside a LIVE leaf is read by
+    // partition inference as a conflicting hive dir and fails every
+    // scan — the heal must clear it even though the current swap
+    // protocol never writes that name
+    val rawAside = new java.io.File(root, "_old_lang=lang2")
+    assert(rawAside.mkdir())
+    spark.range(3).toDF("doc_id").write
+      .parquet(rawAside.getAbsolutePath + "/junk")
+    val rawTmp = new java.io.File(root, "_compacting_lang=lang0")
+    assert(rawTmp.mkdir())
+    Files.writeString(rawTmp.toPath.resolve("part.bin"), "junk")
+    intercept[Exception](spark.read.parquet(dir).count())
+    assert(Layout.compactPartitioned(spark, dir,
+      targetBytes = 1L << 40) === 3)
+    assert(!rawAside.exists() && !rawTmp.exists(),
+      "legacy raw-named crash state must be cleared")
+    assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+      === before, "table healthy after legacy-state heal")
+
+    // ... and a legacy raw-named ORPHAN (leaf absent) restores
+    val leaf0 = new java.io.File(root, "lang=lang0")
+    val rawOrphan = new java.io.File(root, "_old_lang=lang0")
+    assert(leaf0.renameTo(rawOrphan), "test setup: legacy orphan")
+    assert(Layout.compactPartitioned(spark, dir,
+      targetBytes = 1L << 40) === 3)
+    assert(leaf0.isDirectory && !rawOrphan.exists())
+    assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+      === before, "no row lost through the legacy-orphan heal")
   }
 
   test("compactPartitioned parallel fan-out (default pool) and the " +
