@@ -58,6 +58,18 @@ object Portable {
   val HllA: Long = 263L
   val HllB: Long = 89L
   val HllM: Int = 64
+
+  /** DuckDB integer division matching Spark's `div` (truncation toward
+    * zero) for a possibly-NEGATIVE numerator: DuckDB `//` floors while
+    * Spark `div` truncates, so the two diverge on every negative
+    * non-exact quotient. The division is applied to |num| and the sign
+    * re-attached — the e130 kappa rule, factored here because the
+    * unfloored kNN edge lists (e173/e176 avg_cos_t) can sum negative
+    * on adversarial corpora. `den` must be positive.
+    */
+  def tdivDuck(num: String, den: String): String =
+    s"CASE WHEN ($num) >= 0 THEN ($num) // ($den)" +
+      s" ELSE -((-($num)) // ($den)) END"
   val HllMaxRho: Int = 25
 
   // ---- Spark SQL dialect --------------------------------------------------

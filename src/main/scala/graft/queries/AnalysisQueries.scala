@@ -3112,9 +3112,10 @@ object AnalysisQueries {
     * r₁c₁ + r₀c₀ are exact counts, so κ_bp = (po_n·n − pe_n2)·10⁴ /
     * (n² − pe_n2) with the division applied to |numerator| and the
     * sign re-attached — DuckDB `//` floors while Spark `div` truncates,
-    * so negative κ must never reach a bare integer division (the one
-    * cross-engine divergence in this file's integer toolkit, handled
-    * the same way here and nowhere else needed).
+    * so negative κ must never reach a bare integer division (the rule
+    * is factored as [[graft.functions.Portable.tdivDuck]]; e173/e176's
+    * avg_cos_t apply it too, since an unfloored kNN edge list can sum
+    * negative on adversarial corpora).
     *
     * Scale (100 TB): the dup label rides e1's digest shuffle (text
     * never moves past the first projection); everything else is one
@@ -5553,6 +5554,33 @@ object AnalysisQueries {
     Scratch.dir(s, s"e173-steady-$tag") + "/knn_base"
   }
 
+  /** One-slot registry of the PREVIOUS steady-state invocation's
+    * pinned checkpoint, keyed per (query, artifact path): repeated
+    * timed invocations (Bench's median-of-3, ProbeMain's passes) would
+    * otherwise accumulate one returned-frame checkpoint EACH for the
+    * session (r15 ADVICE — e173's foldFinal and e176's census are
+    * N·K- and cluster-grain, but "bounded per invocation" is not
+    * "bounded per session"). The swap releases the prior invocation's
+    * frame BEFORE the new build starts — safe because same-key
+    * invocations are sequential by construction (Bench and ProbeMain
+    * re-invoke only after fully consuming the prior result; Verify
+    * builds each query once) — so at any moment at most one frame per
+    * key is pinned. Cross-KEY concurrency (Verify's 4-queries-per-JVM)
+    * never touches another key's slot.
+    */
+  private val steadyPins =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[queries] def steadyPinSwap(key: String)(
+      build: => DataFrame): DataFrame = {
+    val prev = steadyPins.remove(key)
+    if (prev != null)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(prev)
+    val built = build
+    steadyPins.put(key, built)
+    built
+  }
+
   private def e173Dot(x: String, y: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(1, 65), i -> $x[i] * $y[i])),
@@ -5673,8 +5701,9 @@ object AnalysisQueries {
          |    AS n_nodes,
          |  CAST($rounds AS BIGINT) AS n_rounds,
          |  CAST(${scoredSum(p, init, rounds)} AS BIGINT) AS n_scored,
-         |  (SELECT CAST(sum(CAST(round(cos * 10000) AS BIGINT))
-         |      // count(*) AS BIGINT) FROM $fin) AS avg_cos_t,
+         |  (SELECT CAST(${Portable.tdivDuck(
+             "sum(CAST(round(cos * 10000) AS BIGINT))", "count(*)")}
+         |      AS BIGINT) FROM $fin) AS avg_cos_t,
          |  CAST((SELECT count(*) FROM $fin k JOIN $truthRel t
          |      ON t.src = k.src AND t.dst = k.dst) AS BIGINT) AS hits,
          |  CAST((SELECT count(DISTINCT src) FROM $truthRel) AS BIGINT)
@@ -5846,9 +5875,14 @@ object AnalysisQueries {
       // the fold — no truth, no scratch reference, no diffs (the
       // audit is the oracle row's), intermediate checkpoints released;
       // on a fresh store the timed pass is FOLD-ONLY, the steady-state
-      // per-delta cost the persisted posture buys
-      e173Core(s, Tables.embeddings(s, dir), K, B, Fr, S,
-        knnStorePath(s, dir), production = true).foldFinal)
+      // per-delta cost the persisted posture buys. The returned fold
+      // graph's checkpoint rides the one-slot [[steadyPinSwap]]: the
+      // prior timed pass's N·K-row frame is released before this one
+      // builds, so repeated maintenance pins exactly one.
+      steadyPinSwap("e173:" + knnStorePath(s, dir)) {
+        e173Core(s, Tables.embeddings(s, dir), K, B, Fr, S,
+          knnStorePath(s, dir), production = true).foldFinal
+      })
   }
 
   /** CONSUMER of the stored kNN graph — the chain e173 opens
@@ -5900,11 +5934,14 @@ object AnalysisQueries {
        |  JOIN comp c ON c.node = m.u)
        |SELECT mem.cluster, mem.n_members,
        |  CAST(count(*) AS BIGINT) AS n_edges,
-       |  CAST(sum(CAST(round(m.cos * 10000) AS BIGINT)) // count(*)
+       |  CAST(${Portable.tdivDuck(
+           "sum(CAST(round(m.cos * 10000) AS BIGINT))", "count(*)")}
        |    AS BIGINT) AS avg_cos_t
        |FROM mem JOIN mec m ON m.cluster = mem.cluster
        |GROUP BY mem.cluster, mem.n_members
        |ORDER BY mem.cluster""".stripMargin) { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    import ConnectedComponents.releaseLocalCheckpoint
     val fold = e173Core(s, Tables.embeddings(s, dir), E173K, E173B,
       E173F, E173S, knnStorePath(s, dir), production = true).foldFinal
     val mp = fold.as("a")
@@ -5914,18 +5951,35 @@ object AnalysisQueries {
       .select(col("a.src").as("u"), col("a.dst").as("v"),
         col("a.cos").as("cos"))
       .localCheckpoint(true) // feeds the CC leg and the census twice
-    val comp = graft.operators.ConnectedComponents
-      .components(mp, "u", "v")
-      .select(col("node"), col("comp").as("cluster"))
-    val mem = comp.groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"))
-    mp.join(comp.withColumnRenamed("node", "u"), "u")
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_edges"),
-        sum(round(col("cos") * 10000).cast("long")).as("sc"))
-      .join(mem, "cluster")
-      .select(col("cluster"), col("n_members"), col("n_edges"),
-        expr("sc div n_edges").as("avg_cos_t"))
+    // mp is materialized — the fold graph's checkpoint is dead NOW,
+    // not at session end (r15 verdict nit: this was the one unpaired
+    // pin left after the e170 fix)
+    releaseLocalCheckpoint(fold)
+    // a CC failure below must not strand mp for the session — the
+    // same try/finally contract components() applies internally
+    val census =
+      try {
+        val comp = ConnectedComponents.components(mp, "u", "v")
+          .select(col("node"), col("comp").as("cluster"))
+        val mem = comp.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"))
+        try
+          // the census is cluster-grain tiny; materializing it lets
+          // every upstream pin (mp, the CC label table) be released
+          // within the invocation instead of riding the returned plan
+          mp.join(comp.withColumnRenamed("node", "u"), "u")
+            .groupBy("cluster")
+            .agg(count(lit(1)).as("n_edges"),
+              sum(round(col("cos") * 10000).cast("long")).as("sc"))
+            .join(mem, "cluster")
+            .select(col("cluster"), col("n_members"), col("n_edges"),
+              expr("sc div n_edges").as("avg_cos_t"))
+            .localCheckpoint(true)
+        finally releaseLocalCheckpoint(comp)
+      } finally releaseLocalCheckpoint(mp)
+    // the one surviving pin (cluster-grain) rides the one-slot swap:
+    // repeated invocations release the prior census before building
+    steadyPinSwap("e176:" + knnStorePath(s, dir))(census)
       .orderBy("cluster")
   }
 

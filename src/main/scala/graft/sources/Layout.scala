@@ -504,6 +504,16 @@ object Layout {
       maxConcurrentLeaves: Int = 4): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the whole pass holds the SAME normalized per-path monitor the
+    // IfStale writers use: a second concurrent pass's start-of-pass
+    // heal would otherwise delete this pass's in-flight _compacting_*
+    // rewrites (re-derivable, but the swap then fails spuriously) or —
+    // in the window between compactLeaf's two renames — restore the
+    // aside over a half-published rewrite. The leaf pool threads run
+    // INSIDE the monitor's scope (held by this calling thread), so
+    // fan-out is unaffected; only whole passes serialize.
+    lockFor("path:" + fs.makeQualified(hPath).toUri.toString)
+      .synchronized {
     val contract = readLayoutContract(spark, path)
     val kind = contract.map(_.getOrElse("kind", "plain"))
     require(kind.contains("partitioned"),
@@ -650,6 +660,7 @@ object Layout {
           pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
         }
       } finally pool.shutdownNow()
+    }
     }
   }
 

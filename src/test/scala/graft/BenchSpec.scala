@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench's artifact-integrity contracts (r15 verdict #7 + ADVICE): the
+  * round derivation must FAIL SAFE (field omitted, line still written)
+  * on any header it cannot read, and the calibration flag must trip
+  * exactly when a run's worst probe exceeds the demonstrated-idle
+  * floor's band. Pure-function tests — no SparkSession.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("deriveRound: well-formed header → previous round + 1") {
+    assert(Bench.deriveRound(Some("# VERDICT — round 15")) === Some(16))
+  }
+
+  test("deriveRound: case-insensitive (capitalized 'Round N' headers)") {
+    assert(Bench.deriveRound(Some("# Verdict — Round 7")) === Some(8))
+    assert(Bench.deriveRound(Some("ROUND 3 judgment")) === Some(4))
+  }
+
+  test("deriveRound: garbage, zero-led, and empty headers fail safe") {
+    assert(Bench.deriveRound(Some("no digits here")) === None)
+    assert(Bench.deriveRound(Some("round zero")) === None)
+    assert(Bench.deriveRound(Some("")) === None)
+    assert(Bench.deriveRound(None) === None)
+    // a leading zero never parses as the round (canonical ints only);
+    // the regex skips to the first canonical match instead
+    assert(Bench.deriveRound(Some("round 007")) === None)
+  }
+
+  test("deriveRoundFromFile: missing file and unreadable content → None") {
+    val missing = java.nio.file.Paths.get(
+      "/nonexistent-graft-bench-spec/VERDICT.md")
+    assert(Bench.deriveRoundFromFile(missing) === None)
+    val tmp = java.nio.file.Files.createTempFile("graft_bench", ".md")
+    java.nio.file.Files.writeString(tmp, "reformatted header, no marker\n")
+    assert(Bench.deriveRoundFromFile(tmp) === None)
+    java.nio.file.Files.writeString(tmp, "# VERDICT — round 12\nbody\n")
+    assert(Bench.deriveRoundFromFile(tmp) === Some(13))
+    // empty file: no first line, still safe
+    java.nio.file.Files.writeString(tmp, "")
+    assert(Bench.deriveRoundFromFile(tmp) === None)
+  }
+
+  test("calibFlagged: trips on 1.5× the idle floor, not before") {
+    // clean run on a historically idle machine
+    assert(!Bench.calibFlagged(Seq(1.0, 1.1), Seq(1.0, 1.2)))
+    // loaded run against an idle history
+    assert(Bench.calibFlagged(Seq(2.0, 1.0), Seq(1.0)))
+    // first run ever: its own probes set the floor — a mid-run load
+    // arrival still flags
+    assert(Bench.calibFlagged(Seq(1.0, 1.6), Seq.empty))
+    assert(!Bench.calibFlagged(Seq(1.0, 1.4), Seq.empty))
+    // boundary: exactly 1.5× is not flagged (strict >)
+    assert(!Bench.calibFlagged(Seq(1.5), Seq(1.0)))
+    assert(!Bench.calibFlagged(Seq.empty, Seq(1.0)))
+  }
+
+  test("priorCalibs: reads both probes per line, tolerates junk") {
+    val tmp = java.nio.file.Files.createTempFile("graft_hist", ".jsonl")
+    java.nio.file.Files.writeString(tmp,
+      """{"calib_s":1.2345,"calib_end_s":1.5,"value":9}""" + "\n" +
+        "not json at all\n" +
+        """{"no_calibration":true}""" + "\n")
+    assert(Bench.priorCalibs(tmp.toString).sorted === Seq(1.2345, 1.5))
+    assert(Bench.priorCalibs("/nonexistent/hist.jsonl") === Seq.empty)
+  }
+}
