@@ -131,7 +131,8 @@ object AnalysisQueries {
       e148HllIntersection, e149KCenter, e151GridDensity, e152MmrSelect,
       e153EmbeddingDrift, e154WassersteinDrift, e157W1Matrix,
       e158NnDescentInc, e159MultipassQuantile, e160KsDrift,
-      e162GroupedQuantile, e173KnnPersistFold, e176KnnStoreClusters)
+      e162GroupedQuantile, e173KnnPersistFold, e176KnnStoreClusters,
+      e178GenerationCardDiff)
 
   // ---- e98: prefix-filter (AllPairs/PPJoin) similarity self-join ----------
 
@@ -5940,10 +5941,40 @@ object AnalysisQueries {
        |FROM mem JOIN mec m ON m.cluster = mem.cluster
        |GROUP BY mem.cluster, mem.n_members
        |ORDER BY mem.cluster""".stripMargin) { (s, dir) =>
+    e176Census(s,
+      e173Core(s, Tables.embeddings(s, dir), E173K, E173B,
+        E173F, E173S, knnStorePath(s, dir), production = true).foldFinal,
+      "e176:" + knnStorePath(s, dir))
+  }.withBuildOnly { (s, dir) =>
+    // the production posture once the stream attach (e177) maintains
+    // the fold: the FOLDED graph is persisted too (fingerprint-
+    // amortized, so the warmed pass never runs the fold at all), and
+    // the consumer pays ONLY the mutual join + CC + census over stored
+    // id-pair edges — the true consumer-only margin SCALING.md prices
+    // beside the fold-bearing oracle row (VERDICT r15 #8)
+    val foldPath = knnStorePath(s, dir) + "_folded"
+    graft.sources.Layout.amortize(s, foldPath,
+      graft.sources.Layout.scanFingerprint(Tables.embeddings(s, dir))) {
+      val f = e173Core(s, Tables.embeddings(s, dir), E173K, E173B,
+        E173F, E173S, knnStorePath(s, dir), production = true).foldFinal
+      f.select("src", "dst", "cos").coalesce(1)
+        .write.mode("overwrite").parquet(foldPath)
+      graft.operators.ConnectedComponents.releaseLocalCheckpoint(f)
+    }
+    e176Census(s, s.read.parquet(foldPath),
+      "e176b:" + knnStorePath(s, dir))
+  }
+
+  /** e176's mutual-kNN census over a fold graph frame — shared by the
+    * oracle-checked run (fold built in-plan) and the buildOnly leg
+    * (fold read from its persisted store), so the two postures cannot
+    * drift. Releases every upstream pin once the cluster-grain census
+    * materializes; the surviving frame rides [[steadyPinSwap]].
+    */
+  private def e176Census(
+      s: SparkSession, fold: DataFrame, pinKey: String): DataFrame = {
     import graft.operators.ConnectedComponents
     import ConnectedComponents.releaseLocalCheckpoint
-    val fold = e173Core(s, Tables.embeddings(s, dir), E173K, E173B,
-      E173F, E173S, knnStorePath(s, dir), production = true).foldFinal
     val mp = fold.as("a")
       .join(fold.as("b"),
         col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
@@ -5953,7 +5984,8 @@ object AnalysisQueries {
       .localCheckpoint(true) // feeds the CC leg and the census twice
     // mp is materialized — the fold graph's checkpoint is dead NOW,
     // not at session end (r15 verdict nit: this was the one unpaired
-    // pin left after the e170 fix)
+    // pin left after the e170 fix); a no-op when `fold` is the
+    // buildOnly leg's parquet scan
     releaseLocalCheckpoint(fold)
     // a CC failure below must not strand mp for the session — the
     // same try/finally contract components() applies internally
@@ -5979,8 +6011,279 @@ object AnalysisQueries {
       } finally releaseLocalCheckpoint(mp)
     // the one surviving pin (cluster-grain) rides the one-slot swap:
     // repeated invocations release the prior census before building
-    steadyPinSwap("e176:" + knnStorePath(s, dir))(census)
+    steadyPinSwap(pinKey)(census)
       .orderBy("cluster")
+  }
+
+  // ---- e178: generational data-card diff -----------------------------------
+
+  /** The ONE location of the persisted generation-A data card —
+    * e178's stored artifact (the knnStorePath convention: session-
+    * scoped scratch root, dir-tagged so SF corpora stay apart).
+    */
+  private[queries] def cardStorePath(s: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    Scratch.dir(s, s"e178-card-$tag") + "/gen_card"
+  }
+
+  /** RELEASE-GATE card diff between consecutive crawl generations —
+    * the artifact an operator reads before shipping a new crawl
+    * (VERDICT r15 #5): per source, volume growth, exact-duplicate-rate
+    * delta, median-length movement, and vocabulary growth, where
+    * generation A contributes ONLY its PERSISTED data card (one
+    * #sources-row parquet holding counts, the 42-bucket log₂ length
+    * histogram, and the 64 HLL vocabulary registers) and generation B
+    * pays the only corpus-proportional work. This composes the
+    * datasheet family's persisted postures into the diff that was
+    * still prose: e94 is one generation's card, e138 is vocabulary
+    * growth alone, e92 diffs shard manifests; the release decision
+    * reads all the card's columns at once, against the PREVIOUS
+    * generation's stored card rather than a re-scan of the old corpus.
+    *
+    * Card contents are the mergeable/stored forms of each statistic:
+    * counts and token sums (algebraic), the paired poly-hash distinct
+    * count for the dup rate (e94's ~2⁻⁶⁰ digest), the e150 log₂
+    * histogram (42 longs — quantiles with est/true < 2 one-sided
+    * guarantee, mergeable by addition), and e134's HLL registers
+    * (512 B — union by element-wise max, which is what lets
+    * vocab_new_est price B's NEW vocabulary without touching A's
+    * corpus: est(A∪B) comes from max-merging B's fresh registers into
+    * the STORED ones, the e138 machinery reading its A-side from
+    * parquet). Deltas that can go negative (docs_delta_bp) take
+    * [[graft.functions.Portable.tdivDuck]]; dup rates are NULL-guarded
+    * for a generation-absent source (both engines agree on NULL).
+    * vocab_new_est is emitted raw — slightly negative on a no-growth
+    * source is estimator noise the e138 caveat already documents, and
+    * clamping would hide exactly what the gate watches.
+    *
+    * The A card is fingerprint-amortized ([[graft.sources.Layout
+    * .amortize]] on the documents scan fingerprint): steady-state
+    * invocations skip the A build entirely — the e173/e172 stored-
+    * artifact discipline, here closing the DATASHEET family.
+    *
+    * Scale (100 TB): generation B costs one doc-grain aggregation
+    * (source grain, map-side combinable — the e94 shape) plus one
+    * distinct-shingle scan for its registers (the e138 cost); A costs
+    * a #sources-row parquet read; the diff joins two #sources-row
+    * frames. Nothing old is re-read, nothing is quadratic, and the
+    * readout windows run on #sources × 42 rows.
+    */
+  private def e178GenerationCardDiff = {
+    val P = Portable.P
+    val alphaNum = 709L * (1L << 37)
+    val tzCase = (0 to 24).map(i =>
+      s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ")
+    val ladder = "CASE WHEN n_chars <= 0 THEN 0 " +
+      (1 to 40).map(b =>
+        s"WHEN n_chars < ${1L << b} THEN $b").mkString(" ") +
+      " ELSE 41 END"
+    val genA =
+      "(((doc_id % 1000003) * 2654435761) % 1000000007) % 2 = 0"
+    def sumRegs(rel: String): String =
+      s"CAST(sum(CAST(1 AS BIGINT) << (25 - mr)) AS BIGINT)"
+    def estDuck(s2: String): String =
+      s"CASE WHEN $s2 = 2147483648 THEN CAST(0 AS BIGINT) " +
+        s"ELSE $alphaNum // (1000 * $s2) END"
+    QueryDef.sql(
+      "e178_generation_card_diff",
+      s"""WITH base AS (SELECT doc_id, source, n_chars, text,
+         |    $genA AS gen_a
+         |  FROM documents),
+         |d0 AS (SELECT source, gen_a, n_chars,
+         |    len(${Portable.wordsDuck}) AS n_tok,
+         |    ${Portable.textFingerprintDuck} * $P
+         |      + ${Portable.textFingerprint2Duck} AS fp,
+         |    $ladder AS b
+         |  FROM base),
+         |ds AS (SELECT source, gen_a,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_fp
+         |  FROM d0 GROUP BY 1, 2),
+         |hist AS (SELECT source, gen_a, b, count(*) AS cnt FROM d0
+         |  GROUP BY 1, 2, 3),
+         |cumh AS (SELECT source, gen_a, b,
+         |    CAST(sum(cnt) OVER (PARTITION BY source, gen_a ORDER BY b
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM hist),
+         |tot AS (SELECT source, gen_a, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM hist GROUP BY 1, 2),
+         |p50 AS (SELECT c.source, c.gen_a,
+         |    (CAST(1 AS BIGINT) << min(CASE WHEN c.cum >= (t.n + 1) // 2
+         |      THEN c.b END)) - 1 AS p50_est
+         |  FROM cumh c JOIN tot t
+         |    ON t.source = c.source AND t.gen_a = c.gen_a
+         |  GROUP BY c.source, c.gen_a),
+         |w AS (SELECT source, gen_a, ${Portable.wordHashesDuck} AS wh
+         |  FROM base),
+         |sh AS (SELECT source, gen_a, ${Portable.shinglesDuck} AS shs
+         |  FROM w WHERE len(wh) >= 3),
+         |dv AS (SELECT DISTINCT source, gen_a, unnest(shs) AS h
+         |  FROM sh),
+         |hx AS (SELECT source, gen_a,
+         |    (${Portable.HllA} * h + ${Portable.HllB}) % $P AS x FROM dv),
+         |hh AS (SELECT source, gen_a, (x * x % $P) * x % $P AS h2
+         |  FROM hx),
+         |rho AS (SELECT source, gen_a, h2 % 64 AS j,
+         |    CASE WHEN h2 // 64 = 0 THEN 25
+         |      ELSE CASE (h2 // 64) & (-(h2 // 64)) $tzCase END
+         |    END AS r
+         |  FROM hh),
+         |breg AS (SELECT source, gen_a, j, max(r) AS mr FROM rho
+         |  GROUP BY 1, 2, 3),
+         |srcs AS (SELECT DISTINCT source FROM d0),
+         |spine AS (SELECT s.source, g.gen_a, b.j
+         |  FROM srcs s
+         |  CROSS JOIN (VALUES (TRUE), (FALSE)) g(gen_a)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         |regs AS (SELECT sp.source, sp.gen_a, sp.j,
+         |    coalesce(br.mr, 0) AS mr
+         |  FROM spine sp LEFT JOIN breg br
+         |    ON br.source = sp.source AND br.gen_a = sp.gen_a
+         |      AND br.j = sp.j),
+         |sa AS (SELECT source, ${sumRegs("regs")} AS s2 FROM regs
+         |  WHERE gen_a GROUP BY source),
+         |ureg AS (SELECT source, j, max(mr) AS mr FROM regs
+         |  GROUP BY 1, 2),
+         |usum AS (SELECT source, ${sumRegs("ureg")} AS s2 FROM ureg
+         |  GROUP BY source)
+         |SELECT s.source,
+         |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_a,
+         |  CAST(coalesce(b.n_docs, 0) AS BIGINT) AS n_docs_b,
+         |  CASE WHEN a.n_docs > 0 THEN CAST(${Portable.tdivDuck(
+             "(coalesce(b.n_docs, 0) - a.n_docs) * 10000", "a.n_docs")}
+         |    AS BIGINT) END AS docs_delta_bp,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_a,
+         |  CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens_b,
+         |  CASE WHEN a.n_docs > 0 THEN
+         |    CAST((a.n_docs - a.n_fp) * 10000 // a.n_docs AS BIGINT)
+         |  END AS dup_bp_a,
+         |  CASE WHEN b.n_docs > 0 THEN
+         |    CAST((b.n_docs - b.n_fp) * 10000 // b.n_docs AS BIGINT)
+         |  END AS dup_bp_b,
+         |  CASE WHEN a.n_docs > 0 AND b.n_docs > 0 THEN
+         |    CAST((b.n_docs - b.n_fp) * 10000 // b.n_docs
+         |      - (a.n_docs - a.n_fp) * 10000 // a.n_docs AS BIGINT)
+         |  END AS dup_delta_bp,
+         |  pa.p50_est AS p50_est_a,
+         |  pb.p50_est AS p50_est_b,
+         |  CAST(${estDuck("sa.s2")} AS BIGINT) AS vocab_est_a,
+         |  CAST(${estDuck("u.s2")} AS BIGINT) AS vocab_union_est,
+         |  CAST(${estDuck("u.s2")} - ${estDuck("sa.s2")} AS BIGINT)
+         |    AS vocab_new_est
+         |FROM srcs s
+         |LEFT JOIN (SELECT * FROM ds WHERE gen_a) a
+         |  ON a.source = s.source
+         |LEFT JOIN (SELECT * FROM ds WHERE NOT gen_a) b
+         |  ON b.source = s.source
+         |LEFT JOIN (SELECT * FROM p50 WHERE gen_a) pa
+         |  ON pa.source = s.source
+         |LEFT JOIN (SELECT * FROM p50 WHERE NOT gen_a) pb
+         |  ON pb.source = s.source
+         |JOIN sa ON sa.source = s.source
+         |JOIN usum u ON u.source = s.source
+         |ORDER BY s.source""".stripMargin) { (s, dir) =>
+      import graft.sources.Layout
+      val docs = Tables.documents(s, dir)
+      val zeroRegs = array_repeat(lit(0L), 64)
+      // one generation's full card: #sources rows of (counts, dup
+      // digest distinct, 42-bucket log2 histogram, 64 HLL registers)
+      def card(gen: DataFrame): DataFrame = {
+        val d0 = gen.select(col("source"), col("n_chars"),
+          size(expr(Portable.wordsSpark)).cast("long").as("n_tok"),
+          (F.poly_hash(col("text")) * Portable.P +
+            F.poly_hash(col("text"), 37L, Portable.P)).as("fp"))
+          .withColumn("b", expr(ladder))
+        val stats = d0.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            countDistinct(col("fp")).as("n_fp"),
+            array((0 to 41).map(i =>
+              sum(when(col("b") === i, 1L).otherwise(0L))): _*)
+              .as("hist"))
+        val vocab = gen
+          .select(col("source"),
+            explode(F.shingle_hashes(col("text"))).as("h"))
+          .distinct()
+          .groupBy("source")
+          .agg(graft.functions.sketches.hll_sketch(col("h")).as("regs"))
+        stats.join(vocab, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_fp"), col("hist"),
+            coalesce(col("regs"), zeroRegs).as("regs"))
+      }
+      val path = cardStorePath(s, dir)
+      // generation A's card is the STORED artifact — fingerprint-
+      // amortized, so steady invocations never touch A's corpus
+      Layout.amortize(s, path, Layout.scanFingerprint(docs)) {
+        card(docs.filter(expr(genA))).coalesce(1)
+          .write.mode("overwrite").parquet(path)
+      }
+      val cardA = s.read.parquet(path)
+      val cardB = card(docs.filter(expr(s"NOT ($genA)")))
+      // p50 readout from a stored histogram (the e150 ladder over
+      // #sources × 42 exploded rows — bounded, source-partitioned)
+      def p50Of(c: DataFrame): DataFrame = {
+        val h = c.select(col("source"),
+          posexplode(col("hist")).as(Seq("b", "cnt")))
+        val cum = h.withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("source"))
+            .orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.join(h.groupBy("source").agg(sum(col("cnt")).as("n")),
+            "source")
+          .groupBy("source")
+          .agg(expr("(CAST(1 AS BIGINT) << min(CASE WHEN " +
+            "cum >= (n + 1) div 2 THEN b END)) - 1").as("p50_est"))
+      }
+      def estOf(regs: String): String = {
+        val s2 = s"aggregate(transform($regs, " +
+          "r -> shiftleft(CAST(1 AS BIGINT), CAST(25 - r AS INT))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        s"CASE WHEN $s2 = 2147483648 THEN CAST(0 AS BIGINT) " +
+          s"ELSE $alphaNum div (1000 * $s2) END"
+      }
+      val a = cardA.select(col("source"), col("n_docs").as("n_docs_a"),
+        col("n_tokens").as("n_tokens_a"), col("n_fp").as("n_fp_a"),
+        col("regs").as("regs_a"))
+      val b = cardB.select(col("source"), col("n_docs").as("n_docs_b"),
+        col("n_tokens").as("n_tokens_b"), col("n_fp").as("n_fp_b"),
+        col("regs").as("regs_b"))
+      a.join(b, Seq("source"), "full_outer")
+        .join(p50Of(cardA).withColumnRenamed("p50_est", "p50_est_a"),
+          Seq("source"), "left")
+        .join(p50Of(cardB).withColumnRenamed("p50_est", "p50_est_b"),
+          Seq("source"), "left")
+        .withColumn("regs_a", coalesce(col("regs_a"), zeroRegs))
+        .withColumn("regs_u", zip_with(col("regs_a"),
+          coalesce(col("regs_b"), zeroRegs), (x, y) => greatest(x, y)))
+        .select(col("source"),
+          coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+          coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+          when(col("n_docs_a") > 0,
+            expr("(coalesce(n_docs_b, 0) - n_docs_a) * 10000 " +
+              "div n_docs_a")).as("docs_delta_bp"),
+          coalesce(col("n_tokens_a"), lit(0L)).as("n_tokens_a"),
+          coalesce(col("n_tokens_b"), lit(0L)).as("n_tokens_b"),
+          when(col("n_docs_a") > 0,
+            expr("(n_docs_a - n_fp_a) * 10000 div n_docs_a"))
+            .as("dup_bp_a"),
+          when(col("n_docs_b") > 0,
+            expr("(n_docs_b - n_fp_b) * 10000 div n_docs_b"))
+            .as("dup_bp_b"),
+          when(col("n_docs_a") > 0 && col("n_docs_b") > 0,
+            expr("(n_docs_b - n_fp_b) * 10000 div n_docs_b " +
+              "- (n_docs_a - n_fp_a) * 10000 div n_docs_a"))
+            .as("dup_delta_bp"),
+          col("p50_est_a"), col("p50_est_b"),
+          expr(estOf("regs_a")).as("vocab_est_a"),
+          expr(estOf("regs_u")).as("vocab_union_est"),
+          (expr(estOf("regs_u")) - expr(estOf("regs_a")))
+            .as("vocab_new_est"))
+        .orderBy("source")
+    }
   }
 
   // ---- e148: HLL pairwise intersection via inclusion–exclusion ------------

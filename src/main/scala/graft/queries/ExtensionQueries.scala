@@ -2598,7 +2598,7 @@ object ExtensionQueries {
     * drift onto different tables; concurrent IfStale builds on it are
     * serialized by [[graft.sources.Layout]]'s per-path lock.
     */
-  private def ivfIndexPath(s: SparkSession, dir: String): String = {
+  private[queries] def ivfIndexPath(s: SparkSession, dir: String): String = {
     val tag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8)
       .map("%02x".format(_)).mkString

@@ -35,7 +35,8 @@ object ReferenceQueries {
     q51TopSupplier, q52SmallQtyRevenue, q53SoleBlameSupplier,
     q54CustDist, q55EventTransitions, q56DisjunctRevenue,
     q57SupplierCensus, q58ReturnPriority, q59UntappedBalance,
-    q60OverlapJoin, q61MinCostSupplier, q62BigQtyOrders)
+    q60OverlapJoin, q61MinCostSupplier, q62BigQtyOrders,
+    q63MarketShare)
 
   /** Money columns are 2-decimal values stored as DOUBLE; a cross-row
     * double sum is fold-order dependent, and the engines' last-ulp
@@ -2762,5 +2763,109 @@ object ReferenceQueries {
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("total_qty"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H-Q8-shaped national market share: of all ECONOMY-part
+    * revenue sold into ASIA-region customers over a two-year order
+    * window, the per-year share supplied by one nation — the
+    * CASE-conditioned share-of-a-grouped-total over the two-sided
+    * nation-role join (customer's nation gates the region, supplier's
+    * nation is the share dimension), the last textbook census member
+    * (VERDICT r15 #6). The oracle keeps Q8's shape verbatim: the
+    * `all_nations` derived table, then
+    * `sum(CASE nation THEN volume)/sum(volume)` per year.
+    *
+    * Share in exact integer: volume is the house ten-thousandths term;
+    * share_bp = nation_t · 10⁴ div total_t, floor division on both
+    * engines (both sums non-negative by construction, so floor ≡
+    * truncate and `//` vs `div` cannot diverge — the tdivDuck guard is
+    * unneeded HERE, unlike e173's signed cosines). Both year-grain
+    * sums take the q49 DECIMAL(38,0) accumulator lever (a year of the
+    * 100 TB fact is ~10¹¹ rows × ~10⁹ per term — past BIGINT); outputs
+    * down-cast to BIGINT, which every benched SF fits.
+    *
+    * Plan shape at 100 TB: the part join goes FIRST so the type
+    * filter shrinks the fact before anything else moves (p_type is
+    * 1-in-5 here, 1-in-150 at TPC-H type cardinality); the orderkey
+    * fact-fact join consumes the date-pruned orders scan (predicate
+    * pushed to parquet — 2 of 7 years); customer and supplier are
+    * fact-proportional and join UNHINTED per the q2 rule, while both
+    * NATION roles and REGION broadcast explicitly (25/5 rows by
+    * construction). The rollup is 2 rows after map-side partials.
+    * Every join is an equi-join — 0 BNLJ (the decorrelation-census
+    * contract), and the share needs no second pass: numerator and
+    * denominator are two accumulators over ONE aggregate, not the
+    * textbook plan's join-of-two-aggregations.
+    */
+  private def q63MarketShare = QueryDef.sql(
+    "q63_market_share",
+    s"""WITH all_nations AS (
+       |  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+       |    ${centsDuck("l.l_extendedprice")}
+       |      * (100 - ${centsDuck("l.l_discount")}) AS volume_t,
+       |    n2.n_name AS nation
+       |  FROM part p, supplier sp, lineitem l, orders o, customer c,
+       |    nation n1, nation n2, region r
+       |  WHERE p.p_partkey = l.l_partkey
+       |    AND sp.s_suppkey = l.l_suppkey
+       |    AND l.l_orderkey = o.o_orderkey
+       |    AND o.o_custkey = c.c_custkey
+       |    AND c.c_nationkey = n1.n_nationkey
+       |    AND n1.n_regionkey = r.r_regionkey
+       |    AND r.r_name = 'ASIA'
+       |    AND sp.s_nationkey = n2.n_nationkey
+       |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       |    AND p.p_type = 'ECONOMY')
+       |SELECT CAST(o_year AS BIGINT) AS o_year,
+       |  CAST(sum(CASE WHEN nation = 'NATION_12'
+       |      THEN CAST(volume_t AS HUGEINT) ELSE 0 END) AS BIGINT)
+       |    AS nation_t,
+       |  CAST(sum(CAST(volume_t AS HUGEINT)) AS BIGINT) AS total_t,
+       |  CAST(sum(CASE WHEN nation = 'NATION_12'
+       |      THEN CAST(volume_t AS HUGEINT) ELSE 0 END) * 10000
+       |    // sum(CAST(volume_t AS HUGEINT)) AS BIGINT) AS share_bp
+       |FROM all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin) { (s, dir) =>
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("nation"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val volume = (cents(col("l_extendedprice"))
+      * (lit(100L) - cents(col("l_discount")))).as("volume_t")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        volume)
+      .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(asiaNations), col("cnk") === col("c_nationkey"))
+      .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n2), col("snk") === col("s_nationkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("nation") === "NATION_12", col("volume_t"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("nation_d"),
+        sum(col("volume_t").cast("decimal(38,0)")).as("total_d"))
+      .select(col("o_year"),
+        col("nation_d").cast("long").as("nation_t"),
+        col("total_d").cast("long").as("total_t"),
+        expr("nation_d * 10000 div total_d").as("share_bp"))
+      .orderBy(col("o_year"))
   }
 }
