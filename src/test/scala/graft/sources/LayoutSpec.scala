@@ -611,6 +611,36 @@ class LayoutSpec extends SparkSpecBase {
           f.getName.startsWith("_compacting_")))
   }
 
+  test("concurrent compactPartitioned passes on one table serialize " +
+    "on the per-path monitor and both succeed (r15 ADVICE): without " +
+    "the lock, the second pass's start-of-pass heal deletes the " +
+    "first's in-flight _compacting_* rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_clock").toString + "/t"
+    val df = (0 until 6000).map { i =>
+      (i.toLong, s"s${i % 6}", s"payload $i")
+    }.toDF("id", "shard", "payload")
+    Layout.writePartitioned(df, dir, Seq("shard"), filesPerPart = 5)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 3).map { _ =>
+      new Thread(() =>
+        try Layout.compactPartitioned(spark, dir,
+          targetBytes = 1L << 40, maxConcurrentLeaves = 2)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"a concurrent pass failed: ${errs.peek()}")
+    // the table is intact, fully compacted, with no crash state
+    assert(spark.read.parquet(dir).count() === 6000)
+    val leaves = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(leaves.length === 6)
+    assert(leaves.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith("_old_") ||
+        f.getName.startsWith("_compacting_")))
+  }
+
   test("writePartitionedIfStale stays a no-op after compactPartitioned: " +
     "the freshness claim names the SOURCE, which the compact did not " +
     "touch (VERDICT r14 #7)") {
