@@ -43,27 +43,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.deriveRoundFromFile(tmp) === None)
   }
 
-  test("calibFlagged: trips on 1.5× the idle floor, not before") {
+  test("calibFlagged: trips on 1.5× the position floor, not before") {
     // clean run on a historically idle machine
-    assert(!Bench.calibFlagged(Seq(1.0, 1.1), Seq(1.0, 1.2)))
+    assert(!Bench.calibFlagged(Seq(1.1), Seq(1.0, 1.2)))
     // loaded run against an idle history
-    assert(Bench.calibFlagged(Seq(2.0, 1.0), Seq(1.0)))
-    // first run ever: its own probes set the floor — a mid-run load
-    // arrival still flags
-    assert(Bench.calibFlagged(Seq(1.0, 1.6), Seq.empty))
-    assert(!Bench.calibFlagged(Seq(1.0, 1.4), Seq.empty))
+    assert(Bench.calibFlagged(Seq(2.0), Seq(1.0)))
+    // no history: the probe is its own floor — never flags alone
+    assert(!Bench.calibFlagged(Seq(1.6), Seq.empty))
     // boundary: exactly 1.5× is not flagged (strict >)
     assert(!Bench.calibFlagged(Seq(1.5), Seq(1.0)))
     assert(!Bench.calibFlagged(Seq.empty, Seq(1.0)))
   }
 
-  test("priorCalibs: reads both probes per line, tolerates junk") {
+  test("priorCalibs: position-matched fields, tolerates junk — a " +
+    "JIT-cold start probe must never be floored by warm end probes") {
     val tmp = java.nio.file.Files.createTempFile("graft_hist", ".jsonl")
     java.nio.file.Files.writeString(tmp,
-      """{"calib_s":1.2345,"calib_end_s":1.5,"value":9}""" + "\n" +
+      """{"calib_s":1.2345,"calib_end_s":0.7,"value":9}""" + "\n" +
         "not json at all\n" +
-        """{"no_calibration":true}""" + "\n")
-    assert(Bench.priorCalibs(tmp.toString).sorted === Seq(1.2345, 1.5))
-    assert(Bench.priorCalibs("/nonexistent/hist.jsonl") === Seq.empty)
+        """{"calib_s":1.1,"no_end":true}""" + "\n")
+    assert(Bench.priorCalibs(tmp.toString, "calib_s").sorted
+      === Seq(1.1, 1.2345))
+    assert(Bench.priorCalibs(tmp.toString, "calib_end_s")
+      === Seq(0.7))
+    assert(Bench.priorCalibs("/nonexistent/h.jsonl", "calib_s")
+      === Seq.empty)
+    // the r16 regression this split fixes: start probes ~1.1 on an
+    // idle machine, end probes ~0.7 (same machine, warm JVM) — pooled,
+    // every start probe would flag; position-matched, neither does
+    assert(!Bench.calibFlagged(Seq(1.11),
+      Bench.priorCalibs(tmp.toString, "calib_s")))
+    assert(!Bench.calibFlagged(Seq(0.79),
+      Bench.priorCalibs(tmp.toString, "calib_end_s")))
   }
 }
