@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Data-driven build-side selection for joins whose inputs are
+  * checkpoint-backed (LogicalRDD) frames — the r17 optimization round's
+  * shuffle-removal lever for the iterative families (guide §3.1).
+  *
+  * A localCheckpoint'ed frame reports NO size statistics, so Catalyst
+  * plans every join against it as a sort-merge join; AQE converts to a
+  * broadcast join at runtime, but only AFTER paying the map side of the
+  * checkpoint's exchange — and an iterative loop pays that map stage
+  * once per join per round (e147's profile: ~0.3-0.6 s per round just
+  * re-shuffling the vector table `r` whose true size is 1.2 MB).
+  *
+  * [[bcastIfSmall]] makes the decision the planner cannot: the caller
+  * passes a MEASURED row count (these loops all count their frames
+  * anyway) and a schema-derived row width, and the frame is hinted
+  * broadcast only when the estimate fits the session's own
+  * `spark.sql.autoBroadcastJoinThreshold`. At 100 TB the vector/label
+  * tables blow the threshold and the plan is byte-identical to today's
+  * (shuffle join, AQE free to re-plan); at small deltas the loop joins
+  * go straight to BHJ with no exchange on either side. Results are
+  * unaffected (inner/left equi-joins are strategy-independent).
+  */
+object Adaptive {
+
+  /** Session broadcast threshold in bytes; <= 0 disables broadcasting
+    * (mirrors Spark's own contract for autoBroadcastJoinThreshold).
+    */
+  private[graft] def broadcastThreshold(df: DataFrame): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    catch { case _: Throwable => 10L * 1024 * 1024 }
+
+  /** @param df          the candidate build side
+    * @param rows        measured (or bounded-above) row count
+    * @param bytesPerRow conservative estimated width of one row
+    * @return broadcast(df) when rows × bytesPerRow fits the session's
+    *         broadcast threshold, else df unchanged
+    */
+  def bcastIfSmall(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
+    if (rows >= 0 && rows * bytesPerRow <= broadcastThreshold(df))
+      broadcast(df)
+    else df
+}

@@ -4428,7 +4428,7 @@ object AnalysisQueries {
     * graphs knns(0..rounds), and the per-round candidate pools.
     */
   private def e147BuildGraph(s: SparkSession, dir: String, K: Int,
-      rounds: Int): (DataFrame, Vector[DataFrame], Vector[DataFrame]) = {
+      rounds: Int): (DataFrame, Vector[DataFrame], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -4441,27 +4441,40 @@ object AnalysisQueries {
     // checkpoint so the zipWithIndex rank runs once (bounded: N rows)
     val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
       .localCheckpoint(true)
+    // measured size (one bounded job over the checkpoint) drives the
+    // per-round build-side choice: a checkpoint-backed frame has no
+    // stats, so Catalyst would SMJ every loop join and AQE's runtime
+    // BHJ conversion still pays r's exchange map stage EVERY round
+    // (profiled ~0.3-0.6 s/round at sf0.1). bcastIfSmall broadcasts
+    // only under the session threshold — at 100 TB this degrades to
+    // exactly the previous shuffle plan. ~600 B/row: vec_id + rid +
+    // 64-double uv + row overhead.
+    val n = r.count()
+    def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
+      graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
+    // dst join first, src join last: the downstream per-src top-K
+    // window then reuses the LAST join's hash(src) partitioning in the
+    // shuffle-join regime (one exchange fewer at scale; irrelevant
+    // under broadcast, where edges keep their incoming partitioning)
     def scoreEdges(edges: DataFrame): DataFrame =
       edges
-        .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
-          "src")
-        .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
-          "dst")
+        .join(rB(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
+          600L), "dst")
+        .join(rB(r.select(col("vec_id").as("src"), col("uv").as("ua")),
+          600L), "src")
         .select(col("src"), col("dst"),
           (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
             .as("cos"))
-    val nn = r.agg(count(lit(1)).as("n"))
     val knn0 = r.select(col("vec_id").as("src"), col("rid"))
-      .crossJoin(broadcast(nn))
-      .select(col("src"), col("rid"), col("n"),
+      .select(col("src"), col("rid"), lit(n).as("n"),
         explode(sequence(lit(1), lit(K))).as("o"))
       .withColumn("nbr", (col("rid") + col("o")) % col("n"))
-      .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
-        col("rid2") === col("nbr"))
+      .join(rB(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+        48L), col("rid2") === col("nbr"))
       .select("src", "dst")
     val knns = scala.collection.mutable.ArrayBuffer(
       scoreEdges(knn0).localCheckpoint(true))
-    val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (_ <- 1 to rounds) {
       val knn = knns.last
       // reverse lists capped at K (lowest-id — deterministic): the
@@ -4476,17 +4489,27 @@ object AnalysisQueries {
         .filter(col("rr") <= K)
         .select(col("dst").as("src"), col("src").as("dst"))
       val und = knn.select("src", "dst").unionByName(rev)
+      // no inner distinct: pool's own distinct dedups the union, so
+      // distinct(cand) ∪ knn → distinct is set-identical with one
+      // fewer full exchange of the round's largest intermediate
       val cand = und.select(col("src").as("w"), col("dst").as("a"))
         .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
         .filter(col("a") =!= col("c"))
-        .select(col("a").as("src"), col("c").as("dst")).distinct()
+        .select(col("a").as("src"), col("c").as("dst"))
+      // pool count observed INSIDE the round's own checkpoint
+      // materialization: the audit's n_scored used to re-execute every
+      // round's lazy candidate pipeline a second time in the final
+      // consuming job (profiled ~0.8-1 s per round, single-task)
+      val obs = new org.apache.spark.sql.Observation(
+        s"e147_pool_${java.util.UUID.randomUUID}")
       val pool = cand.unionByName(knn.select("src", "dst")).distinct()
-      pools += pool
+        .observe(obs, count(lit(1)).as("n"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst"))
       knns += scoreEdges(pool)
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
         .select("src", "dst", "cos").localCheckpoint(true)
+      pools += obs.get("n").asInstanceOf[Long]
     }
     (r, knns.toVector, pools.toVector)
   }
@@ -4682,13 +4705,17 @@ object AnalysisQueries {
             sum(round(col("cos") * 10000).cast("long")).as("sc"),
             count(lit(1)).as("ne"))
           .select(expr("sc div ne").as("avg_cos_t"))
-        val nscored =
-          if (i == 0) s.range(1).select(lit(0L).as("n_scored"))
-          else pools(i - 1).agg(count(lit(1)).cast("long").as("n_scored"))
-        val hits = g.join(truth, Seq("src", "dst"))
+        // n_scored is the pool count OBSERVED during the round's own
+        // checkpoint materialization (same value, no re-execution of
+        // the lazy candidate pipeline in the consuming job)
+        val nscored = if (i == 0) 0L else pools(i - 1)
+        // truth is anchor-bounded by construction (≤ 64·K rows at any
+        // corpus size) — broadcast it instead of shuffling the graph
+        val hits = g.join(broadcast(truth), Seq("src", "dst"))
           .agg(count(lit(1)).as("hits"))
-        nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
-          .select(lit(i.toLong).as("round"), col("n_scored"),
+        avg.crossJoin(hits).crossJoin(na)
+          .select(lit(i.toLong).as("round"),
+            lit(nscored).as("n_scored"),
             col("avg_cos_t"), col("hits"), col("n_anchors"))
       }
       // Agresti–Coull adjusted SE on the sampled recall (the e103b
@@ -4726,7 +4753,7 @@ object AnalysisQueries {
     * scoring is the codegen'd Int8Dot corrected by the two scales.
     */
   private def e147bBuildGraph(s: SparkSession, dir: String, K: Int,
-      rounds: Int): (DataFrame, Vector[DataFrame], Vector[DataFrame]) = {
+      rounds: Int): (DataFrame, Vector[DataFrame], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -4740,29 +4767,35 @@ object AnalysisQueries {
         F.int8_pack(col("uv")).as("code"))
     val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
       .localCheckpoint(true)
+    // measured-size build-side choice, the e147 rule (see its note):
+    // broadcast r's (code, scale) projection into the loop joins only
+    // when it fits the session threshold; at 100 TB this stays the
+    // shuffle plan. ~150 B/row: vec_id + 64-byte code + scale + slack.
+    val n = r.count()
+    def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
+      graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
     // the pair-scale joins ship ONLY (code, scale) — 72 B per vector
-    // side instead of e147's 512 B double array
+    // side instead of e147's 512 B double array; dst first, src last
+    // (the e147 window-partitioning note)
     def scoreEdges(edges: DataFrame): DataFrame =
       edges
-        .join(r.select(col("vec_id").as("src"), col("code").as("ca"),
-          col("scale").as("sa")), "src")
-        .join(r.select(col("vec_id").as("dst"), col("code").as("cc"),
-          col("scale").as("sc")), "dst")
+        .join(rB(r.select(col("vec_id").as("dst"), col("code").as("cc"),
+          col("scale").as("sc")), 150L), "dst")
+        .join(rB(r.select(col("vec_id").as("src"), col("code").as("ca"),
+          col("scale").as("sa")), 150L), "src")
         .select(col("src"), col("dst"),
           (round(F.int8_dot(col("ca"), col("cc")).cast("double")
             * col("sa") * col("sc"), 4) + lit(0d)).as("qcos"))
-    val nn = r.agg(count(lit(1)).as("n"))
     val knn0 = r.select(col("vec_id").as("src"), col("rid"))
-      .crossJoin(broadcast(nn))
-      .select(col("src"), col("rid"), col("n"),
+      .select(col("src"), col("rid"), lit(n).as("n"),
         explode(sequence(lit(1), lit(K))).as("o"))
       .withColumn("nbr", (col("rid") + col("o")) % col("n"))
-      .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
-        col("rid2") === col("nbr"))
+      .join(rB(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+        48L), col("rid2") === col("nbr"))
       .select("src", "dst")
     val knns = scala.collection.mutable.ArrayBuffer(
       scoreEdges(knn0).localCheckpoint(true))
-    val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (_ <- 1 to rounds) {
       val knn = knns.last
       val rev = knn
@@ -4771,17 +4804,22 @@ object AnalysisQueries {
         .filter(col("rr") <= K)
         .select(col("dst").as("src"), col("src").as("dst"))
       val und = knn.select("src", "dst").unionByName(rev)
+      // no inner distinct (the e147 rule): pool's distinct dedups
       val cand = und.select(col("src").as("w"), col("dst").as("a"))
         .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
         .filter(col("a") =!= col("c"))
-        .select(col("a").as("src"), col("c").as("dst")).distinct()
+        .select(col("a").as("src"), col("c").as("dst"))
+      // pool count observed inside the round's checkpoint (e147 note)
+      val obs = new org.apache.spark.sql.Observation(
+        s"e147b_pool_${java.util.UUID.randomUUID}")
       val pool = cand.unionByName(knn.select("src", "dst")).distinct()
-      pools += pool
+        .observe(obs, count(lit(1)).as("n"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("qcos").desc, col("dst"))
       knns += scoreEdges(pool)
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
         .select("src", "dst", "qcos").localCheckpoint(true)
+      pools += obs.get("n").asInstanceOf[Long]
     }
     (r, knns.toVector, pools.toVector)
   }
@@ -4945,13 +4983,15 @@ object AnalysisQueries {
             sum(round(col("qcos") * 10000).cast("long")).as("sc"),
             count(lit(1)).as("ne"))
           .select(expr("sc div ne").as("avg_qcos_t"))
-        val nscored =
-          if (i == 0) s.range(1).select(lit(0L).as("n_scored"))
-          else pools(i - 1).agg(count(lit(1)).cast("long").as("n_scored"))
-        val hits = g.join(truth, Seq("src", "dst"))
+        // n_scored: the observed pool count (e147 note)
+        val nscored = if (i == 0) 0L else pools(i - 1)
+        // truth is anchor-bounded by construction (≤ 64·K rows at any
+        // corpus size) — broadcast it instead of shuffling the graph
+        val hits = g.join(broadcast(truth), Seq("src", "dst"))
           .agg(count(lit(1)).as("hits"))
-        nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
-          .select(lit(i.toLong).as("round"), col("n_scored"),
+        avg.crossJoin(hits).crossJoin(na)
+          .select(lit(i.toLong).as("round"),
+            lit(nscored).as("n_scored"),
             col("avg_qcos_t"), col("hits"), col("n_anchors"))
       }
       rows.reduce(_ unionByName _)
@@ -5012,7 +5052,7 @@ object AnalysisQueries {
     */
   private[queries] def e158BuildGraph(s: SparkSession, dir: String, K: Int,
       maxRounds: Int)
-      : (DataFrame, Vector[DataFrame], Vector[DataFrame], Vector[Long]) = {
+      : (DataFrame, Vector[DataFrame], Vector[Long], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -5023,29 +5063,36 @@ object AnalysisQueries {
       .select(col("vec_id"), col("uv"))
     val r = Indexing.withGlobalIndex(emb, col("vec_id"), "rid")
       .localCheckpoint(true)
+    // measured-size build-side choice (the e147 rule — see its note):
+    // checkpoint-backed frames have no stats, so every loop join would
+    // SMJ and re-shuffle r per round; broadcast under the session
+    // threshold only, so at 100 TB the plan is unchanged.
+    val n = r.count()
+    def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
+      graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
+    def knnB(sel: DataFrame): DataFrame =
+      graft.operators.Adaptive.bcastIfSmall(sel, n * K, 48L)
     def scoreEdges(edges: DataFrame): DataFrame =
       edges
-        .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
-          "src")
-        .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
-          "dst")
+        .join(rB(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
+          600L), "dst")
+        .join(rB(r.select(col("vec_id").as("src"), col("uv").as("ua")),
+          600L), "src")
         .select(col("src"), col("dst"),
           (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
             .as("cos"))
-    val nn = r.agg(count(lit(1)).as("n"))
     val knn0 = r.select(col("vec_id").as("src"), col("rid"))
-      .crossJoin(broadcast(nn))
-      .select(col("src"), col("rid"), col("n"),
+      .select(col("src"), col("rid"), lit(n).as("n"),
         explode(sequence(lit(1), lit(K))).as("o"))
       .withColumn("nbr", (col("rid") + col("o")) % col("n"))
-      .join(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
-        col("rid2") === col("nbr"))
+      .join(rB(r.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+        48L), col("rid2") === col("nbr"))
       .select("src", "dst")
     val knns = scala.collection.mutable.ArrayBuffer(
       scoreEdges(knn0).withColumn("is_new", lit(true))
         .localCheckpoint(true))
     val nUpdates = scala.collection.mutable.ArrayBuffer(knns.head.count())
-    val freshes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val freshes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var converged = false
     for (_ <- 1 to maxRounds if !converged) {
       val knn = knns.last
@@ -5066,21 +5113,33 @@ object AnalysisQueries {
           col("is_new").as("nc")), "w")
         .filter(col("a") =!= col("c") && (col("na") || col("nc")))
         .select(col("a").as("src"), col("c").as("dst")).distinct()
-      val fresh = cand.join(knn.select("src", "dst"),
+      // the anti/left probes against the N·K-row checkpointed graph
+      // ride the same measured-size broadcast rule; the fresh count
+      // and the round's update count are OBSERVED inside the round's
+      // own checkpoint materialization (e147's pool-count rule — no
+      // audit-side re-execution of the lazy candidate pipeline, and
+      // no separate per-round count job)
+      val obsF = new org.apache.spark.sql.Observation(
+        s"e158_fresh_${java.util.UUID.randomUUID}")
+      val fresh = cand.join(knnB(knn.select("src", "dst")),
         Seq("src", "dst"), "left_anti")
-      freshes += fresh
+        .observe(obsF, count(lit(1)).as("n"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst"))
       val top = knn.select("src", "dst", "cos")
         .unionByName(scoreEdges(fresh))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
         .select("src", "dst", "cos")
+      val obsU = new org.apache.spark.sql.Observation(
+        s"e158_upd_${java.util.UUID.randomUUID}")
       val next = top
-        .join(knn.select(col("src"), col("dst"), lit(true).as("was")),
-          Seq("src", "dst"), "left")
+        .join(knnB(knn.select(col("src"), col("dst"),
+          lit(true).as("was"))), Seq("src", "dst"), "left")
         .withColumn("is_new", col("was").isNull).drop("was")
+        .observe(obsU, count(when(col("is_new"), lit(1))).as("u"))
         .localCheckpoint(true)
-      val nUpd = next.filter(col("is_new")).count()
+      freshes += obsF.get("n").asInstanceOf[Long]
+      val nUpd = obsU.get("u").asInstanceOf[Long]
       nUpdates += nUpd
       knns += next
       if (nUpd == 0L) converged = true
@@ -5227,7 +5286,7 @@ object AnalysisQueries {
          |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
          |FROM m3 CROSS JOIN stp WHERE round <= stp.sr
          |ORDER BY round""".stripMargin) { (s, dir) =>
-      val (r, knns, freshes, nUpdates) =
+      val (r, knns, freshCounts, nUpdates) =
         e158BuildGraph(s, dir, K, maxRounds)
       val anchors = r
         .withColumn("ah",
@@ -5252,17 +5311,15 @@ object AnalysisQueries {
             sum(round(col("cos") * 10000).cast("long")).as("sc"),
             count(lit(1)).as("ne"))
           .select(expr("sc div ne").as("avg_cos_t"))
-        val hits = g.join(truth, Seq("src", "dst"))
+        val hits = g.join(broadcast(truth), Seq("src", "dst"))
           .agg(count(lit(1)).as("hits"))
-        // n_scored is an audit-side recompute of the lazy fresh frame
-        // (e147's pool-count discipline): round 0 paid for the init
-        // graph itself, round i for its anti-joined candidates
-        val nscored =
-          if (i == 0) g.agg(count(lit(1)).cast("long").as("n_scored"))
-          else freshes(i - 1)
-            .agg(count(lit(1)).cast("long").as("n_scored"))
-        nscored.crossJoin(avg).crossJoin(hits).crossJoin(na)
-          .select(lit(i.toLong).as("round"), col("n_scored"),
+        // n_scored: round 0 paid for the init graph itself (its row
+        // count equals nUpdates(0), counted at build); round i for its
+        // anti-joined fresh candidates, OBSERVED at build (e147 rule)
+        val nscored = if (i == 0) nUpdates(0) else freshCounts(i - 1)
+        avg.crossJoin(hits).crossJoin(na)
+          .select(lit(i.toLong).as("round"),
+            lit(nscored).as("n_scored"),
             lit(nUpdates(i)).as("n_updates"),
             col("avg_cos_t"), col("hits"), col("n_anchors"))
       }
@@ -5298,12 +5355,12 @@ object AnalysisQueries {
     */
   private[queries] final case class E173Legs(
       r: DataFrame, gens: DataFrame,
-      baseInit: DataFrame, stored: DataFrame,
-      baseFreshes: Vector[DataFrame],
-      foldInit: DataFrame, foldFinal: DataFrame,
-      foldFreshes: Vector[DataFrame],
-      scratchInit: DataFrame, scratchFinal: DataFrame,
-      scratchFreshes: Vector[DataFrame])
+      stored: DataFrame,
+      baseInitCount: Long, baseFreshCounts: Vector[Long],
+      foldFinal: DataFrame,
+      foldInitCount: Long, foldFreshCounts: Vector[Long],
+      scratchFinal: DataFrame,
+      scratchInitCount: Long, scratchFreshCounts: Vector[Long])
 
   /** e173's build — NN-Descent (e158's new/old-flag loop body, FIXED
     * round counts so the oracle unrolls statically) run three ways:
@@ -5351,29 +5408,40 @@ object AnalysisQueries {
       .select(col("vec_id"), col("uv"))
     val r = Indexing.withGlobalIndex(u, col("vec_id"), "rid")
       .localCheckpoint(true)
+    // measured-size build-side choice (the e147 rule): broadcast the
+    // checkpointed vector/graph projections into the loop joins only
+    // under the session threshold — at 100 TB the plan is unchanged.
+    val n = r.count()
+    def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
+      graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
+    def knnB(sel: DataFrame): DataFrame =
+      graft.operators.Adaptive.bcastIfSmall(sel, n * K, 48L)
     val gens = r.select(col("vec_id"),
       expr("(((vec_id % 1000003) * 2654435761) % 1000000007) % 5 = 4")
         .as("is_fresh"))
     def scoreEdges(edges: DataFrame): DataFrame =
       edges
-        .join(r.select(col("vec_id").as("src"), col("uv").as("ua")),
-          "src")
-        .join(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
-          "dst")
+        .join(rB(r.select(col("vec_id").as("dst"), col("uv").as("uc")),
+          600L), "dst")
+        .join(rB(r.select(col("vec_id").as("src"), col("uv").as("ua")),
+          600L), "src")
         .select(col("src"), col("dst"),
           (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
             .as("cos"))
     // ring init: srcIdx rows (vec_id, rid — rid in DST-INDEX space)
-    // each propose K successors around the dst index's id ring
+    // each propose K successors around the dst index's id ring; the
+    // dst-index count is a bounded collected scalar (one job over a
+    // checkpoint) so the ring arithmetic is a literal, not a
+    // broadcast-crossJoin
     def ringInit(srcIdx: DataFrame, dstIdx: DataFrame): DataFrame = {
-      val nn = dstIdx.agg(count(lit(1)).as("n"))
+      val nd = dstIdx.count()
       srcIdx.select(col("vec_id").as("src"), col("rid"))
-        .crossJoin(broadcast(nn))
-        .select(col("src"), col("rid"), col("n"),
+        .select(col("src"), col("rid"), lit(nd).as("n"),
           explode(sequence(lit(1), lit(K))).as("o"))
         .withColumn("nbr", (col("rid") + col("o")) % col("n"))
-        .join(dstIdx.select(col("vec_id").as("dst"),
-          col("rid").as("rid2")), col("rid2") === col("nbr"))
+        .join(graft.operators.Adaptive.bcastIfSmall(
+          dstIdx.select(col("vec_id").as("dst"), col("rid").as("rid2")),
+          nd, 48L), col("rid2") === col("nbr"))
         .select("src", "dst")
     }
     // e158's loop body with the convergence stop dropped (fixed
@@ -5381,10 +5449,10 @@ object AnalysisQueries {
     // the N·K-row post-top-K graph is checkpointed per round — the
     // fresh candidate set stays lazy (the e158 OOM lesson)
     def loop(knnf0: DataFrame, rounds: Int)
-        : (DataFrame, Vector[DataFrame]) = {
+        : (DataFrame, Vector[Long]) = {
       var knn = knnf0.localCheckpoint(true)
       val freshes =
-        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        scala.collection.mutable.ArrayBuffer.empty[Long]
       // production: intermediate rounds are released as soon as the
       // next one lands, and the fresh frames (which reference them)
       // are withheld — only the final graph's checkpoint survives
@@ -5403,9 +5471,16 @@ object AnalysisQueries {
             col("is_new").as("nc")), "w")
           .filter(col("a") =!= col("c") && (col("na") || col("nc")))
           .select(col("a").as("src"), col("c").as("dst")).distinct()
-        val fresh = cand.join(knn.select("src", "dst"),
+        // anti/left probes against the N·K-row checkpointed graph ride
+        // the measured-size broadcast rule; the fresh count is
+        // OBSERVED during the round's checkpoint (e147's rule: the
+        // audit's n_scored no longer re-executes the lazy candidate
+        // pipeline in the consuming job)
+        val obsF = new org.apache.spark.sql.Observation(
+          s"e173_fresh_${java.util.UUID.randomUUID}")
+        val fresh = cand.join(knnB(knn.select("src", "dst")),
           Seq("src", "dst"), "left_anti")
-        freshes += fresh
+          .observe(obsF, count(lit(1)).as("n"))
         val w = Window.partitionBy(col("src"))
           .orderBy(col("cos").desc, col("dst"))
         val top = knn.select("src", "dst", "cos")
@@ -5414,26 +5489,33 @@ object AnalysisQueries {
           .filter(col("rk") <= K)
           .select("src", "dst", "cos")
         val next = top
-          .join(knn.select(col("src"), col("dst"),
-            lit(true).as("was")), Seq("src", "dst"), "left")
+          .join(knnB(knn.select(col("src"), col("dst"),
+            lit(true).as("was"))), Seq("src", "dst"), "left")
           .withColumn("is_new", col("was").isNull).drop("was")
           .localCheckpoint(true)
+        freshes += obsF.get("n").asInstanceOf[Long]
         if (production) releaseLocalCheckpoint(knn)
         knn = next
       }
-      (knn, if (production) Vector.empty else freshes.toVector)
+      (knn, freshes.toVector)
     }
-    var baseInit: DataFrame = s.emptyDataFrame
-    var bF: Vector[DataFrame] = Vector.empty
+    var baseInitCount: Long = 0L
+    var bF: Vector[Long] = Vector.empty
     def buildBase(): Unit = {
       val rb = Indexing.withGlobalIndex(
         r.join(gens.filter(col("is_fresh") === false).select("vec_id"),
           "vec_id").select("vec_id", "uv"),
         col("vec_id"), "rid").localCheckpoint(true)
-      baseInit = ringInit(rb, rb)
+      // init count observed during the loop's first checkpoint (the
+      // fresh-count rule above)
+      val obsI = new org.apache.spark.sql.Observation(
+        s"e173_binit_${java.util.UUID.randomUUID}")
+      val baseInit = ringInit(rb, rb)
+        .observe(obsI, count(lit(1)).as("n"))
       val (baseFinal, f) =
         loop(scoreEdges(baseInit).withColumn("is_new", lit(true)),
           baseRounds)
+      baseInitCount = obsI.get("n").asInstanceOf[Long]
       bF = f
       // the storage boundary: the converged base graph leaves the plan
       // as parquet (N·K rows — one file, the e156b sizing note) and
@@ -5459,22 +5541,29 @@ object AnalysisQueries {
     val rf = r
       .join(gens.filter(col("is_fresh")).select("vec_id"), "vec_id")
       .select("vec_id", "rid")
+    val obsFI = new org.apache.spark.sql.Observation(
+      s"e173_finit_${java.util.UUID.randomUUID}")
     val foldInit = ringInit(rf, r)
+      .observe(obsFI, count(lit(1)).as("n"))
     val fknnf0 = stored.select("src", "dst", "cos")
       .withColumn("is_new", lit(false))
       .unionByName(scoreEdges(foldInit)
         .withColumn("is_new", lit(true)))
     val (foldFinal, fF) = loop(fknnf0, foldRounds)
+    val foldInitCount = obsFI.get("n").asInstanceOf[Long]
     // the scratch reference is the AUDIT — production never pays it
-    val (scratchInit, scratchFinal, sF) =
+    val (scratchInitCount, scratchFinal, sF) =
       if (production)
-        (s.emptyDataFrame, s.emptyDataFrame, Vector.empty[DataFrame])
+        (0L, s.emptyDataFrame, Vector.empty[Long])
       else {
+        val obsSI = new org.apache.spark.sql.Observation(
+          s"e173_sinit_${java.util.UUID.randomUUID}")
         val si = ringInit(r.select("vec_id", "rid"), r)
+          .observe(obsSI, count(lit(1)).as("n"))
         val (sf, sfr) =
           loop(scoreEdges(si).withColumn("is_new", lit(true)),
             scratchRounds)
-        (si, sf, sfr)
+        (obsSI.get("n").asInstanceOf[Long], sf, sfr)
       }
     if (production) {
       // r's checkpoint is the last non-returned pin; releasing it
@@ -5485,11 +5574,11 @@ object AnalysisQueries {
       // real in this mode)
       releaseLocalCheckpoint(r)
       val e = s.emptyDataFrame
-      E173Legs(e, e, e, stored, Vector.empty, e, foldFinal,
-        Vector.empty, e, e, Vector.empty)
+      E173Legs(e, e, stored, baseInitCount, bF, foldFinal,
+        foldInitCount, fF, e, 0L, Vector.empty)
     } else
-      E173Legs(r, gens, baseInit, stored, bF, foldInit, foldFinal, fF,
-        scratchInit, scratchFinal, sF)
+      E173Legs(r, gens, stored, baseInitCount, bF, foldFinal,
+        foldInitCount, fF, scratchFinal, scratchInitCount, sF)
   }
 
   /** The kNN graph across the PROCESS BOUNDARY — the stored-artifact
@@ -5806,19 +5895,20 @@ object AnalysisQueries {
       val sb = legs.scratchFinal.select("src", "dst")
         .join(legs.gens.filter(col("is_fresh") === false)
           .select(col("vec_id").as("src")), "src")
-      def legRowDf(leg: String, rounds: Int, init: DataFrame,
-          freshes: Seq[DataFrame], fin: DataFrame, truthRel: DataFrame,
+      def legRowDf(leg: String, rounds: Int, init: Long,
+          freshes: Seq[Long], fin: DataFrame, truthRel: DataFrame,
           ref: Option[DataFrame]): DataFrame = {
-        val counts = (init +: freshes.toIndexedSeq).zipWithIndex.map {
-          case (f, i) => f.agg(count(lit(1)).cast("long").as(s"c$i"))
-        }
+        // n_scored = init + per-round fresh counts, all OBSERVED at
+        // build time (e147's rule — the consuming job no longer
+        // re-executes any lazy candidate pipeline for the audit)
         val nNodes = fin.select("src").distinct()
           .agg(count(lit(1)).as("n_nodes"))
         val avg = fin.agg(
             sum(round(col("cos") * 10000).cast("long")).as("scs"),
             count(lit(1)).as("ne"))
           .select(expr("scs div ne").as("avg_cos_t"))
-        val hits = fin.join(truthRel, Seq("src", "dst"))
+        // truthRel is anchor-bounded by construction (≤ 64·K rows)
+        val hits = fin.join(broadcast(truthRel), Seq("src", "dst"))
           .agg(count(lit(1)).as("hits"))
         val na = truthRel.select("src").distinct()
           .agg(count(lit(1)).as("n_anchors"))
@@ -5834,24 +5924,22 @@ object AnalysisQueries {
           case None =>
             legs.r.limit(1).select(lit(0L).as("n_edge_diff"))
         }
-        counts.reduce(_ crossJoin _)
-          .crossJoin(nNodes).crossJoin(avg).crossJoin(hits)
+        nNodes.crossJoin(avg).crossJoin(hits)
           .crossJoin(na).crossJoin(diff)
           .select(lit(leg).as("leg"), col("n_nodes"),
             lit(rounds.toLong).as("n_rounds"),
-            expr(counts.indices.map(i => s"c$i").mkString(" + "))
-              .as("n_scored"),
+            lit(init + freshes.sum).as("n_scored"),
             col("avg_cos_t"), col("hits"), col("n_anchors"),
             col("n_edge_diff"))
       }
       val rows =
-        legRowDf("base", B, legs.baseInit, legs.baseFreshes,
+        legRowDf("base", B, legs.baseInitCount, legs.baseFreshCounts,
           legs.stored, truthB, Some(sb))
-        .unionByName(legRowDf("fold", Fr, legs.foldInit,
-          legs.foldFreshes, legs.foldFinal, truth,
+        .unionByName(legRowDf("fold", Fr, legs.foldInitCount,
+          legs.foldFreshCounts, legs.foldFinal, truth,
           Some(legs.scratchFinal.select("src", "dst"))))
-        .unionByName(legRowDf("scratch", S, legs.scratchInit,
-          legs.scratchFreshes, legs.scratchFinal, truth, None))
+        .unionByName(legRowDf("scratch", S, legs.scratchInitCount,
+          legs.scratchFreshCounts, legs.scratchFinal, truth, None))
       rows
         .withColumn("recall_bp",
           expr(s"hits * 10000 div (n_anchors * $K)"))

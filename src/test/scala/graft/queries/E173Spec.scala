@@ -77,10 +77,9 @@ class E173Spec extends SparkSpecBase {
     assert(fold === exact, "converged graph is not the exact kNN graph")
 
     // economics: the fold scored strictly fewer pairs than from-scratch
-    val foldScored = legs.foldInit.count() +
-      legs.foldFreshes.map(_.count()).sum
-    val scratchScored = legs.scratchInit.count() +
-      legs.scratchFreshes.map(_.count()).sum
+    val foldScored = legs.foldInitCount + legs.foldFreshCounts.sum
+    val scratchScored =
+      legs.scratchInitCount + legs.scratchFreshCounts.sum
     assert(foldScored < scratchScored,
       s"fold scored $foldScored, scratch $scratchScored — the stored " +
         "posture bought nothing")
