@@ -45,4 +45,19 @@ object Adaptive {
     if (rows >= 0 && rows * bytesPerRow <= broadcastThreshold(df))
       broadcast(df)
     else df
+
+  /** Run an INDEPENDENT action chain on a driver thread so its jobs
+    * overlap the caller's (guide §2.6: Spark schedules concurrent jobs
+    * FIFO and back-fills idle executors — an audit leg that shares no
+    * frame with the main chain has no reason to serialize behind it).
+    * The returned thunk blocks for the result; a failure in the body
+    * is rethrown there. Use ONLY for chains with no data dependency on
+    * the caller's in-flight work (CC audit legs, anchor-truth tables).
+    */
+  def overlap[T](body: => T): () => T = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f = Future(body)
+    () => Await.result(f, scala.concurrent.duration.Duration.Inf)
+  }
 }

@@ -90,6 +90,14 @@ object ConnectedComponents {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
+    // node count is round-invariant; it prices the label table for the
+    // per-round build-side choice ([[Adaptive.bcastIfSmall]] — r17):
+    // under the session broadcast threshold the three loop joins go
+    // straight to BHJ with no exchange on either side, above it (the
+    // 100 TB regime) the plan is the previous shuffle-join one.
+    val nNodes = labels.count()
+    def small(df: DataFrame): DataFrame =
+      Adaptive.bcastIfSmall(df, nNodes, 32L)
     // sum over DECIMAL: a 100 TB corpus can hold >2^31 near-dup nodes
     // with long ids whose label sum overflows BIGINT.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -107,14 +115,15 @@ object ConnectedComponents {
     try {
       while (!converged && rounds < maxRounds) {
         val nbrMin = sym
-          .join(labels.select(col("node").as("v"), col("comp").as("nc")), "v")
+          .join(small(labels.select(col("node").as("v"),
+            col("comp").as("nc"))), "v")
           .groupBy(col("u").as("node")).agg(min(col("nc")).as("nc"))
-        val prop = labels.join(nbrMin, Seq("node"), "left")
+        val prop = labels.join(small(nbrMin), Seq("node"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         val jumped = prop
-          .join(prop.select(col("node").as("pn"), col("comp").as("pc")),
-            col("comp") === col("pn"), "left")
+          .join(small(prop.select(col("node").as("pn"),
+            col("comp").as("pc"))), col("comp") === col("pn"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
         // Per-round eager localCheckpoint, deliberately: it flattens the
@@ -123,15 +132,19 @@ object ConnectedComponents {
         // an uncheckpointed chain doubles the analyzed plan every round —
         // measured 2x wall time from optimizer walks alone by round ~4,
         // on top of the exponential-recompute risk.
-        val next = jumped.localCheckpoint(true)
-        // `next` is materialized the moment localCheckpoint returns; if
-        // the convergence aggregate below fails, the outer catch only
-        // knows about `labels`, so release `next` here or it leaks for
-        // the session lifetime — the same class of leak the outer
-        // try/catch exists to prevent.
-        val newSum =
-          try labelSum(next)
-          catch { case t: Throwable => release(next); throw t }
+        // The convergence sum is OBSERVED inside the checkpoint's own
+        // materialization (r17): one job per round instead of two.
+        val obs = new org.apache.spark.sql.Observation(
+          s"cc_sum_${java.util.UUID.randomUUID}")
+        val next = jumped
+          .observe(obs, coalesce(sum(col("comp").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("s"))
+          .localCheckpoint(true)
+        val newSum = obs.get("s") match {
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+          case other => new java.math.BigDecimal(other.toString)
+        }
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         release(labels) // previous round is dead — next is materialized

@@ -88,14 +88,21 @@ object LabelPropagation {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
       .localCheckpoint(true)
+    // round-invariant node count prices the label table for the
+    // per-round build-side choice (the [[ConnectedComponents]] r17
+    // rule): broadcast under the session threshold, the previous
+    // shuffle plan above it.
+    val nNodes = labels.count()
+    def small(df: DataFrame): DataFrame =
+      Adaptive.bcastIfSmall(df, nNodes, 32L)
     def release(df: DataFrame): Unit =
       ConnectedComponents.releaseLocalCheckpoint(df)
     val churn = Seq.newBuilder[Long]
     try {
       for (_ <- 1 to rounds) {
         val votes = sym
-          .join(labels.select(col("node").as("v"),
-            col("community").as("cand")), "v")
+          .join(small(labels.select(col("node").as("v"),
+            col("community").as("cand"))), "v")
           .select(col("u").as("node"), col("cand"))
           .unionByName(
             labels.select(col("node"), col("community").as("cand")))
@@ -103,17 +110,28 @@ object LabelPropagation {
         // argmax by (count DESC, label ASC) as one map-side-combinable
         // struct max: highest count, then highest negated label = the
         // smallest label. No window, no per-node sort.
-        val next = votes
+        val argmax = votes
           .groupBy("node")
           .agg(max(struct(col("c"), (-col("cand")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("community"))
-          .localCheckpoint(true)
-        if (trackChurn)
-          churn += next.as("n")
-            .join(labels.select(col("node"),
-              col("community").as("prev")), "node")
-            .filter(col("community") =!= col("prev"))
-            .count()
+        // churn (labels changed this round) is OBSERVED inside the
+        // checkpoint's own materialization via a prev-label join —
+        // one job per round instead of two (the CC convergence rule);
+        // the node sets agree exactly (argmax's nodes == labels' nodes,
+        // both = sym's endpoint set), so the inner join drops nothing
+        val next = if (!trackChurn) argmax.localCheckpoint(true) else {
+          val obs = new org.apache.spark.sql.Observation(
+            s"lpa_churn_${java.util.UUID.randomUUID}")
+          val cp = argmax
+            .join(small(labels.select(col("node"),
+              col("community").as("prev"))), "node")
+            .observe(obs, count(when(
+              col("community") =!= col("prev"), lit(1))).as("c"))
+            .select(col("node"), col("community"))
+            .localCheckpoint(true)
+          churn += obs.get("c").asInstanceOf[Long]
+          cp
+        }
         release(labels)
         labels = next
       }

@@ -4428,7 +4428,8 @@ object AnalysisQueries {
     * graphs knns(0..rounds), and the per-round candidate pools.
     */
   private def e147BuildGraph(s: SparkSession, dir: String, K: Int,
-      rounds: Int): (DataFrame, Vector[DataFrame], Vector[Long]) = {
+      rounds: Int, onIndex: DataFrame => Unit = _ => ())
+      : (DataFrame, Vector[DataFrame], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -4450,6 +4451,7 @@ object AnalysisQueries {
     // exactly the previous shuffle plan. ~600 B/row: vec_id + rid +
     // 64-double uv + row overhead.
     val n = r.count()
+    onIndex(r) // lets the caller overlap the independent truth leg (r17)
     def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
       graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
     // dst join first, src join last: the downstream per-src top-K
@@ -4674,7 +4676,6 @@ object AnalysisQueries {
          |         THEN 1 ELSE 0 END
          |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
          |FROM m3 ORDER BY round""".stripMargin) { (s, dir) =>
-      val (r, knns, pools) = e147BuildGraph(s, dir, K, rounds)
       // Constant anchor budget (the e103b posture applied to the truth
       // harness): 64 anchors = the lowest multiplicative-hash values,
       // via a distributed top-k (TakeOrderedAndProject — never a full
@@ -4682,21 +4683,29 @@ object AnalysisQueries {
       // size. r11's proportional vec_id % 50 slice made the audit
       // N²/50 — the measured scale-killer that forced a 48 GiB heap at
       // the 100× probe while the BUILD itself stayed bounded.
-      val anchors = r
-        .withColumn("ah",
-          expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
-        .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
-        .select(col("vec_id").as("src"), col("uv").as("ua"))
-      val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
-        .join(broadcast(anchors), col("dst") =!= col("src"))
-        .select(col("src"), col("dst"),
-          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
-            .as("cos"))
-      val truth = tr
-        .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("cos").desc, col("dst"))))
-        .filter(col("rk") <= K).select("src", "dst")
-        .localCheckpoint(true)
+      // The leg depends only on the vector index, so it runs on a
+      // driver thread OVERLAPPED with the 8 build rounds (r17).
+      var truthT: () => DataFrame = null
+      val (r, knns, pools) = e147BuildGraph(s, dir, K, rounds, r0 => {
+        truthT = graft.operators.Adaptive.overlap {
+          val anchors = r0
+            .withColumn("ah",
+              expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
+            .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
+            .select(col("vec_id").as("src"), col("uv").as("ua"))
+          r0.select(col("vec_id").as("dst"), col("uv").as("uc"))
+            .join(broadcast(anchors), col("dst") =!= col("src"))
+            .select(col("src"), col("dst"),
+              (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+                .as("cos"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(col("cos").desc, col("dst"))))
+            .filter(col("rk") <= K).select("src", "dst")
+            .localCheckpoint(true)
+        }
+      })
+      val truth = truthT()
       val na = truth.select("src").distinct()
         .agg(count(lit(1)).as("n_anchors"))
       val rows = (0 to rounds).map { i =>
@@ -4753,7 +4762,8 @@ object AnalysisQueries {
     * scoring is the codegen'd Int8Dot corrected by the two scales.
     */
   private def e147bBuildGraph(s: SparkSession, dir: String, K: Int,
-      rounds: Int): (DataFrame, Vector[DataFrame], Vector[Long]) = {
+      rounds: Int, onIndex: DataFrame => Unit = _ => ())
+      : (DataFrame, Vector[DataFrame], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -4772,6 +4782,7 @@ object AnalysisQueries {
     // when it fits the session threshold; at 100 TB this stays the
     // shuffle plan. ~150 B/row: vec_id + 64-byte code + scale + slack.
     val n = r.count()
+    onIndex(r) // overlap hook for the truth leg (e147 rule)
     def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
       graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
     // the pair-scale joins ship ONLY (code, scale) — 72 B per vector
@@ -4956,25 +4967,31 @@ object AnalysisQueries {
          |         THEN 1 ELSE 0 END
          |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
          |FROM m3 ORDER BY round""".stripMargin) { (s, dir) =>
-      val (r, knns, pools) = e147bBuildGraph(s, dir, K, rounds)
       // Constant 64-anchor budget + AC SE — see e147's comment; the
       // float-exact truth side is the ONLY place uv rides a join, and
-      // it is B·N bounded by construction.
-      val anchors = r
-        .withColumn("ah",
-          expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
-        .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
-        .select(col("vec_id").as("src"), col("uv").as("ua"))
-      val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
-        .join(broadcast(anchors), col("dst") =!= col("src"))
-        .select(col("src"), col("dst"),
-          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
-            .as("cos"))
-      val truth = tr
-        .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("cos").desc, col("dst"))))
-        .filter(col("rk") <= K).select("src", "dst")
-        .localCheckpoint(true)
+      // it is B·N bounded by construction. Overlapped with the build
+      // rounds (the e147 rule).
+      var truthT: () => DataFrame = null
+      val (r, knns, pools) = e147bBuildGraph(s, dir, K, rounds, r0 => {
+        truthT = graft.operators.Adaptive.overlap {
+          val anchors = r0
+            .withColumn("ah",
+              expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
+            .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
+            .select(col("vec_id").as("src"), col("uv").as("ua"))
+          r0.select(col("vec_id").as("dst"), col("uv").as("uc"))
+            .join(broadcast(anchors), col("dst") =!= col("src"))
+            .select(col("src"), col("dst"),
+              (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+                .as("cos"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(col("cos").desc, col("dst"))))
+            .filter(col("rk") <= K).select("src", "dst")
+            .localCheckpoint(true)
+        }
+      })
+      val truth = truthT()
       val na = truth.select("src").distinct()
         .agg(count(lit(1)).as("n_anchors"))
       val rows = (0 to rounds).map { i =>
@@ -5051,7 +5068,7 @@ object AnalysisQueries {
     * it is one cheap action on the checkpointed graph.
     */
   private[queries] def e158BuildGraph(s: SparkSession, dir: String, K: Int,
-      maxRounds: Int)
+      maxRounds: Int, onIndex: DataFrame => Unit = _ => ())
       : (DataFrame, Vector[DataFrame], Vector[Long], Vector[Long]) = {
     import graft.operators.Indexing
     val emb = Tables.embeddings(s, dir)
@@ -5068,6 +5085,7 @@ object AnalysisQueries {
     // SMJ and re-shuffle r per round; broadcast under the session
     // threshold only, so at 100 TB the plan is unchanged.
     val n = r.count()
+    onIndex(r) // overlap hook for the truth leg (e147 rule)
     def rB(sel: DataFrame, bytesPerRow: Long): DataFrame =
       graft.operators.Adaptive.bcastIfSmall(sel, n, bytesPerRow)
     def knnB(sel: DataFrame): DataFrame =
@@ -5286,23 +5304,29 @@ object AnalysisQueries {
          |     - CASE WHEN s0 * s0 > sx THEN 1 ELSE 0 END AS recall_se_bp
          |FROM m3 CROSS JOIN stp WHERE round <= stp.sr
          |ORDER BY round""".stripMargin) { (s, dir) =>
+      // anchor-truth leg overlapped with the build rounds (e147 rule)
+      var truthT: () => DataFrame = null
       val (r, knns, freshCounts, nUpdates) =
-        e158BuildGraph(s, dir, K, maxRounds)
-      val anchors = r
-        .withColumn("ah",
-          expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
-        .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
-        .select(col("vec_id").as("src"), col("uv").as("ua"))
-      val tr = r.select(col("vec_id").as("dst"), col("uv").as("uc"))
-        .join(broadcast(anchors), col("dst") =!= col("src"))
-        .select(col("src"), col("dst"),
-          (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
-            .as("cos"))
-      val truth = tr
-        .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("cos").desc, col("dst"))))
-        .filter(col("rk") <= K).select("src", "dst")
-        .localCheckpoint(true)
+        e158BuildGraph(s, dir, K, maxRounds, r0 => {
+          truthT = graft.operators.Adaptive.overlap {
+            val anchors = r0
+              .withColumn("ah",
+                expr("((vec_id % 1000003) * 2654435761) % 1000000007"))
+              .orderBy(col("ah"), col("vec_id")).limit(anchorBudget)
+              .select(col("vec_id").as("src"), col("uv").as("ua"))
+            r0.select(col("vec_id").as("dst"), col("uv").as("uc"))
+              .join(broadcast(anchors), col("dst") =!= col("src"))
+              .select(col("src"), col("dst"),
+                (round(F.array_dot(col("ua"), col("uc")), 4) + lit(0d))
+                  .as("cos"))
+              .withColumn("rk", row_number().over(
+                Window.partitionBy(col("src"))
+                  .orderBy(col("cos").desc, col("dst"))))
+              .filter(col("rk") <= K).select("src", "dst")
+              .localCheckpoint(true)
+          }
+        })
+      val truth = truthT()
       val na = truth.select("src").distinct()
         .agg(count(lit(1)).as("n_anchors"))
       val rows = knns.indices.map { i =>
@@ -5527,6 +5551,21 @@ object AnalysisQueries {
         releaseLocalCheckpoint(rb)
       }
     }
+    // the scratch reference is the AUDIT — production never pays it;
+    // it depends only on r, so it runs on a driver thread OVERLAPPED
+    // with the base build + fold (guide-pattern overlap, r17)
+    val scratchT: () => (Long, DataFrame, Vector[Long]) =
+      if (production) () => (0L, s.emptyDataFrame, Vector.empty)
+      else graft.operators.Adaptive.overlap {
+        val obsSI = new org.apache.spark.sql.Observation(
+          s"e173_sinit_${java.util.UUID.randomUUID}")
+        val si = ringInit(r.select("vec_id", "rid"), r)
+          .observe(obsSI, count(lit(1)).as("n"))
+        val (sf, sfr) =
+          loop(scoreEdges(si).withColumn("is_new", lit(true)),
+            scratchRounds)
+        (obsSI.get("n").asInstanceOf[Long], sf, sfr)
+      }
     // steady state: skip the base loop entirely when the store already
     // matches the source scan (file-backed sources only — a fixture
     // frame has no files to fingerprint and always rebuilds)
@@ -5551,20 +5590,7 @@ object AnalysisQueries {
         .withColumn("is_new", lit(true)))
     val (foldFinal, fF) = loop(fknnf0, foldRounds)
     val foldInitCount = obsFI.get("n").asInstanceOf[Long]
-    // the scratch reference is the AUDIT — production never pays it
-    val (scratchInitCount, scratchFinal, sF) =
-      if (production)
-        (0L, s.emptyDataFrame, Vector.empty[Long])
-      else {
-        val obsSI = new org.apache.spark.sql.Observation(
-          s"e173_sinit_${java.util.UUID.randomUUID}")
-        val si = ringInit(r.select("vec_id", "rid"), r)
-          .observe(obsSI, count(lit(1)).as("n"))
-        val (sf, sfr) =
-          loop(scoreEdges(si).withColumn("is_new", lit(true)),
-            scratchRounds)
-        (obsSI.get("n").asInstanceOf[Long], sf, sfr)
-      }
+    val (scratchInitCount, scratchFinal, sF) = scratchT()
     if (production) {
       // r's checkpoint is the last non-returned pin; releasing it
       // makes every frame derived from it unusable, so the production

@@ -415,7 +415,8 @@ object CurationQueries {
     * composed labels). The from-scratch recompute and the n_mismatch
     * audit live ONLY in the oracle-checked form.
     */
-  private def e156Build(s: SparkSession, dir: String)
+  private def e156Build(s: SparkSession, dir: String,
+      onPe: DataFrame => Unit = _ => ())
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val reps = phashHashes(s, dir)
       .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
@@ -436,6 +437,7 @@ object CurationQueries {
       .select(col("doc_a"), col("doc_b"),
         (col("new_a") || col("new_b")).as("delta"))
       .localCheckpoint(true) // pair grain; feeds all three legs
+    onPe(pe) // lets the caller overlap an independent audit leg (r17)
     val compb = graft.operators.ConnectedComponents
       .components(pe.filter(!col("delta")), "doc_a", "doc_b")
     // contraction: delta-edge endpoints map to their persisted base
@@ -524,9 +526,16 @@ object CurationQueries {
        |  CAST((SELECT count(*) FROM incr i JOIN fullc f
        |    ON f.doc_id = i.doc_id AND f.lbl <> i.lbl) AS BIGINT)
        |    AS n_mismatch""".stripMargin) { (s, dir) =>
-    val (newf, pe, ce, incr) = e156Build(s, dir)
-    val compf = graft.operators.ConnectedComponents
-      .components(pe.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    // the from-scratch audit CC shares nothing with the incremental
+    // chain — run it on a driver thread so its rounds back-fill the
+    // base/stage-2 CC legs' idle capacity (guide-pattern overlap, r17)
+    var compfT: () => DataFrame = null
+    val (newf, pe, ce, incr) = e156Build(s, dir, pe0 => {
+      compfT = graft.operators.Adaptive.overlap(
+        graft.operators.ConnectedComponents
+          .components(pe0.select("doc_a", "doc_b"), "doc_a", "doc_b"))
+    })
+    val compf = compfT()
     val full = newf
       .join(compf.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("lbl"))
@@ -702,6 +711,11 @@ object CurationQueries {
       .select(col("doc_a"), col("doc_b"),
         greatest(col("ga"), col("gb")).as("eg"))
       .localCheckpoint(true)
+    // the from-scratch audit CC only needs pe — overlap it with the
+    // three fold legs (r17; the e156 overlap rule)
+    val compfT = graft.operators.Adaptive.overlap(
+      graft.operators.ConnectedComponents
+        .components(pe.select("doc_a", "doc_b"), "doc_a", "doc_b"))
     // the storage boundary: labels leave the plan as parquet and come
     // back as a fresh scan — the fold below cannot see their lineage
     val scratch = Scratch.dir(s, "e156b")
@@ -753,8 +767,7 @@ object CurationQueries {
       .join(comp2.select(col("node").as("base"), col("comp").as("c2")),
         Seq("base"), "left")
       .select(col("doc_id"), coalesce(col("c2"), col("base")).as("lbl"))
-    val compf = ConnectedComponents.components(
-      pe.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val compf = compfT()
     val full = gens
       .join(compf.withColumnRenamed("node", "doc_id"),
         Seq("doc_id"), "left")
