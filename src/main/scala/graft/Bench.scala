@@ -101,19 +101,25 @@ object Bench {
     catch { case _: Throwable => Double.NaN }
 
   /** A probe is load-flagged when it exceeds 1.5× the machine's
-    * demonstrated floor FOR ITS POSITION (the min across the history's
-    * same-position probes and the current one) — consumers of
+    * demonstrated floor FOR ITS POSITION — consumers of
     * bench_history (SCALING.md's round comparison, the judge's
     * regression diff) should prefer calibrated-clean lines and treat
     * flagged ones as upper bounds only. Position-matched deliberately:
     * the START probe runs JIT-cold and sits structurally ~40 % above
     * the END probe (fresh session, warm JVM) on an idle machine, so
     * one pooled floor — the first implementation — flagged every run
-    * against its own end probe.
+    * against its own end probe. The floor is the P10 (not the min) of
+    * the pooled same-position probes (r16 ADVICE): a single
+    * anomalously fast probe — timer glitch, unusually cold cache —
+    * would otherwise ratchet the floor down permanently and flag every
+    * later healthy run as loaded.
     */
   private[graft] def calibFlagged(
-      cur: Seq[Double], prior: Seq[Double]): Boolean =
-    cur.nonEmpty && cur.max > 1.5 * (cur ++ prior).min
+      cur: Seq[Double], prior: Seq[Double]): Boolean = {
+    if (cur.isEmpty) return false
+    val pooled = (cur ++ prior).sorted
+    cur.max > 1.5 * pooled((pooled.size - 1) / 10)
+  }
 
   /** Prior probe values for ONE position (`calib_s` or `calib_end_s`)
     * from the history artifact, for the flag's position-matched floor.
@@ -309,8 +315,15 @@ object Bench {
     val total = results.collect {
       case (n, v) if !errs.contains(n) => v
     }.sum
+    // default history path anchored to SPARK_GRAFT_REPO_ROOT like the
+    // VERDICT.md round derivation (r16 ADVICE: a bench launched from
+    // another cwd silently read an empty calibration floor and
+    // appended history to a stray file); an explicit env value is
+    // taken verbatim, and empty still disables.
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
-      "bench_history.jsonl")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "."),
+        "bench_history.jsonl").toString)
     // flag each probe against its POSITION's demonstrated floor across
     // the history — a flagged run's timings are upper bounds, and
     // SCALING.md's round comparison should cite calibrated-clean runs

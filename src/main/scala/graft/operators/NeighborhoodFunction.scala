@@ -92,14 +92,22 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try {
+      // materialize the cache and price the edge table for the
+      // per-round build-side rule (Adaptive.bcastIfSmall, r17)
+      val nEdges = sym.count()
       val nodes = sym.select(col("u").as("node")).distinct()
       // both summaries arrive eagerly checkpointed (rounds+1 rows):
       // `ex` feeds both the round join and the np_last filter, so
       // without it the component-quadratic tagged pair union would be
       // aggregated TWICE — and the checkpoint is what lets each leg
-      // release its per-round frames before returning
-      val ex = iterateExact(sym, nodes, rounds)
-      val est = iterateHll(sym, nodes, rounds)
+      // release its per-round frames before returning.
+      // The two legs share nothing downstream of (sym, nodes) — the
+      // HLL leg runs on a driver thread overlapped with the exact leg
+      // (guide-pattern overlap, r17).
+      val estT = graft.operators.Adaptive.overlap(
+        iterateHll(sym, nodes, rounds, nEdges))
+      val ex = iterateExact(sym, nodes, rounds, nEdges)
+      val est = estT()
       val last = ex.filter(col("round") === rounds)
         .select(col("n_pairs").as("np_last"))
       ex.join(est, "round")
@@ -122,8 +130,9 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try {
+      val nEdges = sym.count()
       val nodes = sym.select(col("u").as("node")).distinct()
-      iterateHll(sym, nodes, rounds).orderBy("round")
+      iterateHll(sym, nodes, rounds, nEdges).orderBy("round")
     } finally release()
   }
 
@@ -151,7 +160,8 @@ object NeighborhoodFunction {
     * via the finally.
     */
   private def iterateExact(
-      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+      sym: DataFrame, nodes: DataFrame, rounds: Int,
+      nEdges: Long): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var reach = nodes.select(col("node"), col("node").as("r"))
@@ -160,9 +170,13 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += reach.select(lit(0L).as("round"), col("node"))
       for (t <- 1 to rounds) {
+        // the round-invariant edge table is the build side when it
+        // fits the session broadcast threshold (measured count — the
+        // checkpointed reach relation then streams with no exchange);
+        // above the threshold the plan is the previous shuffle join
         reach = reach
-          .unionByName(sym
-            .join(reach.select(col("node").as("v"), col("r")), "v")
+          .unionByName(reach.select(col("node").as("v"), col("r"))
+            .join(Adaptive.bcastIfSmall(sym, nEdges, 24L), "v")
             .select(col("u").as("node"), col("r")))
           .distinct()
           .localCheckpoint(true)
@@ -185,7 +199,8 @@ object NeighborhoodFunction {
     * behind [[hllRegisters]], whose whole purpose is persisting it).
     */
   private def iterateHll(
-      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+      sym: DataFrame, nodes: DataFrame, rounds: Int,
+      nEdges: Long): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var regs = selfRegs(nodes).localCheckpoint(true)
@@ -193,7 +208,7 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += regs.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
-        regs = hllRound(sym, regs)
+        regs = hllRound(sym, regs, nEdges)
         frames += regs
         tagged += regs.withColumn("round", lit(t.toLong))
       }
@@ -202,12 +217,14 @@ object NeighborhoodFunction {
     } finally frames.foreach(ConnectedComponents.releaseLocalCheckpoint)
   }
 
-  /** One register max-merge round, eagerly checkpointed. */
-  private def hllRound(sym: DataFrame, regs: DataFrame): DataFrame =
+  /** One register max-merge round, eagerly checkpointed; the edge
+    * table is the build side when it fits (the iterateExact rule). */
+  private def hllRound(sym: DataFrame, regs: DataFrame,
+      nEdges: Long): DataFrame =
     regs
-      .unionByName(sym
-        .join(regs.select(col("node").as("v"), col("j"), col("mr")),
-          "v")
+      .unionByName(regs
+        .select(col("node").as("v"), col("j"), col("mr"))
+        .join(Adaptive.bcastIfSmall(sym, nEdges, 24L), "v")
         .select(col("u").as("node"), col("j"), col("mr")))
       .groupBy("node", "j").agg(max(col("mr")).as("mr"))
       .localCheckpoint(true)
@@ -227,7 +244,8 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try taggedRegisters(
-      sym, sym.select(col("u").as("node")).distinct(), rounds)
+      sym, sym.select(col("u").as("node")).distinct(), rounds,
+      sym.count())
     finally release()
   }
 
@@ -237,7 +255,8 @@ object NeighborhoodFunction {
   def summarizeRegisters(regs: DataFrame): DataFrame = summarizeHll(regs)
 
   private def taggedRegisters(
-      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+      sym: DataFrame, nodes: DataFrame, rounds: Int,
+      nEdges: Long): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var regs = selfRegs(nodes).localCheckpoint(true)
@@ -245,7 +264,7 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += regs.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
-        regs = hllRound(sym, regs)
+        regs = hllRound(sym, regs, nEdges)
         frames += regs
         tagged += regs.withColumn("round", lit(t.toLong))
       }

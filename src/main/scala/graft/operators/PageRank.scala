@@ -81,16 +81,24 @@ object PageRank {
 
     var r = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       .localCheckpoint(true)
+    // round-invariant node count prices the rank/contribution tables
+    // for the per-round build-side choice (the ConnectedComponents r17
+    // rule): broadcast under the session threshold — the cached
+    // adjacency then streams with no per-round exchange — and the
+    // previous shuffle plan above it.
+    val nNodes = deg.count()
+    def small(df: DataFrame): DataFrame =
+      Adaptive.bcastIfSmall(df, nNodes, 24L)
     for (_ <- 1 to iterations) {
       val contrib = adj
-        .join(r, col("src") === col("node"))
+        .join(small(r), col("src") === col("node"))
         .select(col("dst"), expr("rank * 85 div (100 * dg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cin"))
       // Left join is belt-and-braces: on a symmetrized graph every node
       // has an in-edge, but a node whose neighbors all rank-underflow
       // to 0 still contributes rows of c = 0, never NULL groups.
       val next = deg.select(col("src").as("node"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(small(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank"))
         .localCheckpoint(true)

@@ -66,14 +66,30 @@ object StreamIvfProbe {
     */
   def scoredCandidates(
       queries: DataFrame, index: DataFrame, centroids: DataFrame,
-      nprobe: Int): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
-    val cents: Array[(Long, Seq[Double], Double)] = centroids
+      nprobe: Int): DataFrame =
+    scoredCandidates(queries, index, collectCodebook(centroids), nprobe)
+
+  /** The bounded driver pull, exposed so a long-lived deployment
+    * ([[serve]]) collects the codebook ONCE at wiring time instead of
+    * re-collecting per micro-batch (r16 ADVICE: each trigger paid a
+    * full column-pruned index scan just to rebuild the codebook,
+    * partially offsetting the DPP pruning serve exists for).
+    */
+  def collectCodebook(
+      centroids: DataFrame): Array[(Long, Seq[Double], Double)] =
+    centroids
       .select(col("cid"), col("cemb").cast("array<double>"),
         col("cnrm").cast("double"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+
+  /** [[scoredCandidates]] over a pre-collected codebook. */
+  def scoredCandidates(
+      queries: DataFrame, index: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     require(cents.nonEmpty, "empty codebook")
     val q = queries
       .where(col("query_id").isNotNull)
@@ -114,9 +130,16 @@ object StreamIvfProbe {
     */
   def topKBatch(
       queries: DataFrame, index: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 1): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame =
+    topKBatch(queries, index, collectCodebook(centroids), k, nprobe)
+
+  /** [[topKBatch]] over a pre-collected codebook (the serve path). */
+  def topKBatch(
+      queries: DataFrame, index: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)],
+      k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scoredCandidates(queries, index, centroids, nprobe)
+    scoredCandidates(queries, index, cents, nprobe)
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -142,11 +165,15 @@ object StreamIvfProbe {
       k: Int, nprobe: Int = 1)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    // codebook collected ONCE at wiring time (its own docstring's
+    // contract, r16 ADVICE): triggers pay no codebook scan
+    val cents = collectCodebook(centroids)
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        sink(topKBatch(batch, index, centroids, k, nprobe), batchId)
+        sink(topKBatch(batch, index, cents, k, nprobe), batchId)
     }
+  }
 
   /** The declarative streaming probe: candidates through
     * [[TopKState]] — update-mode leaderboards, key = query_id, ids =

@@ -55,6 +55,22 @@ import graft.functions.{F, Portable}
   */
 object StreamKnnFold {
 
+  /** One-slot registry of the PREVIOUS wiring's persisted statics
+    * (r16 ADVICE: materializeStatics persisted up to 6 frames per
+    * wiring with no release path, so repeated wirings in one session —
+    * spec batch replays, probe chunks, bench re-invocations —
+    * accumulated session-lifetime cache entries). Each new
+    * materializing wiring unpersists the prior wiring's frames first,
+    * so at any moment at most ONE wiring's statics are pinned.
+    * Same-slot wirings are sequential in every harness (a stream is
+    * wired, run, stopped before the next); if two attach streams are
+    * ever LIVE concurrently, the second wiring demotes the first's
+    * statics to recompute-on-read — a slowdown, never an error
+    * (persist is advisory).
+    */
+  private val staticsSlot =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** Stateless candidate generation + exact scoring — shared verbatim
     * by the stream plan and its batch replay (the spec's
     * stream ≡ batch pin compares the two). Works on a streaming OR
@@ -76,9 +92,15 @@ object StreamKnnFold {
       capPerBucket: Int = 64,
       materializeStatics: Boolean = true): DataFrame = {
     require(capPerBucket >= 1, "capPerBucket must be >= 1")
+    if (materializeStatics)
+      staticsSlot.getAndSet(Nil).foreach(_.unpersist(false))
+    val persisted = Seq.newBuilder[DataFrame]
     def mat(df: DataFrame): DataFrame =
-      if (materializeStatics) df.persist(StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materializeStatics) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += p
+        p
+      } else df
     def normalized(df: DataFrame): DataFrame = df
       .where(col("vec_id").isNotNull)
       .select(col("vec_id"),
@@ -140,6 +162,7 @@ object StreamKnnFold {
         .join(bandTables(t), Seq(s"btk$t"))
         .select(col("src"), col("uv"), col("cand_id"))
     }.reduce(_ unionByName _)
+    if (materializeStatics) staticsSlot.set(persisted.result())
     val expanded = seeds.join(edges, Seq("cand_id"))
       .select(col("src"), col("uv"), col("hop_id").as("cand_id"))
     seeds.unionByName(expanded)

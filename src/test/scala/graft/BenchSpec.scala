@@ -53,6 +53,13 @@ class BenchSpec extends AnyFunSuite {
     // boundary: exactly 1.5× is not flagged (strict >)
     assert(!Bench.calibFlagged(Seq(1.5), Seq(1.0)))
     assert(!Bench.calibFlagged(Seq.empty, Seq(1.0)))
+    // P10 floor (r16 ADVICE): one anomalously fast historical probe
+    // must not ratchet the floor down and flag every healthy run
+    assert(!Bench.calibFlagged(Seq(1.4),
+      Seq(0.2, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+    // ...but a genuinely loaded probe still flags against that floor
+    assert(Bench.calibFlagged(Seq(1.6),
+      Seq(0.2, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
   }
 
   test("priorCalibs: position-matched fields, tolerates junk — a " +
