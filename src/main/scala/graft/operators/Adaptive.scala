@@ -42,7 +42,9 @@ object Adaptive {
     *         broadcast threshold, else df unchanged
     */
   def bcastIfSmall(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
-    if (rows >= 0 && rows * bytesPerRow <= broadcastThreshold(df))
+    if (df.sparkSession.conf.get("spark.graft.adaptiveBcast", "true")
+        != "false" &&
+        rows >= 0 && rows * bytesPerRow <= broadcastThreshold(df))
       broadcast(df)
     else df
 
@@ -57,7 +59,13 @@ object Adaptive {
   def overlap[T](body: => T): () => T = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val f = Future(body)
-    () => Await.result(f, scala.concurrent.duration.Duration.Inf)
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.conf.get("spark.graft.overlap", "true") == "false")) {
+      val v = body
+      () => v
+    } else {
+      val f = Future(body)
+      () => Await.result(f, scala.concurrent.duration.Duration.Inf)
+    }
   }
 }

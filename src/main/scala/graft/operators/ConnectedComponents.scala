@@ -90,11 +90,15 @@ object ConnectedComponents {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
-    // node count is round-invariant; it prices the label table for the
+    // node count is round-invariant; it prices the LABEL table for the
     // per-round build-side choice ([[Adaptive.bcastIfSmall]] — r17):
-    // under the session broadcast threshold the three loop joins go
-    // straight to BHJ with no exchange on either side, above it (the
-    // 100 TB regime) the plan is the previous shuffle-join one.
+    // under the session broadcast threshold the label-probe joins go
+    // straight to BHJ, above it (the 100 TB regime) the plan is the
+    // previous shuffle-join one. ONLY the checkpoint-backed label
+    // table is ever hinted: hinting a DERIVED frame (nbrMin, prop)
+    // measured 2.3× SLOWER — the broadcast build is its own job that
+    // re-executes the subplan and defeats AQE's shuffle-stage reuse,
+    // while a flat LogicalRDD broadcast has nothing to re-execute.
     val nNodes = labels.count()
     def small(df: DataFrame): DataFrame =
       Adaptive.bcastIfSmall(df, nNodes, 32L)
@@ -118,12 +122,12 @@ object ConnectedComponents {
           .join(small(labels.select(col("node").as("v"),
             col("comp").as("nc"))), "v")
           .groupBy(col("u").as("node")).agg(min(col("nc")).as("nc"))
-        val prop = labels.join(small(nbrMin), Seq("node"), "left")
+        val prop = labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         val jumped = prop
-          .join(small(prop.select(col("node").as("pn"),
-            col("comp").as("pc"))), col("comp") === col("pn"), "left")
+          .join(prop.select(col("node").as("pn"), col("comp").as("pc")),
+            col("comp") === col("pn"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
         // Per-round eager localCheckpoint, deliberately: it flattens the

@@ -97,8 +97,10 @@ object PageRank {
       // Left join is belt-and-braces: on a symmetrized graph every node
       // has an in-edge, but a node whose neighbors all rank-underflow
       // to 0 still contributes rows of c = 0, never NULL groups.
+      // contrib is a DERIVED frame — never hinted (the CC rule: a
+      // broadcast build re-executes the subplan and loses stage reuse)
       val next = deg.select(col("src").as("node"))
-        .join(small(contrib), col("node") === col("dst"), "left")
+        .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank"))
         .localCheckpoint(true)

@@ -43,9 +43,16 @@ object StageProfileMain {
         val ms = (for {
           a <- si.completionTime; b <- si.submissionTime
         } yield a - b).getOrElse(-1L)
-        val where = si.details.linesIterator
-          .find(l => l.contains("graft.") && !l.contains("tools."))
-          .getOrElse("").trim.take(110)
+        val where = {
+          val frame = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools."))
+            .getOrElse("").trim
+          val rdds = si.rddInfos.map { r =>
+            val sc = r.scope.map(_.name).getOrElse("")
+            if (sc.nonEmpty) sc else r.name
+          }.distinct.mkString(">")
+          (frame + " | " + rdds).take(170)
+        }
         stages.add(St(si.stageId, si.name.takeWhile(_ != '\n').take(90),
           si.numTasks, ms,
           if (m == null) 0 else m.shuffleReadMetrics.totalBytesRead,
@@ -78,7 +85,8 @@ object StageProfileMain {
       // top stages by wall
       println("  -- top by duration --")
       ss.sortBy(-_.ms).take(16).foreach { s =>
-        println(f"  st${s.id}%-5d ${s.ms}%6dms tasks=${s.tasks}%-3d ${s.where}")
+        println(f"  st${s.id}%-5d ${s.ms}%6dms taskMs=${s.taskMs}%-6d " +
+          f"tasks=${s.tasks}%-3d ${s.where}")
       }
     }
     spark.stop()
