@@ -90,18 +90,15 @@ object ConnectedComponents {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
-    // node count is round-invariant; it prices the LABEL table for the
-    // per-round build-side choice ([[Adaptive.bcastIfSmall]] — r17):
-    // under the session broadcast threshold the label-probe joins go
-    // straight to BHJ, above it (the 100 TB regime) the plan is the
-    // previous shuffle-join one. ONLY the checkpoint-backed label
-    // table is ever hinted: hinting a DERIVED frame (nbrMin, prop)
-    // measured 2.3× SLOWER — the broadcast build is its own job that
-    // re-executes the subplan and defeats AQE's shuffle-stage reuse,
-    // while a flat LogicalRDD broadcast has nothing to re-execute.
-    val nNodes = labels.count()
-    def small(df: DataFrame): DataFrame =
-      Adaptive.bcastIfSmall(df, nNodes, 32L)
+    // NO per-round label broadcast (r18, reverting the r17 hint): the
+    // hint rebuilt a BroadcastExchange from each round's FRESH
+    // checkpoint — a driver collect + relation build per round — and
+    // at local[32] that serial per-round cost measured ~1.5× the
+    // shuffle it replaced (e156 14.0 s with the hint off vs 19.7 s on,
+    // e156b 17.6 vs 28.0, same box, r18 A/B; every CC-consuming query
+    // regressed with it in r17's own bench). At 100 TB the label table
+    // blows the broadcast threshold and the hint never fired anyway,
+    // so removal is scale-neutral there and strictly wins locally.
     // sum over DECIMAL: a 100 TB corpus can hold >2^31 near-dup nodes
     // with long ids whose label sum overflows BIGINT.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -119,8 +116,8 @@ object ConnectedComponents {
     try {
       while (!converged && rounds < maxRounds) {
         val nbrMin = sym
-          .join(small(labels.select(col("node").as("v"),
-            col("comp").as("nc"))), "v")
+          .join(labels.select(col("node").as("v"), col("comp").as("nc")),
+            "v")
           .groupBy(col("u").as("node")).agg(min(col("nc")).as("nc"))
         val prop = labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
@@ -144,11 +141,16 @@ object ConnectedComponents {
           .observe(obs, coalesce(sum(col("comp").cast("decimal(38,0)")),
             lit(0).cast("decimal(38,0)")).as("s"))
           .localCheckpoint(true)
-        val newSum = obs.get("s") match {
-          case d: java.math.BigDecimal => d
-          case d: scala.math.BigDecimal => d.bigDecimal
-          case other => new java.math.BigDecimal(other.toString)
-        }
+        // `next` is already materialized here: if the observation read
+        // itself fails (listener failure / undelivered metrics), the
+        // outer catch only releases `labels` — release the fresh
+        // checkpoint too or it leaks for the session (ADVICE r17).
+        val newSum =
+          try obs.get("s") match {
+            case d: java.math.BigDecimal => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+            case other => new java.math.BigDecimal(other.toString)
+          } catch { case t: Throwable => release(next); throw t }
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         release(labels) // previous round is dead — next is materialized

@@ -88,21 +88,19 @@ object LabelPropagation {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("community"))
       .localCheckpoint(true)
-    // round-invariant node count prices the label table for the
-    // per-round build-side choice (the [[ConnectedComponents]] r17
-    // rule): broadcast under the session threshold, the previous
-    // shuffle plan above it.
-    val nNodes = labels.count()
-    def small(df: DataFrame): DataFrame =
-      Adaptive.bcastIfSmall(df, nNodes, 32L)
+    // NO per-round label broadcast (r18): the r17 hint rebuilt a
+    // BroadcastExchange from each round's fresh checkpoint — the
+    // [[ConnectedComponents]] measurement (its scaladoc carries the
+    // A/B numbers); above the threshold it never fired, so removal is
+    // scale-neutral at 100 TB and strictly faster at local core counts.
     def release(df: DataFrame): Unit =
       ConnectedComponents.releaseLocalCheckpoint(df)
     val churn = Seq.newBuilder[Long]
     try {
       for (_ <- 1 to rounds) {
         val votes = sym
-          .join(small(labels.select(col("node").as("v"),
-            col("community").as("cand"))), "v")
+          .join(labels.select(col("node").as("v"),
+            col("community").as("cand")), "v")
           .select(col("u").as("node"), col("cand"))
           .unionByName(
             labels.select(col("node"), col("community").as("cand")))
@@ -123,13 +121,16 @@ object LabelPropagation {
           val obs = new org.apache.spark.sql.Observation(
             s"lpa_churn_${java.util.UUID.randomUUID}")
           val cp = argmax
-            .join(small(labels.select(col("node"),
-              col("community").as("prev"))), "node")
+            .join(labels.select(col("node"),
+              col("community").as("prev")), "node")
             .observe(obs, count(when(
               col("community") =!= col("prev"), lit(1))).as("c"))
             .select(col("node"), col("community"))
             .localCheckpoint(true)
-          churn += obs.get("c").asInstanceOf[Long]
+          // cp is materialized: a failing observation read must release
+          // it (the outer catch only sees `labels`) — the CC rule
+          try churn += obs.get("c").asInstanceOf[Long]
+          catch { case t: Throwable => release(cp); throw t }
           cp
         }
         release(labels)

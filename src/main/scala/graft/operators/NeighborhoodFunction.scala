@@ -170,13 +170,15 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += reach.select(lit(0L).as("round"), col("node"))
       for (t <- 1 to rounds) {
-        // the round-invariant edge table is the build side when it
-        // fits the session broadcast threshold (measured count — the
-        // checkpointed reach relation then streams with no exchange);
-        // above the threshold the plan is the previous shuffle join
+        // NO per-round edge broadcast (r18): even for the
+        // round-invariant cached edge table, each round's job rebuilt
+        // its own BroadcastExchange — the [[ConnectedComponents]]
+        // per-round-broadcast lesson (interleaved A/B: e169 5.18 s
+        // hinted vs 5.00 s unhinted). The shuffle join plan is the one
+        // the 100 TB regime runs anyway.
         reach = reach
           .unionByName(reach.select(col("node").as("v"), col("r"))
-            .join(Adaptive.bcastIfSmall(sym, nEdges, 24L), "v")
+            .join(sym, "v")
             .select(col("u").as("node"), col("r")))
           .distinct()
           .localCheckpoint(true)
@@ -217,14 +219,14 @@ object NeighborhoodFunction {
     } finally frames.foreach(ConnectedComponents.releaseLocalCheckpoint)
   }
 
-  /** One register max-merge round, eagerly checkpointed; the edge
-    * table is the build side when it fits (the iterateExact rule). */
+  /** One register max-merge round, eagerly checkpointed; shuffle join
+    * deliberately (the iterateExact rule — no per-round broadcast). */
   private def hllRound(sym: DataFrame, regs: DataFrame,
       nEdges: Long): DataFrame =
     regs
       .unionByName(regs
         .select(col("node").as("v"), col("j"), col("mr"))
-        .join(Adaptive.bcastIfSmall(sym, nEdges, 24L), "v")
+        .join(sym, "v")
         .select(col("u").as("node"), col("j"), col("mr")))
       .groupBy("node", "j").agg(max(col("mr")).as("mr"))
       .localCheckpoint(true)

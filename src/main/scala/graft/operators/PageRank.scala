@@ -81,17 +81,14 @@ object PageRank {
 
     var r = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       .localCheckpoint(true)
-    // round-invariant node count prices the rank/contribution tables
-    // for the per-round build-side choice (the ConnectedComponents r17
-    // rule): broadcast under the session threshold — the cached
-    // adjacency then streams with no per-round exchange — and the
-    // previous shuffle plan above it.
-    val nNodes = deg.count()
-    def small(df: DataFrame): DataFrame =
-      Adaptive.bcastIfSmall(df, nNodes, 24L)
+    // NO per-round rank broadcast (r18): the r17 hint rebuilt a
+    // BroadcastExchange from each round's fresh rank checkpoint — the
+    // [[ConnectedComponents]] measurement; interleaved A/B at local[32]
+    // read 3.60 s hinted vs 3.41 s unhinted (e120), and at 100 TB the
+    // rank table blows the threshold so the hint never fired there.
     for (_ <- 1 to iterations) {
       val contrib = adj
-        .join(small(r), col("src") === col("node"))
+        .join(r, col("src") === col("node"))
         .select(col("dst"), expr("rank * 85 div (100 * dg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cin"))
       // Left join is belt-and-braces: on a symmetrized graph every node
