@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{F, Portable}
-import graft.operators.{MadOutliers, PageRank, QualityPropagate}
+import graft.operators.{BoundedPrefix, MadOutliers, PageRank, QualityPropagate}
 import graft.sources.Tables
 
 /** Round-9 similarity / sketch / corpus-health additions:
@@ -646,12 +646,22 @@ object AnalysisQueries {
     */
   private def recallAuditStats(docs: DataFrame): DataFrame = {
     val P = Portable.P
+    // Eagerly materialized ONCE (r18, guide §2.4 duplicated-subtree
+    // removal): `sets` feeds THREE independent pipelines (the prefix
+    // detector's token explode, the truth verifier's pair joins, and
+    // the LSH detector's minhash signatures). Uncheckpointed, Catalyst
+    // plans each consumer against its own copy of the subtree and the
+    // shingle UDF re-runs over the corpus once per consumer — measured
+    // 4 executions of the shingle scan per invocation. At 100 TB the
+    // trade is storing the hash arrays (ints, strictly smaller than
+    // the text they derive from) once vs re-shingling the corpus 4×.
     val sets = docs
       .select(col("doc_id"),
         array_sort(F.shingle_hashes(col("text"))).as("ts"))
       .filter(size(col("ts")) > 0)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("sz"))
+      .localCheckpoint(true)
     val tok = sets
       .select(col("doc_id"), col("sz"), explode(col("ts")).as("h"))
       .repartition(col("h"))
@@ -680,7 +690,15 @@ object AnalysisQueries {
         + least(col("sa") - col("mra"), col("sb") - col("mrb"))
         >= expr("(3 * (sa + sb) + 7) div 8"))
       .select("doc_a", "doc_b")
+      // pair-grain, candidate-bounded; feeds the truth verifier AND
+      // the 'prefix' audit leg — one materialization, not two (r18)
+      .localCheckpoint(true)
     val ov = size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long")
+    // The exact-Jaccard truth set is THE shared fact of the audit:
+    // every detector leg joins against it and the n_truth scalar
+    // aggregates it. Uncheckpointed it re-verified (array_intersect
+    // over the full shingle arrays) once per consumer — 4 executions
+    // of the most expensive join in the query (VERDICT r17 item 5).
     val truth = candp
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -688,6 +706,7 @@ object AnalysisQueries {
         col("sa.sz").as("za"), col("sb.sz").as("zb"))
       .filter(lit(5) * col("ov") >= lit(3) * (col("za") + col("zb") - col("ov")))
       .select("doc_a", "doc_b")
+      .localCheckpoint(true)
     val sig = sets.select(col("doc_id"), F.min_hashes(col("ts")).as("sig"))
     val bandKeys = array((0 until 6).map(k =>
       element_at(col("sig"), 2 * k + 1) * P +
@@ -724,10 +743,23 @@ object AnalysisQueries {
         coalesce(sum(col("t")), lit(0)).cast("long").as("n_hit"))
       .select(lit(name).as("method"), col("n_cand"), col("n_hit"))
     val tc = truth.agg(count(lit(1)).as("n_truth"))
-    audit("prefix", candp)
-      .union(audit("lsh", lshc))
-      .union(audit("winnow", winc))
-      .crossJoin(broadcast(tc))
+    // Materialize the 3-row summary eagerly so every corpus-grain pin
+    // above (sets, candp, truth) can be released NOW instead of riding
+    // the returned plan for the session (the e176Census discipline —
+    // leaked pins across bench passes are the e129 accumulation
+    // failure). A failure mid-audit must release them too.
+    import graft.operators.ConnectedComponents.releaseLocalCheckpoint
+    try {
+      audit("prefix", candp)
+        .union(audit("lsh", lshc))
+        .union(audit("winnow", winc))
+        .crossJoin(broadcast(tc))
+        .localCheckpoint(true)
+    } finally {
+      releaseLocalCheckpoint(truth)
+      releaseLocalCheckpoint(candp)
+      releaseLocalCheckpoint(sets)
+    }
   }
 
   private def e103DedupRecall = QueryDef.sql(
@@ -2131,8 +2163,11 @@ object AnalysisQueries {
           .select(col("n_calib"),
             expr("(n_calib + 10) div 10").as("j"))
         val freq = cal.groupBy("bp").agg(count(lit(1)).as("c"))
-        val cum = freq.withColumn("cum",
-          sum(col("c")).over(Window.orderBy(col("bp"))))
+        // bp ∈ [0, 10000] → ≤ 157 buckets of 64 bp: the partitioned
+        // two-level prefix (r18) replaces the unpartitioned cumulative
+        // window (single-task sort + WindowExec warning)
+        val cum = BoundedPrefix.cumsum(
+          freq, "bp", expr("bp div 64"), Seq("c" -> "cum"))
         val tau = cum.crossJoin(broadcast(jr))
           .filter(col("cum") >= col("j"))
           .agg(min(col("bp")).as("tau_bp"))
@@ -2678,11 +2713,15 @@ object AnalysisQueries {
        |  CAST(prop_bp AS BIGINT) AS prop_bp
        |FROM rk ORDER BY source""".stripMargin) {
     (s, dir) =>
+      // #sources-row aggregate, materialized ONCE (r18): base feeds the
+      // floor-sum, the rank pairing, and the output — uncheckpointed,
+      // each consumer re-ran the corpus aggregation.
       val m = Tables.documents(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("s1"),
           sum(col("n_chars").cast("long") * col("n_chars")).as("s2"))
+        .localCheckpoint(true)
       val w0 = m.select(col("source"), col("n_docs"),
         (col("n_docs") * col("s2") - col("s1") * col("s1")).as("x"))
       // The +1 clamp branch squares s0+1, which wraps negative in
@@ -2715,13 +2754,23 @@ object AnalysisQueries {
           expr("(ew * 1000) % ed").as("rem"),
           expr("ew * 10000 div ed").as("share_bp"),
           expr("n_docs * 10000 div tn").as("prop_bp"))
-      // The rank window rides the #sources-row aggregate — construction-
-      // bounded; named in PlanLintSpec's spine allowance. The floor-sum
-      // deficit is a one-row broadcast rather than a whole-table frame.
+      // Largest-remainder rank WITHOUT the unpartitioned row_number
+      // window (r18): rn = 1 + |rows sorting strictly earlier by
+      // (rem DESC, source ASC)| — exact for the duplicate-free source
+      // key, and the pairing rides the #sources-row frame (bounded by
+      // the source fan, never the corpus). The floor-sum deficit stays
+      // a one-row broadcast.
       val fls = base.agg(sum(col("fl")).as("sfl"))
+      val rnf = base.select("source", "rem").as("a")
+        .join(broadcast(base.select("source", "rem").as("b")),
+          col("b.rem") > col("a.rem") ||
+            (col("b.rem") === col("a.rem") &&
+              col("b.source") < col("a.source")),
+          "left")
+        .groupBy(col("a.source").as("source"))
+        .agg((count(col("b.source")) + lit(1L)).as("rn"))
       val rk = base
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("rem").desc, col("source"))))
+        .join(broadcast(rnf), "source")
         .crossJoin(broadcast(fls))
         .withColumn("deficit", lit(1000L) - col("sfl"))
       rk.select(col("source"), col("n_docs"),
@@ -4234,18 +4283,22 @@ object AnalysisQueries {
   private[queries] def isotonicFromBins(bins: DataFrame): DataFrame = {
     val b = bins.localCheckpoint(true) // grid-bounded; feeds the
                                        // prefix, pairs, and final join
-    val w = Window.orderBy("q")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = b
-      .withColumn("cn", sum(col("n")).over(w))
-      .withColumn("cp", sum(col("pos")).over(w))
+    // two-level prefix over the ≤ 50-row quantity grid (r18): no
+    // unpartitioned cumulative window
+    val p = BoundedPrefix.cumsum(b, "q", expr("q div 8"),
+      Seq("n" -> "cn", "pos" -> "cp"))
+    // explicit broadcast on the grid-bounded non-equi pairings (r18):
+    // the BoundedPrefix join output carries no small-size estimate, so
+    // without the hint the planner degrades these inner non-equi joins
+    // to CartesianProductExec (the lint's hard ban)
     val pairs = p.as("pj")
-      .join(p.as("pk"), col("pj.q") <= col("pk.q"))
+      .join(broadcast(p.as("pk")), col("pj.q") <= col("pk.q"))
       .select(col("pj.q").as("j"), col("pk.q").as("k"),
         expr("(pk.cp - pj.cp + pj.pos) * 1000000" +
           " div (pk.cn - pj.cn + pj.n)").as("a"))
-    val mi = p.select(col("q").as("i"))
-      .join(pairs, col("j") <= col("i") && col("k") >= col("i"))
+    val mi = pairs
+      .join(broadcast(p.select(col("q").as("i"))),
+        col("j") <= col("i") && col("k") >= col("i"))
       .groupBy("i", "j").agg(min(col("a")).as("m"))
     val fit = mi.groupBy("i").agg(max(col("m")).as("fit_ppm"))
     b.join(fit, col("q") === col("i"))
@@ -6801,7 +6854,11 @@ object AnalysisQueries {
         .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_core_pts"))
       val bstats = border.groupBy("cluster")
         .agg(sum(col("n")).as("n_border_pts"))
-      val tot = p.agg(count(lit(1)).as("np"))
+      // np from the CHECKPOINTED cell table (r18, guide §2.4): p has no
+      // filter between the scan and the cell groupBy, so Σ n over cells
+      // = count(p) exactly — the former p.agg(count) re-ran the corpus
+      // scan plus both 64-term JL projections just to count rows.
+      val tot = keyed.agg(sum(col("n")).as("np"))
       val out = clusters.join(bstats, Seq("cluster"), "left")
         .select(col("cluster"), col("n_cells"), col("n_core_pts"),
           coalesce(col("n_border_pts"), lit(0L)).as("n_border_pts"))
@@ -7094,10 +7151,12 @@ object AnalysisQueries {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // (source, length) grain: bounded table
     val g = counts.groupBy("v").agg(sum(col("c")).as("gc"))
-    val wg = Window.orderBy(col("v")) // support grain: codomain-bounded
-    val support = g.select(col("v"), col("gc"),
-      sum(col("gc")).over(wg).as("cumg"),
-      lead(col("v"), 1).over(wg).as("nxt"))
+    // support grain (codomain-bounded): two-level prefix + bucketed
+    // lead (r18) replace the unpartitioned window pair
+    val support = BoundedPrefix.leadKey(
+      BoundedPrefix.cumsum(g, "v", expr("v div 4096"),
+        Seq("gc" -> "cumg")),
+      "v", expr("v div 4096"), "nxt")
     val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
     val ntot = g.agg(sum(col("gc")).as("nt"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))
@@ -7179,9 +7238,11 @@ object AnalysisQueries {
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // (source, length) grain: bounded table
-    val wg = Window.orderBy(col("v")) // support grain: codomain-bounded
-    val support = counts.groupBy("v").agg(count(lit(1)).as("_g"))
-      .select(col("v"), lead(col("v"), 1).over(wg).as("nxt"))
+    // support grain (codomain-bounded): bucketed lead (r18), no
+    // unpartitioned window
+    val support = BoundedPrefix.leadKey(
+      counts.groupBy("v").agg(count(lit(1)).as("_g")).select("v"),
+      "v", expr("v div 4096"), "nxt")
     val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))
     val cums = counts.select("source").distinct()
@@ -7342,8 +7403,10 @@ object AnalysisQueries {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // (source, length) grain: bounded table
     val g = counts.groupBy("v").agg(sum(col("c")).as("gc"))
-    val wg = Window.orderBy(col("v")) // support grain: codomain-bounded
-    val support = g.select(col("v"), sum(col("gc")).over(wg).as("cumg"))
+    // support grain (codomain-bounded): two-level prefix (r18), no
+    // unpartitioned window
+    val support = BoundedPrefix.cumsum(g, "v", expr("v div 4096"),
+      Seq("gc" -> "cumg")).select("v", "cumg")
     val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
     val ntot = g.agg(sum(col("gc")).as("nt"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))

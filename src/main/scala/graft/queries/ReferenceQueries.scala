@@ -1803,18 +1803,52 @@ object ReferenceQueries {
       val spine = s.range(hr0, hrN).select(col("id").as("hr"))
       val j = spine.join(obs, Seq("hr"), "left")
         .select(col("hr"), col("obs_cents"))
-      val back = Window.orderBy("hr")
+      // Day-bucketed segmented scan (r18): every window is PARTITIONED
+      // by hr div 24 (≤ 30 day buckets over the 720-hour spine literal)
+      // instead of the former unpartitioned single-task pair; cross-day
+      // carry rides the per-day observation summary via two bounded
+      // non-equi extrema joins — hr is unique, so max/min over
+      // (hr, value) structs are exactly the last/first observations.
+      // 720-row spine, materialized once: the within-window, day-summary
+      // and day-spine branches all read it
+      val jd = j.withColumn("__d", expr("hr div 24")).localCheckpoint(true)
+      val back = Window.partitionBy("__d").orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = Window.orderBy("hr")
+      val fwd = Window.partitionBy("__d").orderBy("hr")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val obsHr = when(col("obs_cents").isNotNull, col("hr"))
-      j.select(
+      val within = jd.select(
+        col("hr"), col("__d"), col("obs_cents"),
+        last(col("obs_cents"), ignoreNulls = true).over(back)
+          .as("w_ffill"),
+        last(obsHr, ignoreNulls = true).over(back).as("w_prev"),
+        first(obsHr, ignoreNulls = true).over(fwd).as("w_next"),
+        first(col("obs_cents"), ignoreNulls = true).over(fwd)
+          .as("w_nextv"))
+      val days = jd.filter(col("obs_cents").isNotNull)
+        .groupBy(col("__d").as("__od"))
+        .agg(max(struct(col("hr"), col("obs_cents"))).as("lasto"),
+          min(struct(col("hr"), col("obs_cents"))).as("firsto"))
+      val dspine = jd.select("__d").distinct()
+      val carryIn = dspine.as("a")
+        .join(broadcast(days.as("p")), col("p.__od") < col("a.__d"),
+          "left")
+        .groupBy(col("a.__d").as("__d"))
+        .agg(max(col("p.lasto")).as("ci"))
+      val carryOut = dspine.as("a")
+        .join(broadcast(days.as("n")), col("n.__od") > col("a.__d"),
+          "left")
+        .groupBy(col("a.__d").as("__d"))
+        .agg(min(col("n.firsto")).as("co"))
+      within
+        .join(broadcast(carryIn), "__d")
+        .join(broadcast(carryOut), "__d")
+        .select(
           col("hr"), col("obs_cents"),
-          last(col("obs_cents"), ignoreNulls = true).over(back)
-            .as("ffill_cents"),
-          last(obsHr, ignoreNulls = true).over(back).as("prev_hr"),
-          first(obsHr, ignoreNulls = true).over(fwd).as("next_hr"),
-          first(col("obs_cents"), ignoreNulls = true).over(fwd).as("next_v"))
+          coalesce(col("w_ffill"), col("ci.obs_cents")).as("ffill_cents"),
+          coalesce(col("w_prev"), col("ci.hr")).as("prev_hr"),
+          coalesce(col("w_next"), col("co.hr")).as("next_hr"),
+          coalesce(col("w_nextv"), col("co.obs_cents")).as("next_v"))
         .select(
           col("hr"), col("obs_cents"), col("ffill_cents"),
           when(col("obs_cents").isNotNull, col("obs_cents").cast("double"))

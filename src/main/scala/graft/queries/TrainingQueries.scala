@@ -2141,11 +2141,11 @@ object TrainingQueries {
           s" div size(${Portable.wordsSpark})").as("score_bp"))
     val freq = sc.groupBy("score_bp")
       .agg(count(lit(1)).as("cnt"), sum(col("n_words")).as("wsum"))
-    // cumulative window over the score FREQUENCY table — bounded at
-    // 10 001 rows by the basis-point codomain, never the corpus
-    val cum = freq.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("score_bp"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // cumulative prefix over the score FREQUENCY table — bounded at
+    // 10 001 rows by the basis-point codomain, never the corpus; the
+    // two-level bucketed prefix (r18) keeps it off a single task
+    val cum = graft.operators.BoundedPrefix.cumsum(
+      freq, "score_bp", expr("score_bp div 64"), Seq("cnt" -> "cum"))
     val tot = freq.agg(sum(col("cnt")).as("n"))
     val cutCols = (1 to 9).map(p =>
       min(when(col("cum") >= expr(s"($p*n + 9) div 10"),

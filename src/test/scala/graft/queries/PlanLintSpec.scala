@@ -143,31 +143,25 @@ class PlanLintSpec extends SparkSpecBase {
                                  // broadcasts under the fold replay —
                                  // the e158 bound; the mutual join and
                                  // census are equi-joins
-      "e175b_modularity_regions") // same one-row crosses on the
+      "e175b_modularity_regions", // same one-row crosses on the
                                   // 25-node fixture graph
+      "q44_interpolate", // BoundedPrefix-style carry joins over the
+                         // ≤ 30-row day-summary frame (720-hour spine
+                         // literal) — construction-bounded, r18
+      "e157_w1_matrix") // BoundedPrefix.leadKey's bucket-firsts pairing
+                        // over the codomain-bounded support spine (r18)
 
-  /** Unpartitioned-window allowance: frames bounded by CONSTRUCTION,
-    * not by data — q44's window runs over the 720-row calendar spine
-    * (size fixed by a date-range literal; events are aggregated down to
-    * it before any unpartitioned work). Named here rather than marked
-    * in the plan because the spine's marker column would be
-    * column-pruned below the WindowExec.
+  /** Unpartitioned-window allowance — EMPTY since r18: every former
+    * entry (q44's calendar spine, the e76/e117 bp-frequency cumsums,
+    * e123's remainder rank, e146's bin-grid prefixes, the e154/e160
+    * support-spine CDFs) was rewritten onto
+    * [[graft.operators.BoundedPrefix]] (bucket-partitioned windows +
+    * bounded non-equi carry joins) or an equivalent bounded pairing, so
+    * no registered query plans a partitionSpec-less data-bearing
+    * WindowExec any more. Kept as a set so a future exception is a
+    * one-line, justified diff.
     */
-  private val spineWindowAllowed = Set("q44_interpolate",
-    // e76's cumulative window runs over the score_bp FREQUENCY table —
-    // bounded at 10001 rows by the basis-point codomain, never the corpus
-    "e76_curriculum_bins",
-    // e117's cumulative rank rides the same bounded frequency table
-    "e117_conformal_select",
-    // e123's remainder rank rides the #sources-row per-source aggregate
-    "e123_neyman_alloc",
-    // e146's prefix sums ride the ≤ 50-row quantity-bin grid
-    "e146_isotonic_calibration",
-    // e154's global-CDF cumsum rides the distinct-length support table,
-    // bounded by the length codomain — never the corpus
-    "e154_wasserstein_drift",
-    // e160's global-CDF cumsum rides e154's same codomain-bounded support
-    "e160_ks_drift")
+  private val spineWindowAllowed = Set.empty[String]
 
   private lazy val lintSession: SparkSession = {
     val s = spark.newSession()
