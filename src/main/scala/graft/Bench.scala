@@ -134,6 +134,12 @@ object Bench {
         val re = ("\"" + field + """":([0-9.]+)""").r
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala.toSeq
+          // probes from runs that were THEMSELVES load-flagged are
+          // excluded from the floor pool (r18, ADVICE r17): loaded
+          // probes entering the pool ratchet the P10 floor UP over
+          // time, silently under-flagging later loaded runs — the
+          // drift direction the old min floor was immune to
+          .filterNot(_.contains("\"calib_flagged\":true"))
           .flatMap(l => re.findAllMatchIn(l)
             .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption))
       }

@@ -55,17 +55,40 @@ object Adaptive {
     * The returned thunk blocks for the result; a failure in the body
     * is rethrown there. Use ONLY for chains with no data dependency on
     * the caller's in-flight work (CC audit legs, anchor-truth tables).
+    *
+    * r18 (ADVICE r17): the body runs on a DEDICATED daemon thread, not
+    * the global ForkJoinPool — pooled threads inherit whatever Spark
+    * localProperties (execution id, job group) were live when the POOL
+    * created them, which mislabels and can mis-cancel the overlap leg's
+    * jobs. The fresh thread clears the inherited execution-id/job-group
+    * properties and re-binds the caller's active session; a body
+    * failure is logged immediately from the thread, so it is visible
+    * even on a caller path that dies before invoking the thunk.
     */
   def overlap[T](body: => T): () => T = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.conf.get("spark.graft.overlap", "true") == "false")) {
+    import scala.concurrent.{Await, Promise}
+    import scala.util.Try
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (active.exists(_.conf.get("spark.graft.overlap", "true")
+        == "false")) {
       val v = body
       () => v
     } else {
-      val f = Future(body)
-      () => Await.result(f, scala.concurrent.duration.Duration.Inf)
+      val p = Promise[T]()
+      val t = new Thread(() => {
+        active.foreach { s =>
+          org.apache.spark.sql.SparkSession.setActiveSession(s)
+          s.sparkContext.setLocalProperty("spark.sql.execution.id", null)
+          s.sparkContext.clearJobGroup()
+        }
+        val r = Try(body)
+        r.failed.foreach(e => System.err.println(
+          s"graft.Adaptive.overlap body failed: $e"))
+        p.complete(r)
+      }, s"graft-overlap-${java.util.UUID.randomUUID.toString.take(8)}")
+      t.setDaemon(true)
+      t.start()
+      () => Await.result(p.future, scala.concurrent.duration.Duration.Inf)
     }
   }
 }

@@ -167,7 +167,13 @@ object StreamIvfProbe {
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     // codebook collected ONCE at wiring time (its own docstring's
-    // contract, r16 ADVICE): triggers pay no codebook scan
+    // contract, r16 ADVICE): triggers pay no codebook scan.
+    // CONTRACT (r18, ADVICE r17): the codebook is FROZEN for the
+    // stream's lifetime — a deployment that rebuilds the centroids
+    // table must re-wire serve() to pick the new codebook up; a
+    // long-lived stream over a mutated table silently probes the old
+    // cells (the per-batch collect this replaced tracked rebuilds, at
+    // one codebook scan per trigger).
     val cents = collectCodebook(centroids)
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>

@@ -59,9 +59,12 @@ object StreamKnnFold {
     * (r16 ADVICE: materializeStatics persisted up to 6 frames per
     * wiring with no release path, so repeated wirings in one session —
     * spec batch replays, probe chunks, bench re-invocations —
-    * accumulated session-lifetime cache entries). Each new
-    * materializing wiring unpersists the prior wiring's frames first,
-    * so at any moment at most ONE wiring's statics are pinned.
+    * accumulated session-lifetime cache entries). Each materializing
+    * wiring atomically SWAPS its built frames in and unpersists
+    * exactly the set the swap displaced (r18: the former
+    * clear-at-start/set-at-end pair could orphan one wiring's frames
+    * outside the slot under interleaving), so at any moment at most
+    * one committed wiring's statics are pinned.
     * Same-slot wirings are sequential in every harness (a stream is
     * wired, run, stopped before the next); if two attach streams are
     * ever LIVE concurrently, the second wiring demotes the first's
@@ -92,8 +95,6 @@ object StreamKnnFold {
       capPerBucket: Int = 64,
       materializeStatics: Boolean = true): DataFrame = {
     require(capPerBucket >= 1, "capPerBucket must be >= 1")
-    if (materializeStatics)
-      staticsSlot.getAndSet(Nil).foreach(_.unpersist(false))
     val persisted = Seq.newBuilder[DataFrame]
     def mat(df: DataFrame): DataFrame =
       if (materializeStatics) {
@@ -162,7 +163,14 @@ object StreamKnnFold {
         .join(bandTables(t), Seq(s"btk$t"))
         .select(col("src"), col("uv"), col("cand_id"))
     }.reduce(_ unionByName _)
-    if (materializeStatics) staticsSlot.set(persisted.result())
+    // ONE atomic swap (r18, ADVICE r17): the old getAndSet(Nil)-at-
+    // start / set-at-end pair let two interleaved wirings orphan one
+    // result set outside the slot (pinned forever). Swapping the built
+    // frames in and unpersisting exactly what the swap displaced means
+    // every persisted set is either IN the slot or already unpersisted,
+    // under any interleaving.
+    if (materializeStatics)
+      staticsSlot.getAndSet(persisted.result()).foreach(_.unpersist(false))
     val expanded = seeds.join(edges, Seq("cand_id"))
       .select(col("src"), col("uv"), col("hop_id").as("cand_id"))
     seeds.unionByName(expanded)
