@@ -37,13 +37,17 @@ object BoundedPrefix {
     * buckets) — exact integer identities.
     */
   def cumsum(df: DataFrame, key: String, bucket: Column,
-      sums: Seq[(String, String)]): DataFrame = {
-    // eager checkpoint: the frame is bounded by contract, and BOTH the
-    // within-bucket window and the bucket-totals branch read it — the
-    // checkpoint pins ONE upstream execution instead of re-running the
-    // (possibly corpus-grain) subtree per branch
-    val in = df.withColumn("__b", bucket.cast("long"))
-      .localCheckpoint(true)
+      sums: Seq[(String, String)],
+      materialize: Boolean = true): DataFrame = {
+    // eager checkpoint (default): the frame is bounded by contract, and
+    // BOTH the within-bucket window and the bucket-totals branch read
+    // it — the checkpoint pins ONE upstream execution instead of
+    // re-running a corpus-grain subtree per branch. Callers whose input
+    // is ALREADY checkpoint-backed (or a cheap aggregate of one) pass
+    // materialize = false: for them the duplicate read is a bounded
+    // re-aggregation, cheaper than an extra materialization job.
+    val in0 = df.withColumn("__b", bucket.cast("long"))
+    val in = if (materialize) in0.localCheckpoint(true) else in0
     val w = Window.partitionBy("__b").orderBy(key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = sums.foldLeft(in) { case (d, (v, out)) =>
@@ -73,11 +77,11 @@ object BoundedPrefix {
     * the next key overall.
     */
   def leadKey(df: DataFrame, key: String, bucket: Column,
-      outName: String): DataFrame = {
-    // eager checkpoint: same single-upstream-execution argument as
-    // [[cumsum]] (the window and firsts branches both read `in`)
-    val in = df.withColumn("__b", bucket.cast("long"))
-      .localCheckpoint(true)
+      outName: String, materialize: Boolean = true): DataFrame = {
+    // eager checkpoint: same single-upstream-execution argument (and
+    // same materialize opt-out) as [[cumsum]]
+    val in0 = df.withColumn("__b", bucket.cast("long"))
+    val in = if (materialize) in0.localCheckpoint(true) else in0
     val w = Window.partitionBy("__b").orderBy(key)
     val within = in.withColumn("__wl", lead(col(key), 1).over(w))
     val firsts = in.groupBy(col("__b").as("__fb"))

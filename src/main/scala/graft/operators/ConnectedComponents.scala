@@ -86,9 +86,16 @@ object ConnectedComponents {
     // identity init (label = node), deliberately: folding the first
     // propagation into init (label = min(node, min neighbor)) measured
     // consistently SLOWER end-to-end — the round it saves is repaid
-    // with interest by the convergence trajectory it induces
+    // with interest by the convergence trajectory it induces.
+    // The INITIAL label sum is observed inside the init checkpoint's
+    // own materialization (r18 — the same fold r17 applied to the
+    // per-round sum): one job instead of two before the loop starts.
+    val obs0 = new org.apache.spark.sql.Observation(
+      s"cc_init_${java.util.UUID.randomUUID}")
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
+      .observe(obs0, coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
       .localCheckpoint(true)
     // NO per-round label broadcast (r18, reverting the r17 hint): the
     // hint rebuilt a BroadcastExchange from each round's FRESH
@@ -101,11 +108,12 @@ object ConnectedComponents {
     // so removal is scale-neutral there and strictly wins locally.
     // sum over DECIMAL: a 100 TB corpus can hold >2^31 near-dup nodes
     // with long ids whose label sum overflows BIGINT.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
-
-    var prevSum = labelSum(labels)
+    def asBig(v: Any): java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case other => new java.math.BigDecimal(other.toString)
+    }
+    var prevSum = asBig(obs0.get("s"))
     var rounds = 0
     var converged = false
     def release(df: DataFrame): Unit =
@@ -146,11 +154,8 @@ object ConnectedComponents {
         // outer catch only releases `labels` — release the fresh
         // checkpoint too or it leaks for the session (ADVICE r17).
         val newSum =
-          try obs.get("s") match {
-            case d: java.math.BigDecimal => d
-            case d: scala.math.BigDecimal => d.bigDecimal
-            case other => new java.math.BigDecimal(other.toString)
-          } catch { case t: Throwable => release(next); throw t }
+          try asBig(obs.get("s"))
+          catch { case t: Throwable => release(next); throw t }
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         release(labels) // previous round is dead — next is materialized

@@ -92,9 +92,12 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try {
-      // materialize the cache and price the edge table for the
-      // per-round build-side rule (Adaptive.bcastIfSmall, r17)
-      val nEdges = sym.count()
+      // eager cache materialization: both overlapped legs read the
+      // persisted sym — without this count the forked HLL leg and the
+      // exact leg race to compute the cache's partitions, duplicating
+      // the symmetrize work (the count's ONLY remaining job since the
+      // r18 removal of the per-round broadcast rule it used to price)
+      sym.count()
       val nodes = sym.select(col("u").as("node")).distinct()
       // both summaries arrive eagerly checkpointed (rounds+1 rows):
       // `ex` feeds both the round join and the np_last filter, so
@@ -105,8 +108,8 @@ object NeighborhoodFunction {
       // HLL leg runs on a driver thread overlapped with the exact leg
       // (guide-pattern overlap, r17).
       val estT = graft.operators.Adaptive.overlap(
-        iterateHll(sym, nodes, rounds, nEdges))
-      val ex = iterateExact(sym, nodes, rounds, nEdges)
+        iterateHll(sym, nodes, rounds))
+      val ex = iterateExact(sym, nodes, rounds)
       val est = estT()
       val last = ex.filter(col("round") === rounds)
         .select(col("n_pairs").as("np_last"))
@@ -130,9 +133,8 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try {
-      val nEdges = sym.count()
       val nodes = sym.select(col("u").as("node")).distinct()
-      iterateHll(sym, nodes, rounds, nEdges).orderBy("round")
+      iterateHll(sym, nodes, rounds).orderBy("round")
     } finally release()
   }
 
@@ -160,8 +162,7 @@ object NeighborhoodFunction {
     * via the finally.
     */
   private def iterateExact(
-      sym: DataFrame, nodes: DataFrame, rounds: Int,
-      nEdges: Long): DataFrame = {
+      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var reach = nodes.select(col("node"), col("node").as("r"))
@@ -201,8 +202,7 @@ object NeighborhoodFunction {
     * behind [[hllRegisters]], whose whole purpose is persisting it).
     */
   private def iterateHll(
-      sym: DataFrame, nodes: DataFrame, rounds: Int,
-      nEdges: Long): DataFrame = {
+      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var regs = selfRegs(nodes).localCheckpoint(true)
@@ -210,7 +210,7 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += regs.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
-        regs = hllRound(sym, regs, nEdges)
+        regs = hllRound(sym, regs)
         frames += regs
         tagged += regs.withColumn("round", lit(t.toLong))
       }
@@ -221,8 +221,7 @@ object NeighborhoodFunction {
 
   /** One register max-merge round, eagerly checkpointed; shuffle join
     * deliberately (the iterateExact rule — no per-round broadcast). */
-  private def hllRound(sym: DataFrame, regs: DataFrame,
-      nEdges: Long): DataFrame =
+  private def hllRound(sym: DataFrame, regs: DataFrame): DataFrame =
     regs
       .unionByName(regs
         .select(col("node").as("v"), col("j"), col("mr"))
@@ -246,8 +245,7 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val (sym, release) = symmetrize(edges, aCol, bCol)
     try taggedRegisters(
-      sym, sym.select(col("u").as("node")).distinct(), rounds,
-      sym.count())
+      sym, sym.select(col("u").as("node")).distinct(), rounds)
     finally release()
   }
 
@@ -257,8 +255,7 @@ object NeighborhoodFunction {
   def summarizeRegisters(regs: DataFrame): DataFrame = summarizeHll(regs)
 
   private def taggedRegisters(
-      sym: DataFrame, nodes: DataFrame, rounds: Int,
-      nEdges: Long): DataFrame = {
+      sym: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var regs = selfRegs(nodes).localCheckpoint(true)
@@ -266,7 +263,7 @@ object NeighborhoodFunction {
       val tagged = Seq.newBuilder[DataFrame]
       tagged += regs.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
-        regs = hllRound(sym, regs, nEdges)
+        regs = hllRound(sym, regs)
         frames += regs
         tagged += regs.withColumn("round", lit(t.toLong))
       }

@@ -4284,9 +4284,10 @@ object AnalysisQueries {
     val b = bins.localCheckpoint(true) // grid-bounded; feeds the
                                        // prefix, pairs, and final join
     // two-level prefix over the ≤ 50-row quantity grid (r18): no
-    // unpartitioned cumulative window
+    // unpartitioned cumulative window; b is already checkpoint-backed,
+    // so the helper skips its own materialization
     val p = BoundedPrefix.cumsum(b, "q", expr("q div 8"),
-      Seq("n" -> "cn", "pos" -> "cp"))
+      Seq("n" -> "cn", "pos" -> "cp"), materialize = false)
     // explicit broadcast on the grid-bounded non-equi pairings (r18):
     // the BoundedPrefix join output carries no small-size estimate, so
     // without the hint the planner degrades these inner non-equi joins
@@ -7152,11 +7153,13 @@ object AnalysisQueries {
       .localCheckpoint(true) // (source, length) grain: bounded table
     val g = counts.groupBy("v").agg(sum(col("c")).as("gc"))
     // support grain (codomain-bounded): two-level prefix + bucketed
-    // lead (r18) replace the unpartitioned window pair
+    // lead (r18) replace the unpartitioned window pair; g is a bounded
+    // aggregate of the checkpointed counts table, so the duplicate
+    // branch reads are cheap re-aggregations (materialize = false)
     val support = BoundedPrefix.leadKey(
       BoundedPrefix.cumsum(g, "v", expr("v div 4096"),
-        Seq("gc" -> "cumg")),
-      "v", expr("v div 4096"), "nxt")
+        Seq("gc" -> "cumg"), materialize = false),
+      "v", expr("v div 4096"), "nxt", materialize = false)
     val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
     val ntot = g.agg(sum(col("gc")).as("nt"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))
@@ -7239,10 +7242,10 @@ object AnalysisQueries {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // (source, length) grain: bounded table
     // support grain (codomain-bounded): bucketed lead (r18), no
-    // unpartitioned window
+    // unpartitioned window; rides the checkpointed counts table
     val support = BoundedPrefix.leadKey(
       counts.groupBy("v").agg(count(lit(1)).as("_g")).select("v"),
-      "v", expr("v div 4096"), "nxt")
+      "v", expr("v div 4096"), "nxt", materialize = false)
     val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))
     val cums = counts.select("source").distinct()
@@ -7404,9 +7407,9 @@ object AnalysisQueries {
       .localCheckpoint(true) // (source, length) grain: bounded table
     val g = counts.groupBy("v").agg(sum(col("c")).as("gc"))
     // support grain (codomain-bounded): two-level prefix (r18), no
-    // unpartitioned window
+    // unpartitioned window; rides the checkpointed counts table
     val support = BoundedPrefix.cumsum(g, "v", expr("v div 4096"),
-      Seq("gc" -> "cumg")).select("v", "cumg")
+      Seq("gc" -> "cumg"), materialize = false).select("v", "cumg")
     val nsrc = counts.groupBy("source").agg(sum(col("c")).as("ns"))
     val ntot = g.agg(sum(col("gc")).as("nt"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))
