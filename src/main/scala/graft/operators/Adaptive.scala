@@ -59,9 +59,15 @@ object Adaptive {
     * r18 (ADVICE r17): the body runs on a DEDICATED daemon thread, not
     * the global ForkJoinPool — pooled threads inherit whatever Spark
     * localProperties (execution id, job group) were live when the POOL
-    * created them, which mislabels and can mis-cancel the overlap leg's
-    * jobs. The fresh thread clears the inherited execution-id/job-group
-    * properties and re-binds the caller's active session; a body
+    * lazily created them, a STALE snapshot that mislabels and can
+    * mis-cancel the overlap leg's jobs. A fresh per-call thread
+    * inherits the CALLER'S CURRENT properties instead (the correct
+    * labeling, and cancelling the caller's group rightly cancels its
+    * overlap leg); the properties are deliberately NOT cleared —
+    * clearing the execution id measured e147 12.9 s vs 9.1 s cleared
+    * vs not (same box, isolated), every overlapped action paying its
+    * own SQL-execution bookkeeping against the loop's tiny stages.
+    * The caller's active session is re-bound explicitly, and a body
     * failure is logged immediately from the thread, so it is visible
     * even on a caller path that dies before invoking the thunk.
     */
@@ -76,11 +82,8 @@ object Adaptive {
     } else {
       val p = Promise[T]()
       val t = new Thread(() => {
-        active.foreach { s =>
-          org.apache.spark.sql.SparkSession.setActiveSession(s)
-          s.sparkContext.setLocalProperty("spark.sql.execution.id", null)
-          s.sparkContext.clearJobGroup()
-        }
+        active.foreach(
+          org.apache.spark.sql.SparkSession.setActiveSession)
         val r = Try(body)
         r.failed.foreach(e => System.err.println(
           s"graft.Adaptive.overlap body failed: $e"))
